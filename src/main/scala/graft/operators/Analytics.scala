@@ -1,0 +1,310 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational / analytical core (SURVEY §2 E1–E10).
+  *
+  * Conventions shared with the DuckDB oracle so results hash-match:
+  *  - money columns are cast to DECIMAL(12,2), rates to DECIMAL(4,2) before
+  *    aggregation (exact arithmetic, no summation-order drift), and final
+  *    aggregates are cast back to DOUBLE (decimal→double is deterministic);
+  *  - averages are computed as CAST(exact_sum AS DOUBLE)/COUNT — a single
+  *    IEEE division of identical operands on both engines;
+  *  - every query ends in a deterministic ORDER BY.
+  */
+object Analytics {
+  private val M  = DecimalType(12, 2) // money
+  private val R  = DecimalType(4, 2)  // rates (discount/tax)
+
+  private def dec(c: Column, t: DecimalType = M): Column = c.cast(t)
+  private val one = lit("1.00").cast(R)
+
+  /** E1: TPC-H Q1-style pricing summary. Single shuffle with map-side
+    * partial aggregation; filter + 7-column projection pushed to the scan. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast(DateType))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"), R)))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"), R))
+          * (one + dec(col("l_tax"), R))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec(col("l_discount"), R)).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q1PricingSql: String = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST('1.00' AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** Exact per-row revenue term shared by Q3/Q5. */
+  private def revenueTerm: Column =
+    dec(col("l_extendedprice")) * (one - dec(col("l_discount"), R))
+
+  /** E2: shipping-priority join (Q3 style). Filtered customer dim is
+    * broadcast; orders⋈lineitem shuffles on orderkey. Top-10 via global
+    * sort-limit (TakeOrderedAndProject — no full sort at scale). */
+  def q3Revenue(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast(DateType))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir)
+      .filter(to_date(col("l_shipdate")) > lit("1998-01-01").cast(DateType))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(revenueTerm).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3RevenueSql: String = """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+    GROUP BY o_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10"""
+
+  /** E3: local-supplier volume (Q5 style) — 6-table star join. region,
+    * nation, supplier broadcast; orders⋈lineitem shuffle on orderkey. */
+  def q5Region(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir)
+      .filter(to_date(col("o_orderdate")) >= lit("1996-01-01").cast(DateType) &&
+              to_date(col("o_orderdate")) <  lit("1998-01-01").cast(DateType))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(revenueTerm).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5RegionSql: String = """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  /** E4: rollup over order status × priority. NULL grouping cells labeled
+    * 'ALL' so both engines emit identical strings. */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val qRollupSql: String = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority"""
+
+  /** E5: running (cumulative) per-user aggregate over the event stream.
+    * Single shuffle on user_id; exact decimal accumulation inside the
+    * window so both engines agree bit-for-bit. */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), dec(col("value")).as("v"))
+      .withColumn("running_value", sum(col("v")).over(w).cast("double"))
+      .withColumn("running_events", count(lit(1)).over(w))
+      .select("user_id", "event_id", "running_value", "running_events")
+      .orderBy("user_id", "event_id")
+  }
+
+  val qWindowSql: String = """
+    SELECT user_id, event_id,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_value,
+      COUNT(*) OVER w AS running_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id"""
+
+  /** E6: sessionization — 30-minute inactivity gap splits sessions.
+    * lag + running flag-sum; one shuffle on user_id, then a per-user
+    * session rollup. Epoch math in whole seconds (exact integers). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts").cast(TimestampType)).as("epoch"))
+      .withColumn("prev_epoch", lag("epoch", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_epoch").isNull || col("epoch") - col("prev_epoch") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    e.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("epoch") - min("epoch")).as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val qSessionizeSql: String = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch,
+        CASE WHEN lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w IS NULL
+                  OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                     - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, epoch,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+      MAX(epoch) - MIN(epoch) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""
+
+  /** E7: JSON payload extraction + aggregation — stays in codegen via
+    * get_json_object (no UDF). */
+  def qJson(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val qJsonSql: String = """
+    SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** E8: exact event dedup on a natural key (first event id wins). */
+  def qEventDedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n_dups"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val qEventDedupSql: String = """
+    SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
+    FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type"""
+
+  /** E9: top-k per group via ranking window — one shuffle on the group
+    * key, no self-join. Raw doubles pass through unmodified (no
+    * arithmetic), so they hash-match. */
+  def qTopkGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("event_type", "rk")
+  }
+
+  val qTopkGroupSql: String = """
+    SELECT event_type, event_id, value, rk FROM (
+      SELECT event_type, event_id, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rk
+      FROM events)
+    WHERE rk <= 3 ORDER BY event_type, rk"""
+
+  /** E10: anti join — customers that never ordered. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val o = Tables.orders(s, dir).select("o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  val qAntiJoinSql: String = """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"   -> (q1Pricing _),
+    "q3_revenue"   -> (q3Revenue _),
+    "q5_region"    -> (q5Region _),
+    "q_rollup"     -> (qRollup _),
+    "q_window"     -> (qWindow _),
+    "q_sessionize" -> (qSessionize _),
+    "q_json"       -> (qJson _),
+    "q_event_dedup" -> (qEventDedup _),
+    "q_topk_group" -> (qTopkGroup _),
+    "q_anti_join"  -> (qAntiJoin _))
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing"   -> q1PricingSql,
+    "q3_revenue"   -> q3RevenueSql,
+    "q5_region"    -> q5RegionSql,
+    "q_rollup"     -> qRollupSql,
+    "q_window"     -> qWindowSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_json"       -> qJsonSql,
+    "q_event_dedup" -> qEventDedupSql,
+    "q_topk_group" -> qTopkGroupSql,
+    "q_anti_join"  -> qAntiJoinSql)
+}

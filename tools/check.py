@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py [sf_dir] [out_dir]
+Reads the Verify dump (<out>/<name>/ parquet + oracle_sql.json), runs each
+oracle SQL in DuckDB against the same tables, and compares row counts,
+column names, and sorted values.
+"""
+import sys, json, glob, math
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.sql(sql).fetchall()
+        expcols = [d[0] for d in con.sql(sql).description]
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        fails += 1
+        continue
+    try:
+        got_rel = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
+        gotcols = [d[0] for d in got_rel.description]
+        got = got_rel.fetchall()
+    except Exception as e:
+        print(f"FAIL {name}: spark result missing: {e}")
+        fails += 1
+        continue
+    if sorted(expcols) != sorted(gotcols):
+        print(f"FAIL {name}: cols exp={expcols} got={gotcols}")
+        fails += 1
+        continue
+    # align column order by name, then sort rows
+    eidx = [expcols.index(c) for c in sorted(expcols)]
+    gidx = [gotcols.index(c) for c in sorted(gotcols)]
+    def norm(rows, idx):
+        out = []
+        for r in rows:
+            out.append(tuple(repr(r[i]) for i in idx))
+        return sorted(out)
+    e_n, g_n = norm(exp, eidx), norm(got, gidx)
+    if len(e_n) != len(g_n):
+        print(f"FAIL {name}: rows exp={len(e_n)} got={len(g_n)}")
+        fails += 1
+    elif e_n != g_n:
+        bad = sum(1 for a, b in zip(e_n, g_n) if a != b)
+        print(f"FAIL {name}: {bad}/{len(e_n)} rows differ")
+        for a, b in zip(e_n, g_n):
+            if a != b:
+                print(f"   exp {a}\n   got {b}")
+                break
+        fails += 1
+    else:
+        print(f"ok   {name}: {len(e_n)} rows")
+print("RESULT:", "FAIL" if fails else "PASS", f"({len(oracle)-fails}/{len(oracle)})")
+sys.exit(1 if fails else 0)
