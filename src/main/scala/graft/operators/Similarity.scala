@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.functions.{Hashing, Text}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search / embedding operators (SURVEY §2 B1–B4).
+  *
+  * Inner-product arithmetic for oracle-checked queries is exact decimal —
+  * deterministic ranking in both engines; the LSH variant (B3, no oracle)
+  * uses plain doubles, which is what a production deployment would run.
+  */
+object Similarity {
+
+  /** Fixed-point element quantizer: floor(x·1e8 + 0.5) — exact int64, and
+    * bit-identical in Spark and DuckDB (unlike their float→decimal casts,
+    * which round half-way cases differently). |x| ≤ ~2 → 64-dim dot fits
+    * int64 with room to spare. */
+  private def q8(x: Column): Column =
+    floor(x.cast("double") * lit(1.0e8) + lit(0.5))
+
+  /** Exact scaled-integer inner product (scale 1e16). */
+  private def dotExact(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => q8(x) * q8(y)), lit(0L), (acc, v) => acc + v)
+
+  /** Plain double inner product (hot path; whole-stage-friendly HOFs). */
+  private def dotDouble(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  private def queriesSet(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+
+  private def corpusSet(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"),
+        col("label"))
+
+  /** B2: brute-force inner-product top-k — the correctness baseline every
+    * ANN variant is measured against. The tiny query set is broadcast; the
+    * corpus is scanned once, ranked per query. */
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    corpusSet(s, dir).join(broadcast(queriesSet(s, dir)))
+      .select(col("query_id"), col("neighbor_id"),
+        dotExact(col("q"), col("c")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annBruteSql: String = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST(list_sum(list_transform(list_zip(q.q, c.c),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM q CROSS JOIN c),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, CAST(dot AS DOUBLE) / 1.0e16 AS score
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
+  /** B4: k-NN label vote — classify each query by its 5 nearest
+    * neighbors' majority label (ties → smallest label). */
+  def knnVote(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    val neighbors = corpusSet(s, dir).join(broadcast(queriesSet(s, dir)))
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        dotExact(col("q"), col("c")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val voteW = Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))
+    neighbors.groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(voteW))
+      .filter(col("vrk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
+  val knnVoteSql: String = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c, label FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id, label,
+        CAST(list_sum(list_transform(list_zip(q.q, c.c),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM q CROSS JOIN c),
+    ranked AS (
+      SELECT query_id, neighbor_id, label, dot,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes
+      FROM ranked WHERE rank <= 5 GROUP BY query_id, label),
+    best AS (
+      SELECT query_id, label, votes,
+        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vrk
+      FROM votes)
+    SELECT query_id, label AS pred_label, votes FROM best WHERE vrk = 1
+    ORDER BY query_id"""
+
+  // ---- B1: deterministic hash embedder (rows-only check) ---------------
+
+  private val EmbedDim = 32
+
+  /** B1: hashing-trick text embedder — token → (md5-derived slot, ±1
+    * sign), summed per doc, L2-normalized. The Spark-side analog of the
+    * reference's external text2vec vectorizer
+    * (VectorDatabase/VectorDatabase.py:56): deterministic, vocabularyless,
+    * and embarrassingly parallel (explode + one groupBy). */
+  def vecEmbed(s: SparkSession, dir: String): DataFrame = {
+    val th = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        (Hashing.h60(col("t")) % EmbedDim).cast("int").as("slot"),
+        (shiftright(Hashing.h60(col("t")), 5).bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
+    val slots = th.groupBy("doc_id", "slot").agg(sum("sign").as("weight"))
+    val vecs = slots.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("weight")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(EmbedDim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("int")), lit(0L)).cast("double")).as("raw"))
+    val norm = sqrt(aggregate(col("raw"), lit(0.0d), (acc, x) => acc + x * x))
+    vecs.select(col("doc_id"),
+      when(norm > 0, transform(col("raw"), x => x / norm)).otherwise(col("raw"))
+        .as("embedding"))
+      .orderBy("doc_id")
+  }
+
+  // ---- B3: LSH-bucketed ANN (rows-only check) --------------------------
+
+  private val LshPlanes = 6
+
+  /** Deterministic ±1 random-hyperplane matrix (seeded, engine-internal —
+    * B3 has no SQL oracle, so plain doubles are fine here). */
+  private lazy val hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(LshPlanes, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** B3: random-hyperplane LSH ANN — the scale path. Each vector gets a
+    * 6-bit bucket (sign pattern against fixed hyperplanes); queries
+    * multi-probe their bucket plus all Hamming-1 neighbors (7 keys), so
+    * the join scans ~7/2^bits of the corpus instead of all of it. At
+    * 100 TB: buckets are the shuffle key, queries (with probe fan-out)
+    * broadcast, in-bucket exact re-ranking. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    def bucketOf(v: Column): Column =
+      (0 until LshPlanes).map { p =>
+        val planeDot = aggregate(
+          zip_with(v, lit(hyperplanes(p)), (x, w) => x * w),
+          lit(0.0d), (acc, t) => acc + t)
+        when(planeDot > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val q = queriesSet(s, dir).withColumn("bucket", bucketOf(col("q")))
+      // multi-probe: own bucket + flip each bit once (Hamming radius 1)
+      .select(col("query_id"), col("q"), explode(array(
+        col("bucket") +: (0 until LshPlanes).map(p =>
+          col("bucket").bitwiseXOR(lit(1 << p))): _*)).as("probe"))
+    val c = corpusSet(s, dir).withColumn("bucket_c", bucketOf(col("c")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("bucket_c") === col("probe"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotDouble(col("q"), col("c")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_brute" -> (annBrute _),
+    "knn_vote"  -> (knnVote _),
+    "vec_embed" -> (vecEmbed _),
+    "ann_lsh"   -> (annLsh _))
+
+  val oracle: Map[String, String] = Map(
+    "ann_brute" -> annBruteSql,
+    "knn_vote"  -> knnVoteSql)
+}
