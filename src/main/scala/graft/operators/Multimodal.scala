@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded-media feature record. Fixed-width feature vector keeps the
+  * schema stable regardless of payload size. */
+case class MediaFeature(doc_id: Long, mime: String, n_bytes: Int,
+  width: Int, height: Int, feature: Array[Double])
+
+/** Multimodal binary-column plumbing (SURVEY §2 F4).
+  *
+  * Pattern for image/audio/video at 100 TB: an opaque `binary` payload
+  * column + typed metadata struct travels through the relational plan
+  * untouched; decode/feature-extract runs partition-wise so codec state is
+  * initialized once per partition (not per row) and batch shape is
+  * controlled by `spark.sql.files.maxPartitionBytes`.
+  *
+  * The decode step itself is a clearly-marked STUB (no image/audio codecs
+  * in this container): deterministic pseudo-decode from the payload bytes.
+  * Swapping in a real codec changes only `decodeStub` — the Spark-side
+  * schema, partitioning, and batching are production-shaped.
+  */
+object Multimodal {
+
+  /** STUB decoder — stands in for e.g. JPEG decode + resize + embed.
+    * Deterministic in the payload bytes so tests are stable. */
+  private[graft] def decodeStub(docId: Long, mime: String,
+      payload: Array[Byte]): MediaFeature = {
+    val n = payload.length
+    val width = 64 + (if (n == 0) 0 else java.lang.Byte.toUnsignedInt(payload(0)) % 64)
+    val height = 64 + (if (n < 2) 0 else java.lang.Byte.toUnsignedInt(payload(1)) % 64)
+    val feature = Array.tabulate(4) { i =>
+      if (n == 0) 0.0
+      else java.lang.Byte.toUnsignedInt(payload(i % n)).toDouble / 255.0
+    }
+    MediaFeature(docId, mime, n, width, height, feature)
+  }
+
+  /** F4: binary-column pipeline — synthesize payloads from the documents
+    * table (UTF-8 bytes as the stand-in blob), then partition-wise
+    * pseudo-decode into typed features. Rows-only check (no SQL oracle:
+    * the decode is engine-internal by design). */
+  def mmPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        concat(lit("text/plain;doc="), col("doc_id")).as("mime"))
+      .as[(Long, Array[Byte], String)]
+    media.mapPartitions { it =>
+      // per-partition init point: a real implementation opens its codec here
+      it.map { case (id, payload, mime) => decodeStub(id, mime, payload) }
+    }.toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pipeline" -> (mmPipeline _))
+
+  val oracle: Map[String, String] = Map.empty
+}

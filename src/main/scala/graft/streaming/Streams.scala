@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Event-stream schema (mirrors the batch events table). */
+case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+/** Closed session emitted by stateful sessionization. */
+case class SessionOut(user_id: Long, session_start: Long, session_end: Long,
+  n_events: Long)
+
+private case class SessionState(start: Long, last: Long, n: Long)
+
+/** Latest-state upsert record (the streaming #EDIT analog). */
+case class LatestOut(user_id: Long, event_type: String, event_id: Long,
+  epoch: Long)
+
+/** Structured Streaming operators (SURVEY §2 F1–F3).
+  *
+  * The reference bot polls Slack incrementally with a persisted
+  * `last_run_timestamp` (KnowledgeBot.py:133-165, 446-453); Structured
+  * Streaming's checkpointed file/Kafka sources + watermarks are the
+  * engine-native version of exactly that contract. State is bounded by
+  * watermark/timeout in every operator — a requirement at 100 TB/day.
+  */
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** F1 source half: checkpointed incremental ingest over a landing dir. */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(path)
+
+  /** F1: watermarked 10-minute tumbling-window aggregate. Late data beyond
+    * 30 minutes is dropped and window state is reclaimed — bounded state. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** F2: stateful sessionization with a 30-minute inactivity gap,
+    * flatMapGroupsWithState + event-time timeout. Emits a session when the
+    * watermark passes last-event + gap. One state record per live user —
+    * the streaming twin of Analytics.qSessionize. */
+  def sessionize(events: Dataset[StreamEvent], gapSeconds: Long = 1800)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.n))
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val sec = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if sec - s.last > gapSeconds =>
+                  closed += SessionOut(userId, s.start, s.last, s.n)
+                  cur = Some(SessionState(sec, sec, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, sec), s.n + 1))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last * 1000 + gapSeconds * 1000)
+            }
+            closed.iterator
+          }
+        })
+  }
+
+  /** F3: streaming keep-latest upsert per (user, event_type) — the #EDIT
+    * reprocess semantics as an Update-mode state map
+    * (KnowledgeBot.py:351-379). */
+  def keepLatest(events: Dataset[StreamEvent]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), batch: Iterator[StreamEvent], state: GroupState[LatestOut]) => {
+          val newest = (state.getOption.iterator ++ batch.map(e =>
+            LatestOut(key._1, key._2, e.event_id, e.ts.getTime / 1000)))
+            .maxBy(l => (l.epoch, l.event_id))
+          state.update(newest)
+          newest
+        })
+  }
+}

@@ -1,0 +1,26 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("mm_pipeline produces one typed feature row per document") {
+    val df = Multimodal.mmPipeline(spark, sf)
+    assert(df.columns.toSeq ==
+      Seq("doc_id", "mime", "n_bytes", "width", "height", "feature"))
+    val rows = df.collect()
+    assert(rows.length == 500)
+    val r = rows.head
+    assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
+    assert(r.getAs[scala.collection.Seq[Double]]("feature").length == 4)
+  }
+
+  test("stub decode is deterministic in the payload") {
+    val a = Multimodal.decodeStub(1, "m", "hello".getBytes("UTF-8"))
+    val b = Multimodal.decodeStub(1, "m", "hello".getBytes("UTF-8"))
+    assert(a.width == b.width && a.feature.toSeq == b.feature.toSeq)
+    assert(a.n_bytes == 5)
+  }
+}

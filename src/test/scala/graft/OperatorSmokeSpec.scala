@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared operator runs end-to-end at sf0.001 and the contract
+  * maps stay consistent (oracle keys ⊆ query keys; entry non-empty). */
+class OperatorSmokeSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      // every query must produce rows on the smoke corpus except genuinely
+      // selective ones, which may be empty but must still evaluate
+      val n = df.count()
+      val mayBeEmpty = Set("q_anti_join", "dedup_jaccard", "dedup_minhash",
+        "dedup_simhash", "dedup_embcos")
+      assert(n > 0 || mayBeEmpty(name), s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private var sink = 0
+  private def runToCompletion[T](stream: org.apache.spark.sql.Dataset[T],
+      mode: OutputMode): Seq[org.apache.spark.sql.Row] = {
+    sink += 1
+    val name = s"sink$sink"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name).collect().toSeq
+  }
+
+  test("F1: watermarked windowed aggregation over a memory stream") {
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(
+      StreamEvent(1, ts(1), 10, "click", 1.0),
+      StreamEvent(2, ts(5), 10, "click", 2.0),
+      StreamEvent(3, ts(12), 11, "view", 5.0))
+    val rows = runToCompletion(
+      Streams.windowedCounts(input.toDF()), OutputMode.Complete)
+    val byKey = rows.map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    assert(byKey(("2024-01-01 00:00:00.0", "click")) == (2L, 3.0))
+    assert(byKey(("2024-01-01 00:10:00.0", "view")) == (1L, 5.0))
+  }
+
+  test("F2: stateful sessionization closes sessions after the gap") {
+    val input = MemoryStream[StreamEvent](spark)
+    // session 1: minutes 0-10; gap > 30 min; session 2: minute 50
+    input.addData(
+      StreamEvent(1, ts(0), 7, "click", 1.0),
+      StreamEvent(2, ts(10), 7, "click", 1.0),
+      StreamEvent(3, ts(50), 7, "click", 1.0))
+    // advance watermark far past everything so the open session times out
+    input.addData(StreamEvent(99, ts(600), 8, "click", 1.0))
+    val sessions = runToCompletion(Streams.sessionize(input.toDS()), OutputMode.Append)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 7L).sortBy(_._2)
+    assert(sessions.map(s => (s._3 - s._2) / 60) == Seq(10L, 0L),
+      s"got $sessions")
+    assert(sessions.map(_._4) == Seq(2L, 1L))
+  }
+
+  test("F3: keep-latest upsert state tracks the newest event per key") {
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(
+      StreamEvent(1, ts(1), 1, "click", 1.0),
+      StreamEvent(5, ts(9), 1, "click", 1.0),
+      StreamEvent(3, ts(4), 1, "click", 1.0))
+    val rows = runToCompletion(Streams.keepLatest(input.toDS()), OutputMode.Update)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.contains((1L, "click", 5L)))
+  }
+}

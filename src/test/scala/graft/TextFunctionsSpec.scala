@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{Hashing, Text}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+class TextFunctionsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Reference chunker reimplemented verbatim from
+    * TextProcessor.chunk_text (tokens stand in for tiktoken ids). */
+  private def referenceChunks(tokens: Vector[String], size: Int, overlap: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var start = 0
+    while (start < tokens.length) {
+      out += tokens.slice(start, start + size).mkString(" ")
+      start += size - overlap
+    }
+    out.result()
+  }
+
+  private def sparkChunks(text: String, size: Int, overlap: Int): Seq[String] =
+    Seq(text).toDF("text")
+      .select(Text.chunks(Text.tokens(col("text")), size, overlap).as("c"))
+      .as[Seq[String]].head()
+
+  test("chunks matches the reference sliding-window loop") {
+    for ((text, size, overlap) <- Seq(
+      ("a b c d e f g h i j k l m n o p q r s t u v w", 20, 5),
+      ("a b c", 20, 5),
+      ("a b c d e f", 4, 1),
+      ("one", 2, 1),
+      ("a b c d e f g h", 4, 2))) {
+      val toks = text.split(" ").toVector
+      assert(sparkChunks(text, size, overlap) == referenceChunks(toks, size, overlap),
+        s"for ($text, $size, $overlap)")
+    }
+  }
+
+  test("chunks matches reference loop on random inputs") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      toks <- Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(3)))
+      size <- Gen.choose(2, 25)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (toks.mkString(" "), size, overlap)
+    // a modest sample keeps the suite fast; each case is a Spark job
+    Gen.listOfN(8, gen).sample.get.foreach { case (text, size, overlap) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toVector
+      assert(sparkChunks(text, size, overlap) == referenceChunks(toks, size, overlap))
+    }
+  }
+
+  test("knowledgeBlocks extracts all tagged blocks in order") {
+    val out = Seq("#KNOWLEDGE one #END noise #KNOWLEDGE two three #END tail")
+      .toDF("t").select(Text.knowledgeBlocks(col("t")).as("b"))
+      .as[Seq[String]].head()
+    assert(out.map(_.trim) == Seq("one", "two three"))
+  }
+
+  test("mentionIds parses <@U…> ids") {
+    val out = Seq("hi <@U42> and <@U7>!").toDF("t")
+      .select(Text.mentionIds(col("t")).as("m")).as[Seq[Long]].head()
+    assert(out == Seq(42L, 7L))
+  }
+
+  test("h60p matches the DuckDB oracle formula value") {
+    // DuckDB: ('0x'||substr(md5('tok'),1,15))::BIGINT % 1000000007 = 847219197
+    val v = Seq("tok").toDF("t").select(Hashing.h60p(col("t")).as("h")).as[Long].head()
+    assert(v == 847219197L)
+  }
+
+  test("leadingWords truncates at n tokens") {
+    val out = Seq("a b c d e").toDF("t")
+      .select(Text.leadingWords(col("t"), 3).as("s")).as[String].head()
+    assert(out == "a b c")
+  }
+}
