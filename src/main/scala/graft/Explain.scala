@@ -1,0 +1,17 @@
+package graft
+
+/** Plan inspector: prints the formatted physical plan for the named
+  * queries (or all). Usage: runMain graft.Explain [sfDir] [query ...] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.build("graft-explain")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -62,17 +62,29 @@ object Dedup {
   /** C2: n-gram Jaccard near-dup pairs with length-bucket blocking.
     * Each doc emits buckets {⌊n/10⌋, ⌊n/10⌋+1}; an equi-join on the bucket
     * key covers same + adjacent buckets (near-dups have near-equal
-    * length), avoiding the O(n²) cross join. */
+    * length), avoiding the O(n²) cross join.
+    *
+    * Hot-path engineering: shingles are md5-hashed to int64 up front (one
+    * narrow pass per doc), the candidate join shuffles only (id, bucket)
+    * ints, and the heavy shingle arrays are joined back to the distinct
+    * pair set — so the verify stage intersects sorted long arrays, not
+    * string arrays, exactly once per candidate pair. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleArr.as("shs"),
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(shingleArr, sh => Hashing.h60p(sh))))
+          .as("shs"),
         floor(size(Text.tokens(col("text"))) / 10).cast("long").as("bucket"))
-    val blocked = docs.select(col("doc_id"), col("shs"),
+    val ids = docs.select(col("doc_id"),
       explode(array(col("bucket"), col("bucket") + 1)).as("bkey"))
-    val a = blocked.select(col("doc_id").as("doc_a"), col("shs").as("sa"), col("bkey"))
-    val b = blocked.select(col("doc_id").as("doc_b"), col("shs").as("sb"), col("bkey").as("bkey_b"))
-    a.join(b, col("bkey") === col("bkey_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sa", "sb").dropDuplicates("doc_a", "doc_b")
+    val cand = ids.alias("a")
+      .join(ids.alias("b"), col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val sets = docs.select(col("doc_id"), col("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccardCol(col("sa"), col("sb")).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
@@ -81,12 +93,14 @@ object Dedup {
   val dedupJaccardSql: String = s"""
     WITH $toksSqlCte,
     d AS (SELECT doc_id,
-        list_sort(list_distinct(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]))) AS shs,
+        list_sort(list_distinct(list_transform(
+          list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]),
+          sh -> ${Hashing.h60pSql("sh")}))) AS shs,
         len(toks) // 10 AS bucket
       FROM toks),
     blocked AS (
-      SELECT doc_id, shs, bucket AS bkey FROM d
-      UNION ALL SELECT doc_id, shs, bucket + 1 AS bkey FROM d),
+      SELECT doc_id, bucket AS bkey FROM d
+      UNION ALL SELECT doc_id, bucket + 1 AS bkey FROM d),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM blocked a JOIN blocked b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
     sets AS (SELECT doc_id, shs FROM d)
@@ -125,7 +139,10 @@ object Dedup {
         col("a.band_ix") === col("b.band_ix") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    val sets = Tables.documents(s, dir).select(col("doc_id"), shingleArr.as("shs"))
+    // verify on hashed shingle sets (same int64 representation as C2)
+    val sets = Tables.documents(s, dir).select(col("doc_id"),
+      array_sort(array_distinct(transform(shingleArr, sh => Hashing.h60p(sh))))
+        .as("shs"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
@@ -154,7 +171,7 @@ object Dedup {
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band_ix = b.band_ix AND a.bkey = b.bkey
         AND a.doc_id < b.doc_id),
-    sets AS (SELECT doc_id, list_sort(list(sh)) AS shs FROM sh GROUP BY doc_id)
+    sets AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS shs FROM h GROUP BY doc_id)
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT doc_a, doc_b,
         CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
@@ -236,18 +253,23 @@ object Dedup {
   private def q7(x: Column): Column =
     floor(x.cast("double") * lit(1.0e7) + lit(0.5))
 
-  /** Exact scaled-integer squared-L2 distance (scale 1e14). */
+  /** Exact scaled-integer squared-L2 distance (scale 1e14) over
+    * pre-quantized int64 vectors. */
   private[operators] def sqDistExact(a: Column, b: Column): Column =
     aggregate(
-      zip_with(a, b, (x, y) => (q7(x) - q7(y)) * (q7(x) - q7(y))),
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
   /** C5: embedding-cosine/L2 near-dup pairs, blocked on the cluster label
-    * column (at 100 TB: a coarse quantizer / IVF cell id). */
+    * column (at 100 TB: a coarse quantizer / IVF cell id). Vectors are
+    * quantized once per row before the pair join — the join evaluates
+    * pure int64 math. */
   def dedupEmbcos(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("label"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      .select(col("vec_id"), transform(col("embedding"), x => q7(x)).as("qe"),
+        col("label"))
+    val a = e.select(col("vec_id").as("vec_a"), col("qe").as("ea"), col("label"))
+    val b = e.select(col("vec_id").as("vec_b"), col("qe").as("eb"),
       col("label").as("label_b"))
     a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("label"),

@@ -212,11 +212,11 @@ object Knowledge {
       lit("Message Author: user"), col("doc_id") % 50, lit("\n\n---\n\n"),
       col("text"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), split(raw, "---", 2).as("parts"))
       .select(col("doc_id"),
-        explode(filter(split(element_at(split(col("raw"), "---", 2), 1), "\n"),
+        explode(filter(split(element_at(col("parts"), 1), "\n"),
           l => l.contains(":"))).as("line"),
-        length(trim(element_at(split(col("raw"), "---", 2), 2))).as("body_len"))
+        length(trim(element_at(col("parts"), 2))).as("body_len"))
       .select(col("doc_id"),
         trim(element_at(split(col("line"), ":", 2), 1)).as("key"),
         trim(element_at(split(col("line"), ":", 2), 2)).as("value"),

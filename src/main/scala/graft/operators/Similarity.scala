@@ -22,9 +22,10 @@ object Similarity {
   private def q8(x: Column): Column =
     floor(x.cast("double") * lit(1.0e8) + lit(0.5))
 
-  /** Exact scaled-integer inner product (scale 1e16). */
+  /** Exact scaled-integer inner product (scale 1e16) over pre-quantized
+    * int64 vectors. */
   private def dotExact(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => q8(x) * q8(y)), lit(0L), (acc, v) => acc + v)
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Plain double inner product (hot path; whole-stage-friendly HOFs). */
   private def dotDouble(a: Column, b: Column): Column =
@@ -32,12 +33,13 @@ object Similarity {
 
   private def queriesSet(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        transform(col("embedding"), x => q8(x)).as("qq"))
 
   private def corpusSet(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c"),
-        col("label"))
+        transform(col("embedding"), x => q8(x)).as("cq"), col("label"))
 
   /** B2: brute-force inner-product top-k — the correctness baseline every
     * ANN variant is measured against. The tiny query set is broadcast; the
@@ -46,7 +48,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
     corpusSet(s, dir).join(broadcast(queriesSet(s, dir)))
       .select(col("query_id"), col("neighbor_id"),
-        dotExact(col("q"), col("c")).as("dot"))
+        dotExact(col("qq"), col("cq")).as("dot"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -77,7 +79,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
     val neighbors = corpusSet(s, dir).join(broadcast(queriesSet(s, dir)))
       .select(col("query_id"), col("neighbor_id"), col("label"),
-        dotExact(col("q"), col("c")).as("dot"))
+        dotExact(col("qq"), col("cq")).as("dot"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
     val voteW = Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))
