@@ -1,0 +1,23 @@
+package graft
+
+import graft.plans.FloatVecDot
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering graft's native expressions, so
+  * any session — including plain `spark-submit --conf
+  * spark.sql.extensions=graft.GraftExtensions` — can call them from SQL:
+  *
+  *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, null, "graft_dot",
+        "graft_dot(a, b) - inner product of two float vectors in double precision",
+        ""),
+      (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
+  }
+}

@@ -14,6 +14,7 @@ object GraftSession {
   def build(appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

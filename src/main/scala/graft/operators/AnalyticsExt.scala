@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.functions.Text
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extended analytical operators (SURVEY §2 E11–E14): as-of join, exact
+  * percentiles, batch tumbling windows, TF-IDF. Same determinism rules as
+  * [[Analytics]]. */
+object AnalyticsExt {
+
+  /** E11: as-of join — each purchase matched to the same user's most
+    * recent prior-or-simultaneous click. Spark has no native ASOF JOIN;
+    * the scalable plan is a tagged union + one window pass (single shuffle
+    * on user_id, no range self-join): clicks sort before purchases at
+    * equal ts, and last_value(ignoreNulls) carries the latest click id
+    * forward. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy("user_id").orderBy("epoch", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("click_id", last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_epoch", last(when(col("kind") === 0, col("epoch")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("click_id"), (col("epoch") - col("click_epoch")).as("gap_s"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val qAsofJoinSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch,
+        CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    m AS (
+      SELECT user_id, event_id, epoch, kind,
+        last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER w AS click_id,
+        last_value(CASE WHEN kind = 0 THEN epoch END IGNORE NULLS) OVER w AS click_epoch
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id AS purchase_id, click_id, epoch - click_epoch AS gap_s
+    FROM m WHERE kind = 1
+    ORDER BY user_id, purchase_id"""
+
+  /** E12: exact distributed percentiles (p50/p90/p99) per group — sort
+    * rank + pick, no interpolation arithmetic, so any engine agrees. */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val ranked = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("value")))
+    ranked.groupBy("event_type")
+      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
+        min("value").as("min_v"), max("value").as("max_v"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val qPercentilesSql: String = """
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+      MAX(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
+      MAX(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,
+      MAX(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99,
+      MIN(value) AS min_v, MAX(value) AS max_v, COUNT(*) AS n_events
+    FROM ranked GROUP BY event_type ORDER BY event_type"""
+
+  /** E13: batch tumbling 1-hour windows (the batch twin of
+    * Streams.windowedCounts) — window() buckets align to epoch, matching
+    * date_trunc. */
+  def qTumbling(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("n_users"), col("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val qTumblingSql: String = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start, event_type"""
+
+  /** E14: TF-IDF top-3 terms per document (rational idf = N/df — avoids
+    * ln(), whose libm rounding is engine-specific). Two shuffles: term
+    * counts, then doc re-aggregation; df is a broadcast-size side table. */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count() // corpus size: one cheap metadata-only job
+    val tf = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .filter(!Text.isStopword(col("term")))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .withColumn("score",
+        col("tf").cast("double") * lit(nDocs.toDouble) / col("df").cast("double"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rk"), col("term")))),
+          x => x.getField("term")), " ").as("top_terms"))
+      .orderBy("doc_id")
+  }
+
+  val qTfidfSql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        x -> len(x) > 0 AND x NOT IN ${Text.stopwordsSql})) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+        CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term,
+        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored)
+    SELECT doc_id, string_agg(term, ' ' ORDER BY rk) AS top_terms
+    FROM ranked WHERE rk <= 3 GROUP BY doc_id ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"   -> (qAsofJoin _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_tumbling"    -> (qTumbling _),
+    "q_tfidf"       -> (qTfidf _))
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join"   -> qAsofJoinSql,
+    "q_percentiles" -> qPercentilesSql,
+    "q_tumbling"    -> qTumblingSql,
+    "q_tfidf"       -> qTfidfSql)
+}

@@ -27,9 +27,12 @@ object Similarity {
   private def dotExact(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** Plain double inner product (hot path; whole-stage-friendly HOFs). */
+  /** Double inner product over float vectors via the native codegen'd
+    * [[graft.plans.FloatVecDot]] expression (registered by
+    * GraftExtensions) — stays inside whole-stage codegen, unlike
+    * interpreted aggregate/zip_with lambdas. */
   private def dotDouble(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   private def queriesSet(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") < 10)
