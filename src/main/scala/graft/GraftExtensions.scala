@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.FloatVecDot
+import graft.plans.{FloatVecDot, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -19,5 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot(a, b) - inner product of two float vectors in double precision",
         ""),
       (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, null,
+        "graft_intersect_count",
+        "graft_intersect_count(a, b) - |a ∩ b| for sorted distinct bigint arrays",
+        ""),
+      (children: Seq[Expression]) =>
+        SortedLongIntersectCount(children.head, children(1))))
   }
 }

@@ -13,13 +13,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ AnalyticsExt.queries ++ Knowledge.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries
+    Analytics.queries ++ AnalyticsExt.queries ++ Sketches.queries ++
+      Knowledge.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracle ++ AnalyticsExt.oracle ++ Knowledge.oracle ++
-      TextAnalysis.oracle ++ Dedup.oracle ++ Similarity.oracle
+    Analytics.oracle ++ AnalyticsExt.oracle ++ Sketches.oracle ++
+      Knowledge.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
+      Similarity.oracle
 }

@@ -42,10 +42,15 @@ object Dedup {
          unnest(list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])) AS sh
        FROM toks)"""
 
-  private def jaccardCol(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    inter.cast("double") / (size(a) + size(b) - inter)
-  }
+  /** Append `jaccard` for (sa, sb) sorted-distinct hashed shingle arrays.
+    * The intersection count runs through the native two-pointer
+    * graft_intersect_count expression (no per-pair hash set), evaluated
+    * once via a named column. */
+  private def withJaccard(df: DataFrame): DataFrame =
+    df.withColumn("inter",
+        call_function("graft_intersect_count", col("sa"), col("sb")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
 
   /** C1: exact content dedup — one hash-shuffle, keep-min-id. */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
@@ -82,11 +87,11 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
     val sets = docs.select(col("doc_id"), col("shs"))
-    cand
+    withJaccard(cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccardCol(col("sa"), col("sb")).as("jaccard"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b"))
       .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -143,11 +148,11 @@ object Dedup {
     val sets = Tables.documents(s, dir).select(col("doc_id"),
       array_sort(array_distinct(transform(shingleArr, sh => Hashing.h60p(sh))))
         .as("shs"))
-    cand
+    withJaccard(cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), jaccardCol(col("sa"), col("sb")).as("jaccard"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b"))
       .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.Hashing
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scale-pattern operators (SURVEY §2 E15–E16): skew-safe salted
+  * aggregation and a cross-engine-deterministic HyperLogLog sketch.
+  */
+object Sketches {
+
+  /** E15: two-phase salted aggregation. A heavy-hitter group key melts
+    * one reducer at 100 TB; salting splits each key across `Salt`
+    * partial groups (map-side spread), then a second tiny aggregation
+    * merges partials. The result is exactly the plain GROUP BY — the
+    * oracle IS the unsalted query, proving the rewrite is lossless. */
+  private val Salt = 8
+
+  def qSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val partial = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .withColumn("salt", Hashing.h60(col("event_id").cast("string")) % Salt)
+      .groupBy("event_type", "salt")
+      .agg(sum("v").as("pv"), count(lit(1)).as("pn"))
+    partial.groupBy("event_type")
+      .agg(sum("pv").cast("double").as("total_value"), sum("pn").as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val qSaltedAggSql: String = """
+    SELECT event_type,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** E16: HyperLogLog distinct-count sketch as pure column expressions.
+    * md5-derived hashes; 64 registers; register rank from length(bin(x))
+    * (leading-zero count without engine-private intrinsics); registers
+    * merge with MAX, so the shuffle carries ≤64 small ints per group
+    * regardless of cardinality. The harmonic mean is accumulated in
+    * EXACT scaled integers (Σ 2^(55−m) as int64), so the estimate is
+    * bit-identical in any engine — a portable sketch format. Exact
+    * distinct ships alongside for error inspection (estimate σ ≈ 13%). */
+  private val HllM = 64
+  private val Scale55 = "36028797018963968" // 2^55, exact in double too
+
+  def qHllUsers(s: SparkSession, dir: String): DataFrame = {
+    val registers = Tables.events(s, dir)
+      .select(col("event_type"),
+        Hashing.h60(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        (col("h") % HllM).cast("int").as("reg"),
+        (lit(55) - length(bin(expr(s"h div $HllM")))).as("rank"))
+      .groupBy("event_type", "reg")
+      .agg(max("rank").as("m"))
+    val est = registers
+      .withColumn("w", expr("shiftleft(cast(1 as bigint), cast(55 - m as int))"))
+      .groupBy("event_type")
+      .agg(sum("w").as("z_present"), count(lit(1)).as("n_present"))
+      .withColumn("z",
+        col("z_present") + (lit(HllM) - col("n_present")) * expr(s"cast($Scale55 as bigint)"))
+      .select(col("event_type"),
+        (lit(0.709) * lit((HllM * HllM).toDouble) * lit(Scale55.toDouble)
+          / col("z").cast("double")).as("hll_estimate"))
+    val exact = Tables.events(s, dir).groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("hll_estimate"), col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  val qHllUsersSql: String = s"""
+    WITH regs AS (
+      SELECT event_type,
+        CAST(h % $HllM AS INT) AS reg,
+        MAX(55 - length(bin(h // $HllM))) AS m
+      FROM (SELECT event_type,
+              ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+            FROM events)
+      GROUP BY event_type, CAST(h % $HllM AS INT)),
+    est AS (
+      SELECT event_type,
+        SUM(CAST(1 AS BIGINT) << (55 - m)) AS z_present,
+        COUNT(*) AS n_present
+      FROM regs GROUP BY event_type),
+    final AS (
+      SELECT event_type,
+        CAST(0.709 AS DOUBLE) * ${(HllM * HllM).toDouble} * ${Scale55}.0
+          / CAST(z_present + ($HllM - n_present) * CAST($Scale55 AS BIGINT) AS DOUBLE)
+          AS hll_estimate
+      FROM est),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT event_type, hll_estimate, exact_distinct
+    FROM final JOIN exact USING (event_type)
+    ORDER BY event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_hll_users"  -> (qHllUsers _))
+
+  val oracle: Map[String, String] = Map(
+    "q_salted_agg" -> qSaltedAggSql,
+    "q_hll_users"  -> qHllUsersSql)
+}
