@@ -116,15 +116,97 @@ object TextAnalysis {
         (a, x) -> (a * 31 + x) % ${Hashing.P}) AS fingerprint
     FROM documents ORDER BY doc_id"""
 
+  /** D5: PII-style redaction — emails, long digit runs, and `<@U…>`
+    * handles masked in one codegen'd regexp pass; counts reported so a
+    * pipeline can route high-PII docs. Text synthesizes the PII spans
+    * deterministically (the corpus has none), so the scrubber is
+    * exercised on real positive cases. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or call 555"), col("doc_id"), col("doc_id"))
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+"
+    val phoneRe = "[0-9]{5,}"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), withPii.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("raw"), lit(phoneRe)).as("n_phones"),
+        regexp_replace(regexp_replace(col("raw"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val textRedactSql: String = """
+    WITH raw AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com or call 555'
+             || doc_id || doc_id AS raw
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+      len(regexp_extract_all(raw, '[0-9]{5,}')) AS n_phones,
+      regexp_replace(regexp_replace(raw, '[a-z0-9._]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+        '[0-9]{5,}', '[PHONE]', 'g') AS redacted
+    FROM raw ORDER BY doc_id"""
+
+  /** D6: deterministic stratified sampling — ~20% per language via an
+    * md5-hash threshold on the key. Reproducible across runs and engines,
+    * no shuffle, and at 100 TB it composes with partition pruning (the
+    * filter is pushed into the scan's row evaluation). */
+  def textSample(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .filter(Hashing.h60p(col("doc_id").cast("string")) % 100 < 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        array_join(array_sort(collect_set(col("doc_id").cast("string"))), ",")
+          .as("sample_ids"))
+      .orderBy("lang")
+  }
+
+  val textSampleSql: String = s"""
+    SELECT lang, COUNT(*) AS n_sampled,
+      string_agg(DISTINCT CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS sample_ids
+    FROM documents
+    WHERE ${Hashing.h60pSql("CAST(doc_id AS VARCHAR)")} % 100 < 20
+    GROUP BY lang ORDER BY lang"""
+
+  /** D7: corpus vocabulary — global term counts with document frequency,
+    * top 50. The classic two-level aggregation (term×doc, then term). */
+  def textVocab(s: SparkSession, dir: String): DataFrame = {
+    val termDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    termDoc.groupBy("term")
+      .agg(sum("tf").as("total_count"), count(lit(1)).as("doc_freq"))
+      .orderBy(col("total_count").desc, col("term"))
+      .limit(50)
+  }
+
+  val textVocabSql: String = """
+    WITH td AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS term
+            FROM documents)
+      GROUP BY term, doc_id)
+    SELECT term, CAST(SUM(tf) AS BIGINT) AS total_count, COUNT(*) AS doc_freq
+    FROM td GROUP BY term
+    ORDER BY total_count DESC, term LIMIT 50"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"      -> (textLangid _),
     "text_quality"     -> (textQuality _),
     "text_tokens"      -> (textTokens _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_redact"      -> (textRedact _),
+    "text_sample"      -> (textSample _),
+    "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
     "text_langid"      -> textLangidSql,
     "text_quality"     -> textQualitySql,
     "text_tokens"      -> textTokensSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_redact"      -> textRedactSql,
+    "text_sample"      -> textSampleSql,
+    "text_vocab"       -> textVocabSql)
 }
