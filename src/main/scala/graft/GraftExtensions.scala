@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{FloatVecDot, SortedLongIntersectCount}
+import graft.plans.{AsOfJoinStrategy, FloatVecDot, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) =>
         SortedLongIntersectCount(children.head, children(1))))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

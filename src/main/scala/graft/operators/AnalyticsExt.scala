@@ -145,14 +145,43 @@ object AnalyticsExt {
     SELECT doc_id, string_agg(term, ' ' ORDER BY rk) AS top_terms
     FROM ranked WHERE rk <= 3 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** E11-native: the same as-of join through the custom AsOfJoin
+    * logical plan + planner strategy + merge-scan physical operator
+    * (graft.plans.AsOfJoin, injected by GraftExtensions). Checked against
+    * the identical DuckDB oracle as the window-composed variant — two
+    * independent implementations, one truth. */
+  def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("epoch"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("epoch").as("c_epoch"))
+    import org.apache.spark.sql.GraftBridge.{expr => ex}
+    val plan = graft.plans.AsOfJoin(
+      purchases.queryExecution.analyzed, clicks.queryExecution.analyzed,
+      ex(purchases("user_id")), ex(clicks("c_user")),
+      ex(purchases("epoch")), ex(clicks("c_epoch")),
+      ex(clicks("click_id")))
+    org.apache.spark.sql.GraftBridge.ofRows(s, plan)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("epoch") - col("c_epoch")).as("gap_s"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"   -> (qAsofJoin _),
+    "q_asof_native" -> (qAsofNative _),
     "q_percentiles" -> (qPercentiles _),
     "q_tumbling"    -> (qTumbling _),
     "q_tfidf"       -> (qTfidf _))
 
   val oracle: Map[String, String] = Map(
     "q_asof_join"   -> qAsofJoinSql,
+    "q_asof_native" -> qAsofJoinSql,
     "q_percentiles" -> qPercentilesSql,
     "q_tumbling"    -> qTumblingSql,
     "q_tfidf"       -> qTfidfSql)

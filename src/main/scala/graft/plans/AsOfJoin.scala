@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.types.PhysicalDataType
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** AS-OF join as a first-class operator (SURVEY §2 E11-native).
+  *
+  * Spark has no native ASOF JOIN; the composable workaround is a tagged
+  * union + window scan (AnalyticsExt.qAsofJoin). This is the
+  * whole-operator路 (c) path from the build plan: a custom LogicalPlan,
+  * planner Strategy, and physical merge operator registered through
+  * SparkSessionExtensions.
+  *
+  * Semantics: for each left row, the right row with the same key and the
+  * greatest ts ≤ left.ts (left outer: unmatched → nulls). Physical plan:
+  * both children hash-clustered on the key and sorted by (key, ts) —
+  * Catalyst's EnsureRequirements inserts the exchanges/sorts — then a
+  * single forward merge pass per partition: O(n+m), no buffering beyond
+  * one lookahead row, no per-key grouping materialization. At 100 TB this
+  * is one co-partitioned shuffle per side, the same cost envelope as a
+  * sort-merge join.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTieBreak: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node to the physical operator. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lts, rts, rtb) =>
+      AsOfJoinExec(lk, rk, lts, rts, rtb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    rightTieBreak: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+            SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
+        Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+            SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending),
+            // deterministic winner among equal-ts right rows
+            SortOrder(rightTieBreak, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyOrd = PhysicalDataType.ordering(leftKey.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val tsOrd = PhysicalDataType.ordering(leftTs.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTsB = BindReferences.bindReference(leftTs, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTsB = BindReferences.bindReference(rightTs, right.output)
+    val rightWidth = right.output.length
+    val outputAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      // one-row lookahead over the right side
+      var rNext: InternalRow = null
+      def advanceRight(): Unit =
+        rNext = if (rIter.hasNext) rIter.next().copy() else null
+      advanceRight()
+      // latest right row already consumed for the current key
+      var curKey: Any = null
+      var curMatch: InternalRow = null
+
+      lIter.map { lRow =>
+        val lk = lKeyB.eval(lRow)
+        val lt = lTsB.eval(lRow)
+        // consume right rows that are candidates for this left row
+        var continue = rNext != null
+        while (continue) {
+          val rk = rKeyB.eval(rNext)
+          val kc = keyOrd.compare(rk, lk)
+          if (kc < 0 || (kc == 0 && tsOrd.compare(rTsB.eval(rNext), lt) <= 0)) {
+            if (curKey == null || keyOrd.compare(rk, curKey) != 0) {
+              curKey = rk
+              curMatch = null
+            }
+            if (kc == 0) curMatch = rNext
+            advanceRight()
+            continue = rNext != null
+          } else continue = false
+        }
+        val matched = curMatch != null && curKey != null &&
+          keyOrd.compare(curKey, lk) == 0
+        proj(joined(lRow, if (matched) curMatch else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
