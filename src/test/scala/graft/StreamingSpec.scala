@@ -56,6 +56,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.map(_._4) == Seq(2L, 1L))
   }
 
+  test("F1b: file-source ingest with checkpointed restart honors the watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (land, out, chk) = (s"$base/land", s"$base/out", s"$base/chk")
+    def runOnce(): Unit = {
+      val q = Streams.windowedCounts(Streams.readEvents(spark, land))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: two windows of events
+    Seq(StreamEvent(1, ts(1), 1, "click", 1.0),
+      StreamEvent(2, ts(5), 1, "click", 2.0),
+      StreamEvent(3, ts(12), 2, "view", 5.0)).toDS()
+      .coalesce(1).write.mode("append").parquet(land)
+    runOnce() // advances the watermark; append emits nothing yet
+    // batch 2: much later event closes the earlier windows on restart
+    Seq(StreamEvent(9, ts(600), 3, "click", 1.0)).toDS()
+      .coalesce(1).write.mode("append").parquet(land)
+    runOnce() // restart from checkpoint picks up ONLY the new file
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(("2024-01-01 00:00:00.0", "click")) == (2L, 3.0))
+    assert(rows(("2024-01-01 00:10:00.0", "view")) == (1L, 5.0))
+  }
+
   test("F3: keep-latest upsert state tracks the newest event per key") {
     val input = MemoryStream[StreamEvent](spark)
     input.addData(
