@@ -55,8 +55,40 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** One sampled "frame" from a media payload. */
+  case class Frame(doc_id: Long, frame_ix: Int, offset: Int, frame_hash: Long)
+
+  /** F5: frame sampling — the video-pipeline pattern where one blob row
+    * fans out to N frame rows. The sampler walks the payload at a fixed
+    * stride (stand-in for keyframe selection), emitting typed frame rows
+    * partition-wise; downstream ops (dedup, embedding) treat frames as
+    * ordinary rows. Decode is the same STUB contract as mmPipeline. */
+  def mmFrameSample(s: SparkSession, dir: String, strideBytes: Int = 64)
+      : DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    media.flatMap { case (id, payload) =>
+      // real impl: codec opens once per row, seeks keyframes; the stride
+      // walk keeps output deterministic in the payload bytes
+      (0 until payload.length by strideBytes).iterator.zipWithIndex.map {
+        case (off, ix) =>
+          val end = math.min(off + strideBytes, payload.length)
+          var h = 0L
+          var i = off
+          while (i < end) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+          Frame(id, ix + 1, off, h)
+      }
+    }.toDF().orderBy("doc_id", "frame_ix")
+  }
+
+  private def mmFrameSampleQ(s: SparkSession, dir: String): DataFrame =
+    mmFrameSample(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_pipeline" -> (mmPipeline _))
+    "mm_pipeline" -> (mmPipeline _),
+    "mm_framesample" -> (mmFrameSampleQ _))
 
   val oracle: Map[String, String] = Map.empty
 }
