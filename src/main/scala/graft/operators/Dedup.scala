@@ -128,15 +128,18 @@ object Dedup {
     * The scale path for near-dup detection: candidate volume tracks true
     * duplicate density, not n². */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // hashed-shingle rows feed both the signature branch and (re-grouped)
-    // the verify branch; cache so md5+explode runs once
+    // Single shuffle: one groupBy materializes each doc's hashed shingle
+    // set; the 16 MinHash signatures are then per-row array folds over
+    // that set (min over a set ≡ min over the multiset), so the signature
+    // branch adds no second aggregation and no cache.
     val h = Tables.documents(s, dir)
       .select(col("doc_id"), explode(shingleArr).as("sh"))
       .select(col("doc_id"), Hashing.h60p(col("sh")).as("h"))
-      .cache()
-    val mins = h.groupBy("doc_id").agg(
-      min(Hashing.perm(0, col("h"))).as("mh0"),
-      (1 until NumHashes).map(i => min(Hashing.perm(i, col("h"))).as(s"mh$i")): _*)
+    val sets = h.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("h"))).as("shs"))
+    val mins = sets.select(col("doc_id") +:
+      (0 until NumHashes).map(i =>
+        array_min(transform(col("shs"), x => Hashing.perm(i, x))).as(s"mh$i")): _*)
     val bandKeys = (0 until Bands).map { bnd =>
       concat_ws("_", (0 until RowsPerBand).map(r => col(s"mh${bnd * RowsPerBand + r}")): _*)
     }
@@ -147,10 +150,6 @@ object Dedup {
         col("a.band_ix") === col("b.band_ix") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    // verify on hashed shingle sets (same int64 representation as C2),
-    // rebuilt from the cached hash rows — one shuffle, no second md5 pass
-    val sets = h.groupBy("doc_id")
-      .agg(array_sort(collect_set(col("h"))).as("shs"))
     withJaccard(cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b"))
