@@ -88,6 +88,14 @@ object Streams {
         })
   }
 
+  /** F6: streaming exactly-once-style dedup — duplicate event ids within
+    * the watermark horizon are dropped (at-least-once sources → effective
+    * exactly-once ingest); state for old ids is reclaimed as the
+    * watermark advances, keeping it bounded. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicates("event_id", "ts")
+
   /** F3: streaming keep-latest upsert per (user, event_type) — the #EDIT
     * reprocess semantics as an Update-mode state map
     * (KnowledgeBot.py:351-379). */

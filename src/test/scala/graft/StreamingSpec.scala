@@ -84,6 +84,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(("2024-01-01 00:10:00.0", "view")) == (1L, 5.0))
   }
 
+  test("F6: streaming dedup drops replayed events within the watermark") {
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(
+      StreamEvent(1, ts(1), 1, "click", 1.0),
+      StreamEvent(1, ts(1), 1, "click", 1.0), // same-batch replay
+      StreamEvent(2, ts(2), 1, "view", 2.0))
+    input.addData(
+      StreamEvent(1, ts(1), 1, "click", 1.0)) // cross-batch replay
+    val rows = runToCompletion(
+      Streams.dedupEvents(input.toDF()), OutputMode.Append)
+    assert(rows.map(_.getLong(0)).sorted == Seq(1L, 2L))
+  }
+
   test("F3: keep-latest upsert state tracks the newest event per key") {
     val input = MemoryStream[StreamEvent](spark)
     input.addData(
