@@ -22,9 +22,15 @@ object Text {
   def chunks(toks: Column, size: Int, overlap: Int): Column = {
     val step = size - overlap
     require(step > 0, "overlap must be < chunk size")
-    transform(
-      sequence(lit(0), org.apache.spark.sql.functions.size(toks) - 1, lit(step)),
-      start => array_join(slice(toks, start + 1, lit(size)), " "))
+    val nToks = org.apache.spark.sql.functions.size(toks)
+    // empty token array → empty chunk array (sequence(0, -1) would throw);
+    // matches the reference while-loop, which never enters for empty input
+    when(nToks > 0,
+      transform(
+        sequence(lit(0), nToks - 1, lit(step)),
+        start => array_join(slice(toks, start + 1, lit(size)), " ")))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
   }
 
   /** Extract `#KNOWLEDGE ... #END` block bodies (KnowledgeBot.py:497). */

@@ -256,7 +256,10 @@ object Dedup {
 
   /** Fixed-point quantizer at scale 1e7: floor(x·1e7 + 0.5) — exact int64
     * and bit-identical across engines (their float→decimal casts are not).
-    * 64-dim squared distance then fits int64 for |x| up to ~30. */
+    * Overflow bound: a per-dim diff is ≤ 2|x|·1e7, its square ≤ 4x²·1e14,
+    * and the 64-dim sum ≤ 2.56e16·x² — within Long.MaxValue (9.2e18) iff
+    * |x| ≤ ~18. The embeddings table is L2-normalized (|x| ≤ 1), far
+    * inside that bound; inputs beyond it would need a smaller scale. */
   private def q7(x: Column): Column =
     floor(x.cast("double") * lit(1.0e7) + lit(0.5))
 

@@ -231,15 +231,18 @@ object Knowledge {
         (doc_id % 50) || chr(10) || chr(10) || '---' || chr(10) || chr(10) || text AS raw
       FROM documents),
     parts AS (
+      -- limit-2 split semantics (matches Spark's split(raw,'---',2)): the
+      -- body is the FULL remainder after the first '---', so a body that
+      -- itself contains '---' parses identically in both engines
       SELECT doc_id, split_part(raw, '---', 1) AS header,
-             length(trim(split_part(raw, '---', 2))) AS body_len
+             length(trim(substr(raw, position('---' IN raw) + 3))) AS body_len
       FROM raw),
     lines AS (
       SELECT doc_id, body_len,
         unnest(list_filter(string_split(header, chr(10)), l -> contains(l, ':'))) AS line
       FROM parts)
     SELECT doc_id, trim(split_part(line, ':', 1)) AS key,
-           trim(split_part(line, ':', 2)) AS value, body_len
+           trim(substr(line, position(':' IN line) + 1)) AS value, body_len
     FROM lines ORDER BY doc_id, key"""
 
   /** A10: token-window chunking, size 20 / overlap 5

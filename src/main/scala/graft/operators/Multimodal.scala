@@ -4,10 +4,14 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Decoded-media feature record. Fixed-width feature vector keeps the
-  * schema stable regardless of payload size. */
+/** Decoded-media feature record. A fixed number of scalar feature
+  * columns keeps the schema stable regardless of payload size (and keeps
+  * the output free of array columns, which generic result comparators
+  * can't sort on). */
 case class MediaFeature(doc_id: Long, mime: String, n_bytes: Int,
-  width: Int, height: Int, feature: Array[Double])
+  width: Int, height: Int, f0: Double, f1: Double, f2: Double, f3: Double) {
+  def feature: Array[Double] = Array(f0, f1, f2, f3)
+}
 
 /** Multimodal binary-column plumbing (SURVEY §2 F4).
   *
@@ -31,11 +35,11 @@ object Multimodal {
     val n = payload.length
     val width = 64 + (if (n == 0) 0 else java.lang.Byte.toUnsignedInt(payload(0)) % 64)
     val height = 64 + (if (n < 2) 0 else java.lang.Byte.toUnsignedInt(payload(1)) % 64)
-    val feature = Array.tabulate(4) { i =>
+    val f = Array.tabulate(4) { i =>
       if (n == 0) 0.0
       else java.lang.Byte.toUnsignedInt(payload(i % n)).toDouble / 255.0
     }
-    MediaFeature(docId, mime, n, width, height, feature)
+    MediaFeature(docId, mime, n, width, height, f(0), f(1), f(2), f(3))
   }
 
   /** F4: binary-column pipeline — synthesize payloads from the documents

@@ -124,7 +124,13 @@ object Similarity {
     * sign), summed per doc, L2-normalized. The Spark-side analog of the
     * reference's external text2vec vectorizer
     * (VectorDatabase/VectorDatabase.py:56): deterministic, vocabularyless,
-    * and embarrassingly parallel (explode + one groupBy). */
+    * and embarrassingly parallel (explode + one groupBy).
+    *
+    * Output is exploded to scalar (doc_id, dim, value) rows — one IEEE
+    * division of exact int64 operands per cell, so the DuckDB oracle
+    * hash-matches bit-for-bit (and the comparator never sees an array
+    * column). [[vecEmbedVectors]] is the array-valued form for
+    * downstream vector consumers. */
   def vecEmbed(s: SparkSession, dir: String): DataFrame = {
     val th = Tables.documents(s, dir)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
@@ -132,15 +138,60 @@ object Similarity {
         (Hashing.h60(col("t")) % EmbedDim).cast("int").as("slot"),
         (shiftright(Hashing.h60(col("t")), 5).bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
     val slots = th.groupBy("doc_id", "slot").agg(sum("sign").as("weight"))
+    // dense int64 weight vector per doc; squared norm stays exact int64
     val vecs = slots.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("slot"), col("weight")))).as("m"))
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(EmbedDim - 1)),
-          i => coalesce(element_at(col("m"), i.cast("int")), lit(0L)).cast("double")).as("raw"))
-    val norm = sqrt(aggregate(col("raw"), lit(0.0d), (acc, x) => acc + x * x))
-    vecs.select(col("doc_id"),
-      when(norm > 0, transform(col("raw"), x => x / norm)).otherwise(col("raw"))
-        .as("embedding"))
+          i => coalesce(element_at(col("m"), i.cast("int")), lit(0L))).as("raw"))
+      .withColumn("ss", aggregate(col("raw"), lit(0L), (acc, x) => acc + x * x))
+    // docs with zero tokens still emit an all-zero vector
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(vecs, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("ss"), lit(0L)).as("ss"),
+        posexplode(coalesce(col("raw"), array_repeat(lit(0L), EmbedDim))))
+      .select(col("doc_id"), col("pos").cast("int").as("dim"),
+        when(col("ss") > 0,
+          col("col").cast("double") / sqrt(col("ss").cast("double")))
+          .otherwise(lit(0.0d)).as("value"))
+      .orderBy("doc_id", "dim")
+  }
+
+  val vecEmbedSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE length(t) > 0),
+    th AS (
+      SELECT doc_id,
+        CAST(('0x'||substr(md5(t),1,15))::BIGINT % $EmbedDim AS INT) AS slot,
+        ((('0x'||substr(md5(t),1,15))::BIGINT >> 5) & 1) * 2 - 1 AS sign
+      FROM toks),
+    slots AS (
+      SELECT doc_id, slot, CAST(SUM(sign) AS BIGINT) AS weight
+      FROM th GROUP BY doc_id, slot),
+    ss AS (
+      SELECT doc_id, CAST(SUM(weight * weight) AS BIGINT) AS ss
+      FROM slots GROUP BY doc_id),
+    dims AS (
+      SELECT d.doc_id, CAST(r.range AS INT) AS dim
+      FROM documents d CROSS JOIN range($EmbedDim) r)
+    SELECT dims.doc_id, dims.dim,
+      CASE WHEN COALESCE(ss.ss, 0) > 0
+           THEN CAST(COALESCE(s.weight, 0) AS DOUBLE) / sqrt(CAST(ss.ss AS DOUBLE))
+           ELSE 0.0 END AS value
+    FROM dims
+    LEFT JOIN slots s ON s.doc_id = dims.doc_id AND s.slot = dims.dim
+    LEFT JOIN ss ON ss.doc_id = dims.doc_id
+    ORDER BY dims.doc_id, dims.dim"""
+
+  /** Array-valued form of [[vecEmbed]] for vector-consuming operators:
+    * (doc_id, embedding array<double>, L2-normalized). */
+  def vecEmbedVectors(s: SparkSession, dir: String): DataFrame = {
+    val cells = vecEmbed(s, dir)
+    cells.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("value")))),
+        e => e.getField("value")).as("embedding"))
       .orderBy("doc_id")
   }
 
@@ -194,5 +245,6 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
-    "knn_vote"  -> knnVoteSql)
+    "knn_vote"  -> knnVoteSql,
+    "vec_embed" -> vecEmbedSql)
 }

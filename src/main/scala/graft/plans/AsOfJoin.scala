@@ -95,31 +95,47 @@ case class AsOfJoinExec(
       def advanceRight(): Unit =
         rNext = if (rIter.hasNext) rIter.next().copy() else null
       advanceRight()
-      // latest right row already consumed for the current key
+      // latest right row already consumed for the current key; a
+      // dedicated flag (not curKey == null) marks the unset state so a
+      // legitimate null key is never conflated with "no key seen yet"
+      var hasCurKey = false
       var curKey: Any = null
       var curMatch: InternalRow = null
 
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTsB.eval(lRow)
-        // consume right rows that are candidates for this left row
-        var continue = rNext != null
-        while (continue) {
-          val rk = rKeyB.eval(rNext)
-          val kc = keyOrd.compare(rk, lk)
-          if (kc < 0 || (kc == 0 && tsOrd.compare(rTsB.eval(rNext), lt) <= 0)) {
-            if (curKey == null || keyOrd.compare(rk, curKey) != 0) {
-              curKey = rk
-              curMatch = null
+        if (lk == null || lt == null) {
+          // SQL comparison with NULL is never true → no match, null-padded
+          proj(joined(lRow, nullRight))
+        } else {
+          // consume right rows that are candidates for this left row
+          var continue = rNext != null
+          while (continue) {
+            val rk = rKeyB.eval(rNext)
+            val rt = rTsB.eval(rNext)
+            if (rk == null || rt == null) {
+              // null key/ts can never match any left row — skip it
+              advanceRight()
+              continue = rNext != null
+            } else {
+              val kc = keyOrd.compare(rk, lk)
+              if (kc < 0 || (kc == 0 && tsOrd.compare(rt, lt) <= 0)) {
+                if (!hasCurKey || keyOrd.compare(rk, curKey) != 0) {
+                  hasCurKey = true
+                  curKey = rk
+                  curMatch = null
+                }
+                if (kc == 0) curMatch = rNext
+                advanceRight()
+                continue = rNext != null
+              } else continue = false
             }
-            if (kc == 0) curMatch = rNext
-            advanceRight()
-            continue = rNext != null
-          } else continue = false
+          }
+          val matched = curMatch != null && hasCurKey &&
+            keyOrd.compare(curKey, lk) == 0
+          proj(joined(lRow, if (matched) curMatch else nullRight))
         }
-        val matched = curMatch != null && curKey != null &&
-          keyOrd.compare(curKey, lk) == 0
-        proj(joined(lRow, if (matched) curMatch else nullRight))
       }
     }
   }

@@ -98,18 +98,32 @@ object Streams {
 
   /** F3: streaming keep-latest upsert per (user, event_type) — the #EDIT
     * reprocess semantics as an Update-mode state map
-    * (KnowledgeBot.py:351-379). */
-  def keepLatest(events: Dataset[StreamEvent]): Dataset[LatestOut] = {
+    * (KnowledgeBot.py:351-379). State is bounded: a key idle for longer
+    * than `retentionMs` past the watermark has its state reclaimed via
+    * event-time timeout; the watermark guarantees no older event for that
+    * key can still arrive, so eviction never changes results. */
+  def keepLatest(events: Dataset[StreamEvent],
+      retentionMs: Long = 3600 * 1000L): Dataset[LatestOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", "30 minutes")
       .groupByKey(e => (e.user_id, e.event_type))
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         (key: (Long, String), batch: Iterator[StreamEvent], state: GroupState[LatestOut]) => {
-          val newest = (state.getOption.iterator ++ batch.map(e =>
-            LatestOut(key._1, key._2, e.event_id, e.ts.getTime / 1000)))
-            .maxBy(l => (l.epoch, l.event_id))
-          state.update(newest)
-          newest
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val newest = (state.getOption.iterator ++ batch.map(e =>
+              LatestOut(key._1, key._2, e.event_id, e.ts.getTime / 1000)))
+              .maxBy(l => (l.epoch, l.event_id))
+            state.update(newest)
+            // timeout must be strictly beyond the current watermark
+            val base = math.max(newest.epoch * 1000,
+              state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(base + retentionMs)
+            Iterator.single(newest)
+          }
         })
   }
 }

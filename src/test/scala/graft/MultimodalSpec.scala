@@ -9,12 +9,12 @@ class MultimodalSpec extends AnyFunSuite {
   test("mm_pipeline produces one typed feature row per document") {
     val df = Multimodal.mmPipeline(spark, sf)
     assert(df.columns.toSeq ==
-      Seq("doc_id", "mime", "n_bytes", "width", "height", "feature"))
+      Seq("doc_id", "mime", "n_bytes", "width", "height", "f0", "f1", "f2", "f3"))
     val rows = df.collect()
     assert(rows.length == 500)
     val r = rows.head
     assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 128)
-    assert(r.getAs[scala.collection.Seq[Double]]("feature").length == 4)
+    assert(r.getAs[Double]("f0") >= 0.0 && r.getAs[Double]("f0") <= 1.0)
   }
 
   test("stub decode is deterministic in the payload") {
