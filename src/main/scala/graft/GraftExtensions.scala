@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoinStrategy, FloatVecDot, SortedLongIntersectCount}
+import graft.plans.{AsOfJoinStrategy, FloatVecDot, LongVecDot, LongVecSqDist, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,6 +27,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) =>
         SortedLongIntersectCount(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sqdist_l"),
+      new ExpressionInfo(classOf[LongVecSqDist].getName, null, "graft_sqdist_l",
+        "graft_sqdist_l(a, b) - exact squared L2 distance of two bigint vectors",
+        ""),
+      (children: Seq[Expression]) => LongVecSqDist(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_l"),
+      new ExpressionInfo(classOf[LongVecDot].getName, null, "graft_dot_l",
+        "graft_dot_l(a, b) - exact inner product of two bigint vectors",
+        ""),
+      (children: Seq[Expression]) => LongVecDot(children.head, children(1))))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -80,12 +80,17 @@ object Dedup {
         array_sort(array_distinct(transform(shingleArr, sh => Hashing.h60p(sh))))
           .as("shs"),
         floor(size(Text.tokens(col("text"))) / 10).cast("long").as("bucket"))
-    val ids = docs.select(col("doc_id"),
-      explode(array(col("bucket"), col("bucket") + 1)).as("bkey"))
-    val cand = ids.alias("a")
-      .join(ids.alias("b"), col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      .persist() // feeds both join sides + the verify attach — one md5 pass
+    // Duplicate-free candidate generation: the a-side emits only its own
+    // bucket; the b-side emits {bucket-1, bucket, bucket+1}. A pair with
+    // |bucket_a - bucket_b| <= 1 then matches on exactly ONE key (b's
+    // emission equal to a's bucket) — same candidate set as the symmetric
+    // two-key scheme, with no pair duplicates and no distinct() shuffle.
+    val a = docs.select(col("doc_id").as("doc_a"), col("bucket").as("bkey"))
+    val b = docs.select(col("doc_id").as("doc_b"),
+      explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bkey"))
+    val cand = a.join(b, Seq("bkey")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
     val sets = docs.select(col("doc_id"), col("shs"))
     withJaccard(cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
@@ -137,6 +142,7 @@ object Dedup {
       .select(col("doc_id"), Hashing.h60p(col("sh")).as("h"))
     val sets = h.groupBy("doc_id")
       .agg(array_sort(collect_set(col("h"))).as("shs"))
+      .persist() // feeds signatures + both verify attaches — one md5 pass
     val mins = sets.select(col("doc_id") +:
       (0 until NumHashes).map(i =>
         array_min(transform(col("shs"), x => Hashing.perm(i, x))).as(s"mh$i")): _*)
@@ -205,6 +211,7 @@ object Dedup {
       .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     val sims = voted.select(col("doc_id"), simhash.as("simhash"))
+      .persist() // both block-join sides — one token-hash + vote pass
     val blocks = sims.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))): _*)))
@@ -264,11 +271,12 @@ object Dedup {
     floor(x.cast("double") * lit(1.0e7) + lit(0.5))
 
   /** Exact scaled-integer squared-L2 distance (scale 1e14) over
-    * pre-quantized int64 vectors. */
+    * pre-quantized int64 vectors — runs through the native codegen'd
+    * [[graft.plans.LongVecSqDist]] kernel (one primitive loop per pair,
+    * vs. a boxed lambda invocation per element for the interpreted
+    * aggregate/zip_with form). */
   private[operators] def sqDistExact(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    call_function("graft_sqdist_l", a, b)
 
   /** C5: embedding-cosine/L2 near-dup pairs, blocked on the cluster label
     * column (at 100 TB: a coarse quantizer / IVF cell id). Vectors are
@@ -278,6 +286,7 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => q7(x)).as("qe"),
         col("label"))
+      .persist() // both pair-join sides — quantize once
     val a = e.select(col("vec_id").as("vec_a"), col("qe").as("ea"), col("label"))
     val b = e.select(col("vec_id").as("vec_b"), col("qe").as("eb"),
       col("label").as("label_b"))

@@ -23,9 +23,9 @@ object Similarity {
     floor(x.cast("double") * lit(1.0e8) + lit(0.5))
 
   /** Exact scaled-integer inner product (scale 1e16) over pre-quantized
-    * int64 vectors. */
+    * int64 vectors — native codegen'd [[graft.plans.LongVecDot]] kernel. */
   private def dotExact(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    call_function("graft_dot_l", a, b)
 
   /** Double inner product over float vectors via the native codegen'd
     * [[graft.plans.FloatVecDot]] expression (registered by
