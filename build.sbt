@@ -29,5 +29,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: execution memory,
+  // broadcast relations, and cached intermediates all share this heap.
+  // 8g caused stop-the-world full-GC pauses that showed up as random
+  // multi-second spikes in unrelated bench queries; 32g (of 128 GiB
+  // available) keeps GC off the critical path.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 46 queries x (warmup + 2 timed runs) of whole-stage-codegen classes
+  // in one JVM overflow the default 240m JIT code cache; silent flushing
+  // then forces hot generated loops back to the interpreter, showing up
+  // as multi-second slowdowns on whichever query runs late. More C2
+  // threads drain the compile queue faster after each new plan.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:CICompilerCount=6",
 )

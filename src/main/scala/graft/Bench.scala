@@ -23,11 +23,19 @@ object Bench {
     // two timed runs per query, keep the min — damps GC/scheduling noise
     // in the shared JVM without hiding real cost
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // operators persist intermediates internally; every invocation
+      // builds (and re-persists) a fresh plan, so stale cache entries are
+      // dead weight that only accumulates GC pressure — drop them
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 restricts to named queries (local iteration)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       name -> math.min(time(fn), time(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

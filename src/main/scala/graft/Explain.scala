@@ -8,9 +8,17 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.build("graft-explain")
+    val exec = sys.env.contains("SPARK_GRAFT_EXEC")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) {
+        // run THIS df's own execution (count() would build a separate one,
+        // leaving this plan un-finalized) so AQE finalizes and the plan
+        // shows the real WholeStageCodegen spans
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else df.explain("formatted")
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoinStrategy, FloatVecDot, LongVecDot, LongVecSqDist, SortedLongIntersectCount}
+import graft.plans.{AsOfJoinStrategy, FloatVecDot, LongVecDot, LongVecSqDist, MinHashSig, ShingleHash60P, SimHash32, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -39,6 +39,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dot_l(a, b) - exact inner product of two bigint vectors",
         ""),
       (children: Seq[Expression]) => LongVecDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, null, "graft_minhash_sig",
+        "graft_minhash_sig(shs, k) - k-permutation MinHash signature of a bigint shingle-hash set",
+        ""),
+      (children: Seq[Expression]) => MinHashSig(children.head,
+        children(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHash60P].getName, null, "graft_shingle_hashes",
+        "graft_shingle_hashes(text) - sorted distinct h60p word-2-gram shingle hashes",
+        ""),
+      (children: Seq[Expression]) => ShingleHash60P(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32",
+        "graft_simhash32(text) - 32-bit md5 sign-vote SimHash of a document",
+        ""),
+      (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

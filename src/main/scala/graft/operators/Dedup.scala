@@ -75,27 +75,60 @@ object Dedup {
     * pair set — so the verify stage intersects sorted long arrays, not
     * string arrays, exactly once per candidate pair. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    // bucket via regexp_count, not size(filter(split(...))): higher-order
+    // functions are CodegenFallback, and this projection sits on the
+    // STREAMED side of the candidate join — an HOF here would drop the
+    // entire multi-million-pair join cascade out of whole-stage codegen
+    val nTokens = regexp_count(col("text"), lit("[^ ]+"))
+    // Repartition the raw docs BEFORE the md5-heavy shingle projection and
+    // the pair fan-out, with an EXPLICIT partition count: a column-only
+    // repartition is an AQE-coalescible exchange, and AQE sizes partitions
+    // by the tiny MAP-side output — it cannot see the multi-million-row
+    // join explosion downstream, so it would coalesce the whole pair loop
+    // onto one core (measured 6x slower). An explicit count pins the
+    // exchange (REPARTITION_BY_NUM is exempt from coalescing).
+    // graft_shingle_hashes fuses tokenize + 2-gram + md5 + distinct + sort
+    // into one codegen'd kernel — the interpreted HOF chain it replaces
+    // was the dominant scan-side cost of this operator
     val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
-        array_sort(array_distinct(transform(shingleArr, sh => Hashing.h60p(sh))))
-          .as("shs"),
-        floor(size(Text.tokens(col("text"))) / 10).cast("long").as("bucket"))
-      .persist() // feeds both join sides + the verify attach — one md5 pass
+        call_function("graft_shingle_hashes", col("text")).as("shs"),
+        floor(nTokens / 10).cast("long").as("bucket"))
     // Duplicate-free candidate generation: the a-side emits only its own
     // bucket; the b-side emits {bucket-1, bucket, bucket+1}. A pair with
     // |bucket_a - bucket_b| <= 1 then matches on exactly ONE key (b's
     // emission equal to a's bucket) — same candidate set as the symmetric
     // two-key scheme, with no pair duplicates and no distinct() shuffle.
+    // The streamed a-side drives the pair fan-out; it inherits the 32-way
+    // partitioning from the repartition above, so the multi-million-pair
+    // join loop parallelizes too.
     val a = docs.select(col("doc_id").as("doc_a"), col("bucket").as("bkey"))
     val b = docs.select(col("doc_id").as("doc_b"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bkey"))
     val cand = a.join(b, Seq("bkey")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    val sets = docs.select(col("doc_id"), col("shs"))
+    // Persist ONLY the shingle sets (the md5-heavy projection): they feed
+    // two broadcast builds, so the hashing runs once, while the streamed
+    // 4M-pair pipeline reads straight from parquet and stays inside
+    // whole-stage codegen (a deserialized cache scan on the stream side
+    // would drop the whole pair loop out of codegen). The candidate sides
+    // are column-pruned to (doc_id, bucket) — no shingle work there.
+    val sets = docs.select(col("doc_id"), col("shs")).persist()
+    // Threshold as exact integer math with a SINGLE intersect occurrence:
+    // i/(a+b-i) >= 0.3  <=>  13*i >= 3*(a+b). Catalyst pushes this filter
+    // into the attach-join's condition; written as i/(...) >= 0.3 the
+    // substitution would inline graft_intersect_count TWICE (numerator and
+    // denominator), doubling the per-pair kernel work. Survivors (a tiny
+    // set) recompute the exact double jaccard for output. Exactness: the
+    // candidate ratios are rationals with denominator <= a few hundred,
+    // which are never within double-rounding distance of 0.3, so the
+    // integer form and the oracle's double comparison agree.
     withJaccard(cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b"))
-      .filter(col("jaccard") >= 0.3)
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .filter(lit(13) * call_function("graft_intersect_count", col("sa"), col("sb"))
+        >= lit(3) * (size(col("sa")) + size(col("sb")))))
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -137,17 +170,27 @@ object Dedup {
     // set; the 16 MinHash signatures are then per-row array folds over
     // that set (min over a set ≡ min over the multiset), so the signature
     // branch adds no second aggregation and no cache.
-    val h = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingleArr).as("sh"))
-      .select(col("doc_id"), Hashing.h60p(col("sh")).as("h"))
-    val sets = h.groupBy("doc_id")
-      .agg(array_sort(collect_set(col("h"))).as("shs"))
+    // Shingle sets via the fused graft_shingle_hashes kernel: the
+    // explode → md5-per-row → groupBy(collect_set) SHUFFLE the composed
+    // form needed is gone — set construction is a narrow per-doc map
+    // (sorted distinct hashes ≡ collect_set of the exploded hashes).
+    // Docs with <2 tokens have no shingles and are dropped, matching the
+    // explode-based form where they never produced a row. Pinned
+    // repartition (AQE-exempt) parallelizes the md5 pass (single file).
+    val sets = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
       .persist() // feeds signatures + both verify attaches — one md5 pass
-    val mins = sets.select(col("doc_id") +:
-      (0 until NumHashes).map(i =>
-        array_min(transform(col("shs"), x => Hashing.perm(i, x))).as(s"mh$i")): _*)
+    // Full signature in one native codegen pass ([[graft.plans.MinHashSig]])
+    // instead of 16 interpreted array_min(transform(...)) projections —
+    // same permutation math, so the DuckDB oracle is unchanged.
+    val mins = sets.select(col("doc_id"),
+      call_function("graft_minhash_sig", col("shs"), lit(NumHashes)).as("sig"))
     val bandKeys = (0 until Bands).map { bnd =>
-      concat_ws("_", (0 until RowsPerBand).map(r => col(s"mh${bnd * RowsPerBand + r}")): _*)
+      concat_ws("_", (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), bnd * RowsPerBand + r + 1)): _*)
     }
     val bands = mins.select(col("doc_id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band_ix").withColumnRenamed("col", "bkey")
@@ -201,16 +244,16 @@ object Dedup {
   /** C4: 32-bit SimHash (sign-vote over md5 token hashes, term frequency
     * as weight), byte-block LSH candidates, Hamming ≤ 6 verify. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val th = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
-      .select(col("doc_id"), Hashing.h60(col("t")).as("h"))
-    val votes = (0 until SimBits).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
-    val voted = th.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val simhash = (0 until SimBits)
-      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val sims = voted.select(col("doc_id"), simhash.as("simhash"))
+    // Fused graft_simhash32 kernel: the explode(tokens) → h60 → 32
+    // per-bit sign-sum AGGREGATION (a full shuffle of every token
+    // occurrence) collapses into a narrow per-doc map. Zero-token docs
+    // are filtered out, matching the explode-based form where they never
+    // reached the groupBy.
+    val sims = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .filter(regexp_count(col("text"), lit("[^ ]+")) > 0)
+      .select(col("doc_id"),
+        call_function("graft_simhash32", col("text")).as("simhash"))
       .persist() // both block-join sides — one token-hash + vote pass
     val blocks = sims.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>

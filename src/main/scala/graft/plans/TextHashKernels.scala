@@ -1,0 +1,166 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5-derived hashing used by the native text kernels.
+  *
+  * Exactly mirrors the portable convention of [[graft.functions.Hashing]]:
+  * `h60(s)` = first 15 hex chars of md5(utf8(s)) as a 60-bit long — i.e.
+  * the top 60 bits of the digest — and `h60p = h60 mod 1000000007`. Both
+  * Spark's `conv(substring(md5(x),1,15),16,10)` and DuckDB's
+  * `('0x'||substr(md5(x),1,15))::BIGINT` compute the same value, so
+  * operators built on these kernels stay oracle-checkable.
+  */
+object TextHash {
+  val P: Long = graft.functions.Hashing.P
+
+  private val md = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5 of the exact bytes. */
+  def h60Bytes(bytes: Array[Byte], offset: Int, len: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(bytes, offset, len)
+    val out = d.digest()
+    // first 15 hex chars = top 7.5 bytes = big-endian first-8-bytes >>> 4
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def h60(s: UTF8String): Long = {
+    val b = s.getBytes
+    h60Bytes(b, 0, b.length)
+  }
+
+  /** Sorted distinct `h60p` hashes of the word-2-gram shingles of `text`.
+    * Tokenization: split on single space, drop empties (Text.tokens);
+    * shingle string = tok(i) + " " + tok(i+1). Fewer than 2 tokens →
+    * empty array. One narrow pass per document: no explode, no shuffle. */
+  def shingleHashes(text: UTF8String): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < 2) return Array.emptyLongArray
+    val n = toks.length - 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val sh = toks(i) + " " + toks(i + 1)
+      val b = sh.getBytes("UTF-8")
+      hs(i) = h60Bytes(b, 0, b.length) % P
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var w = 1
+    var r = 1
+    while (r < n) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    if (w == n) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** 32-bit SimHash over md5 token hashes: every token OCCURRENCE votes
+    * ±1 per bit (bit j of h60 set → +1), bit set iff vote sum > 0.
+    * Exactly the fused form of explode(tokens) → h60 → 32 sign-sums. */
+  def simhash32(text: UTF8String): Long = {
+    val toks = tokenize(text)
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes("UTF-8")
+      val h = h60Bytes(b, 0, b.length)
+      var j = 0
+      while (j < 32) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) sim |= 1L << j
+      j += 1
+    }
+    sim
+  }
+
+  /** Split on single space, drop empties — Text.tokens semantics. */
+  private def tokenize(text: UTF8String): Array[String] = {
+    val s = text.toString
+    if (s.isEmpty) return Array.empty
+    val parts = s.split(" ", -1)
+    var cnt = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) cnt += 1; i += 1 }
+    if (cnt == parts.length) return parts
+    val out = new Array[String](cnt)
+    var w = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) { out(w) = parts(i); w += 1 }
+      i += 1
+    }
+    out
+  }
+}
+
+trait TextKernelTyping extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+}
+
+/** Native codegen expression: text → sorted distinct h60p word-2-gram
+  * shingle hashes, fusing tokenize + shingle + md5 + distinct + sort into
+  * one per-row kernel. Replaces the interpreted higher-order-function
+  * chain (array build + per-shingle md5/conv expressions) AND the
+  * explode→groupBy(collect_set) shuffle some callers used to build the
+  * same sets — at cluster scale this turns shingle-set construction into
+  * a shuffle-free narrow map. */
+case class ShingleHash60P(child: Expression) extends TextKernelTyping {
+  override def prettyName: String = "graft_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.shingleHashes(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.TextHash.shingleHashes($c));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → 32-bit SimHash (md5 sign-vote),
+  * fusing the explode(tokens) → h60 → 32 per-bit sign-sums aggregation
+  * into one per-row kernel (no explode, no shuffle). */
+case class SimHash32(child: Expression) extends TextKernelTyping {
+  override def prettyName: String = "graft_simhash32"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.simhash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash.simhash32($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
