@@ -195,47 +195,95 @@ object Similarity {
       .orderBy("doc_id")
   }
 
-  // ---- B3: LSH-bucketed ANN (rows-only check) --------------------------
+  // ---- B3: LSH-bucketed ANN ---------------------------------------------
 
   private val LshPlanes = 6
+  private val VecDim = 64
 
-  /** Deterministic ±1 random-hyperplane matrix (seeded, engine-internal —
-    * B3 has no SQL oracle, so plain doubles are fine here). */
-  private lazy val hyperplanes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(LshPlanes, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
+  /** Deterministic ±1 random-hyperplane matrix, md5-derived so the DuckDB
+    * oracle can regenerate it: sign(p,d) = ((h60("p_d") & 1)·2 − 1, the
+    * same engine-portable hashing convention as [[graft.functions.Hashing]]
+    * (bit 0 of md5("p_d")'s top 60 bits). */
+  private lazy val hyperplanes: Array[Array[Long]] =
+    Array.tabulate(LshPlanes, VecDim) { (p, d) =>
+      val b = s"${p}_$d".getBytes("UTF-8")
+      (graft.plans.TextHash.h60Bytes(b, 0, b.length) & 1L) * 2L - 1L
+    }
 
   /** B3: random-hyperplane LSH ANN — the scale path. Each vector gets a
     * 6-bit bucket (sign pattern against fixed hyperplanes); queries
     * multi-probe their bucket plus all Hamming-1 neighbors (7 keys), so
     * the join scans ~7/2^bits of the corpus instead of all of it. At
     * 100 TB: buckets are the shuffle key, queries (with probe fan-out)
-    * broadcast, in-bucket exact re-ranking. */
+    * broadcast, in-bucket exact re-ranking.
+    *
+    * Bucket bits and re-rank scores are exact scaled-int64 (quantized
+    * vectors against ±1 planes via the native graft_dot_l kernel), so the
+    * whole operator is deterministic across engines and fully
+    * oracle-checked — plane signs, bucketing, probing, and ranking. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    def bucketOf(v: Column): Column =
+    def bucketOf(qv: Column): Column =
       (0 until LshPlanes).map { p =>
-        val planeDot = aggregate(
-          zip_with(v, lit(hyperplanes(p)), (x, w) => x * w),
-          lit(0.0d), (acc, t) => acc + t)
+        val planeDot = call_function("graft_dot_l", qv, lit(hyperplanes(p)))
         when(planeDot > 0, lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
 
-    val q = queriesSet(s, dir).withColumn("bucket", bucketOf(col("q")))
+    val q = queriesSet(s, dir).withColumn("bucket", bucketOf(col("qq")))
       // multi-probe: own bucket + flip each bit once (Hamming radius 1)
-      .select(col("query_id"), col("q"), explode(array(
+      .select(col("query_id"), col("qq"), explode(array(
         col("bucket") +: (0 until LshPlanes).map(p =>
           col("bucket").bitwiseXOR(lit(1 << p))): _*)).as("probe"))
-    val c = corpusSet(s, dir).withColumn("bucket_c", bucketOf(col("c")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    val c = corpusSet(s, dir).withColumn("bucket_c", bucketOf(col("cq")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
     c.join(broadcast(q), col("bucket_c") === col("probe"))
       .select(col("query_id"), col("neighbor_id"),
-        dotDouble(col("q"), col("c")).as("score"))
+        dotExact(col("qq"), col("cq")).as("dot"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"))
       .orderBy("query_id", "rank")
   }
+
+  val annLshSql: String = s"""
+    WITH planes AS (
+      SELECT p.range AS p, d.range AS d,
+        (((('0x'||substr(md5(CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)),1,15))::BIGINT) & 1) * 2 - 1) AS sign
+      FROM range($LshPlanes) p CROSS JOIN range($VecDim) d),
+    vq AS (
+      SELECT vec_id, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    pd AS (
+      SELECT vq.vec_id, planes.p, SUM(planes.sign * vq.qe) AS pdot
+      FROM vq JOIN planes ON vq.d = planes.d
+      GROUP BY vq.vec_id, planes.p),
+    buckets AS (
+      SELECT vec_id,
+        CAST(SUM(CASE WHEN pdot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+      FROM pd GROUP BY vec_id),
+    probes AS (
+      SELECT b.vec_id AS query_id,
+        CASE WHEN r.range = 0 THEN b.bucket
+             ELSE xor(b.bucket, (1 << (CAST(r.range AS INT) - 1))) END AS probe
+      FROM buckets b CROSS JOIN range(${LshPlanes + 1}) r
+      WHERE b.vec_id < 10),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM probes p
+      JOIN buckets cb ON cb.bucket = p.probe AND cb.vec_id >= 10
+      JOIN embeddings c ON c.vec_id = cb.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, CAST(dot AS DOUBLE) / 1.0e16 AS score
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
@@ -246,5 +294,6 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
     "knn_vote"  -> knnVoteSql,
-    "vec_embed" -> vecEmbedSql)
+    "vec_embed" -> vecEmbedSql,
+    "ann_lsh"   -> annLshSql)
 }
