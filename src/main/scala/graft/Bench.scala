@@ -25,8 +25,10 @@ object Bench {
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // operators persist intermediates internally; every invocation
       // builds (and re-persists) a fresh plan, so stale cache entries are
-      // dead weight that only accumulates GC pressure — drop them
+      // dead weight that only accumulates GC pressure — drop them, then
+      // collect so the previous query's garbage isn't charged to this one
       spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9

@@ -284,6 +284,72 @@ object Analytics {
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     ORDER BY c_custkey"""
 
+  /** E17: range (interval) join via bin decomposition — for each purchase,
+    * aggregate the same user's clicks in the preceding 30 minutes.
+    *
+    * A naive `BETWEEN` theta-join degenerates to a per-key cross product;
+    * the scale-safe shape is the standard bin trick: bucket both sides
+    * into windows of the range width, have the probe side fan out to
+    * {bin, bin+1} (a click can only serve purchases in its own or the
+    * next bin), equi-join on (user, bin), then apply the exact range
+    * predicate. The join stays hash-partitioned on (user_id, bin) — no
+    * range condition ever reaches the shuffle. Epoch math in whole
+    * seconds (exact integers on both engines). */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val gap = 1800L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts").cast(TimestampType)).as("epoch"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("epoch").as("p_epoch"),
+        floor(col("epoch") / gap).as("bin"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("epoch").as("c_epoch"), col("value"),
+        explode(array(floor(col("epoch") / gap),
+          floor(col("epoch") / gap) + 1)).as("bin"))
+    p.join(c, Seq("user_id", "bin"))
+      .filter(col("c_epoch") >= col("p_epoch") - gap &&
+        col("c_epoch") < col("p_epoch"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        (sum(dec(col("value"))).cast("double")).as("click_value"))
+      .orderBy("purchase_id")
+  }
+
+  val qRangeJoinSql: String = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+      FROM events)
+    SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+      CAST(SUM(CAST(c.value AS DECIMAL(12,2))) AS DOUBLE) AS click_value
+    FROM ev p JOIN ev c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+      AND c.epoch >= p.epoch - 1800 AND c.epoch < p.epoch
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    ORDER BY p.event_id"""
+
+  /** E18: CUBE over orders (priority × status): all four grouping sets in
+    * one pass — Spark expands the cube into a single shuffle with partial
+    * aggregation per set. */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
+  val qCubeSql: String = """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"   -> (q1Pricing _),
     "q3_revenue"   -> (q3Revenue _),
@@ -294,7 +360,9 @@ object Analytics {
     "q_json"       -> (qJson _),
     "q_event_dedup" -> (qEventDedup _),
     "q_topk_group" -> (qTopkGroup _),
-    "q_anti_join"  -> (qAntiJoin _))
+    "q_anti_join"  -> (qAntiJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_cube"       -> (qCube _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing"   -> q1PricingSql,
@@ -306,5 +374,7 @@ object Analytics {
     "q_json"       -> qJsonSql,
     "q_event_dedup" -> qEventDedupSql,
     "q_topk_group" -> qTopkGroupSql,
-    "q_anti_join"  -> qAntiJoinSql)
+    "q_anti_join"  -> qAntiJoinSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_cube"       -> qCubeSql)
 }

@@ -285,15 +285,106 @@ object Similarity {
     FROM ranked WHERE rank <= 3
     ORDER BY query_id, rank"""
 
+  // ---- B5: IVF-style ANN (coarse cells + probe top-2) -------------------
+
+  private val IvfProbes = 2
+
+  /** B5: IVF-flavoured ANN — the other classic scale path next to LSH.
+    * Cells are the embedding table's `label` column (standing in for a
+    * coarse quantizer's cell assignment; at 100 TB this is the k-means
+    * cell id the ingest pipeline wrote). Cell centroids are element-wise
+    * SUMS of the quantized member vectors (exact int64) plus a member
+    * count; a query scores each cell by dot(q, csum)/count (one IEEE
+    * division of exact int64 operands — identical in any engine), probes
+    * the top-2 cells, and exact-re-ranks only their members: the corpus
+    * scan shrinks to ~nprobe/ncells of the data, shuffled by cell id. */
+  /** Cell-assignment quantizer, coarser than the re-rank one: centroid
+    * dims are SUMS over cell members, so at scale 1e8 the per-term
+    * products q_i·csum_i would overflow int64 once a cell holds more than
+    * ~4·10⁸-summed magnitude. At 1e4 the exact bound is
+    * |Σ| ≤ 64·(2·10⁴)·N·(2·10⁴) — int64-safe up to N ≈ 3.6·10⁸ members
+    * per cell, far beyond any real IVF cell. */
+  private def q4(x: Column): Column =
+    floor(x.cast("double") * lit(1.0e4) + lit(0.5))
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val c = corpusSet(s, dir)
+    // centroid sums: one narrow posexplode + (label, dim) partial agg —
+    // at scale this is a tiny broadcastable summary (ncells × dim rows)
+    val cent = c.select(col("label"), posexplode(transform(col("c"), x => q4(x))))
+      .groupBy("label", "pos").agg(sum("col").as("csum"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("csum")))),
+        e => e.getField("csum")).as("csum"))
+      .join(c.groupBy("label").agg(count(lit(1)).as("cnt")), "label")
+    val cellW = Window.partitionBy("query_id")
+      .orderBy(col("cell_score").desc, col("label"))
+    val probed = queriesSet(s, dir).join(broadcast(cent))
+      .select(col("query_id"), col("qq"), col("label"),
+        (dotExact(transform(col("q"), x => q4(x)), col("csum")).cast("double")
+          / col("cnt")).as("cell_score"))
+      .withColumn("crk", row_number().over(cellW))
+      .filter(col("crk") <= IvfProbes)
+      .select(col("query_id"), col("qq"), col("label"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    c.join(broadcast(probed), Seq("label"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotExact(col("qq"), col("cq")).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfSql: String = s"""
+    WITH q4c AS (
+      SELECT vec_id, label, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings CROSS JOIN range(64) d),
+    cent AS (
+      SELECT label, d, CAST(SUM(qe) AS BIGINT) AS csum
+      FROM q4c WHERE vec_id >= 10 GROUP BY label, d),
+    cnt AS (
+      SELECT label, COUNT(*) AS cnt FROM embeddings WHERE vec_id >= 10 GROUP BY label),
+    cellscore AS (
+      SELECT q.vec_id AS query_id, cent.label,
+        CAST(CAST(SUM(q.qe * cent.csum) AS BIGINT) AS DOUBLE) / MAX(cnt.cnt) AS cell_score
+      FROM q4c q JOIN cent ON q.d = cent.d JOIN cnt ON cnt.label = cent.label
+      WHERE q.vec_id < 10
+      GROUP BY q.vec_id, cent.label),
+    probed AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+          row_number() OVER (PARTITION BY query_id ORDER BY cell_score DESC, label) AS crk
+        FROM cellscore) WHERE crk <= $IvfProbes),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM probed p
+      JOIN embeddings c ON c.label = p.label AND c.vec_id >= 10
+      JOIN embeddings q ON q.vec_id = p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, CAST(dot AS DOUBLE) / 1.0e16 AS score
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
     "knn_vote"  -> (knnVote _),
     "vec_embed" -> (vecEmbed _),
-    "ann_lsh"   -> (annLsh _))
+    "ann_lsh"   -> (annLsh _),
+    "ann_ivf"   -> (annIvf _))
 
   val oracle: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
     "knn_vote"  -> knnVoteSql,
     "vec_embed" -> vecEmbedSql,
-    "ann_lsh"   -> annLshSql)
+    "ann_lsh"   -> annLshSql,
+    "ann_ivf"   -> annIvfSql)
 }

@@ -99,11 +99,64 @@ object Sketches {
     FROM final JOIN exact USING (event_type)
     ORDER BY event_type"""
 
+  /** E19: count-min sketch heavy hitters — engine-portable CMS (depth 4 ×
+    * width 256, md5-derived row hashes), built with one narrow explode +
+    * (row, col) aggregation. The sketch is ≤1024 cells regardless of key
+    * cardinality — at 100 TB it merges map-side and broadcasts — and the
+    * per-key estimate is min over rows of the hashed cell, always ≥ the
+    * true count. Output: top-10 keys by estimate with the exact count
+    * alongside (the overestimate is visible, not hidden). */
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  private def cmsCol(r: Int, key: org.apache.spark.sql.Column) =
+    Hashing.h60(concat(lit(s"${r}_"), key.cast("string"))) % CmsWidth
+
+  def qCmsTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cells = ev.select(posexplode(array((0 until CmsDepth).map(r =>
+        cmsCol(r, col("user_id"))): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "c")
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+    val keys = ev.select(col("user_id")).distinct()
+      .select(col("user_id"), posexplode(array((0 until CmsDepth).map(r =>
+        cmsCol(r, col("user_id"))): _*)))
+      .withColumnRenamed("pos", "r").withColumnRenamed("col", "c")
+    val est = keys.join(broadcast(cells), Seq("r", "c"))
+      .groupBy("user_id").agg(min("cnt").as("cms_estimate"))
+    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_count"))
+    est.join(exact, "user_id")
+      .orderBy(col("cms_estimate").desc, col("user_id"))
+      .limit(10)
+  }
+
+  val qCmsTopkSql: String = s"""
+    WITH cellkeys AS (
+      SELECT user_id, r.range AS r,
+        (('0x'||substr(md5(CAST(r.range AS VARCHAR) || '_' || CAST(user_id AS VARCHAR)),1,15))::BIGINT % $CmsWidth) AS c
+      FROM events CROSS JOIN range($CmsDepth) r),
+    cells AS (
+      SELECT r, c, COUNT(*) AS cnt FROM cellkeys GROUP BY r, c),
+    keyprobe AS (
+      SELECT DISTINCT user_id, r, c FROM cellkeys),
+    est AS (
+      SELECT k.user_id, MIN(cells.cnt) AS cms_estimate
+      FROM keyprobe k JOIN cells ON cells.r = k.r AND cells.c = k.c
+      GROUP BY k.user_id),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY user_id)
+    SELECT est.user_id, cms_estimate, exact_count
+    FROM est JOIN exact USING (user_id)
+    ORDER BY cms_estimate DESC, est.user_id
+    LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (qSaltedAgg _),
-    "q_hll_users"  -> (qHllUsers _))
+    "q_hll_users"  -> (qHllUsers _),
+    "q_cms_topk"   -> (qCmsTopk _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
-    "q_hll_users"  -> qHllUsersSql)
+    "q_hll_users"  -> qHllUsersSql,
+    "q_cms_topk"   -> qCmsTopkSql)
 }

@@ -192,7 +192,51 @@ object TextAnalysis {
     FROM td GROUP BY term
     ORDER BY total_count DESC, term LIMIT 50"""
 
+  /** D8: intra-document repetition ratio — the share of word-3-grams
+    * that are repeats of an earlier 3-gram in the same document. A
+    * standard training-data quality signal (template/boilerplate and
+    * looping-generation detector). Narrow per-row expressions only; the
+    * ratio is one IEEE division of exact ints, so it hash-matches the
+    * oracle bit-for-bit. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = size(toks)
+    val tri = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tri.as("tri"))
+      .select(col("doc_id"),
+        size(col("tri")).cast("long").as("n_trigrams"),
+        size(array_distinct(col("tri"))).cast("long").as("n_unique"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_unique"),
+        when(col("n_trigrams") > 0,
+          (col("n_trigrams") - col("n_unique")).cast("double") / col("n_trigrams"))
+          .otherwise(lit(0.0d)).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val textRepetitionSql: String = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents),
+    tri AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS tri
+      FROM toks)
+    SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_trigrams,
+      CAST(len(list_distinct(tri)) AS BIGINT) AS n_unique,
+      CASE WHEN len(tri) > 0
+           THEN CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE) / len(tri)
+           ELSE 0.0 END AS rep_ratio
+    FROM tri ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition"  -> (textRepetition _),
     "text_langid"      -> (textLangid _),
     "text_quality"     -> (textQuality _),
     "text_tokens"      -> (textTokens _),
@@ -202,6 +246,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_repetition"  -> textRepetitionSql,
     "text_langid"      -> textLangidSql,
     "text_quality"     -> textQualitySql,
     "text_tokens"      -> textTokensSql,
