@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.Hashing
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests: the fused native kernels must agree with the composed
+  * Spark-expression forms on arbitrary generated inputs — not just the
+  * corpus. Inputs stress tokenizer edges (runs of spaces, empty strings,
+  * unicode, repeated tokens) and quantized-vector ranges. */
+class KernelPropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val token: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("a", "b", "ab", "λ", "é", "🙂", "x-y", "0"),
+    Gen.const(""))
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 30)
+    toks <- Gen.listOfN(n, token)
+    sep <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", "   "))
+  } yield toks.zipAll(sep, "", "").map { case (t, s) => t + s }.mkString
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("graft_shingle_hashes == composed form on 200 generated strings") {
+    val texts = sample(textGen, 200)
+    val df = texts.toDF("text")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val shingleArr = when(size(toks) >= 2,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(
+      call_function("graft_shingle_hashes", col("text")).as("native"),
+      array_sort(array_distinct(transform(shingleArr, sh => Hashing.h60p(sh))))
+        .as("composed"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"mismatch for text=${r.getString(2)}")
+    }
+  }
+
+  test("graft_simhash32 == composed sign-vote on generated strings") {
+    val texts = sample(textGen, 200).filter(_.exists(_ != ' '))
+    val df = texts.toDF("text").withColumn("id", monotonically_increasing_id())
+    val native = df.select(col("id"),
+      call_function("graft_simhash32", col("text"))).as[(Long, Long)]
+      .collect().toMap
+    val th = df.select(col("id"),
+      explode(filter(split(col("text"), " "), t => length(t) > 0)).as("t"))
+      .select(col("id"), Hashing.h60(col("t")).as("h"))
+    val votes = (0 until 32).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
+    val sim = (0 until 32)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val composed = th.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), sim).as[(Long, Long)].collect().toMap
+    composed.foreach { case (id, s) =>
+      assert(native(id) == s, s"simhash mismatch for id=$id")
+    }
+  }
+
+  test("int64 vector kernels == composed folds on generated vectors") {
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-200000000L, 200000000L))
+    val pairs = sample(Gen.zip(vecGen, vecGen), 100)
+      .map { case (a, b) => (a.toArray, b.toArray) }
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_dot_l", col("a"), col("b")).as("ndot"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("cdot"),
+      call_function("graft_sqdist_l", col("a"), col("b")).as("nsq"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("csq")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3))
+    }
+  }
+
+  test("graft_minhash_sig == composed permutation minima on generated sets") {
+    val setGen = for {
+      n <- Gen.chooseNum(0, 50)
+      xs <- Gen.listOfN(n, Gen.chooseNum(0L, Hashing.P - 1))
+    } yield xs.distinct.sorted.toArray
+    val df = sample(setGen, 100).map(Tuple1(_)).toDF("shs")
+    val rows = df.select(
+      call_function("graft_minhash_sig", col("shs"), lit(16)).as("native"),
+      array((0 until 16).map(i =>
+        array_min(transform(col("shs"), x => Hashing.perm(i, x)))): _*)
+        .as("composed")).collect()
+    rows.foreach { r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)) }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executed-plan shape assertions for the scale-critical rules found in
+  * round 2 (SURVEY §9): pair fan-outs must sit above an AQE-exempt
+  * pinned repartition, pair joins must be broadcast (never sort-merge on
+  * the multi-million-row side), and the jaccard threshold pushed into
+  * the join condition must evaluate the intersect kernel exactly once. */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE so the plan shows real join/exchange choices
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dedup pair pipelines pin an AQE-exempt repartition under the fan-out") {
+    for (q <- Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("REPARTITION_BY_NUM"),
+        s"$q lost its pinned repartition:\n$plan")
+    }
+  }
+
+  test("dedup candidate joins are broadcast, not sort-merge") {
+    for (q <- Seq("dedup_jaccard", "dedup_minhash", "dedup_simhash", "dedup_embcos")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("BroadcastHashJoin"), s"$q has no broadcast join")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q fell back to sort-merge:\n$plan")
+    }
+  }
+
+  test("jaccard join condition evaluates the intersect kernel exactly once") {
+    val plan = executedPlan(Dedup.dedupJaccard(spark, sf))
+    val joinLines = plan.linesIterator
+      .filter(l => l.contains("BroadcastHashJoin") && l.contains("graft_intersect_count"))
+      .toSeq
+    assert(joinLines.nonEmpty, s"threshold not pushed into a join:\n$plan")
+    joinLines.foreach { l =>
+      val n = "graft_intersect_count".r.findAllIn(l).length
+      assert(n == 1, s"intersect kernel appears $n times in join condition:\n$l")
+    }
+  }
+}
