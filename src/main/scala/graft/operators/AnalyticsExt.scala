@@ -172,17 +172,61 @@ object AnalyticsExt {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** E20: bloom-pruned fact join — the explicit form of Spark's runtime
+    * semi-join filtering, built from Spark's own BloomFilterAggregate /
+    * BloomFilterMightContain expressions (reused via the extension
+    * bridge, not reimplemented). Build side: one aggregation over the
+    * filtered orders keys produces a ~KB bloom sketch; probe side: the
+    * lineitem scan is pre-filtered by might_contain BEFORE the shuffle
+    * join, so at 100 TB only ~selectivity·|lineitem| rows shuffle.
+    * False positives are removed by the exact join that follows — the
+    * result is bit-identical to the plain join, which is exactly what
+    * the oracle checks. */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloomAgg = GraftBridge.col(
+      new BloomFilterAggregate(GraftBridge.expr(col("o_orderkey")), 1000000L)
+        .toAggregateExpression())
+    val bloom = urgent.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val pruned = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(GraftBridge.col(BloomFilterMightContain(
+        Literal(bloom, BinaryType), GraftBridge.expr(col("l_orderkey")))))
+    pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast("double")
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qBloomJoinSql: String = """
+    SELECT o.o_orderpriority, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"   -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_percentiles" -> (qPercentiles _),
     "q_tumbling"    -> (qTumbling _),
-    "q_tfidf"       -> (qTfidf _))
+    "q_tfidf"       -> (qTfidf _),
+    "q_bloom_join"  -> (qBloomJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_asof_join"   -> qAsofJoinSql,
     "q_asof_native" -> qAsofJoinSql,
     "q_percentiles" -> qPercentilesSql,
     "q_tumbling"    -> qTumblingSql,
-    "q_tfidf"       -> qTfidfSql)
+    "q_tfidf"       -> qTfidfSql,
+    "q_bloom_join"  -> qBloomJoinSql)
 }

@@ -126,4 +126,28 @@ object Streams {
           }
         })
   }
+
+  /** F7: stream-stream interval join — purchases enriched with same-user
+    * clicks from the preceding `gapSeconds` (the streaming twin of the
+    * batch bin-decomposed range join, Analytics.qRangeJoin). Spark plans
+    * this as a watermarked symmetric hash join: both sides keep only the
+    * range-reachable window of state, so state is bounded by
+    * watermark + gap, never by stream length. */
+  def clicksBeforePurchase(events: DataFrame, gapSeconds: Long = 1800)
+      : DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $gapSeconds SECONDS") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("c_ts"), col("click_value"))
+  }
 }

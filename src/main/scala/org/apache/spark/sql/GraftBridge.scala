@@ -14,4 +14,7 @@ object GraftBridge {
 
   def expr(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  def col(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

@@ -107,4 +107,20 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.contains((1L, "click", 5L)))
   }
+
+  test("F7: stream-stream interval join matches only in-range same-user clicks") {
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(
+      StreamEvent(100, ts(90), 1, "purchase", 0.0),
+      StreamEvent(10, ts(70), 1, "click", 1.5),  // 20 min before → in range
+      StreamEvent(11, ts(91), 1, "click", 2.5),  // after the purchase → out
+      StreamEvent(12, ts(50), 1, "click", 3.5),  // 40 min before → out
+      StreamEvent(13, ts(80), 2, "click", 4.5),  // other user → out
+      StreamEvent(101, ts(120), 2, "purchase", 0.0),
+      StreamEvent(14, ts(119), 2, "click", 6.5)) // 1 min before → in range
+    val rows = runToCompletion(
+      Streams.clicksBeforePurchase(input.toDF()), OutputMode.Append)
+      .map(r => (r.getLong(0), r.getDouble(4))).sorted
+    assert(rows == Seq((100L, 1.5), (101L, 6.5)))
+  }
 }
