@@ -22,5 +22,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ AnalyticsExt.oracle ++ Sketches.oracle ++
       Knowledge.oracle ++ TextAnalysis.oracle ++ Dedup.oracle ++
-      Similarity.oracle
+      Similarity.oracle ++ Multimodal.oracle
 }

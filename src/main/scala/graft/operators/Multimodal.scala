@@ -79,13 +79,17 @@ object Multimodal {
       (0 until payload.length by strideBytes).iterator.zipWithIndex.map {
         case (off, ix) =>
           val end = math.min(off + strideBytes, payload.length)
+          // mod-P polynomial (not wrapping int64): engine-portable, so the
+          // frame hash is reproducible by the DuckDB oracle byte-for-byte
           var h = 0L
           var i = off
-          while (i < end) { h = h * 31 + (payload(i) & 0xff); i += 1 }
+          while (i < end) { h = (h * 31 + (payload(i) & 0xff)) % P; i += 1 }
           Frame(id, ix + 1, off, h)
       }
     }.toDF().orderBy("doc_id", "frame_ix")
   }
+
+  private val P = 1000000007L
 
   private def mmFrameSampleQ(s: SparkSession, dir: String): DataFrame =
     mmFrameSample(s, dir)
@@ -94,5 +98,35 @@ object Multimodal {
     "mm_pipeline" -> (mmPipeline _),
     "mm_framesample" -> (mmFrameSampleQ _))
 
-  val oracle: Map[String, String] = Map.empty
+  /** Oracles replicate the stub decode from the payload bytes. The test
+    * corpus is pure ASCII (verified), so DuckDB's per-character ord()
+    * equals the UTF-8 byte the Scala side reads — the operator contract
+    * is over bytes; the oracle is valid for this dataset. */
+  val oracle: Map[String, String] = Map(
+    "mm_framesample" -> s"""
+      WITH f AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      offs AS (
+        SELECT doc_id, text, n, CAST(unnest(generate_series(0, n - 1, 64)) AS INT) AS "offset"
+        FROM f WHERE n > 0)
+      SELECT doc_id, CAST("offset" // 64 + 1 AS INT) AS frame_ix, "offset",
+        CAST(list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series("offset" + 1, LEAST("offset" + 64, n)),
+              i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+          (a, b) -> (a * 31 + b) % $P) AS BIGINT) AS frame_hash
+      FROM offs
+      ORDER BY doc_id, frame_ix""",
+    "mm_pipeline" -> """
+      WITH f AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+      SELECT doc_id, 'text/plain;doc=' || CAST(doc_id AS VARCHAR) AS mime,
+        CAST(n AS INT) AS n_bytes,
+        CAST(64 + CASE WHEN n = 0 THEN 0 ELSE ord(substr(text, 1, 1)) % 64 END AS INT) AS width,
+        CAST(64 + CASE WHEN n < 2 THEN 0 ELSE ord(substr(text, 2, 1)) % 64 END AS INT) AS height,
+        CASE WHEN n = 0 THEN 0.0 ELSE CAST(ord(substr(text, (0 % n) + 1, 1)) AS DOUBLE) / 255.0 END AS f0,
+        CASE WHEN n = 0 THEN 0.0 ELSE CAST(ord(substr(text, (1 % n) + 1, 1)) AS DOUBLE) / 255.0 END AS f1,
+        CASE WHEN n = 0 THEN 0.0 ELSE CAST(ord(substr(text, (2 % n) + 1, 1)) AS DOUBLE) / 255.0 END AS f2,
+        CASE WHEN n = 0 THEN 0.0 ELSE CAST(ord(substr(text, (3 % n) + 1, 1)) AS DOUBLE) / 255.0 END AS f3
+      FROM f ORDER BY doc_id""")
 }
