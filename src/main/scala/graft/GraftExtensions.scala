@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoinStrategy, FloatVecDot, LongVecDot, LongVecSqDist, MinHashSig, ShingleHash60P, SimHash32, SortedLongIntersectCount}
+import graft.plans.{AsOfJoinStrategy, FloatVecDot, HashEmbed, LongVecDot, LongVecSqDist, MinHashSig, ShingleHash60P, SimHash32, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -52,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_shingle_hashes(text) - sorted distinct h60p word-2-gram shingle hashes",
         ""),
       (children: Seq[Expression]) => ShingleHash60P(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash_embed"),
+      new ExpressionInfo(classOf[HashEmbed].getName, null, "graft_hash_embed",
+        "graft_hash_embed(text, dim) - dense int64 hashing-trick embedder weights",
+        ""),
+      (children: Seq[Expression]) => HashEmbed(children.head,
+        children(1).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32",

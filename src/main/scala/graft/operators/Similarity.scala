@@ -132,24 +132,17 @@ object Similarity {
     * column). [[vecEmbedVectors]] is the array-valued form for
     * downstream vector consumers. */
   def vecEmbed(s: SparkSession, dir: String): DataFrame = {
-    val th = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
+    // Fused graft_hash_embed kernel: the explode(tokens) → (slot, sign) →
+    // groupBy(doc, slot) → groupBy(doc) → left-join pipeline (two full
+    // shuffles of every token occurrence) collapses into ONE shuffle-free
+    // narrow map per document; zero-token docs yield the all-zero vector
+    // directly. Σw² via the exact int64 dot kernel; same hashing math, so
+    // the DuckDB oracle is unchanged.
+    Tables.documents(s, dir)
       .select(col("doc_id"),
-        (Hashing.h60(col("t")) % EmbedDim).cast("int").as("slot"),
-        (shiftright(Hashing.h60(col("t")), 5).bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
-    val slots = th.groupBy("doc_id", "slot").agg(sum("sign").as("weight"))
-    // dense int64 weight vector per doc; squared norm stays exact int64
-    val vecs = slots.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("weight")))).as("m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(EmbedDim - 1)),
-          i => coalesce(element_at(col("m"), i.cast("int")), lit(0L))).as("raw"))
-      .withColumn("ss", aggregate(col("raw"), lit(0L), (acc, x) => acc + x * x))
-    // docs with zero tokens still emit an all-zero vector
-    Tables.documents(s, dir).select(col("doc_id"))
-      .join(vecs, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("ss"), lit(0L)).as("ss"),
-        posexplode(coalesce(col("raw"), array_repeat(lit(0L), EmbedDim))))
+        call_function("graft_hash_embed", col("text"), lit(EmbedDim)).as("raw"))
+      .withColumn("ss", call_function("graft_dot_l", col("raw"), col("raw")))
+      .select(col("doc_id"), col("ss"), posexplode(col("raw")))
       .select(col("doc_id"), col("pos").cast("int").as("dim"),
         when(col("ss") > 0,
           col("col").cast("double") / sqrt(col("ss").cast("double")))

@@ -96,6 +96,25 @@ object TextHash {
     sim
   }
 
+  /** Hashing-trick embedder weights: every token OCCURRENCE votes ±1 into
+    * slot `h60(token) % dim` with sign from bit 5 of the hash — the fused
+    * form of explode(tokens) → (slot, sign) → two groupBy shuffles.
+    * Returns the dense int64 weight vector; Σw² (the squared norm) stays
+    * exact int64 downstream. */
+  def hashEmbed(text: UTF8String, dim: Int): Array[Long] = {
+    val toks = tokenize(text)
+    val w = new Array[Long](dim)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes("UTF-8")
+      val h = h60Bytes(b, 0, b.length)
+      val slot = (h % dim).toInt
+      w(slot) += ((h >>> 5) & 1L) * 2L - 1L
+      i += 1
+    }
+    w
+  }
+
   /** Split on single space, drop empties — Text.tokens semantics. */
   private def tokenize(text: UTF8String): Array[String] = {
     val s = text.toString
@@ -142,6 +161,26 @@ case class ShingleHash60P(child: Expression) extends TextKernelTyping {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.plans.TextHash.shingleHashes($c));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → dense int64 hashing-trick embedder
+  * weights (`dim` slots, ±1 token votes), fusing the explode(tokens) →
+  * slot/sign → two-groupBy pipeline into one shuffle-free per-row
+  * kernel. */
+case class HashEmbed(child: Expression, dim: Int) extends TextKernelTyping {
+  override def prettyName: String = "graft_hash_embed"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.hashEmbed(input.asInstanceOf[UTF8String], dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.TextHash.hashEmbed($c, $dim));")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -86,6 +86,30 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_hash_embed == composed slot/sign aggregation on generated strings") {
+    val texts = sample(textGen, 200)
+    val df = texts.toDF("text").withColumn("id", monotonically_increasing_id())
+    val native = df.select(col("id"),
+      call_function("graft_hash_embed", col("text"), lit(16)))
+      .as[(Long, Seq[Long])].collect().toMap
+    val th = df.select(col("id"),
+      explode(filter(split(col("text"), " "), t => length(t) > 0)).as("t"))
+      .select(col("id"),
+        (Hashing.h60(col("t")) % 16).cast("int").as("slot"),
+        (shiftright(Hashing.h60(col("t")), 5).bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
+    val composed = th.groupBy("id", "slot").agg(sum("sign").as("w"))
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("w")))).as("m"))
+      .select(col("id"), transform(sequence(lit(0), lit(15)),
+        i => coalesce(element_at(col("m"), i.cast("int")), lit(0L))).as("raw"))
+      .as[(Long, Seq[Long])].collect().toMap
+    composed.foreach { case (id, w) => assert(native(id) == w, s"id=$id") }
+    // zero-token docs (absent from composed) must be the all-zero vector
+    (native.keySet -- composed.keySet).foreach { id =>
+      assert(native(id).forall(_ == 0L))
+    }
+  }
+
   test("graft_minhash_sig == composed permutation minima on generated sets") {
     val setGen = for {
       n <- Gen.chooseNum(0, 50)
