@@ -356,17 +356,96 @@ object Dedup {
     FROM p WHERE d2x <= 120000000000000
     ORDER BY vec_a, vec_b"""
 
+  // ---- C6 near-dup clustering (pairs → components → keep-list) ---------
+
+  /** C6: connected components over the near-dup pair graph — the step an
+    * industrial dedup pipeline runs AFTER pair generation: transitively
+    * merge pairs into clusters and keep one representative (min doc_id)
+    * per cluster. Edges here are the SimHash pairs (C4).
+    *
+    * Algorithm: iterative min-label propagation on DataFrames — each
+    * round every vertex takes the min label over itself and its
+    * neighbors; converges in O(diameter) rounds (dup clusters are
+    * near-cliques, so 2–4 rounds in practice; the loop is bounded and
+    * stops early on a fixpoint, checked per-round with one count). This
+    * is the standard large-graph CC shape (label propagation over a
+    * shuffled edge list); at 100 TB the same loop runs with the edge
+    * list hash-partitioned by vertex. Output: one row per clustered doc
+    * with its cluster representative and cluster size. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // materialize the pair generation ONCE before the union doubles the
+    // lineage (both union branches would otherwise recompute simhash)
+    val pairs = dedupSimhash(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    // Undirected edge list, both directions — min-label flows both ways.
+    // localCheckpoint (eager) TRUNCATES the logical plan: in an iterative
+    // DataFrame loop the lineage otherwise grows every round and Catalyst
+    // re-optimizes the whole history on the single-threaded driver —
+    // planning time explodes long before execution time does. On a
+    // cluster this would be checkpoint() to reliable storage.
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label")).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges.join(labels, col("dst") === col("v"))
+        .groupBy(col("src").as("v2")).agg(min("label").as("nlabel"))
+      val next = labels.join(neighborMin, col("v") === col("v2"), "left")
+        .select(col("v"), least(col("label"),
+          coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "v")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("v").as("doc_id"), col("label").as("cluster_rep"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure by recursive CTE — reach the minimum
+    * doc_id from every vertex along undirected simhash-pair edges. */
+  val dedupClustersSql: String = {
+    // reuse the simhash pair query as the edge source
+    val pairSql = dedupSimhashSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""
+    WITH pairs AS ($pairSql),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS v FROM edges)
+    , reach AS (
+      WITH RECURSIVE r(v, u) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.v, e.dst FROM r JOIN edges e ON e.src = r.u)
+      SELECT v, MIN(u) AS cluster_rep FROM r GROUP BY v),
+    sizes AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM reach GROUP BY cluster_rep)
+    SELECT reach.v AS doc_id, reach.cluster_rep, sizes.cluster_size
+    FROM reach JOIN sizes USING (cluster_rep)
+    ORDER BY doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"   -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embcos"  -> (dedupEmbcos _))
+    "dedup_embcos"  -> (dedupEmbcos _),
+    "dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
     "dedup_exact"   -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_embcos"  -> dedupEmbcosSql)
+    "dedup_embcos"  -> dedupEmbcosSql,
+    "dedup_clusters" -> dedupClustersSql)
 }
