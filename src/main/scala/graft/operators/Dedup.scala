@@ -433,7 +433,52 @@ object Dedup {
     ORDER BY doc_id"""
   }
 
+  // ---- C7 benchmark decontamination ------------------------------------
+
+  private val ContamMinShared = 5
+
+  /** C7: train/test decontamination — flag training documents sharing ≥ 5
+    * word-2-gram shingles with any benchmark document (docs with id < 20
+    * stand in for the held-out eval set). The pattern every LLM training
+    * pipeline runs before a corpus ships.
+    *
+    * Scale shape: the benchmark side is tiny by construction, so its
+    * hashed shingle sets BROADCAST and the training corpus is checked in
+    * one shuffle-free scan — each (train, bench) overlap is one pass of
+    * the sorted-intersect codegen kernel over pre-hashed int64 arrays. */
+  def dedupContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text")).as("shs"))
+    val bench = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("bench_id"), col("shs").as("bshs"))
+    val train = docs.filter(col("doc_id") >= 20)
+    train.crossJoin(broadcast(bench))
+      .select(col("doc_id"), col("bench_id"),
+        call_function("graft_intersect_count", col("shs"), col("bshs"))
+          .as("n_shared"))
+      .filter(col("n_shared") >= ContamMinShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  val dedupContaminationSql: String = s"""
+    WITH $toksSqlCte,
+    d AS (SELECT doc_id,
+        list_sort(list_distinct(list_transform(
+          list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]),
+          sh -> ${Hashing.h60pSql("sh")}))) AS shs
+      FROM toks),
+    bench AS (SELECT doc_id AS bench_id, shs AS bshs FROM d WHERE doc_id < 20),
+    train AS (SELECT doc_id, shs FROM d WHERE doc_id >= 20)
+    SELECT t.doc_id, b.bench_id,
+      CAST(len(list_intersect(t.shs, b.bshs)) AS BIGINT) AS n_shared
+    FROM train t CROSS JOIN bench b
+    WHERE len(list_intersect(t.shs, b.bshs)) >= $ContamMinShared
+    ORDER BY t.doc_id, b.bench_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_contamination" -> (dedupContamination _),
     "dedup_exact"   -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -442,6 +487,7 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _))
 
   val oracle: Map[String, String] = Map(
+    "dedup_contamination" -> dedupContaminationSql,
     "dedup_exact"   -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,

@@ -235,7 +235,65 @@ object TextAnalysis {
            ELSE 0.0 END AS rep_ratio
     FROM tri ORDER BY doc_id"""
 
+  /** D9: composed keep/drop quality gate — the decision operator a
+    * training pipeline actually ships: rules evaluated in a fixed order,
+    * first failing rule is the recorded drop reason. All rules are exact
+    * integer comparisons (counts vs count·threshold products), so the
+    * verdict is engine-portable with no float-boundary risk. Narrow
+    * per-row expressions; at 100 TB this is a shuffle-free scan. */
+  def textFilter(s: SparkSession, dir: String): DataFrame = {
+    val nTok = regexp_count(col("text"), lit("[^ ]+"))
+    val nChars = length(col("text"))
+    val nSym = regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))
+    val toks = Text.tokens(col("text"))
+    val tri = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val nTri = size(tri)
+    val nUniq = size(array_distinct(tri))
+    // rule order: length → symbols → repetition; exact-int comparisons
+    // (5*nSym > nChars ⟺ symbol ratio > 0.2; 2*(nTri-nUniq) > nTri ⟺
+    // repetition ratio > 0.5)
+    val reason = when(nTok < 5 || nTok > 2000, lit("length"))
+      .when(nSym * 5 > nChars, lit("symbols"))
+      .when((nTri - nUniq) * 2 > nTri, lit("repetition"))
+      .otherwise(lit("ok"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
+        reason.as("reason"))
+      .withColumn("keep", col("reason") === "ok")
+      .orderBy("doc_id")
+  }
+
+  val textFilterSql: String = """
+    WITH t AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS n_tok,
+        length(text) AS n_chars,
+        len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_sym,
+        list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
+      FROM documents),
+    tri AS (
+      SELECT doc_id, n_tok, n_chars, n_sym,
+        CASE WHEN len(toks) >= 3
+             THEN list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS tri
+      FROM t),
+    r AS (
+      SELECT doc_id, n_tok,
+        CASE WHEN n_tok < 5 OR n_tok > 2000 THEN 'length'
+             WHEN n_sym * 5 > n_chars THEN 'symbols'
+             WHEN (len(tri) - len(list_distinct(tri))) * 2 > len(tri) THEN 'repetition'
+             ELSE 'ok' END AS reason
+      FROM tri)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, reason,
+      reason = 'ok' AS keep
+    FROM r ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_filter"      -> (textFilter _),
     "text_repetition"  -> (textRepetition _),
     "text_langid"      -> (textLangid _),
     "text_quality"     -> (textQuality _),
@@ -246,6 +304,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_filter"      -> textFilterSql,
     "text_repetition"  -> textRepetitionSql,
     "text_langid"      -> textLangidSql,
     "text_quality"     -> textQualitySql,
