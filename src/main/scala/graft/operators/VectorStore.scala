@@ -23,30 +23,35 @@ object VectorStore {
   val Dim = 32
   val Planes = 8
 
-  /** Deterministic ±1 hyperplanes (seeded — engine-internal). */
-  private lazy val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(Planes, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  /** Deterministic ±1 hyperplanes, md5-derived (same convention as the
+    * ANN operators: bit 0 of h60("vs<p>_<d>")). */
+  private lazy val planes: Array[Array[Long]] =
+    Array.tabulate(Planes, Dim) { (p, d) =>
+      val b = s"vs${p}_$d".getBytes("UTF-8")
+      (graft.plans.TextHash.h60Bytes(b, 0, b.length) & 1L) * 2L - 1L
+    }
+
+  /** Raw int64 hashing-trick weights of a chunk — one pass of the fused
+    * graft_hash_embed kernel (the O(dim·tokens) per-slot filter/aggregate
+    * HOF chain it replaced was the store's dominant ingest cost). */
+  private def rawWeights(text: Column): Column =
+    call_function("graft_hash_embed", text, lit(Dim))
+
+  /** L2-normalized double embedding from the raw weights (Σw² exact). */
+  private[operators] def embedFromRaw(raw: Column): Column = {
+    val ss = call_function("graft_dot_l", raw, raw)
+    when(ss > 0,
+      transform(raw, x => x.cast("double") / sqrt(ss.cast("double"))))
+      .otherwise(transform(raw, x => x.cast("double")))
   }
 
-  /** Hashing-trick embedding of a token array, L2-normalized. */
-  private[operators] def embed(toks: Column): Column = {
-    val slots = transform(sequence(lit(0), lit(Dim - 1)), i => {
-      val contrib = filter(toks, t => (Hashing.h60(t) % Dim).cast("int") === i)
-      // signed sum of this slot's tokens: +1 if hash bit 5 set, else -1
-      aggregate(contrib, lit(0L),
-        (acc, t) => acc + (shiftright(Hashing.h60(t), 5).bitwiseAND(lit(1L)) * 2 - 1))
-        .cast("double")
-    })
-    val norm = sqrt(aggregate(slots, lit(0.0d), (acc, x) => acc + x * x))
-    when(norm > 0, transform(slots, x => x / norm)).otherwise(slots)
-  }
-
-  private def bucketOf(vec: Column): Column =
+  /** Bucket from the RAW weights: sign(dot(w, plane)) = sign(dot(w/‖w‖,
+    * plane)), so the un-normalized int64 dot (exact, codegen'd) gives the
+    * same bucket with no float arithmetic at all. */
+  private def bucketOf(raw: Column): Column =
     (0 until Planes).map { p =>
-      val d = aggregate(zip_with(vec, lit(planes(p)), (x, w) => x * w),
-        lit(0.0d), (acc, t) => acc + t)
-      when(d > 0, lit(1 << p)).otherwise(lit(0))
+      when(call_function("graft_dot_l", raw, lit(planes(p))) > 0,
+        lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Ingest: documents(doc_id, text, …) → chunk → embed → bucket →
@@ -60,8 +65,10 @@ object VectorStore {
       .select(col("doc_id"), posexplode(Text.chunks(toks, chunkSize, overlap)))
       .select(col("doc_id"), (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))
     val indexed = chunks
-      .withColumn("embedding", embed(Text.tokens(col("chunk"))))
-      .withColumn("bucket", bucketOf(col("embedding")))
+      .withColumn("raw", rawWeights(col("chunk")))
+      .withColumn("bucket", bucketOf(col("raw")))
+      .withColumn("embedding", embedFromRaw(col("raw")))
+      .drop("raw")
       .cache()
     val n = indexed.count()
     if (n > 0)
@@ -78,8 +85,9 @@ object VectorStore {
     val index = spark.read.parquet(indexDir)
     val qvec = { import spark.implicits._; Seq(query).toDF("qtext") }
     val q = qvec
-      .withColumn("qemb", embed(Text.tokens(col("qtext"))))
-      .withColumn("qbucket", bucketOf(col("qemb")))
+      .withColumn("qraw", rawWeights(col("qtext")))
+      .withColumn("qbucket", bucketOf(col("qraw")))
+      .withColumn("qemb", embedFromRaw(col("qraw")))
       .select(col("qemb"), explode(array(
         col("qbucket") +: (0 until Planes).map(p =>
           col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
