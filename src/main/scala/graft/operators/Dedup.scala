@@ -386,12 +386,30 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("v")).distinct()
+    // Phase 1 — one aggregation over the FULL edge list: every vertex
+    // hooks to min(self, neighbors). Near-dup components are near-cliques
+    // (a 1000-doc duplicate cluster is ~500k pairs), so this single pass
+    // collapses almost the whole graph; the component-wide min hooks to
+    // itself and therefore survives as a contracted node.
+    val l1 = edges.groupBy(col("src").as("v")).agg(min("dst").as("mn"))
+      .select(col("v"), least(col("v"), col("mn")).as("label"))
+      .localCheckpoint(true)
+    // Phase 2 — contract: rewrite both endpoints through l1 and dedupe.
+    // The contracted graph carries only the long-tail chain structure
+    // (orders of magnitude smaller than the pair graph).
+    val g = edges
+      .join(l1.select(col("v").as("src"), col("label").as("src_l")), "src")
+      .join(l1.select(col("v").as("dst"), col("label").as("dst_l")), "dst")
+      .filter(col("src_l") =!= col("dst_l"))
+      .select(col("src_l").as("src"), col("dst_l").as("dst")).distinct()
+      .localCheckpoint(true)
+    // Phase 3 — min-label propagation on the contracted graph only.
+    var labels = l1.select(col("label").as("v")).distinct()
       .select(col("v"), col("v").as("label")).localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
-      val neighborMin = edges.join(labels, col("dst") === col("v"))
+      val neighborMin = g.join(labels, col("dst") === col("v"))
         .groupBy(col("src").as("v2")).agg(min("label").as("nlabel"))
       val next = labels.join(neighborMin, col("v") === col("v2"), "left")
         .select(col("v"), least(col("label"),
@@ -403,10 +421,13 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("v").as("doc_id"), col("label").as("cluster_rep"),
-        col("cluster_size"))
+    // Compose: original vertex → hooked label → contracted-component rep.
+    val full = l1
+      .join(labels.select(col("v").as("label"), col("label").as("rep")), "label")
+      .select(col("v").as("doc_id"), col("rep").as("cluster_rep"))
+    val sizes = full.groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, "cluster_rep")
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
       .orderBy("doc_id")
   }
 
