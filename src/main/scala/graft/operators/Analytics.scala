@@ -331,6 +331,36 @@ object Analytics {
     GROUP BY p.event_id
     ORDER BY p.event_id"""
 
+  /** E21: CDC-style validity intervals (SCD type-2 build) — turn an event
+    * stream into keyed history rows [valid_from, valid_to) where valid_to
+    * is the next change's timestamp (NULL = current). One shuffle on the
+    * key, one `lead` window — the standard warehouse pattern for
+    * reconstructing state-over-time from a changelog. */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("epoch", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value").cast(DecimalType(12, 2)).cast("double").as("value"),
+        unix_timestamp(col("ts").cast(TimestampType)).as("epoch"))
+      .withColumn("valid_to", lead("epoch", 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), col("epoch").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "event_type", "valid_from", "event_id")
+  }
+
+  val qScd2Sql: String = """
+    SELECT user_id, event_type, event_id,
+      CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
+      CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from,
+      lead(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to,
+      lead(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    ORDER BY user_id, event_type, valid_from, event_id"""
+
   /** E18: CUBE over orders (priority × status): all four grouping sets in
     * one pass — Spark expands the cube into a single shuffle with partial
     * aggregation per set. */
@@ -362,7 +392,8 @@ object Analytics {
     "q_topk_group" -> (qTopkGroup _),
     "q_anti_join"  -> (qAntiJoin _),
     "q_range_join" -> (qRangeJoin _),
-    "q_cube"       -> (qCube _))
+    "q_cube"       -> (qCube _),
+    "q_scd2"       -> (qScd2 _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing"   -> q1PricingSql,
@@ -376,5 +407,6 @@ object Analytics {
     "q_topk_group" -> qTopkGroupSql,
     "q_anti_join"  -> qAntiJoinSql,
     "q_range_join" -> qRangeJoinSql,
-    "q_cube"       -> qCubeSql)
+    "q_cube"       -> qCubeSql,
+    "q_scd2"       -> qScd2Sql)
 }
