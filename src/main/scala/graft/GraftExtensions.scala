@@ -15,55 +15,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, null, "graft_dot",
-        "graft_dot(a, b) - inner product of two float vectors in double precision",
-        ""),
+      new ExpressionInfo(classOf[FloatVecDot].getName, null, "graft_dot"),
       (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_intersect_count"),
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName, null,
-        "graft_intersect_count",
-        "graft_intersect_count(a, b) - |a ∩ b| for sorted distinct bigint arrays",
-        ""),
+        "graft_intersect_count"),
       (children: Seq[Expression]) =>
         SortedLongIntersectCount(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_sqdist_l"),
-      new ExpressionInfo(classOf[LongVecSqDist].getName, null, "graft_sqdist_l",
-        "graft_sqdist_l(a, b) - exact squared L2 distance of two bigint vectors",
-        ""),
+      new ExpressionInfo(classOf[LongVecSqDist].getName, null, "graft_sqdist_l"),
       (children: Seq[Expression]) => LongVecSqDist(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot_l"),
-      new ExpressionInfo(classOf[LongVecDot].getName, null, "graft_dot_l",
-        "graft_dot_l(a, b) - exact inner product of two bigint vectors",
-        ""),
+      new ExpressionInfo(classOf[LongVecDot].getName, null, "graft_dot_l"),
       (children: Seq[Expression]) => LongVecDot(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getName, null, "graft_minhash_sig",
-        "graft_minhash_sig(shs, k) - k-permutation MinHash signature of a bigint shingle-hash set",
-        ""),
+      new ExpressionInfo(classOf[MinHashSig].getName, null, "graft_minhash_sig"),
       (children: Seq[Expression]) => MinHashSig(children.head,
         children(1).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingle_hashes"),
-      new ExpressionInfo(classOf[ShingleHash60P].getName, null, "graft_shingle_hashes",
-        "graft_shingle_hashes(text) - sorted distinct h60p word-2-gram shingle hashes",
-        ""),
+      new ExpressionInfo(classOf[ShingleHash60P].getName, null, "graft_shingle_hashes"),
       (children: Seq[Expression]) => ShingleHash60P(children.head)))
     ext.injectFunction((
       new FunctionIdentifier("graft_hash_embed"),
-      new ExpressionInfo(classOf[HashEmbed].getName, null, "graft_hash_embed",
-        "graft_hash_embed(text, dim) - dense int64 hashing-trick embedder weights",
-        ""),
+      new ExpressionInfo(classOf[HashEmbed].getName, null, "graft_hash_embed"),
       (children: Seq[Expression]) => HashEmbed(children.head,
         children(1).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash32"),
-      new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32",
-        "graft_simhash32(text) - 32-bit md5 sign-vote SimHash of a document",
-        ""),
+      new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

@@ -22,9 +22,18 @@ import org.apache.spark.sql.functions._
 object IngestJob {
   def main(args: Array[String]): Unit = {
     val Array(dataDir, outDir) = args.take(2)
-    val cfg = GraftConfig.load()
     val spark = GraftSession.build("graft-ingest")
+    val (nFiles, nChunks, since) = run(spark, dataDir, outDir)
+    println(s"""{"files":$nFiles,"chunks":$nChunks,"since":$since}""")
+    spark.stop()
+  }
 
+  /** One incremental batch; returns (files exported, chunks indexed,
+    * previous last-run timestamp). Separated from `main` so tests drive
+    * fresh + incremental runs on a shared session. */
+  def run(spark: org.apache.spark.sql.SparkSession, dataDir: String,
+      outDir: String): (Long, Long, Long) = {
+    val cfg = GraftConfig.load()
     val stateFile = s"$outDir/state.json"
     val lastRun = GraftConfig.loadLastRun(stateFile)
     val lookbackS = cfg.threadMaxAgeDays * 86400L
@@ -68,7 +77,6 @@ object IngestJob {
       s"$outDir/index", cfg.chunkSize, cfg.chunkOverlap, mode = "append")
 
     GraftConfig.saveLastRun(stateFile, startedAt)
-    println(s"""{"files":$nFiles,"chunks":$nChunks,"since":$lastRun}""")
-    spark.stop()
+    (nFiles, nChunks, lastRun)
   }
 }
