@@ -43,7 +43,22 @@ object Preflight {
         val v = spark.sql("SELECT graft_dot(array(1.0f, 2.0f), array(3.0f, 4.0f))")
           .head().getDouble(0)
         require(v == 11.0, s"graft_dot returned $v")
-        "graft_dot, graft_intersect_count callable"
+        // one smoke call per injected kernel — a missing registration
+        // should fail HERE, not mid-pipeline
+        val smokes = Seq(
+          "graft_intersect_count(array(1L,2L), array(2L,3L))" -> "1",
+          "graft_dot_l(array(2L,3L), array(4L,5L))" -> "23",
+          "graft_sqdist_l(array(1L), array(4L))" -> "9",
+          "graft_simhash32('a b')" -> null,
+          "size(graft_shingle_hashes('a b c'))" -> "2",
+          "size(graft_minhash_sig(array(1L,2L), 4))" -> "4",
+          "size(graft_hash_embed('a b', 8))" -> "8")
+        smokes.foreach { case (exprSql, expect) =>
+          val got = spark.sql(s"SELECT $exprSql").head().get(0)
+          if (expect != null)
+            require(got.toString == expect, s"$exprSql returned $got")
+        }
+        s"${smokes.size + 1} kernels callable"
       },
       check("timezone is UTC (oracle comparability)") {
         val tz = spark.conf.get("spark.sql.session.timeZone")

@@ -51,6 +51,7 @@ object Multimodal {
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         concat(lit("text/plain;doc="), col("doc_id")).as("mime"))
+      .filter(col("payload").isNotNull) // no payload → nothing to decode
       .as[(Long, Array[Byte], String)]
     media.mapPartitions { it =>
       // per-partition init point: a real implementation opens its codec here
@@ -72,6 +73,7 @@ object Multimodal {
     import s.implicits._
     val media = Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(col("payload").isNotNull) // no payload → no frames
       .as[(Long, Array[Byte])]
     media.flatMap { case (id, payload) =>
       // real impl: codec opens once per row, seeks keyframes; the stride
@@ -105,7 +107,8 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "mm_framesample" -> s"""
       WITH f AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+        WHERE text IS NOT NULL),
       offs AS (
         SELECT doc_id, text, n, CAST(unnest(generate_series(0, n - 1, 64)) AS INT) AS "offset"
         FROM f WHERE n > 0)
@@ -119,7 +122,8 @@ object Multimodal {
       ORDER BY doc_id, frame_ix""",
     "mm_pipeline" -> """
       WITH f AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+        WHERE text IS NOT NULL)
       SELECT doc_id, 'text/plain;doc=' || CAST(doc_id AS VARCHAR) AS mime,
         CAST(n AS INT) AS n_bytes,
         CAST(64 + CASE WHEN n = 0 THEN 0 ELSE ord(substr(text, 1, 1)) % 64 END AS INT) AS width,
