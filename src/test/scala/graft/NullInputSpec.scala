@@ -15,10 +15,15 @@ class NullInputSpec extends AnyFunSuite {
   private lazy val dirWithNulls: String = {
     val dir = Files.createTempDirectory("graft_nulls").toString
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "embeddings")) {
+        "orders", "lineitem", "events")) {
       spark.read.parquet(s"$sf/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
+    // null out the embedding of every 7th vector
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("embedding",
+        when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("embedding")))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // null out the text of every 7th document
     spark.read.parquet(s"$sf/documents.parquet")
       .withColumn("text",
@@ -29,7 +34,8 @@ class NullInputSpec extends AnyFunSuite {
 
   private val affected = SparkEntry.queries.keys.filter(n =>
     n.startsWith("text_") || n.startsWith("dedup_") || n.startsWith("kb_") ||
-      n.startsWith("mm_") || n == "vec_embed").toSeq.sorted
+      n.startsWith("mm_") || n.startsWith("ann_") || n == "knn_vote" ||
+      n == "vec_embed").toSeq.sorted
 
   affected.foreach { name =>
     test(s"query $name evaluates with NULL document text") {

@@ -16,6 +16,21 @@ class OperatorSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every query output is scalar-typed (driver comparator contract)") {
+    // the driver's oracle comparator sorts result columns with pandas;
+    // array/map/struct/binary cells are unhashable there and broke two
+    // queries in round 1 — keep every declared output scalar
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val bad = fn(spark, sf).schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+        case _ => false
+      })
+      assert(bad.isEmpty,
+        s"$name has non-scalar output columns: ${bad.map(_.name).mkString(",")}")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
       val df = fn(spark, sf)
