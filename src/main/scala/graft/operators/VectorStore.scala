@@ -101,4 +101,50 @@ object VectorStore {
       .select("rank", "doc_id", "chunk_ix", "chunk", "score")
       .orderBy("rank")
   }
+
+  /** Targeted delete — the engine-side analog of the reference's
+    * `_delete_knowledge_chunks` (KnowledgeBot.py:351-379), which removes a
+    * message's chunks before an #EDIT re-export. Spark-native shape:
+    * find the buckets that contain the victim docs, then rewrite ONLY
+    * those partitions (dynamic partition overwrite) with the surviving
+    * rows — untouched buckets keep their files, so the rewrite cost
+    * scales with the victims' bucket footprint, not the index size.
+    * Returns the number of chunk rows removed. An #EDIT reprocess is
+    * `delete(ids)` followed by `ingest(newDocs, mode = "append")`. */
+  def delete(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Long = {
+    // drop any cached file listing for this path — a previous overwrite
+    // (or a concurrent writer) invalidates it, and a stale listing makes
+    // reads fail on vanished part files
+    spark.catalog.refreshByPath(indexDir)
+    val index = spark.read.parquet(indexDir)
+    val victims = col("doc_id").isInCollection(docIds)
+    val buckets = index.filter(victims).select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    if (buckets.isEmpty) return 0L
+    val affected = index.filter(col("bucket").isInCollection(buckets.toSeq))
+    val removed = affected.filter(victims).count()
+    val survivors = affected.filter(!victims)
+      // the partition column must be part of the written data, and the
+      // rewrite must materialize BEFORE overwrite truncates its own input
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // dynamic overwrite only replaces partitions PRESENT in the output: a
+    // bucket whose every row was a victim has no survivors and must be
+    // dropped explicitly
+    val surviving = survivors.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    buckets.filterNot(surviving).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/bucket=$b"), true)
+    }
+    spark.catalog.refreshByPath(indexDir)
+    removed
+  }
 }

@@ -45,4 +45,47 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") || scan.contains("bucket"),
       "expected bucket partition pruning in the plan")
   }
+
+  test("delete removes a doc's chunks, rewrites only its buckets (#EDIT path)") {
+    // separate index — the lazy shared one is used by the other tests
+    val dir = Files.createTempDirectory("graft_vs_del").toString + "/index"
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+      .select("doc_id", "text")
+    VectorStore.ingest(docs, dir)
+    val before = spark.read.parquet(dir)
+    val beforeCount = before.count() // materialize NOW — files vanish on delete
+    val victimBuckets = before.filter(col("doc_id") === 7)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(victimBuckets.nonEmpty)
+    val untouched = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("bucket=") &&
+        !victimBuckets.contains(f.getName.stripPrefix("bucket=").toInt))
+      .map(f => f.getName -> f.lastModified).toMap
+
+    val removed = VectorStore.delete(spark, dir, Seq(7L))
+    assert(removed > 0)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("doc_id") === 7).count() == 0)
+    assert(after.count() == beforeCount - removed)
+    // buckets without victims kept their files byte-for-byte
+    untouched.foreach { case (name, mtime) =>
+      val f = new java.io.File(s"$dir/$name")
+      assert(f.exists && f.lastModified == mtime,
+        s"untouched partition $name was rewritten")
+    }
+    // #EDIT reprocess: delete + append the edited doc re-indexes it
+    val edited = docs.filter(col("doc_id") === 7)
+    VectorStore.ingest(edited, dir, mode = "append")
+    assert(spark.read.parquet(dir)
+      .filter(col("doc_id") === 7).count() > 0)
+
+    // deleting every doc drops every bucket partition directory outright
+    val all = spark.read.parquet(dir).select("doc_id").distinct()
+      .collect().map(_.getLong(0))
+    VectorStore.delete(spark, dir, all.toSeq)
+    val remaining = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("bucket="))
+    assert(remaining.isEmpty,
+      s"emptied buckets left behind: ${remaining.map(_.getName).mkString(",")}")
+  }
 }
