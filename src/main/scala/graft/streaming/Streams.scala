@@ -127,6 +127,20 @@ object Streams {
         })
   }
 
+  /** F8: sessionization via Spark's NATIVE session_window — the built-in
+    * operator for gap-based sessions (prefer built-ins when they express
+    * the semantics; the flatMapGroupsWithState twin [[sessionize]] exists
+    * for custom per-session state the built-in can't carry). Watermark
+    * closes windows and reclaims their state. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** F7: stream-stream interval join — purchases enriched with same-user
     * clicks from the preceding `gapSeconds` (the streaming twin of the
     * batch bin-decomposed range join, Analytics.qRangeJoin). Spark plans

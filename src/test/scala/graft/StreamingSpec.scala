@@ -108,6 +108,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, "click", 5L)))
   }
 
+  test("F8: native session_window groups events by inactivity gap") {
+    val input = MemoryStream[StreamEvent](spark)
+    // user 1: events at minutes 0 and 10 (one session), then minute 50
+    // (gap > 30 min => a second session)
+    input.addData(
+      StreamEvent(1, ts(0), 1, "click", 1.0),
+      StreamEvent(2, ts(10), 1, "view", 1.0),
+      StreamEvent(3, ts(50), 1, "click", 1.0),
+      StreamEvent(4, ts(5), 2, "click", 1.0))
+    val rows = runToCompletion(
+      Streams.sessionWindows(input.toDF()), OutputMode.Complete)
+      .map(r => (r.getLong(2), r.getTimestamp(0).toString, r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows == Seq(
+      (1L, "2024-01-01 00:00:00.0", 2L),
+      (1L, "2024-01-01 00:50:00.0", 1L),
+      (2L, "2024-01-01 00:05:00.0", 1L)))
+  }
+
   test("F7: stream-stream interval join matches only in-range same-user clicks") {
     val input = MemoryStream[StreamEvent](spark)
     input.addData(
