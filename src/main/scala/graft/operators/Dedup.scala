@@ -403,24 +403,57 @@ object Dedup {
       .filter(col("src_l") =!= col("dst_l"))
       .select(col("src_l").as("src"), col("dst_l").as("dst")).distinct()
       .localCheckpoint(true)
-    // Phase 3 — min-label propagation on the contracted graph only.
-    var labels = l1.select(col("label").as("v")).distinct()
-      .select(col("v"), col("v").as("label")).localCheckpoint(true)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val neighborMin = g.join(labels, col("dst") === col("v"))
-        .groupBy(col("src").as("v2")).agg(min("label").as("nlabel"))
-      val next = labels.join(neighborMin, col("v") === col("v2"), "left")
-        .select(col("v"), least(col("label"),
-          coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      rounds += 1
-    }
+    // Phase 3 — finish the contracted graph. It carries only the
+    // long-tail chain structure; when it is small enough to hold on the
+    // driver (the normal case — this is how industrial CC pipelines
+    // finish: iterate/contract until tiny, then solve locally), run
+    // union-find in-process: zero further jobs instead of one join +
+    // count per propagation round. Fallback: distributed min-label
+    // propagation, for a contracted graph that is still huge.
+    val MaxLocalEdges = 2000000L
+    val labels: DataFrame =
+      if (g.count() <= MaxLocalEdges) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val n = parent.getOrElse(c, c); parent(c) = r; c = n
+          }
+          r
+        }
+        g.collect().foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        val reps = parent.keySet.map(v => (v, find(v))).toSeq
+        import s.implicits._
+        val repDf = reps.toDF("v", "label")
+        // contracted nodes untouched by union-find keep their own label
+        l1.select(col("label").as("v")).distinct()
+          .join(repDf.withColumnRenamed("v", "rv"), col("v") === col("rv"), "left")
+          .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+      } else {
+        var cur = l1.select(col("label").as("v")).distinct()
+          .select(col("v"), col("v").as("label")).localCheckpoint(true)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 20) {
+          val neighborMin = g.join(cur, col("dst") === col("v"))
+            .groupBy(col("src").as("v2")).agg(min("label").as("nlabel"))
+          val next = cur.join(neighborMin, col("v") === col("v2"), "left")
+            .select(col("v"), least(col("label"),
+              coalesce(col("nlabel"), col("label"))).as("label"))
+            .localCheckpoint(true)
+          val changed = next.join(cur.withColumnRenamed("label", "old"), "v")
+            .filter(col("label") =!= col("old")).count()
+          cur = next
+          converged = changed == 0
+          rounds += 1
+        }
+        cur
+      }
     // Compose: original vertex → hooked label → contracted-component rep.
     val full = l1
       .join(labels.select(col("v").as("label"), col("label").as("rep")), "label")
