@@ -317,6 +317,94 @@ object Knowledge {
     JOIN kw k ON b.doc_id = k.doc_id
     ORDER BY b.doc_id, b.ordinal"""
 
+  /** A12: metadata field-name normalization (TextProcessor.py:51-59
+    * map_field_name/process_meta): header keys are made GraphQL-safe by
+    * collapsing whitespace runs to `_`. Reuses the A9 header synthesis —
+    * pure narrow transform, zero shuffle. */
+  def kbMetaNorm(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("Channel Name: "), col("source"), lit("\n"),
+      lit("Message Author: user"), col("doc_id") % 50, lit("\n"),
+      lit("Thread  Reply Count: "), col("doc_id") % 7, lit("\n\n---\n\n"),
+      col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(filter(split(element_at(split(raw, "---", 2), 1), "\n"),
+          l => l.contains(":"))).as("line"))
+      .select(col("doc_id"),
+        regexp_replace(trim(element_at(split(col("line"), ":", 2), 1)),
+          "\\s+", "_").as("field"),
+        trim(element_at(split(col("line"), ":", 2), 2)).as("value"))
+      .orderBy("doc_id", "field")
+  }
+
+  val kbMetaNormSql: String = """
+    WITH raw AS (
+      SELECT doc_id,
+        'Channel Name: ' || source || chr(10) || 'Message Author: user' ||
+        (doc_id % 50) || chr(10) || 'Thread  Reply Count: ' || (doc_id % 7) ||
+        chr(10) || chr(10) || '---' || chr(10) || chr(10) || text AS raw
+      FROM documents),
+    lines AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split(split_part(raw, '---', 1), chr(10)),
+                           l -> contains(l, ':'))) AS line
+      FROM raw)
+    SELECT doc_id,
+           regexp_replace(trim(split_part(line, ':', 1)), '\s+', '_', 'g') AS field,
+           trim(substr(line, position(':' IN line) + 1)) AS value
+    FROM lines ORDER BY doc_id, field"""
+
+  /** A13: deterministic prompt rendering (PromptTemplates.py:4-22) — the
+    * exact keyword/summary prompt strings the reference sends to the LLM,
+    * rendered per document as a narrow column expression. Two rows per
+    * doc (kind ∈ {keywords, summary}). */
+  def kbPrompts(s: SparkSession, dir: String): DataFrame = {
+    val kwPrompt = concat(
+      lit("Extract up to 10 concise, relevant semantic keywords or short keyphrases from the text below.\n" +
+        "Order them with the most relevant first.\n" +
+        "Return only a JSON list of strings. No formatting. No commentary. No numbering.\n\n" +
+        "Text:\n\"\"\""), col("text"), lit("\"\"\""))
+    val smPrompt = concat(
+      lit("You must summarise the following text in exactly one sentence of no more than 25 words.\n" +
+        "Do not write multiple sentences.\n" +
+        "Use passive voice.\n" +
+        "Exclude all opinions, reasoning, commentary, or extra phrasing.\n" +
+        "Output only the sentence. Nothing else. No titles. No formatting. No quotes.\n" +
+        "Ensure the sentence ends with a full stop.\n\n" +
+        "Text:\n\"\"\""), col("text"), lit("\"\"\""))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array(
+        struct(lit("keywords").as("kind"), kwPrompt.as("prompt")),
+        struct(lit("summary").as("kind"), smPrompt.as("prompt")))).as("p"))
+      .select(col("doc_id"), col("p.kind").as("kind"),
+        col("p.prompt").as("prompt"), length(col("p.prompt")).as("prompt_len"))
+      .orderBy("doc_id", "kind")
+  }
+
+  // `tq` = the literal three-double-quote fence around the text in both
+  // templates (built from chr(34) so it survives Scala triple-quoting)
+  val kbPromptsSql: String = """
+    WITH p AS (
+      SELECT doc_id, 'keywords' AS kind,
+        'Extract up to 10 concise, relevant semantic keywords or short keyphrases from the text below.'
+        || chr(10) || 'Order them with the most relevant first.' || chr(10) ||
+        'Return only a JSON list of strings. No formatting. No commentary. No numbering.'
+        || chr(10) || chr(10) || 'Text:' || chr(10) || repeat(chr(34), 3) || text || repeat(chr(34), 3) AS prompt
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'summary' AS kind,
+        'You must summarise the following text in exactly one sentence of no more than 25 words.'
+        || chr(10) || 'Do not write multiple sentences.' || chr(10) ||
+        'Use passive voice.' || chr(10) ||
+        'Exclude all opinions, reasoning, commentary, or extra phrasing.' || chr(10) ||
+        'Output only the sentence. Nothing else. No titles. No formatting. No quotes.'
+        || chr(10) || 'Ensure the sentence ends with a full stop.'
+        || chr(10) || chr(10) || 'Text:' || chr(10) || repeat(chr(34), 3) || text || repeat(chr(34), 3) AS prompt
+      FROM documents)
+    SELECT doc_id, kind, prompt, length(prompt) AS prompt_len
+    FROM p ORDER BY doc_id, kind"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kb_blocks"      -> (kbBlocks _),
     "kb_mentions"    -> (kbMentions _),
@@ -328,6 +416,8 @@ object Knowledge {
     "kb_filename"    -> (kbFilename _),
     "kb_parse"       -> (kbParse _),
     "kb_chunks"      -> (kbChunks _),
+    "kb_meta_norm"   -> (kbMetaNorm _),
+    "kb_prompts"     -> (kbPrompts _),
     "kb_pipeline"    -> (kbPipeline _))
 
   val oracle: Map[String, String] = Map(
@@ -341,5 +431,7 @@ object Knowledge {
     "kb_filename"    -> kbFilenameSql,
     "kb_parse"       -> kbParseSql,
     "kb_chunks"      -> kbChunksSql,
+    "kb_meta_norm"   -> kbMetaNormSql,
+    "kb_prompts"     -> kbPromptsSql,
     "kb_pipeline"    -> kbPipelineSql)
 }
