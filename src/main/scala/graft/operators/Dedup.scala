@@ -410,50 +410,8 @@ object Dedup {
     // union-find in-process: zero further jobs instead of one join +
     // count per propagation round. Fallback: distributed min-label
     // propagation, for a contracted graph that is still huge.
-    val MaxLocalEdges = 2000000L
-    val labels: DataFrame =
-      if (g.count() <= MaxLocalEdges) {
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) {
-            val n = parent.getOrElse(c, c); parent(c) = r; c = n
-          }
-          r
-        }
-        g.collect().foreach { row =>
-          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
-        }
-        val reps = parent.keySet.map(v => (v, find(v))).toSeq
-        import s.implicits._
-        val repDf = reps.toDF("v", "label")
-        // contracted nodes untouched by union-find keep their own label
-        l1.select(col("label").as("v")).distinct()
-          .join(repDf.withColumnRenamed("v", "rv"), col("v") === col("rv"), "left")
-          .select(col("v"), coalesce(col("label"), col("v")).as("label"))
-      } else {
-        var cur = l1.select(col("label").as("v")).distinct()
-          .select(col("v"), col("v").as("label")).localCheckpoint(true)
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 20) {
-          val neighborMin = g.join(cur, col("dst") === col("v"))
-            .groupBy(col("src").as("v2")).agg(min("label").as("nlabel"))
-          val next = cur.join(neighborMin, col("v") === col("v2"), "left")
-            .select(col("v"), least(col("label"),
-              coalesce(col("nlabel"), col("label"))).as("label"))
-            .localCheckpoint(true)
-          val changed = next.join(cur.withColumnRenamed("label", "old"), "v")
-            .filter(col("label") =!= col("old")).count()
-          cur = next
-          converged = changed == 0
-          rounds += 1
-        }
-        cur
-      }
+    val labels = componentLabels(s, g,
+      l1.select(col("label").as("v")).distinct())
     // Compose: original vertex → hooked label → contracted-component rep.
     val full = l1
       .join(labels.select(col("v").as("label"), col("label").as("rep")), "label")
@@ -462,6 +420,72 @@ object Dedup {
     full.join(sizes, "cluster_rep")
       .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
       .orderBy("doc_id")
+  }
+
+  /** Phase 3 of [[dedupClusters]]: component representatives of the
+    * contracted graph `g` (long `src`/`dst` edge columns) for the vertex
+    * set `vertices` (one long `v` column). `g` MUST be undirected — both
+    * (a,b) and (b,a) present, as the caller's symmetrized edge list
+    * guarantees: min-label propagation only flows dst→src, so a
+    * one-directional edge list silently under-merges. When `g` fits on the driver
+    * (≤ `maxLocalEdges`) it is solved with path-compressed union-find
+    * in-process — zero further Spark jobs; otherwise distributed
+    * min-label propagation (one join + one fixpoint count per round)
+    * finishes it. Returns (v, label) with label = component min. */
+  private[graft] def componentLabels(s: SparkSession, g: DataFrame,
+      vertices: DataFrame, maxLocalEdges: Long = 2000000L): DataFrame = {
+    if (g.count() <= maxLocalEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      g.select(col("src"), col("dst")).collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val reps = parent.keySet.map(v => (v, find(v))).toSeq
+      import s.implicits._
+      val repDf = reps.toDF("v", "label")
+      // vertices untouched by union-find keep their own label
+      vertices
+        .join(repDf.withColumnRenamed("v", "rv"), col("v") === col("rv"), "left")
+        .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+    } else {
+      var cur = vertices
+        .select(col("v"), col("v").as("label")).localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val neighborMin = g.join(cur, col("dst") === col("v"))
+          .groupBy(col("src").as("v2")).agg(min("label").as("nlabel"))
+        val stepped = cur.join(neighborMin, col("v") === col("v2"), "left")
+          .select(col("v"), least(col("label"),
+            coalesce(col("nlabel"), col("label"))).as("label"))
+        // pointer jump: label ← label(label). Neighbor-min alone moves the
+        // component min ONE hop per round (O(diameter) rounds — a chain
+        // of 50 contracted nodes would blow the round cap); composing the
+        // label map with itself each round halves the remaining distance,
+        // so convergence is O(log diameter) regardless of chain length.
+        val next = stepped
+          .join(stepped.select(col("v").as("lv"), col("label").as("llabel")),
+            col("label") === col("lv"), "left")
+          .select(col("v"), least(col("label"),
+            coalesce(col("llabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val changed = next.join(cur.withColumnRenamed("label", "old"), "v")
+          .filter(col("label") =!= col("old")).count()
+        cur = next
+        converged = changed == 0
+        rounds += 1
+      }
+      cur
+    }
   }
 
   /** Oracle: transitive closure by recursive CTE — reach the minimum

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential coverage of dedupClusters phase 3: the local union-find
+  * finish and the distributed min-label-propagation fallback must agree
+  * on any graph. The chain graph is the adversarial case — diameter
+  * equals edge count, so propagation needs multiple rounds while
+  * union-find path-compresses it in one pass. */
+class ComponentLabelsSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  private def labelsOf(edges: Seq[(Long, Long)], maxLocal: Long): Map[Long, Long] = {
+    // componentLabels requires an undirected edge list (both directions),
+    // matching what dedupClusters' symmetrized pair graph guarantees
+    val g = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct.toDF("v")
+    Dedup.componentLabels(s, g, verts, maxLocal)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private val chain: Seq[(Long, Long)] =
+    (0L until 40L).map(i => (i + 1, i)) // 41-vertex path, min label 0
+  private val twoComps: Seq[(Long, Long)] =
+    Seq((5L, 3L), (3L, 9L), (20L, 21L)) // {3,5,9} and {20,21}
+
+  test("local union-find labels a long chain with the component min") {
+    val m = labelsOf(chain, maxLocal = 1000000L)
+    assert(m.size == 41 && m.values.forall(_ == 0L))
+  }
+
+  test("distributed fallback agrees with union-find on the chain") {
+    val local = labelsOf(chain, maxLocal = 1000000L)
+    val dist = labelsOf(chain, maxLocal = 0L) // force the propagation path
+    assert(dist == local)
+  }
+
+  test("both paths separate disconnected components identically") {
+    val local = labelsOf(twoComps, maxLocal = 1000000L)
+    val dist = labelsOf(twoComps, maxLocal = 0L)
+    assert(local == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 20L -> 20L, 21L -> 20L))
+    assert(dist == local)
+  }
+
+  test("isolated vertices keep their own label on both paths") {
+    val g = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 77L).toDF("v") // 77 has no edges
+    Seq(1000000L, 0L).foreach { maxLocal =>
+      val m = Dedup.componentLabels(s, g, verts, maxLocal)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m == Map(1L -> 1L, 2L -> 1L, 77L -> 77L))
+    }
+  }
+}
