@@ -380,6 +380,30 @@ object Analytics {
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
 
+  /** E22: explicit GROUPING SETS — an asymmetric set list that neither
+    * ROLLUP (E4) nor CUBE (E18) can express: per (status, priority),
+    * per priority alone, and the grand total. Still one shuffle — Spark
+    * expands the sets into a single Expand + aggregate. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq.empty[Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  val qGroupingSetsSql: String = """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"   -> (q1Pricing _),
     "q3_revenue"   -> (q3Revenue _),
@@ -393,6 +417,7 @@ object Analytics {
     "q_anti_join"  -> (qAntiJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_cube"       -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_scd2"       -> (qScd2 _))
 
   val oracle: Map[String, String] = Map(
@@ -408,5 +433,6 @@ object Analytics {
     "q_anti_join"  -> qAntiJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_cube"       -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_scd2"       -> qScd2Sql)
 }

@@ -292,7 +292,93 @@ object TextAnalysis {
       reason = 'ok' AS keep
     FROM r ORDER BY doc_id"""
 
+  /** D10: corpus bigram statistics — top-50 bigrams by frequency with
+    * document frequency. The map side is a narrow per-row bigram
+    * explosion; one shuffle on the bigram key with partial aggregation,
+    * then a sort-limit. The standard n-gram LM / boilerplate-mining
+    * pre-pass over a corpus. */
+  def textBigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(50)
+  }
+
+  val textBigramsSql: String = """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1])
+          ELSE [] END) AS bigram
+      FROM t)
+    SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM b GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram LIMIT 50"""
+
+  /** D11: token-length histogram — width-10 buckets over per-doc token
+    * counts. One narrow scan + one tiny aggregation; the corpus
+    * length-distribution profile every data-mix report starts with. */
+  def textLenhist(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(Text.tokens(col("text")))
+    // integer floor-division: Column./ on ints is DOUBLE division in Spark
+    Tables.documents(s, dir)
+      .select(((nTok - pmod(nTok, lit(10))).cast("int")).as("bucket"),
+        nTok.as("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+      .orderBy("bucket")
+  }
+
+  val textLenhistSql: String = """
+    WITH t AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS INT) AS n_tok
+      FROM documents)
+    SELECT (n_tok // 10) * 10 AS bucket, COUNT(*) AS n_docs,
+           MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok
+    FROM t GROUP BY bucket ORDER BY bucket"""
+
+  /** D12: stratified quota sampling — deterministic top-20 docs per
+    * language by md5 rank. Unlike the global threshold sample (D6) this
+    * enforces an EXACT per-stratum quota: one shuffle on the stratum key,
+    * ranking window, no driver round-trip. The language-balancing step of
+    * a data-mix pipeline. */
+  def textStratSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val textStratSampleSql: String = """
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 20 ORDER BY lang, rk"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bigrams"     -> (textBigrams _),
+    "text_lenhist"     -> (textLenhist _),
+    "text_strat_sample" -> (textStratSample _),
     "text_filter"      -> (textFilter _),
     "text_repetition"  -> (textRepetition _),
     "text_langid"      -> (textLangid _),
@@ -304,6 +390,9 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_bigrams"     -> textBigramsSql,
+    "text_lenhist"     -> textLenhistSql,
+    "text_strat_sample" -> textStratSampleSql,
     "text_filter"      -> textFilterSql,
     "text_repetition"  -> textRepetitionSql,
     "text_langid"      -> textLangidSql,
