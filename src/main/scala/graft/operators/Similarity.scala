@@ -367,17 +367,61 @@ object Similarity {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** B6: int8 symmetric vector quantization — the compression step before
+    * shipping an ANN corpus to memory-tight servers. Per vector: scale
+    * d = max|q|/127 over the q8-quantized dims, each dim stored as a
+    * signed byte value plus the exact residual. Everything is exact int64
+    * arithmetic (floor-div restated as (a − a%d)/d, which both engines
+    * evaluate exactly), so the oracle hash-matches bit-for-bit. Narrow
+    * scan + per-vector window — no shuffle beyond the vec_id partition. */
+  def vecQuantize(s: SparkSession, dir: String): DataFrame = {
+    val q = q8(col("x"))
+    val aq = abs(q)
+    val w = Window.partitionBy("vec_id")
+    val m = max(aq).over(w)
+    val d = greatest((m - pmod(m, lit(127L))) / 127L, lit(1L)).cast("long")
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("col").as("x"))
+      .select(col("vec_id"), col("dim"),
+        when(q < 0, -1L).otherwise(1L).as("sgn"), aq.as("aq"), d.as("d"))
+      .select(col("vec_id"), col("dim"), col("d"),
+        (col("sgn") * ((col("aq") - pmod(col("aq"), col("d"))) / col("d")).cast("long"))
+          .as("q_int8"),
+        pmod(col("aq"), col("d")).as("residual"))
+      .orderBy("vec_id", "dim")
+  }
+
+  val vecQuantizeSql: String = """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100000000 + 0.5) AS BIGINT) AS q
+      FROM embeddings),
+    scaled AS (
+      SELECT vec_id, dim,
+        CASE WHEN q < 0 THEN -1 ELSE 1 END AS sgn, abs(q) AS aq,
+        GREATEST((MAX(abs(q)) OVER (PARTITION BY vec_id)
+                  - MAX(abs(q)) OVER (PARTITION BY vec_id) % 127) / 127,
+                 1) AS d
+      FROM e)
+    SELECT vec_id, dim, CAST(d AS BIGINT) AS d,
+           CAST(sgn * ((aq - aq % d) / d) AS BIGINT) AS q_int8,
+           CAST(aq % d AS BIGINT) AS residual
+    FROM scaled ORDER BY vec_id, dim"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
     "knn_vote"  -> (knnVote _),
     "vec_embed" -> (vecEmbed _),
     "ann_lsh"   -> (annLsh _),
-    "ann_ivf"   -> (annIvf _))
+    "ann_ivf"   -> (annIvf _),
+    "vec_quantize" -> (vecQuantize _))
 
   val oracle: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
     "knn_vote"  -> knnVoteSql,
     "vec_embed" -> vecEmbedSql,
     "ann_lsh"   -> annLshSql,
-    "ann_ivf"   -> annIvfSql)
+    "ann_ivf"   -> annIvfSql,
+    "vec_quantize" -> vecQuantizeSql)
 }

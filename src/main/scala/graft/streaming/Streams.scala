@@ -164,4 +164,16 @@ object Streams {
       .select(col("purchase_id"), col("user_id"), col("p_ts"),
         col("c_ts"), col("click_value"))
   }
+
+  /** F9: stream-static enrichment — each streamed event joined to a
+    * static dimension (the channel/user roster the reference resolves
+    * mentions against, KnowledgeBot.py:333-348). The static side is
+    * broadcast: stateless, no watermark needed, the dimension is re-read
+    * per micro-batch so slowly-changing dims pick up updates. The
+    * streaming twin of the batch broadcast dim joins (A2/A5/E2). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("member_id"), "left")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), coalesce(col("member_name"), lit("unknown"))
+          .as("member_name"))
 }

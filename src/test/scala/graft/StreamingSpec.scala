@@ -142,4 +142,17 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(4))).sorted
     assert(rows == Seq((100L, 1.5), (101L, 6.5)))
   }
+
+  test("F9: stream-static broadcast enrichment resolves known members, defaults unknowns") {
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(
+      StreamEvent(1, ts(10), 7, "click", 1.0),
+      StreamEvent(2, ts(11), 8, "click", 1.0),
+      StreamEvent(3, ts(12), 99, "click", 1.0)) // not in the dim
+    val dim = Seq((7L, "alice"), (8L, "bo")).toDF("member_id", "member_name")
+    val rows = runToCompletion(
+      Streams.enrichWithDim(input.toDF(), dim), OutputMode.Append)
+      .map(r => (r.getLong(0), r.getString(4))).sorted
+    assert(rows == Seq((1L, "alice"), (2L, "bo"), (3L, "unknown")))
+  }
 }
