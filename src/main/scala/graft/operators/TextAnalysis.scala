@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{Hashing, Text}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY §2 D1–D4).
@@ -375,7 +376,56 @@ object TextAnalysis {
       FROM documents)
     WHERE rk <= 20 ORDER BY lang, rk"""
 
+  /** D13: sequence packing — concatenate documents in doc_id order and
+    * split the token stream into fixed 512-token context windows, the
+    * standard pretraining example-packing step. Each doc gets its global
+    * token start offset and the window range it lands in (docs may
+    * straddle windows, as concat-then-chunk packing allows).
+    *
+    * A naive global-order cumsum is a ONE-PARTITION window — a driver-
+    * sized bottleneck at 100 TB. Instead: per-bucket sums (one small
+    * shuffle), cumulative bucket offsets over the tiny bucket list,
+    * broadcast back, then a per-bucket window — every stage parallel,
+    * identical output to the global window the oracle runs. */
+  def textPack(s: SparkSession, dir: String): DataFrame = {
+    val B = 512L
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tok"),
+        (col("doc_id") - pmod(col("doc_id"), lit(100L))).as("bucket"))
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("bucket").agg(sum("n_tok").as("b_sum"))
+      .withColumn("b_off", coalesce(sum("b_sum").over(wB), lit(0L)))
+      .select("bucket", "b_off")
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = col("b_off") + coalesce(sum("n_tok").over(wIn), lit(0L))
+    def divB(c: Column): Column = ((c - pmod(c, lit(B))) / B).cast("long")
+    docs.join(broadcast(offsets), "bucket")
+      .withColumn("start_off", start)
+      .select(col("doc_id"), col("n_tok"), col("start_off"),
+        divB(col("start_off")).as("start_pack"),
+        divB(col("start_off") + greatest(col("n_tok"), lit(1L)) - 1).as("end_pack"))
+      .orderBy("doc_id")
+  }
+
+  val textPackSql: String = """
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+        COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM t)
+    SELECT doc_id, n_tok, CAST(start_off AS BIGINT) AS start_off,
+      CAST(start_off // 512 AS BIGINT) AS start_pack,
+      CAST((start_off + GREATEST(n_tok, 1) - 1) // 512 AS BIGINT) AS end_pack
+    FROM c ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
     "text_lenhist"     -> (textLenhist _),
     "text_strat_sample" -> (textStratSample _),
@@ -390,6 +440,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,
     "text_lenhist"     -> textLenhistSql,
     "text_strat_sample" -> textStratSampleSql,
