@@ -33,6 +33,28 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("grouping sets expands into a single exchange") {
+    val plan = executedPlan(SparkEntry.queries("q_grouping_sets")(spark, sf))
+      .split("== Initial Plan ==")(0) // count the AQE final plan only
+    assert(plan.contains("Expand"), s"no Expand node:\n$plan")
+    // one shuffle for the aggregation + the final presentation sort only
+    val exchanges = plan.linesIterator.count(_.contains("+- Exchange "))
+    assert(exchanges <= 2, s"grouping sets shuffled $exchanges times:\n$plan")
+  }
+
+  test("text_pack keeps the full-table cumsum out of a single partition") {
+    val plan = executedPlan(SparkEntry.queries("text_pack")(spark, sf))
+    // the docs-side window must be hash-partitioned by bucket; only the
+    // tiny bucket-offset list may pass through a SinglePartition exchange
+    val bad = plan.linesIterator.filter(l =>
+      l.contains("Exchange SinglePartition") && l.contains("documents"))
+    assert(bad.isEmpty, s"full-table single-partition exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"per-bucket window not hash-partitioned:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast back:\n$plan")
+  }
+
   test("jaccard join condition evaluates the intersect kernel exactly once") {
     val plan = executedPlan(Dedup.dedupJaccard(spark, sf))
     val joinLines = plan.linesIterator
