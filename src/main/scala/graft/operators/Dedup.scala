@@ -237,6 +237,74 @@ object Dedup {
     ORDER BY doc_a, doc_b"""
   }
 
+  /** C8: incremental dedup — a NEW batch of documents (doc_id % 5 == 0)
+    * screened against the already-indexed corpus (every other doc), the
+    * shape a production dedup service runs on each arriving batch. Same
+    * MinHash banding as C3, but asymmetric: the corpus band index is the
+    * big side (at 100 TB a precomputed bucketed table, computed once, not
+    * per batch); the new batch's band list is tiny and BROADCAST to it,
+    * so screening a batch never shuffles the index. Output: each new doc
+    * with the indexed near-duplicates that would reject it. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .persist()
+    val mins = sets.select(col("doc_id"),
+      call_function("graft_minhash_sig", col("shs"), lit(NumHashes)).as("sig"))
+    val bandKeys = (0 until Bands).map { bnd =>
+      concat_ws("_", (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), bnd * RowsPerBand + r + 1)): _*)
+    }
+    val bands = mins.select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band_ix").withColumnRenamed("col", "bkey")
+    val newBands = bands.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id").as("doc_new"), col("band_ix"), col("bkey"))
+    val idxBands = bands.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val cand = idxBands.join(broadcast(newBands),
+        idxBands("band_ix") === newBands("band_ix") &&
+          idxBands("bkey") === newBands("bkey"))
+      .select(col("doc_new"), idxBands("doc_id").as("doc_idx")).distinct()
+    withJaccard(cand
+      .join(sets.select(col("doc_id").as("doc_new"), col("shs").as("sa")), "doc_new")
+      .join(sets.select(col("doc_id").as("doc_idx"), col("shs").as("sb")), "doc_idx"))
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_new", "doc_idx", "jaccard")
+      .orderBy("doc_new", "doc_idx")
+  }
+
+  val dedupIncrementalSql: String = {
+    val minExprs = (0 until NumHashes)
+      .map(i => s"MIN(${Hashing.permSql(i, "h")}) AS mh$i").mkString(",\n        ")
+    val bandSelects = (0 until Bands).map { bnd =>
+      val key = (0 until RowsPerBand).map(r => s"mh${bnd * RowsPerBand + r}")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band_ix, $key AS bkey FROM mh"
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH $toksSqlCte,
+    $shingleSqlCte,
+    h AS (SELECT doc_id, ${Hashing.h60pSql("sh")} AS h FROM sh),
+    mh AS (SELECT doc_id,
+        $minExprs
+      FROM h GROUP BY doc_id),
+    bands AS (
+      $bandSelects),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_idx
+      FROM bands a JOIN bands b ON a.band_ix = b.band_ix AND a.bkey = b.bkey
+        AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+    sets AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS shs FROM h GROUP BY doc_id)
+    SELECT doc_new, doc_idx, jaccard FROM (
+      SELECT doc_new, doc_idx,
+        CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+          / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS jaccard
+      FROM cand JOIN sets x ON doc_new = x.doc_id JOIN sets y ON doc_idx = y.doc_id)
+    WHERE jaccard >= 0.3
+    ORDER BY doc_new, doc_idx"""
+  }
+
   // ---- C4 SimHash -------------------------------------------------------
 
   private val SimBits = 32
@@ -557,6 +625,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_contamination" -> (dedupContamination _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact"   -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -566,6 +635,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_contamination" -> dedupContaminationSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact"   -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,

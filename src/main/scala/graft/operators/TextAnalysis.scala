@@ -424,7 +424,48 @@ object TextAnalysis {
       CAST((start_off + GREATEST(n_tok, 1) - 1) // 512 AS BIGINT) AS end_pack
     FROM c ORDER BY doc_id"""
 
+  /** D14: corpus-frequency LM score — each document's average corpus
+    * occurrence count over its bigrams, the count-based stand-in for a
+    * bigram-LM perplexity filter (rare-bigram docs score low → candidate
+    * noise). Two keyed shuffles: corpus bigram counts, then doc-bigram ⋈
+    * counts re-aggregated per doc — both with map-side partial
+    * aggregation; the division is one IEEE op over exact int64 sums. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val db = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    val counts = db.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    db.join(counts, "bigram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("cnt").as("sum_cnt"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_cnt").cast("double") / col("n_bigrams")).as("avg_freq"))
+      .orderBy("doc_id")
+  }
+
+  val textLmScoreSql: String = """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+        unnest(CASE WHEN len(toks) >= 2
+          THEN list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1])
+          ELSE [] END) AS bigram
+      FROM t),
+    c AS (SELECT bigram, COUNT(*) AS cnt FROM b GROUP BY bigram)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_freq
+    FROM b JOIN c USING (bigram)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score"    -> (textLmScore _),
     "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
     "text_lenhist"     -> (textLenhist _),
@@ -440,6 +481,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_lm_score"    -> textLmScoreSql,
     "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,
     "text_lenhist"     -> textLenhistSql,
