@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoinStrategy, FloatVecDot, HashEmbed, LongVecDot, LongVecSqDist, MinHashSig, ShingleHash60P, SimHash32, SortedLongIntersectCount}
+import graft.plans.{AsOfJoinStrategy, FloatVecDot, HashEmbed, LongVecDot, LongVecSqDist, MinHashSig, SelfIntersectRule, ShingleHash60P, SimHash32, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -50,5 +50,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => SelfIntersectRule)
   }
 }
