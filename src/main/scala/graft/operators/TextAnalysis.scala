@@ -305,6 +305,7 @@ object TextAnalysis {
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(bigrams).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n_occurrences"),
@@ -436,7 +437,10 @@ object TextAnalysis {
       zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
         (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
+    // pinned (AQE-exempt) repartition: the bigram explode fans out a
+    // single-file scan; without it the whole fan-out runs on one core
     val db = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(bigrams).as("bigram"))
     val counts = db.groupBy("bigram").agg(count(lit(1)).as("cnt"))
     db.join(counts, "bigram")
