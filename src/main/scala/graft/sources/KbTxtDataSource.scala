@@ -1,0 +1,146 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 provider for the reference's header/body export format
+  * (TextProcessor.py:21-31, one `Key: value` header block, a `---`
+  * separator, then the body) — the engine-native way to mount an export
+  * directory as a table:
+  *
+  *   spark.read.format("graft-kbtxt").load(dir)
+  *
+  * Schema: (file string, meta map<string,string>, body string) — the same
+  * rows [[KnowledgeFiles.read]] produces with column expressions.
+  * V2 surface implemented: schema inference, balanced multi-file input
+  * partitions (size-binned, so one huge export can't skew a task), and
+  * column pruning (`SupportsPushDownRequiredColumns` — a `select(file)`
+  * never parses headers or carries bodies). Write path stays
+  * [[KnowledgeFiles.write]]: the reference's one-file-per-chunk contract
+  * is a row-wise sink, not a table format.
+  */
+class KbTxtDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kbtxt"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KbTxtTable.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KbTxtTable(properties.get("path"))
+}
+
+object KbTxtTable {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType),
+    StructField("meta", MapType(StringType, StringType)),
+    StructField("body", StringType)))
+}
+
+class KbTxtTable(dir: String) extends Table with SupportsRead {
+  require(dir != null, "path required: .format(\"graft-kbtxt\").load(dir)")
+  override def name(): String = s"kbtxt:$dir"
+  override def schema(): StructType = KbTxtTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KbTxtScanBuilder(dir)
+}
+
+class KbTxtScanBuilder(dir: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = KbTxtTable.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new KbTxtScan(dir, required)
+}
+
+case class KbTxtInputPartition(files: Array[String]) extends InputPartition
+
+class KbTxtScan(dir: String, required: StructType) extends Batch with Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"KbTxtScan dir=$dir ReadSchema=${required.fieldNames.mkString(",")}"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".txt")).toSeq
+      .map(p => (p.toString, Files.size(p))).sortBy(-_._2)
+    if (files.isEmpty) return Array.empty
+    // size-binned greedy packing into up to 32 balanced splits — one
+    // oversized export file cannot skew a task beyond its own size
+    val n = math.min(32, files.length)
+    val bins = Array.fill(n)((scala.collection.mutable.ArrayBuffer.empty[String], Array(0L)))
+    files.foreach { case (f, sz) =>
+      val b = bins.minBy(_._2(0)); b._1 += f; b._2(0) += sz
+    }
+    bins.filter(_._1.nonEmpty).map(b => KbTxtInputPartition(b._1.toArray): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KbTxtReaderFactory(required)
+}
+
+class KbTxtReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KbTxtReader(partition.asInstanceOf[KbTxtInputPartition].files, required)
+}
+
+/** Per-partition reader: same parse semantics as [[KnowledgeFiles.read]]
+  * (limit-2 split on `---`, `k: v` header lines, missing separator →
+  * null body). Only the projected columns are computed. */
+class KbTxtReader(files: Array[String], required: StructType)
+    extends PartitionReader[InternalRow] {
+  private var ix = -1
+  private var row: InternalRow = _
+
+  private val needMeta = required.fieldNames.contains("meta")
+  private val needBody = required.fieldNames.contains("body")
+
+  override def next(): Boolean = {
+    ix += 1
+    if (ix >= files.length) return false
+    row = parse(Paths.get(files(ix)))
+    true
+  }
+
+  private def parse(p: Path): InternalRow = {
+    val vals = new Array[Any](required.length)
+    lazy val raw = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    lazy val sepIx = raw.indexOf("---")
+    required.fieldNames.zipWithIndex.foreach {
+      case ("file", i) => vals(i) = UTF8String.fromString(p.getFileName.toString)
+      case ("meta", i) if needMeta =>
+        val header = if (sepIx >= 0) raw.substring(0, sepIx) else raw
+        val kvs = header.split("\n").toSeq.filter(_.contains(":")).map { l =>
+          val Array(k, v) = l.split(":", 2)
+          UTF8String.fromString(k.trim) -> UTF8String.fromString(v.trim)
+        }
+        vals(i) = ArrayBasedMapData(kvs.toMap)
+      case ("body", i) if needBody =>
+        vals(i) = if (sepIx < 0) null
+          else UTF8String.fromString(
+            raw.substring(sepIx + 3).replaceAll("^[ \n\r\t]+|[ \n\r\t]+$", ""))
+      case _ => ()
+    }
+    InternalRow.fromSeq(vals.toIndexedSeq)
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
