@@ -55,6 +55,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucket offsets not broadcast back:\n$plan")
   }
 
+  test("incremental dedup broadcasts the new batch, never the corpus index") {
+    val plan = executedPlan(SparkEntry.queries("dedup_incremental")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"index side got reshuffled through sort-merge:\n$plan")
+  }
+
+  test("vec_quantize is one vec_id shuffle with pushed column pruning") {
+    val plan = executedPlan(SparkEntry.queries("vec_quantize")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // one exchange for the per-vector window + the presentation sort only
+    val exchanges = plan.linesIterator.count(_.contains("+- Exchange "))
+    assert(exchanges <= 2, s"vec_quantize shuffled $exchanges times:\n$plan")
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>")
+      || plan.contains("ReadSchema: struct<embedding:array<float>,vec_id:bigint>"),
+      s"scan not pruned to (vec_id, embedding):\n$plan")
+  }
+
   test("jaccard join condition evaluates the intersect kernel exactly once") {
     val plan = executedPlan(Dedup.dedupJaccard(spark, sf))
     val joinLines = plan.linesIterator
