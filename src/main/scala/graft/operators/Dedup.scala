@@ -451,9 +451,10 @@ object Dedup {
     // re-optimizes the whole history on the single-threaded driver —
     // planning time explodes long before execution time does. On a
     // cluster this would be checkpoint() to reliable storage.
+    // no checkpoint here: both uses re-derive from the pairs checkpoint
+    // with two cheap projections — one fewer full materialization barrier
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
     // Phase 1 — one aggregation over the FULL edge list: every vertex
     // hooks to min(self, neighbors). Near-dup components are near-cliques
     // (a 1000-doc duplicate cluster is ~500k pairs), so this single pass
@@ -465,9 +466,18 @@ object Dedup {
     // Phase 2 — contract: rewrite both endpoints through l1 and dedupe.
     // The contracted graph carries only the long-tail chain structure
     // (orders of magnitude smaller than the pair graph).
+    // l1 is one row per distinct vertex. When that fits a broadcast
+    // (~80 MB of (long,long) at the 5M bound) the edge list streams
+    // through both contraction lookups with no shuffle; above the bound
+    // the joins shuffle hash-partitioned by vertex — the decision is
+    // data-driven, like the union-find/propagation switch below, because
+    // at 100 TB the dup-pair vertex set can be billions of rows. The
+    // count is cheap: l1 is checkpointed.
+    val bcastLabels = l1.count() <= 5000000L
+    def mb(df: DataFrame): DataFrame = if (bcastLabels) broadcast(df) else df
     val g = edges
-      .join(l1.select(col("v").as("src"), col("label").as("src_l")), "src")
-      .join(l1.select(col("v").as("dst"), col("label").as("dst_l")), "dst")
+      .join(mb(l1.select(col("v").as("src"), col("label").as("src_l"))), "src")
+      .join(mb(l1.select(col("v").as("dst"), col("label").as("dst_l"))), "dst")
       .filter(col("src_l") =!= col("dst_l"))
       .select(col("src_l").as("src"), col("dst_l").as("dst")).distinct()
       .localCheckpoint(true)
@@ -481,11 +491,14 @@ object Dedup {
     val labels = componentLabels(s, g,
       l1.select(col("label").as("v")).distinct())
     // Compose: original vertex → hooked label → contracted-component rep.
+    // labels and sizes are bounded by the vertex count, so the same
+    // data-driven broadcast decision applies.
     val full = l1
-      .join(labels.select(col("v").as("label"), col("label").as("rep")), "label")
+      .join(mb(labels.select(col("v").as("label"), col("label").as("rep"))),
+        "label")
       .select(col("v").as("doc_id"), col("rep").as("cluster_rep"))
     val sizes = full.groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
-    full.join(sizes, "cluster_rep")
+    full.join(mb(sizes), "cluster_rep")
       .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
       .orderBy("doc_id")
   }
