@@ -317,6 +317,46 @@ object Knowledge {
     JOIN kw k ON b.doc_id = k.doc_id
     ORDER BY b.doc_id, b.ordinal"""
 
+  /** A14: #EDIT thread resolution (KnowledgeBot.py:571-612
+    * _handle_edit_flags): an #EDIT tag counts only in a genuine thread
+    * REPLY (thread root ≠ itself); each resolves to its parent message,
+    * which is reprocessed once no matter how many replies flagged it.
+    * Threads are synthesized from events: root id = event_id rounded to
+    * 10, replies are the rest; #EDIT appears when event_id % 7 == 0. The
+    * parent lookup is an equi-join on the root id; output is the distinct
+    * parent set with its edit-request count. */
+  def kbEditResolve(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      concat(when(pmod(col("event_id"), lit(7)) === 0, lit("#EDIT please "))
+        .otherwise(lit("note ")), col("event_type")).as("text"),
+      (col("event_id") - pmod(col("event_id"), lit(10))).as("thread_ts"))
+    val edits = ev
+      .filter(col("text").contains("#EDIT") && col("thread_ts") =!= col("event_id"))
+      .select(col("thread_ts").as("parent_id"), col("event_id").as("edit_id"))
+    val parents = ev.select(col("event_id").as("parent_id"),
+      col("user_id").as("parent_user"))
+    edits.join(parents, "parent_id")
+      .groupBy("parent_id", "parent_user")
+      .agg(count(lit(1)).as("n_edit_requests"), min("edit_id").as("first_edit_id"))
+      .orderBy("parent_id")
+  }
+
+  val kbEditResolveSql: String = """
+    WITH ev AS (
+      SELECT event_id, user_id,
+        (CASE WHEN event_id % 7 = 0 THEN '#EDIT please ' ELSE 'note ' END)
+          || event_type AS text,
+        event_id - (event_id % 10) AS thread_ts
+      FROM events),
+    edits AS (
+      SELECT thread_ts AS parent_id, event_id AS edit_id
+      FROM ev WHERE contains(text, '#EDIT') AND thread_ts <> event_id)
+    SELECT e.parent_id, p.user_id AS parent_user,
+           COUNT(*) AS n_edit_requests, MIN(e.edit_id) AS first_edit_id
+    FROM edits e JOIN ev p ON e.parent_id = p.event_id
+    GROUP BY e.parent_id, p.user_id
+    ORDER BY e.parent_id"""
+
   /** A12: metadata field-name normalization (TextProcessor.py:51-59
     * map_field_name/process_meta): header keys are made GraphQL-safe by
     * collapsing whitespace runs to `_`. Reuses the A9 header synthesis —
@@ -418,6 +458,7 @@ object Knowledge {
     "kb_chunks"      -> (kbChunks _),
     "kb_meta_norm"   -> (kbMetaNorm _),
     "kb_prompts"     -> (kbPrompts _),
+    "kb_edit_resolve" -> (kbEditResolve _),
     "kb_pipeline"    -> (kbPipeline _))
 
   val oracle: Map[String, String] = Map(
@@ -433,5 +474,6 @@ object Knowledge {
     "kb_chunks"      -> kbChunksSql,
     "kb_meta_norm"   -> kbMetaNormSql,
     "kb_prompts"     -> kbPromptsSql,
+    "kb_edit_resolve" -> kbEditResolveSql,
     "kb_pipeline"    -> kbPipelineSql)
 }
