@@ -380,6 +380,32 @@ object Analytics {
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
 
+  /** E23: pivot — order priorities spread into columns per status, the
+    * report-shaping operator analysts reach for first. With the pivot
+    * values DECLARED (not discovered), Spark plans ONE aggregation pass
+    * and no values-collection job; the output schema is static, which is
+    * the only scalable form — value discovery on 100 TB is a full extra
+    * scan. */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +: prios.map(p =>
+        coalesce(col(s"`$p`"), lit(0L)).as("n_" + p.substring(0, 1))): _*)
+      .orderBy("o_orderstatus")
+  }
+
+  val qPivotSql: String = """
+    SELECT o_orderstatus,
+      COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_1,
+      COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS n_2,
+      COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_3,
+      COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+      COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n_5
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** E22: explicit GROUPING SETS — an asymmetric set list that neither
     * ROLLUP (E4) nor CUBE (E18) can express: per (status, priority),
     * per priority alone, and the grand total. Still one shuffle — Spark
@@ -418,6 +444,7 @@ object Analytics {
     "q_range_join" -> (qRangeJoin _),
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot"      -> (qPivot _),
     "q_scd2"       -> (qScd2 _))
 
   val oracle: Map[String, String] = Map(
@@ -434,5 +461,6 @@ object Analytics {
     "q_range_join" -> qRangeJoinSql,
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
+    "q_pivot"      -> qPivotSql,
     "q_scd2"       -> qScd2Sql)
 }

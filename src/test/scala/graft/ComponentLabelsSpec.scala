@@ -45,6 +45,36 @@ class ComponentLabelsSpec extends AnyFunSuite {
     assert(dist == local)
   }
 
+  test("both paths match brute-force components on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nV = 30 + trial * 20
+      val edges = Seq.fill(nV)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter(e => e._1 != e._2)
+      // brute-force reference: repeated relabeling until fixpoint
+      val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var lbl = verts.map(v => v -> v).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lbl(a), lbl(b))
+          if (lbl(a) != m) { lbl += a -> m; changed = true }
+          if (lbl(b) != m) { lbl += b -> m; changed = true }
+        }
+        // propagate through label chains
+        verts.foreach { v =>
+          val m = math.min(lbl(v), lbl(lbl(v)))
+          if (lbl(v) != m) { lbl += v -> m; changed = true }
+        }
+      }
+      val local = labelsOf(edges, maxLocal = 1000000L)
+      val dist = labelsOf(edges, maxLocal = 0L)
+      assert(local == lbl, s"trial $trial: union-find diverged from brute force")
+      assert(dist == lbl, s"trial $trial: propagation diverged from brute force")
+    }
+  }
+
   test("isolated vertices keep their own label on both paths") {
     val g = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val verts = Seq(1L, 2L, 77L).toDF("v") // 77 has no edges
