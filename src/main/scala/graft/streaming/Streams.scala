@@ -165,6 +165,25 @@ object Streams {
         col("c_ts"), col("click_value"))
   }
 
+  /** F10: streaming vector-index maintenance — the reference's realtime
+    * loop (poll → chunk → embed → upsert index, KnowledgeBot.main +
+    * VectorDatabase.ingest_documents) as a Structured Streaming sink:
+    * each micro-batch of documents runs the SAME batch ingest
+    * (chunk → embed → LSH bucket → partitioned parquet, append mode), so
+    * batch and streaming share one code path and one index layout.
+    * Checkpointing gives effectively-once appends per batch. Returns the
+    * started query; stop it or `processAllAvailable()` in the caller. */
+  def indexMaintenance(docs: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.VectorStore.ingest(batch, indexDir, mode = "append")
+        ()
+      }
+      .start()
+
   /** F9: stream-static enrichment — each streamed event joined to a
     * static dimension (the channel/user roster the reference resolves
     * mentions against, KnowledgeBot.py:333-348). The static side is

@@ -143,6 +143,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq((100L, 1.5), (101L, 6.5)))
   }
 
+  test("F10: streaming index maintenance appends each micro-batch to the store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_sidx").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sckpt").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = Streams.indexMaintenance(docs, indexDir, ckpt)
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(indexDir).count()
+      assert(after1 > 0)
+      input.addData((2L, "zeta eta theta iota kappa"))
+      q.processAllAvailable()
+      spark.catalog.refreshByPath(indexDir)
+      val idx = spark.read.parquet(indexDir)
+      assert(idx.count() > after1)
+      assert(idx.select("doc_id").distinct().count() == 2)
+      // the streamed-in doc is retrievable through the same search path
+      val hit = graft.operators.VectorStore
+        .search(spark, indexDir, "zeta eta theta iota kappa", 1).collect()
+      assert(hit.head.getLong(1) == 2L)
+    } finally q.stop()
+  }
+
   test("F9: stream-static broadcast enrichment resolves known members, defaults unknowns") {
     val input = MemoryStream[StreamEvent](spark)
     input.addData(
