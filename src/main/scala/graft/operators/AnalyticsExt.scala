@@ -51,6 +51,49 @@ object AnalyticsExt {
     FROM m WHERE kind = 1
     ORDER BY user_id, purchase_id"""
 
+  /** Oracle for the tolerance variant: the same backward argmax, with the
+    * match nulled out when it is older than the 600 s bound. */
+  val qAsofToleranceSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch,
+        CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    m AS (
+      SELECT user_id, event_id, epoch, kind,
+        last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER w AS click_id,
+        last_value(CASE WHEN kind = 0 THEN epoch END IGNORE NULLS) OVER w AS click_epoch
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch, kind, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id AS purchase_id,
+      CASE WHEN epoch - click_epoch <= 600 THEN click_id END AS click_id,
+      CASE WHEN epoch - click_epoch <= 600 THEN epoch - click_epoch END AS gap_s
+    FROM m WHERE kind = 1
+    ORDER BY user_id, purchase_id"""
+
+  /** Oracle for the forward variant: earliest click at-or-after each
+    * purchase. Ordering (epoch, kind DESC, event_id DESC) puts equal-epoch
+    * clicks INSIDE the purchase's following window and makes the
+    * first_value tie-break (largest click_id) match the merge operator's. */
+  val qAsofForwardSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch,
+        CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    m AS (
+      SELECT user_id, event_id, epoch, kind,
+        first_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER w AS click_id,
+        first_value(CASE WHEN kind = 0 THEN epoch END IGNORE NULLS) OVER w AS click_epoch
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch, kind DESC, event_id DESC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, event_id AS purchase_id, click_id,
+      click_epoch - epoch AS gap_s
+    FROM m WHERE kind = 1
+    ORDER BY user_id, purchase_id"""
+
   /** E12: exact distributed percentiles (p50/p90/p99) per group — sort
     * rank + pick, no interpolation arithmetic, so any engine agrees. */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
@@ -150,7 +193,24 @@ object AnalyticsExt {
     * (graft.plans.AsOfJoin, injected by GraftExtensions). Checked against
     * the identical DuckDB oracle as the window-composed variant — two
     * independent implementations, one truth. */
-  def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+  def qAsofNative(s: SparkSession, dir: String): DataFrame =
+    asofNativeVariant(s, dir, forward = false, tolerance = None)
+
+  /** E11t: bounded-staleness as-of — a click older than 10 minutes no
+    * longer explains the purchase. Tolerance is enforced inside the merge
+    * operator (same single co-partitioned pass), not by post-filtering:
+    * out-of-tolerance left rows keep their null-padded row. */
+  def qAsofTolerance(s: SparkSession, dir: String): DataFrame =
+    asofNativeVariant(s, dir, forward = false, tolerance = Some(600L))
+
+  /** E11f: forward as-of — the EARLIEST click at-or-after each purchase
+    * (next-touch attribution). Same merge operator running ts-descending;
+    * direction is a sort order, not a second algorithm. */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame =
+    asofNativeVariant(s, dir, forward = true, tolerance = None)
+
+  private def asofNativeVariant(s: SparkSession, dir: String,
+      forward: Boolean, tolerance: Option[Long]): DataFrame = {
     val e = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -165,10 +225,12 @@ object AnalyticsExt {
       purchases.queryExecution.analyzed, clicks.queryExecution.analyzed,
       ex(purchases("user_id")), ex(clicks("c_user")),
       ex(purchases("epoch")), ex(clicks("c_epoch")),
-      ex(clicks("click_id")))
+      ex(clicks("click_id")), forward, tolerance)
+    val gap = if (forward) col("c_epoch") - col("epoch")
+      else col("epoch") - col("c_epoch")
     org.apache.spark.sql.GraftBridge.ofRows(s, plan)
       .select(col("user_id"), col("purchase_id"), col("click_id"),
-        (col("epoch") - col("c_epoch")).as("gap_s"))
+        gap.as("gap_s"))
       .orderBy("user_id", "purchase_id")
   }
 
@@ -217,6 +279,8 @@ object AnalyticsExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join"   -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
+    "q_asof_tolerance" -> (qAsofTolerance _),
+    "q_asof_forward" -> (qAsofForward _),
     "q_percentiles" -> (qPercentiles _),
     "q_tumbling"    -> (qTumbling _),
     "q_tfidf"       -> (qTfidf _),
@@ -225,6 +289,8 @@ object AnalyticsExt {
   val oracle: Map[String, String] = Map(
     "q_asof_join"   -> qAsofJoinSql,
     "q_asof_native" -> qAsofJoinSql,
+    "q_asof_tolerance" -> qAsofToleranceSql,
+    "q_asof_forward" -> qAsofForwardSql,
     "q_percentiles" -> qPercentilesSql,
     "q_tumbling"    -> qTumblingSql,
     "q_tfidf"       -> qTfidfSql,

@@ -32,7 +32,9 @@ case class AsOfJoin(
     rightKey: Expression,
     leftTs: Expression,
     rightTs: Expression,
-    rightTieBreak: Expression) extends BinaryNode {
+    rightTieBreak: Expression,
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -43,18 +45,30 @@ case class AsOfJoin(
 /** Planner strategy mapping the logical node to the physical operator. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, rtb) =>
-      AsOfJoinExec(lk, rk, lts, rts, rtb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, rtb, fw, tol) =>
+      AsOfJoinExec(lk, rk, lts, rts, rtb, fw, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
+/** Merge-scan as-of join.
+  *  - `forward = false` (default): latest right ts ≤ left ts — both sides
+  *    sorted ts-ascending.
+  *  - `forward = true`: earliest right ts ≥ left ts — both sides sorted
+  *    ts-DESCENDING, which turns the forward search into the same
+  *    one-lookahead merge under the reversed comparator.
+  *  - `tolerance = Some(t)`: the match must additionally satisfy
+  *    |left.ts − right.ts| ≤ t (numeric ts required); out-of-tolerance
+  *    left rows emit null-padded, matching SQL left-outer semantics. */
 case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
     rightTs: Expression,
     rightTieBreak: Expression,
+    forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -64,11 +78,15 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
 
+  private def tsDir: org.apache.spark.sql.catalyst.expressions.SortDirection =
+    if (forward) org.apache.spark.sql.catalyst.expressions.Descending
+    else org.apache.spark.sql.catalyst.expressions.Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-            SortOrder(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending)),
+            SortOrder(leftTs, tsDir)),
         Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-            SortOrder(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending),
+            SortOrder(rightTs, tsDir),
             // deterministic winner among equal-ts right rows
             SortOrder(rightTieBreak, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
@@ -77,8 +95,13 @@ case class AsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd = PhysicalDataType.ordering(leftKey.dataType)
       .asInstanceOf[Ordering[Any]]
-    val tsOrd = PhysicalDataType.ordering(leftTs.dataType)
+    // under the reversed comparator the forward search IS the backward
+    // merge: "rt ≤' lt" means rt ≥ lt, "latest ≤' lt" means earliest ≥ lt
+    val baseTsOrd = PhysicalDataType.ordering(leftTs.dataType)
       .asInstanceOf[Ordering[Any]]
+    val tsOrd = if (forward) baseTsOrd.reverse else baseTsOrd
+    val tol = tolerance
+    val fwd = forward
     val lKeyB = BindReferences.bindReference(leftKey, left.output)
     val lTsB = BindReferences.bindReference(leftTs, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
@@ -101,6 +124,7 @@ case class AsOfJoinExec(
       var hasCurKey = false
       var curKey: Any = null
       var curMatch: InternalRow = null
+      var curMatchTs: Any = null
 
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
@@ -125,15 +149,21 @@ case class AsOfJoinExec(
                   hasCurKey = true
                   curKey = rk
                   curMatch = null
+                  curMatchTs = null
                 }
-                if (kc == 0) curMatch = rNext
+                if (kc == 0) { curMatch = rNext; curMatchTs = rt }
                 advanceRight()
                 continue = rNext != null
               } else continue = false
             }
           }
           val matched = curMatch != null && hasCurKey &&
-            keyOrd.compare(curKey, lk) == 0
+            keyOrd.compare(curKey, lk) == 0 &&
+            tol.forall { t =>
+              val l = lt.asInstanceOf[Number].longValue
+              val r = curMatchTs.asInstanceOf[Number].longValue
+              (if (fwd) r - l else l - r) <= t
+            }
           proj(joined(lRow, if (matched) curMatch else nullRight))
         }
       }

@@ -36,6 +36,42 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(joined == Map(10L -> 7L, 20L -> -1L))
   }
 
+  private def run(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame, forward: Boolean,
+      tol: Option[Long]): Map[Long, Long] =
+    GraftBridge.ofRows(spark, AsOfJoin(
+      l.queryExecution.analyzed, r.queryExecution.analyzed,
+      GraftBridge.expr(l("k")), GraftBridge.expr(r("rk")),
+      GraftBridge.expr(l("lts")), GraftBridge.expr(r("rts")),
+      GraftBridge.expr(r("rid")), forward, tol))
+      .select(col("lid"), col("rid")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+
+  test("tolerance nulls out stale matches but keeps fresh ones") {
+    val l = Seq((1L, 10L, 100L), (1L, 11L, 500L)).toDF("k", "lid", "lts")
+    val r = Seq((1L, 7L, 90L)).toDF("rk", "rid", "rts")
+    // lid=10: gap 10 ≤ 50 → match; lid=11: gap 410 > 50 → null-padded
+    assert(run(l, r, forward = false, tol = Some(50L)) ==
+      Map(10L -> 7L, 11L -> -1L))
+  }
+
+  test("forward as-of picks the earliest at-or-after right row") {
+    val l = Seq((1L, 10L, 100L), (2L, 20L, 50L)).toDF("k", "lid", "lts")
+    val r = Seq((1L, 7L, 90L), (1L, 8L, 100L), (1L, 9L, 150L),
+      (2L, 5L, 40L)).toDF("rk", "rid", "rts")
+    // k=1: rts=100 (equal counts) beats 150; 90 is in the past.
+    // k=2: only rts=40 < 50 → no following row → null-padded
+    assert(run(l, r, forward = true, tol = None) ==
+      Map(10L -> 8L, 20L -> -1L))
+  }
+
+  test("forward + tolerance bounds the look-ahead") {
+    val l = Seq((1L, 10L, 100L)).toDF("k", "lid", "lts")
+    val r = Seq((1L, 9L, 170L)).toDF("rk", "rid", "rts")
+    assert(run(l, r, forward = true, tol = Some(80L)) == Map(10L -> 9L))
+    assert(run(l, r, forward = true, tol = Some(60L)) == Map(10L -> -1L))
+  }
+
   test("equal timestamps: latest tie-break wins and ties count as prior") {
     val l = Seq((1L, 10L, 100L)).toDF("k", "lid", "lts")
     val r = Seq((1L, 7L, 100L), (1L, 8L, 100L), (1L, 3L, 40L)).toDF("rk", "rid", "rts")
