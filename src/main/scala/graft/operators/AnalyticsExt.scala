@@ -94,6 +94,86 @@ object AnalyticsExt {
     FROM m WHERE kind = 1
     ORDER BY user_id, purchase_id"""
 
+  /** E24: funnel analysis — per user, the first view, the first click
+    * at-or-after that view, and the first purchase at-or-after that
+    * click (the order-sensitive conversion chain, not three independent
+    * mins). Three aggregations and two joins, all keyed on user_id —
+    * one partitioning reused across every stage, so at 100 TB the whole
+    * funnel is a single co-partitioned pipeline. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("epoch").as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("epoch") >= col("t_view"))
+      .groupBy("user_id").agg(min("epoch").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("epoch") >= col("t_click"))
+      .groupBy("user_id").agg(min("epoch").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2).otherwise(1).as("reached_stage"))
+      .orderBy("user_id")
+  }
+
+  val qFunnelSql: String = """
+    WITH e AS (
+      SELECT user_id, event_type,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+    v AS (SELECT user_id, MIN(epoch) AS t_view
+          FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(epoch) AS t_click
+          FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND epoch >= t_view GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(epoch) AS t_purchase
+          FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND epoch >= t_click GROUP BY e.user_id)
+    SELECT v.user_id, t_view, t_click, t_purchase,
+      CASE WHEN t_purchase IS NOT NULL THEN 3
+           WHEN t_click IS NOT NULL THEN 2 ELSE 1 END AS reached_stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id"""
+
+  /** E25: cohort retention — users grouped by first-activity day, counted
+    * as active per whole-week offset since their cohort day. All day/week
+    * math is exact integer epoch-day arithmetic. Two aggregations, both
+    * shuffling on user_id then the small (cohort, offset) key. */
+  def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(86400L)))
+          .divide(lit(86400L)).cast("long").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (((col("day") - col("cohort_day"))
+          - pmod(col("day") - col("cohort_day"), lit(7L))) / 7L)
+          .cast("long").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
+  val qCohortSql: String = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+      FROM events),
+    cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+    SELECT cohort_day, (day - cohort_day) // 7 AS week_offset,
+           COUNT(DISTINCT user_id) AS n_active
+    FROM days JOIN cohorts USING (user_id)
+    GROUP BY cohort_day, (day - cohort_day) // 7
+    ORDER BY cohort_day, week_offset"""
+
   /** E12: exact distributed percentiles (p50/p90/p99) per group — sort
     * rank + pick, no interpolation arithmetic, so any engine agrees. */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
@@ -281,6 +361,8 @@ object AnalyticsExt {
     "q_asof_native" -> (qAsofNative _),
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_asof_forward" -> (qAsofForward _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort" -> (qCohort _),
     "q_percentiles" -> (qPercentiles _),
     "q_tumbling"    -> (qTumbling _),
     "q_tfidf"       -> (qTfidf _),
@@ -291,6 +373,8 @@ object AnalyticsExt {
     "q_asof_native" -> qAsofJoinSql,
     "q_asof_tolerance" -> qAsofToleranceSql,
     "q_asof_forward" -> qAsofForwardSql,
+    "q_funnel" -> qFunnelSql,
+    "q_cohort" -> qCohortSql,
     "q_percentiles" -> qPercentilesSql,
     "q_tumbling"    -> qTumblingSql,
     "q_tfidf"       -> qTfidfSql,
