@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => HashEmbed(children.head,
         children(1).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.plans.LongTopK].getName, null, "graft_topk"),
+      (children: Seq[Expression]) => graft.plans.LongTopK(children.head,
+        children(1).eval(null).asInstanceOf[Int])
+        .toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))

@@ -380,6 +380,36 @@ object Analytics {
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
 
+  /** E9-native: per-group top-k through the graft_topk custom AGGREGATE
+    * ([[graft.plans.LongTopK]]) instead of a ranking window. The window
+    * form shuffles and sorts every row; the aggregate keeps a k-element
+    * heap per group with map-side partial aggregation, shuffling only
+    * k rows per (mapper, group). Prices are exact cents (decimal→int64)
+    * so ordering and the final double division match the oracle. */
+  def qTopkNative(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.orders(s, dir).select(col("o_orderstatus"),
+      struct((dec(col("o_totalprice")) * 100).cast("long").as("score"),
+        col("o_orderkey").as("id")).as("sv"))
+    scored.groupBy("o_orderstatus")
+      .agg(call_function("graft_topk", col("sv"), lit(3)).as("top"))
+      .select(col("o_orderstatus"), posexplode(col("top")))
+      .select(col("o_orderstatus"), (col("pos") + 1).as("rank"),
+        col("col.id").as("o_orderkey"),
+        (col("col.score").cast("double") / 100).as("o_totalprice"))
+      .orderBy("o_orderstatus", "rank")
+  }
+
+  val qTopkNativeSql: String = """
+    SELECT o_orderstatus, rank, o_orderkey,
+      CAST(cents AS DOUBLE) / 100 AS o_totalprice
+    FROM (SELECT o_orderstatus, o_orderkey,
+            CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+            row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) DESC,
+                       o_orderkey DESC) AS rank
+          FROM orders)
+    WHERE rank <= 3 ORDER BY o_orderstatus, rank"""
+
   /** E23: pivot — order priorities spread into columns per status, the
     * report-shaping operator analysts reach for first. With the pivot
     * values DECLARED (not discovered), Spark plans ONE aggregation pass
@@ -445,6 +475,7 @@ object Analytics {
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
+    "q_topk_native" -> (qTopkNative _),
     "q_scd2"       -> (qScd2 _))
 
   val oracle: Map[String, String] = Map(
@@ -462,5 +493,6 @@ object Analytics {
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,
+    "q_topk_native" -> qTopkNativeSql,
     "q_scd2"       -> qScd2Sql)
 }
