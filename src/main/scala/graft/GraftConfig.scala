@@ -13,7 +13,19 @@ final case class GraftConfig(
     endTag: String,
     chunkSize: Int,
     chunkOverlap: Int,
-    threadMaxAgeDays: Int)
+    threadMaxAgeDays: Int,
+    knowledgeChannels: Seq[String] = Seq("test_knowledge")) {
+  /** Schema.to_dict analog — the full resolved config as a flat map. */
+  def toMap: Map[String, String] = Map(
+    "exportFolder" -> exportFolder,
+    "stateFile" -> stateFile,
+    "knowledgeTag" -> knowledgeTag,
+    "endTag" -> endTag,
+    "chunkSize" -> chunkSize.toString,
+    "chunkOverlap" -> chunkOverlap.toString,
+    "threadMaxAgeDays" -> threadMaxAgeDays.toString,
+    "knowledgeChannels" -> knowledgeChannels.mkString(","))
+}
 
 object GraftConfig {
   val defaults: Map[String, String] = Map(
@@ -23,7 +35,13 @@ object GraftConfig {
     "GRAFT_END_TAG" -> "#END",
     "GRAFT_CHUNK_SIZE" -> "20",
     "GRAFT_CHUNK_OVERLAP" -> "5",
-    "GRAFT_THREAD_MAX_AGE_DAYS" -> "7")
+    "GRAFT_THREAD_MAX_AGE_DAYS" -> "7",
+    "GRAFT_KNOWLEDGE_CHANNELS" -> "test_knowledge")
+
+  /** Schema._parse_list analog: comma list, whitespace-tolerant, empties
+    * dropped. */
+  def parseList(value: String): Seq[String] =
+    value.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
 
   /** secretsDir > env > defaults, like the reference resolver. */
   def resolve(key: String,
@@ -46,7 +64,8 @@ object GraftConfig {
       endTag = get("GRAFT_END_TAG"),
       chunkSize = get("GRAFT_CHUNK_SIZE").toInt,
       chunkOverlap = get("GRAFT_CHUNK_OVERLAP").toInt,
-      threadMaxAgeDays = get("GRAFT_THREAD_MAX_AGE_DAYS").toInt)
+      threadMaxAgeDays = get("GRAFT_THREAD_MAX_AGE_DAYS").toInt,
+      knowledgeChannels = parseList(get("GRAFT_KNOWLEDGE_CHANNELS")))
     require(cfg.chunkOverlap < cfg.chunkSize,
       "chunk overlap must be smaller than chunk size")
     cfg

@@ -64,4 +64,14 @@ class KnowledgeFilesSpec extends AnyFunSuite {
     Files.write(java.nio.file.Paths.get(f), "not json".getBytes)
     assert(GraftConfig.loadLastRun(f) == 0L)
   }
+
+  test("comma-list parsing is whitespace-tolerant and drops empties") {
+    assert(GraftConfig.parseList(" a, b ,,c ") == Seq("a", "b", "c"))
+    assert(GraftConfig.parseList("") == Seq.empty)
+    val cfg = GraftConfig.load(
+      env = Map("GRAFT_KNOWLEDGE_CHANNELS" -> "general, eng ,ops"))
+    assert(cfg.knowledgeChannels == Seq("general", "eng", "ops"))
+    assert(cfg.toMap("knowledgeChannels") == "general,eng,ops")
+    assert(cfg.toMap("chunkSize") == "20")
+  }
 }
