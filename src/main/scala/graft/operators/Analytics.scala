@@ -410,6 +410,33 @@ object Analytics {
           FROM orders)
     WHERE rank <= 3 ORDER BY o_orderstatus, rank"""
 
+  /** E26: deterministic per-group k-sample — uniform-style sampling as
+    * "top-k by md5 rank", REUSING the graft_topk heap aggregate: one
+    * partial-aggregating pass, k rows shuffled per (mapper, group), no
+    * per-group sort, reproducible across runs and engines. The
+    * group-quota twin of the scan-level threshold sample (D6). */
+  def qSampleGroup(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.Hashing.h60p(col("event_id").cast("string"))
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        struct(h.as("score"), col("event_id").as("id")).as("sv"))
+      .groupBy("event_type")
+      .agg(call_function("graft_topk", col("sv"), lit(5)).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).as("rank"),
+        col("col.id").as("event_id"))
+      .orderBy("event_type", "rank")
+  }
+
+  val qSampleGroupSql: String = s"""
+    SELECT event_type, rank, event_id FROM (
+      SELECT event_type, event_id,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY ${graft.functions.Hashing.h60pSql("CAST(event_id AS VARCHAR)")} DESC,
+                   event_id DESC) AS rank
+      FROM events)
+    WHERE rank <= 5 ORDER BY event_type, rank"""
+
   /** E23: pivot — order priorities spread into columns per status, the
     * report-shaping operator analysts reach for first. With the pivot
     * values DECLARED (not discovered), Spark plans ONE aggregation pass
@@ -476,6 +503,7 @@ object Analytics {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
     "q_topk_native" -> (qTopkNative _),
+    "q_sample_group" -> (qSampleGroup _),
     "q_scd2"       -> (qScd2 _))
 
   val oracle: Map[String, String] = Map(
@@ -494,5 +522,6 @@ object Analytics {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,
     "q_topk_native" -> qTopkNativeSql,
+    "q_sample_group" -> qSampleGroupSql,
     "q_scd2"       -> qScd2Sql)
 }
