@@ -468,7 +468,44 @@ object TextAnalysis {
     FROM b JOIN c USING (bigram)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Per-source mixture rates (per-mille) for D15 — the data-mix recipe a
+    * pretraining run pins: oversample curated sources, downsample web. */
+  private val mixRates: Seq[(String, Int)] =
+    Seq("src0" -> 900, "src1" -> 200, "src2" -> 500, "src3" -> 700)
+
+  /** D15: mixture downsampling — each source kept at its recipe rate via
+    * a deterministic md5 threshold on doc_id, so the same doc is kept or
+    * dropped in every run and engine. A shuffle-free scan (the decision
+    * is per-row); the output aggregates kept/total per source so rates
+    * are auditable. The data-mix step of a pretraining pipeline. */
+  def textMix(s: SparkSession, dir: String): DataFrame = {
+    val rate = mixRates.foldLeft(lit(300)) { case (acc, (src, r)) =>
+      when(col("source") === src, r).otherwise(acc)
+    }
+    val kept = (Hashing.h60p(col("doc_id").cast("string")) % 1000 < rate)
+      .cast("int")
+    Tables.documents(s, dir)
+      .select(col("source"), rate.as("rate_pm"), kept.as("kept"))
+      .groupBy("source", "rate_pm")
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val textMixSql: String = {
+    val rateCase = mixRates.map { case (s0, r) => s"WHEN source = '$s0' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 300 END")
+    s"""
+    WITH d AS (
+      SELECT source, $rateCase AS rate_pm,
+        CASE WHEN ${Hashing.h60pSql("CAST(doc_id AS VARCHAR)")} % 1000 < ($rateCase)
+             THEN 1 ELSE 0 END AS kept
+      FROM documents)
+    SELECT source, rate_pm, COUNT(*) AS n_total, SUM(kept) AS n_kept
+    FROM d GROUP BY source, rate_pm ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mix"         -> (textMix _),
     "text_lm_score"    -> (textLmScore _),
     "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
@@ -485,6 +522,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_mix"         -> textMixSql,
     "text_lm_score"    -> textLmScoreSql,
     "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,
