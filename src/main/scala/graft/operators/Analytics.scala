@@ -284,6 +284,24 @@ object Analytics {
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     ORDER BY c_custkey"""
 
+  /** E27: semi join — customers WITH at least one urgent order, no order
+    * columns carried and no duplicate customers (the EXISTS shape; the
+    * complement of E10's anti join). Probe side filters BEFORE the join
+    * so only urgent order keys shuffle. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_mktsegment")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+  }
+
+  val qSemiJoinSql: String = """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey"""
+
   /** E17: range (interval) join via bin decomposition — for each purchase,
     * aggregate the same user's clicks in the preceding 30 minutes.
     *
@@ -498,6 +516,7 @@ object Analytics {
     "q_event_dedup" -> (qEventDedup _),
     "q_topk_group" -> (qTopkGroup _),
     "q_anti_join"  -> (qAntiJoin _),
+    "q_semi_join"  -> (qSemiJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -517,6 +536,7 @@ object Analytics {
     "q_event_dedup" -> qEventDedupSql,
     "q_topk_group" -> qTopkGroupSql,
     "q_anti_join"  -> qAntiJoinSql,
+    "q_semi_join"  -> qSemiJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
