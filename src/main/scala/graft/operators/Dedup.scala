@@ -155,6 +155,78 @@ object Dedup {
     WHERE jaccard >= 0.3
     ORDER BY doc_a, doc_b"""
 
+  // ---- C9 prefix-filtering exact similarity join ------------------------
+
+  /** C9: EXACT set-similarity self-join (Jaccard ≥ 1/2) via prefix
+    * filtering — the AllPairs/PPJoin family, the other industrial-scale
+    * near-dup algorithm next to MinHash LSH. Unlike C2's length-bucket
+    * blocking (a recall heuristic) and C3's LSH banding (probabilistic),
+    * this candidate scheme is provably lossless: if J(x,y) ≥ τ then
+    * |x∩y| ≥ ⌈τ·|x|⌉, so the (|x|−⌈τ·|x|⌉+1)-prefix of each set under a
+    * shared global token order must intersect — an equi-join on prefix
+    * tokens finds every qualifying pair.
+    *
+    * Scale shape: the inverted index is built only over PREFIX tokens
+    * (half the set at τ=1/2), and the candidate join carries two further
+    * exact prunes in its condition — the length filter (2·|y| ≥ |x| and
+    * |y| ≤ 2·|x|) and PPJoin's positional upper bound
+    * (1 + min(|x|−px, |y|−py) ≥ ⌈(|x|+|y|)/3⌉) — all in pure int64 math,
+    * so the pruning itself never misfires across engines. Only surviving
+    * distinct pairs pay the sorted-intersect verify kernel. */
+  def dedupPrefix(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .persist() // feeds prefix explode + both verify attaches
+    // prefix length for τ=1/2: n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1; the ascending
+    // hash order of graft_shingle_hashes IS the shared global token order
+    val pref = sets
+      .select(col("doc_id"), size(col("shs")).as("n"),
+        posexplode(slice(col("shs"), lit(1),
+          (floor(size(col("shs")).cast("long") / 2) + 1).cast("int"))))
+      .withColumnRenamed("col", "tok") // `pos` is 0-based
+    val a = pref.select(col("doc_id").as("doc_a"), col("n").as("na"),
+      col("pos").as("pa"), col("tok"))
+    val b = pref.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+      col("pos").as("pb"), col("tok"))
+    // positional bound 1+min(na−pa−1, nb−pb−1) ≥ ⌈(na+nb)/3⌉, restated
+    // division-free: ⌈x/3⌉ ≤ y ⟺ x ≤ 3y
+    val cand = a.join(b,
+        a("tok") === b("tok") && col("doc_a") < col("doc_b") &&
+          lit(2) * col("nb") >= col("na") && col("nb") <= lit(2) * col("na") &&
+          lit(3) * (lit(1) + least(col("na") - col("pa") - 1,
+            col("nb") - col("pb") - 1)) >= col("na") + col("nb"))
+      .select("doc_a", "doc_b").distinct()
+    // exact verify: J ≥ 1/2 ⟺ 3·i ≥ |a|+|b| (single kernel occurrence,
+    // same single-substitution shape as C2)
+    withJaccard(cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .filter(lit(3) * call_function("graft_intersect_count", col("sa"), col("sb"))
+        >= size(col("sa")) + size(col("sb"))))
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle: brute-force all-pairs — deliberately prefix-free, so it
+    * checks the candidate scheme's losslessness, not just the verify. */
+  val dedupPrefixSql: String = s"""
+    WITH $toksSqlCte,
+    d AS (SELECT doc_id,
+        list_sort(list_distinct(list_transform(
+          list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]),
+          sh -> ${Hashing.h60pSql("sh")}))) AS shs
+      FROM toks WHERE len(toks) >= 2),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        len(list_intersect(a.shs, b.shs)) AS i, len(a.shs) AS na, len(b.shs) AS nb
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(a.shs) > 0 AND len(b.shs) > 0)
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+    FROM p WHERE 3 * i >= na + nb
+    ORDER BY doc_a, doc_b"""
+
   // ---- C3 MinHash + LSH -------------------------------------------------
 
   private val NumHashes = 16
@@ -641,6 +713,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact"   -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_prefix"  -> (dedupPrefix _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embcos"  -> (dedupEmbcos _),
@@ -651,6 +724,7 @@ object Dedup {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact"   -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_prefix"  -> dedupPrefixSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embcos"  -> dedupEmbcosSql,

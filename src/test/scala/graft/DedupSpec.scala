@@ -46,6 +46,47 @@ class DedupSpec extends AnyFunSuite {
     assert(mh == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("prefix join finds exact + near dup (J>=1/2), not unrelated docs") {
+    val pairs = Dedup.dedupPrefix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)) && keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+  }
+
+  test("prefix candidate scheme is lossless vs brute force on generated docs") {
+    // 40 docs over a tiny vocabulary — adversarially high shingle df, so
+    // the prefix index is dense and any unsound prune would show up
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i / 2) // consecutive ids share a seed
+      val n = 4 + rnd.nextInt(8)
+      val toks = Vector.fill(n)(words(rnd.nextInt(words.size))) ++
+        (if (i % 2 == 1) Vector(words(i % words.size)) else Vector.empty)
+      (i.toLong, toks.mkString(" "), "en", "s", 1L)
+    }
+    val d = Files.createTempDirectory("graft_prefix").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = Dedup.dedupPrefix(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every pair with Jaccard >= 1/2 over word-bigram sets
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 2) Set.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      x <- docs; y <- docs if x._1 < y._1
+      sx = shingles(x._2); sy = shingles(y._2)
+      if sx.nonEmpty && sy.nonEmpty
+      i = (sx & sy).size
+      if 3 * i >= sx.size + sy.size
+    } yield (x._1, y._1)).toSet
+    assert(got == want)
+  }
+
   test("simhash: identical docs at hamming 0, near dup within threshold") {
     val pairs = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
