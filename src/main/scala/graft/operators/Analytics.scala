@@ -259,7 +259,7 @@ object Analytics {
       .orderBy(col("value").desc, col("event_id"))
     Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .orderBy("event_type", "rk")
   }
@@ -411,7 +411,7 @@ object Analytics {
     scored.groupBy("o_orderstatus")
       .agg(call_function("graft_topk", col("sv"), lit(3)).as("top"))
       .select(col("o_orderstatus"), posexplode(col("top")))
-      .select(col("o_orderstatus"), (col("pos") + 1).as("rank"),
+      .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("o_orderkey"),
         (col("col.score").cast("double") / 100).as("o_totalprice"))
       .orderBy("o_orderstatus", "rank")
@@ -441,7 +441,7 @@ object Analytics {
       .groupBy("event_type")
       .agg(call_function("graft_topk", col("sv"), lit(5)).as("top"))
       .select(col("event_type"), posexplode(col("top")))
-      .select(col("event_type"), (col("pos") + 1).as("rank"),
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("event_id"))
       .orderBy("event_type", "rank")
   }

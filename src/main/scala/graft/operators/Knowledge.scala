@@ -31,7 +31,7 @@ object Knowledge {
   def kbBlocks(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(Text.knowledgeBlocks(docMsg)))
-      .select(col("doc_id"), (col("pos") + 1).as("ordinal"),
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("ordinal"),
         trim(col("col")).as("block"))
       .orderBy("doc_id", "ordinal")
   }
@@ -52,7 +52,7 @@ object Knowledge {
       lit("> and <@U"), col("user_id") + 50, lit("> re "), col("event_type"))
     val mentions = Tables.events(s, dir)
       .select(col("event_id"), posexplode(Text.mentionIds(msg)))
-      .select(col("event_id"), (col("pos") + 1).as("mention_pos"),
+      .select(col("event_id"), (col("pos") + 1).cast("long").as("mention_pos"),
         col("col").as("mention_id"))
     val users = Tables.customer(s, dir).select("c_custkey", "c_name")
     mentions.join(broadcast(users), mentions("mention_id") + 1 === users("c_custkey"))
@@ -168,7 +168,7 @@ object Knowledge {
   def kbSummary(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(col("doc_id"), Text.leadingWords(col("text"), 25).as("summary"),
-        size(Text.tokens(col("text"))).as("n_words"))
+        size(Text.tokens(col("text"))).cast("long").as("n_words"))
       .orderBy("doc_id")
   }
 
@@ -216,7 +216,7 @@ object Knowledge {
       .select(col("doc_id"),
         explode(filter(split(element_at(col("parts"), 1), "\n"),
           l => l.contains(":"))).as("line"),
-        length(trim(element_at(col("parts"), 2))).as("body_len"))
+        length(trim(element_at(col("parts"), 2))).cast("long").as("body_len"))
       .select(col("doc_id"),
         trim(element_at(split(col("line"), ":", 2), 1)).as("key"),
         trim(element_at(split(col("line"), ":", 2), 2)).as("value"),
@@ -251,7 +251,7 @@ object Knowledge {
     val toks = Text.tokens(col("text"))
     Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(Text.chunks(toks, 20, 5)))
-      .select(col("doc_id"), (col("pos") + 1).as("chunk_ix"),
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_ix"),
         col("col").as("chunk"))
       .orderBy("doc_id", "chunk_ix")
   }
@@ -418,7 +418,8 @@ object Knowledge {
         struct(lit("keywords").as("kind"), kwPrompt.as("prompt")),
         struct(lit("summary").as("kind"), smPrompt.as("prompt")))).as("p"))
       .select(col("doc_id"), col("p.kind").as("kind"),
-        col("p.prompt").as("prompt"), length(col("p.prompt")).as("prompt_len"))
+        col("p.prompt").as("prompt"),
+        length(col("p.prompt")).cast("long").as("prompt_len"))
       .orderBy("doc_id", "kind")
   }
 

@@ -52,7 +52,7 @@ object Similarity {
     corpusSet(s, dir).join(broadcast(queriesSet(s, dir)))
       .select(col("query_id"), col("neighbor_id"),
         dotExact(col("qq"), col("cq")).as("dot"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         (col("dot").cast("double") / lit(1.0e16)).as("score"))
@@ -231,7 +231,7 @@ object Similarity {
     c.join(broadcast(q), col("bucket_c") === col("probe"))
       .select(col("query_id"), col("neighbor_id"),
         dotExact(col("qq"), col("cq")).as("dot"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         (col("dot").cast("double") / lit(1.0e16)).as("score"))
@@ -323,7 +323,7 @@ object Similarity {
     c.join(broadcast(probed), Seq("label"))
       .select(col("query_id"), col("neighbor_id"),
         dotExact(col("qq"), col("cq")).as("dot"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         (col("dot").cast("double") / lit(1.0e16)).as("score"))
@@ -382,7 +382,8 @@ object Similarity {
     val d = greatest((m - pmod(m, lit(127L))) / 127L, lit(1L)).cast("long")
     Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), (col("pos") + 1).as("dim"), col("col").as("x"))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("x"))
       .select(col("vec_id"), col("dim"),
         when(q < 0, -1L).otherwise(1L).as("sgn"), aq.as("aq"), d.as("d"))
       .select(col("vec_id"), col("dim"), col("d"),

@@ -113,18 +113,22 @@ object Sketches {
     Hashing.h60(concat(lit(s"${r}_"), key.cast("string"))) % CmsWidth
 
   def qCmsTopk(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val cells = ev.select(posexplode(array((0 until CmsDepth).map(r =>
-        cmsCol(r, col("user_id"))): _*)))
+    // One aggregation over raw events, then everything — sketch cells AND
+    // key probes — derives from the per-key counts. md5 volume drops from
+    // 4·|events| to 4·|distinct users|, and the fact table is scanned once
+    // (the shared `exact` exchange is reused across both consumers).
+    val exact = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_count"))
+    val keyCells = exact.select(col("user_id"), col("exact_count"),
+        posexplode(array((0 until CmsDepth).map(r =>
+          cmsCol(r, col("user_id"))): _*)))
       .withColumnRenamed("pos", "r").withColumnRenamed("col", "c")
-      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
-    val keys = ev.select(col("user_id")).distinct()
-      .select(col("user_id"), posexplode(array((0 until CmsDepth).map(r =>
-        cmsCol(r, col("user_id"))): _*)))
-      .withColumnRenamed("pos", "r").withColumnRenamed("col", "c")
-    val est = keys.join(broadcast(cells), Seq("r", "c"))
+    // A cell's count is the sum of counts of every key hashing into it —
+    // identical to counting raw events per cell, without touching events.
+    val cells = keyCells.groupBy("r", "c").agg(sum("exact_count").as("cnt"))
+    val est = keyCells.select("user_id", "r", "c")
+      .join(broadcast(cells), Seq("r", "c"))
       .groupBy("user_id").agg(min("cnt").as("cms_estimate"))
-    val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_count"))
     est.join(exact, "user_id")
       .orderBy(col("cms_estimate").desc, col("user_id"))
       .limit(10)

@@ -84,8 +84,9 @@ object TextAnalysis {
   def textTokens(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        size(Text.tokens(col("text"))).as("ws_tokens"),
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("subword_tokens"))
+        size(Text.tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast("long").as("subword_tokens"))
       .orderBy("doc_id")
   }
 
@@ -130,8 +131,8 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(col("doc_id"), withPii.as("raw"))
       .select(col("doc_id"),
-        regexp_count(col("raw"), lit(emailRe)).as("n_emails"),
-        regexp_count(col("raw"), lit(phoneRe)).as("n_phones"),
+        regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phones"),
         regexp_replace(regexp_replace(col("raw"), emailRe, "[EMAIL]"),
           phoneRe, "[PHONE]").as("redacted"))
       .orderBy("doc_id")
@@ -363,7 +364,7 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         md5(col("doc_id").cast("string")).as("h"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 20)
       .select(col("doc_id"), col("lang"), col("rk"))
       .orderBy("lang", "rk")
@@ -500,7 +501,8 @@ object TextAnalysis {
         CASE WHEN ${Hashing.h60pSql("CAST(doc_id AS VARCHAR)")} % 1000 < ($rateCase)
              THEN 1 ELSE 0 END AS kept
       FROM documents)
-    SELECT source, rate_pm, COUNT(*) AS n_total, SUM(kept) AS n_kept
+    SELECT source, rate_pm, COUNT(*) AS n_total,
+      CAST(SUM(kept) AS BIGINT) AS n_kept
     FROM d GROUP BY source, rate_pm ORDER BY source"""
   }
 

@@ -23,15 +23,18 @@ oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
-        exp = con.sql(sql).fetchall()
-        expcols = [d[0] for d in con.sql(sql).description]
+        exp_rel = con.sql(sql)
+        expcols = list(exp_rel.columns)
+        exptypes = [str(t) for t in exp_rel.types]
+        exp = exp_rel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}")
         fails += 1
         continue
     try:
         got_rel = con.sql(f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
-        gotcols = [d[0] for d in got_rel.description]
+        gotcols = list(got_rel.columns)
+        gottypes = [str(t) for t in got_rel.types]
         got = got_rel.fetchall()
     except Exception as e:
         print(f"FAIL {name}: spark result missing: {e}")
@@ -39,6 +42,15 @@ for name, sql in sorted(oracle.items()):
         continue
     if sorted(expcols) != sorted(gotcols):
         print(f"FAIL {name}: cols exp={expcols} got={gotcols}")
+        fails += 1
+        continue
+    # the driver's hasher is type-sensitive: HUGEINT vs BIGINT is a FAIL
+    # even when values match, so compare DuckDB logical types by column.
+    etyp = {c: t for c, t in zip(expcols, exptypes)}
+    gtyp = {c: t for c, t in zip(gotcols, gottypes)}
+    if etyp != gtyp:
+        diff = {c: (etyp[c], gtyp[c]) for c in etyp if etyp[c] != gtyp[c]}
+        print(f"FAIL {name}: types differ (oracle, spark): {diff}")
         fails += 1
         continue
     # align column order by name, then sort rows
