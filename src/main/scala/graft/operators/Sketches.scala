@@ -126,10 +126,13 @@ object Sketches {
     // A cell's count is the sum of counts of every key hashing into it —
     // identical to counting raw events per cell, without touching events.
     val cells = keyCells.groupBy("r", "c").agg(sum("exact_count").as("cnt"))
-    val est = keyCells.select("user_id", "r", "c")
-      .join(broadcast(cells), Seq("r", "c"))
-      .groupBy("user_id").agg(min("cnt").as("cms_estimate"))
-    est.join(exact, "user_id")
+    // exact_count rides along the probe aggregation (constant per key), so
+    // no third join back to `exact` — both remaining consumers share the
+    // identical per-key exchange subtree and the scan is reused.
+    keyCells.join(broadcast(cells), Seq("r", "c"))
+      .groupBy("user_id").agg(min("cnt").as("cms_estimate"),
+        max("exact_count").as("exact_count"))
+      .select("user_id", "cms_estimate", "exact_count")
       .orderBy(col("cms_estimate").desc, col("user_id"))
       .limit(10)
   }
