@@ -1,9 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // min-of-N protocol: single-shot sub-second timings on a shared JVM
+    // carry 2-8x JIT/GC noise (measured round-over-round on identical
+    // code), so each query is timed REPS times and the minimum reported —
+    // the stable statistic for regression detection.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
@@ -20,9 +25,7 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
-    // two timed runs per query, keep the min — damps GC/scheduling noise
-    // in the shared JVM without hiding real cost
-    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       // operators persist intermediates internally; every invocation
       // builds (and re-persists) a fresh plan, so stale cache entries are
       // dead weight that only accumulates GC pressure — drop them, then
@@ -30,20 +33,51 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
+    }
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double =
+      (1 to reps).map(_ => timeOnce(fn, dir)).min
+    // dedup_clusters with the driver union-find finish disabled: rehearses
+    // the distributed pointer-jumping propagation a 100 TB contracted
+    // graph would take (normal entry picks the path data-dependently).
+    val ccDistributed: (SparkSession, String) => DataFrame = (ss, d) => {
+      ss.conf.set("graft.cc.maxLocalEdges", "0")
+      try operators.Dedup.dedupClusters(ss, d)
+      finally ss.conf.unset("graft.cc.maxLocalEdges")
     }
     // SPARK_GRAFT_ONLY=q1,q2 restricts to named queries (local iteration)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) =>
-      only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      name -> math.min(time(fn), time(fn))
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val selected = (SparkEntry.queries +
+      ("dedup_clusters_distributed" -> ccDistributed))
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) => name -> time(fn, sfDir) }
+    // scale slope: re-time every query at a smaller SF and report the
+    // big/small wall-clock ratio next to the data-size ratio, so any
+    // pair-join whose candidate set grows super-linearly is visible.
+    // SPARK_GRAFT_SCALE_DIR overrides; empty disables.
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      "/root/testdata/sf0.01")
+    val scale: Option[(String, Map[String, Double])] =
+      if (scaleDir.nonEmpty && new java.io.File(scaleDir).isDirectory
+          && scaleDir != sfDir)
+        Some(scaleDir -> selected.map { case (name, fn) =>
+          name -> time(fn, scaleDir) }.toMap)
+      else None
+    def jnum(v: Double): String = if (v.isNaN || v.isInfinite) "null"
+      else f"$v%.3f"
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    // the distributed-CC rehearsal is a diagnostic line, not part of the
+    // operator suite — keep the headline total comparable across rounds
+    val total = results.collect {
+      case (k, v) if k != "dedup_clusters_distributed" => v }.sum
+    val scaleJson = scale.map { case (dir, small) =>
+      val ratios = results.collect { case (k, big) if small.contains(k) =>
+        k -> (if (small(k) > 0) big / small(k) else Double.NaN) }
+      s""","scale":{"small_sf":"$dir","small_queries":${jmap(small)},"ratio_big_over_small":${jmap(ratios)}}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","protocol":"min-of-$reps, cold cache + gc between runs, sf0.001 warmup"$scaleJson}""")
     spark.stop()
   }
 }

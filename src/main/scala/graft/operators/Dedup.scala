@@ -560,8 +560,13 @@ object Dedup {
     // union-find in-process: zero further jobs instead of one join +
     // count per propagation round. Fallback: distributed min-label
     // propagation, for a contracted graph that is still huge.
+    // `graft.cc.maxLocalEdges` overrides the driver-finish threshold —
+    // set 0 to force the distributed propagation path (bench/rehearsal
+    // of the shape a 100 TB corpus would hit).
+    val maxLocal = s.conf.getOption("graft.cc.maxLocalEdges")
+      .map(_.toLong).getOrElse(2000000L)
     val labels = componentLabels(s, g,
-      l1.select(col("label").as("v")).distinct())
+      l1.select(col("label").as("v")).distinct(), maxLocal)
     // Compose: original vertex → hooked label → contracted-component rep.
     // labels and sizes are bounded by the vertex count, so the same
     // data-driven broadcast decision applies.
