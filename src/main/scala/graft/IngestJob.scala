@@ -72,6 +72,10 @@ object IngestJob {
         "Summary" -> col("summary")), col("block")).as("content"))
     val nFiles = KnowledgeFiles.write(exported, s"$outDir/knowledge")
 
+    // store open: replay any delete journal a crashed prior run left, so
+    // this batch appends to a consistent index
+    if (new java.io.File(s"$outDir/index").isDirectory)
+      VectorStore.recover(spark, s"$outDir/index")
     val nChunks = VectorStore.ingest(
       blocks.select(col("event_id").as("doc_id"), col("block").as("text")),
       s"$outDir/index", cfg.chunkSize, cfg.chunkOverlap, mode = "append")

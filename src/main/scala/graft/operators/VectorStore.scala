@@ -110,7 +110,16 @@ object VectorStore {
     * rows — untouched buckets keep their files, so the rewrite cost
     * scales with the victims' bucket footprint, not the index size.
     * Returns the number of chunk rows removed. An #EDIT reprocess is
-    * `delete(ids)` followed by `ingest(newDocs, mode = "append")`. */
+    * `delete(ids)` followed by `ingest(newDocs, mode = "append")`.
+    *
+    * Crash safety: the multi-step mutation (partition overwrite, then
+    * explicit drop of fully-victim bucket dirs) is journaled. A pending
+    * intent manifest — (docIds, buckets) — is committed (write + rename)
+    * under `_graft_manifest/` BEFORE any data is touched and retired only
+    * after the last step; [[recover]] replays pending manifests, and the
+    * replay is idempotent at every interruption point because each step
+    * re-derives its work from the current on-disk state (victims already
+    * gone ⇒ no rewrite; bucket dir already dropped ⇒ no-op delete). */
   def delete(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Long = {
     // drop any cached file listing for this path — a previous overwrite
     // (or a concurrent writer) invalidates it, and a stale listing makes
@@ -119,24 +128,91 @@ object VectorStore {
     val index = spark.read.parquet(indexDir)
     val victims = col("doc_id").isInCollection(docIds)
     val buckets = index.filter(victims).select("bucket").distinct()
-      .collect().map(_.getInt(0))
+      .collect().map(_.getInt(0)).toSeq
     if (buckets.isEmpty) return 0L
-    val affected = index.filter(col("bucket").isInCollection(buckets.toSeq))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val manifest = writeManifest(fs, indexDir, docIds, buckets)
+    val removed = deleteFromBuckets(spark, indexDir, docIds, buckets)
+    fs.delete(manifest, false) // retire the intent — delete is complete
+    removed
+  }
+
+  /** Replay pending delete manifests left by a crashed [[delete]] run.
+    * Call on store open (IngestJob does) or after a failure. Returns the
+    * number of manifests replayed. Safe to call any time: with no pending
+    * manifests it reads nothing but the manifest dir listing. */
+  def recover(spark: SparkSession, indexDir: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/$ManifestDir")
+    if (!fs.exists(dir)) return 0
+    val pending = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    pending.foreach { p =>
+      val (docIds, buckets) = readManifest(fs, p)
+      spark.catalog.refreshByPath(indexDir)
+      deleteFromBuckets(spark, indexDir, docIds, buckets)
+      fs.delete(p, false)
+    }
+    pending.length
+  }
+
+  private val ManifestDir = "_graft_manifest"
+
+  /** Commit a delete intent atomically: write to a temp name, then rename
+    * into place — readers never observe a torn manifest. */
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String, docIds: Seq[Long], buckets: Seq[Int])
+      : org.apache.hadoop.fs.Path = {
+    val name = s"delete_${System.currentTimeMillis()}_${docIds.hashCode.abs}"
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/$ManifestDir/$name.tmp")
+    val fin = new org.apache.hadoop.fs.Path(s"$indexDir/$ManifestDir/$name.json")
+    val json = s"""{"docIds":[${docIds.mkString(",")}],"buckets":[${buckets.mkString(",")}]}"""
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp, fin)
+    fin
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): (Seq[Long], Seq[Int]) = {
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def nums(key: String): Seq[String] =
+      s""""$key":\\[([0-9,\\-]*)\\]""".r.findFirstMatchIn(json)
+        .map(_.group(1)).filter(_.nonEmpty).map(_.split(",").toSeq)
+        .getOrElse(Seq.empty)
+    (nums("docIds").map(_.toLong), nums("buckets").map(_.toInt))
+  }
+
+  /** The mutation body shared by [[delete]] and [[recover]]: remove
+    * `docIds` from the recorded `buckets`, re-deriving everything from the
+    * CURRENT index state so a replay after any partial failure converges
+    * to the same result. */
+  private def deleteFromBuckets(spark: SparkSession, indexDir: String,
+      docIds: Seq[Long], buckets: Seq[Int]): Long = {
+    val index = spark.read.parquet(indexDir)
+    val victims = col("doc_id").isInCollection(docIds)
+    val affected = index.filter(col("bucket").isInCollection(buckets))
     val removed = affected.filter(victims).count()
     val survivors = affected.filter(!victims)
       // the partition column must be part of the written data, and the
       // rewrite must materialize BEFORE overwrite truncates its own input
       .localCheckpoint(true)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors.write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    if (removed > 0) {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
     }
     // dynamic overwrite only replaces partitions PRESENT in the output: a
     // bucket whose every row was a victim has no survivors and must be
-    // dropped explicitly
+    // dropped explicitly (idempotent — a replay deletes a missing dir)
     val surviving = survivors.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(

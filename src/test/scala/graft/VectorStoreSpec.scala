@@ -88,4 +88,56 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(remaining.isEmpty,
       s"emptied buckets left behind: ${remaining.map(_.getName).mkString(",")}")
   }
+
+  test("recover replays a pending delete manifest (crash before mutation)") {
+    val dir = Files.createTempDirectory("graft_vs_rec").toString + "/index"
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .select("doc_id", "text")
+    VectorStore.ingest(docs, dir)
+    val before = spark.read.parquet(dir)
+    val beforeCount = before.count()
+    val victimRows = before.filter(col("doc_id") === 5).count()
+    val victimBuckets = before.filter(col("doc_id") === 5)
+      .select("bucket").distinct().collect().map(_.getInt(0))
+    assert(victimRows > 0)
+    // a crashed delete() that wrote its intent but died before touching
+    // data: journal present, index untouched
+    val mdir = new java.io.File(s"$dir/_graft_manifest"); mdir.mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$dir/_graft_manifest/delete_0_crash.json"),
+      s"""{"docIds":[5],"buckets":[${victimBuckets.mkString(",")}]}"""
+        .getBytes("UTF-8"))
+    // the journal dir is invisible to readers (underscore prefix)
+    assert(spark.read.parquet(dir).count() == beforeCount)
+
+    assert(VectorStore.recover(spark, dir) == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("doc_id") === 5).count() == 0)
+    assert(after.count() == beforeCount - victimRows)
+    assert(mdir.list().forall(!_.endsWith(".json")), "manifest not retired")
+    // nothing pending ⇒ recover is a cheap no-op
+    assert(VectorStore.recover(spark, dir) == 0)
+  }
+
+  test("recover is idempotent after a completed delete (crash before " +
+       "manifest retire)") {
+    val dir = Files.createTempDirectory("graft_vs_rec2").toString + "/index"
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .select("doc_id", "text")
+    VectorStore.ingest(docs, dir)
+    val victimBuckets = spark.read.parquet(dir).filter(col("doc_id") === 9)
+      .select("bucket").distinct().collect().map(_.getInt(0))
+    val removed = VectorStore.delete(spark, dir, Seq(9L))
+    assert(removed > 0)
+    val settled = spark.read.parquet(dir)
+    val settledCount = settled.count()
+    // crash AFTER all mutation steps but BEFORE the journal was retired:
+    // the same intent is still pending and gets replayed
+    Files.write(java.nio.file.Paths.get(s"$dir/_graft_manifest/delete_0_crash.json"),
+      s"""{"docIds":[9],"buckets":[${victimBuckets.mkString(",")}]}"""
+        .getBytes("UTF-8"))
+    assert(VectorStore.recover(spark, dir) == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == settledCount, "replay changed a settled index")
+    assert(after.filter(col("doc_id") === 9).count() == 0)
+  }
 }
