@@ -55,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[graft.plans.LshBuckets].getName, null,
+        "graft_lsh_buckets"),
+      (children: Seq[Expression]) => graft.plans.LshBuckets(children.head,
+        children(1).eval(null).asInstanceOf[Int],
+        children(2).eval(null).asInstanceOf[Int])))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => SelfIntersectRule)
   }

@@ -52,7 +52,8 @@ object Preflight {
           "graft_simhash32('a b')" -> null,
           "size(graft_shingle_hashes('a b c'))" -> "2",
           "size(graft_minhash_sig(array(1L,2L), 4))" -> "4",
-          "size(graft_hash_embed('a b', 8))" -> "8")
+          "size(graft_hash_embed('a b', 8))" -> "8",
+          "size(graft_lsh_buckets(array(1L,2L), 8, 8))" -> "8")
         smokes.foreach { case (exprSql, expect) =>
           val got = spark.sql(s"SELECT $exprSql").head().get(0)
           if (expect != null)

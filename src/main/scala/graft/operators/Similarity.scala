@@ -194,16 +194,6 @@ object Similarity {
   private val LshPlanes = 8 // bucket bits per table
   private val VecDim = 64
 
-  /** Deterministic ±1 random-hyperplane tensor, md5-derived so the DuckDB
-    * oracle can regenerate it: sign(t,p,d) = (h60("t_p_d") & 1)·2 − 1, the
-    * same engine-portable hashing convention as [[graft.functions.Hashing]]
-    * (bit 0 of md5("t_p_d")'s top 60 bits). */
-  private lazy val hyperplanes: Array[Array[Array[Long]]] =
-    Array.tabulate(LshTables, LshPlanes, VecDim) { (t, p, d) =>
-      val b = s"${t}_${p}_$d".getBytes("UTF-8")
-      (graft.plans.TextHash.h60Bytes(b, 0, b.length) & 1L) * 2L - 1L
-    }
-
   /** B3: random-hyperplane LSH ANN — the scale path. OR-amplified across
     * 8 independent tables (the textbook construction, and what MLlib's
     * `numHashTables` does): each vector gets an 8-bit sign-pattern bucket
@@ -224,13 +214,13 @@ object Similarity {
     * whole operator is deterministic across engines and fully
     * oracle-checked — plane signs, bucketing, probing, and ranking. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    def bucketOf(t: Int, qv: Column): Column =
-      (0 until LshPlanes).map { p =>
-        val planeDot = call_function("graft_dot_l", qv, lit(hyperplanes(t)(p)))
-        when(planeDot > 0, lit(1 << p)).otherwise(lit(0))
-      }.reduce(_ + _)
+    // fused graft_lsh_buckets kernel: all tables×bits plane dots in one
+    // primitive loop over a JVM-cached plane matrix — the 64 separate
+    // graft_dot_l(vec, lit(plane)) calls it replaces each dragged a
+    // 64-element literal array through codegen and bloated the generated
+    // method past JIT-friendly size
     def buckets(v: Column): Column =
-      array((0 until LshTables).map(t => bucketOf(t, v)): _*)
+      call_function("graft_lsh_buckets", v, lit(LshTables), lit(LshPlanes))
 
     val q = queriesSet(s, dir)
       .select(col("query_id"), col("qq"), posexplode(buckets(col("qq"))))

@@ -123,4 +123,27 @@ class KernelPropertySpec extends AnyFunSuite {
         .as("composed")).collect()
     rows.foreach { r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)) }
   }
+
+  test("graft_lsh_buckets == composed per-plane sign dots on generated vectors") {
+    val tables = 8; val bits = 8; val dim = 64
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-200000000L, 200000000L))
+      .map(_.toArray)
+    val df = sample(vecGen, 60).map(Tuple1(_)).toDF("v")
+    // the composed form the kernel replaced: one graft_dot_l per (t, p)
+    // against the md5-derived plane regenerated here from the same seed
+    def plane(t: Int, p: Int): Array[Long] = Array.tabulate(dim) { d =>
+      val b = s"${t}_${p}_$d".getBytes("UTF-8")
+      (graft.plans.TextHash.h60Bytes(b, 0, b.length) & 1L) * 2L - 1L
+    }
+    val composed = array((0 until tables).map(t =>
+      (0 until bits).map { p =>
+        when(call_function("graft_dot_l", col("v"), lit(plane(t, p))) > 0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)): _*)
+    val rows = df.select(
+      call_function("graft_lsh_buckets", col("v"), lit(tables), lit(bits))
+        .as("native"),
+      composed.as("composed")).collect()
+    rows.foreach { r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)) }
+  }
 }
