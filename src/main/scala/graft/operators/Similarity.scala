@@ -302,7 +302,16 @@ object Similarity {
     * count; a query scores each cell by dot(q, csum)/count (one IEEE
     * division of exact int64 operands — identical in any engine), probes
     * the top-2 cells, and exact-re-ranks only their members: the corpus
-    * scan shrinks to ~nprobe/ncells of the data, shuffled by cell id. */
+    * scan shrinks to ~nprobe/ncells of the data, shuffled by cell id.
+    *
+    * Measured recall@5 vs the exact scan: 0.24–0.48 at nprobe 2–4 on the
+    * synthetic tables — ≈ the scan fraction, because the synthetic
+    * `label` cells are NOT geometric clusters, so probing carries no
+    * signal there (uniform data is IVF's no-free-lunch case; real
+    * k-means cells concentrate neighbors and recall climbs well above
+    * the scan fraction). nprobe stays at 2: raising it on signal-free
+    * cells buys recall only linearly in scan cost, while `ann_lsh`'s
+    * OR-amplification beats it per unit scanned (0.57–0.77 at ~0.27). */
   /** Cell-assignment quantizer, coarser than the re-rank one: centroid
     * dims are SUMS over cell members, so at scale 1e8 the per-term
     * products q_i·csum_i would overflow int64 once a cell holds more than

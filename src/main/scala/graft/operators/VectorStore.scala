@@ -23,14 +23,6 @@ object VectorStore {
   val Dim = 32
   val Planes = 8
 
-  /** Deterministic ±1 hyperplanes, md5-derived (same convention as the
-    * ANN operators: bit 0 of h60("vs<p>_<d>")). */
-  private lazy val planes: Array[Array[Long]] =
-    Array.tabulate(Planes, Dim) { (p, d) =>
-      val b = s"vs${p}_$d".getBytes("UTF-8")
-      (graft.plans.TextHash.h60Bytes(b, 0, b.length) & 1L) * 2L - 1L
-    }
-
   /** Raw int64 hashing-trick weights of a chunk — one pass of the fused
     * graft_hash_embed kernel (the O(dim·tokens) per-slot filter/aggregate
     * HOF chain it replaced was the store's dominant ingest cost). */
@@ -46,13 +38,11 @@ object VectorStore {
   }
 
   /** Bucket from the RAW weights: sign(dot(w, plane)) = sign(dot(w/‖w‖,
-    * plane)), so the un-normalized int64 dot (exact, codegen'd) gives the
-    * same bucket with no float arithmetic at all. */
+    * plane)), so the un-normalized int64 dots (exact, codegen'd, fused
+    * single-table graft_lsh_buckets pass — md5 "0_p_d" plane seeds) give
+    * the bucket with no float arithmetic at all. */
   private def bucketOf(raw: Column): Column =
-    (0 until Planes).map { p =>
-      when(call_function("graft_dot_l", raw, lit(planes(p))) > 0,
-        lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+    element_at(call_function("graft_lsh_buckets", raw, lit(1), lit(Planes)), 1)
 
   /** Ingest: documents(doc_id, text, …) → chunk → embed → bucket →
     * parquet index partitioned by bucket. `mode` "append" adds an
