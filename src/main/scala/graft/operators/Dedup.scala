@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{Hashing, Text}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -669,6 +670,56 @@ object Dedup {
     ORDER BY doc_id"""
   }
 
+  // ---- C10 cluster-canonical selection ---------------------------------
+
+  /** C10: cluster-canonical selection — the step after clustering (C6)
+    * that industrial dedup pipelines actually ship: keep ONE document per
+    * near-dup cluster, chosen by quality (D2 score, ties to the smallest
+    * doc_id) rather than by arbitrary min-id. CCNet/RefinedWeb-style
+    * pipelines keep the best-quality member so dedup doesn't silently
+    * prefer the earliest-crawled (often worst) copy.
+    *
+    * Output is the full keep/drop list — one row per clustered doc with
+    * its cluster, quality score, and keep flag — i.e. the filter artifact
+    * the next pipeline stage anti-joins against, not just the winners.
+    *
+    * Scale shape: C6's cluster assignment (one row per clustered doc)
+    * equi-joins the D2 quality scan on doc_id, then one window ranked per
+    * cluster_rep — two keyed shuffles over cluster members only (the
+    * non-duplicated bulk of the corpus never enters). */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+      .select("doc_id", "cluster_rep", "cluster_size")
+    val quality = TextAnalysis.textQuality(s, dir).select("doc_id", "score")
+    val w = Window.partitionBy("cluster_rep")
+      .orderBy(col("score").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        col("score"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: C6's transitive-closure clusters joined to D2's quality
+    * query, best score (ties → min doc_id) per cluster. Score arithmetic
+    * is the bit-exact D2 shape, so the double comparison is safe. */
+  val dedupKeepBestSql: String = {
+    val clustersSql = dedupClustersSql.replace("ORDER BY doc_id", "")
+    val qualitySql =
+      TextAnalysis.textQualitySql.replace("ORDER BY doc_id", "")
+    s"""
+    WITH clusters AS ($clustersSql),
+    q AS ($qualitySql),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_rep, c.cluster_size, q.score,
+        row_number() OVER (PARTITION BY c.cluster_rep
+                           ORDER BY q.score DESC, c.doc_id) AS rk
+      FROM clusters c JOIN q ON q.doc_id = c.doc_id)
+    SELECT doc_id, cluster_rep, cluster_size, score, rk = 1 AS keep
+    FROM ranked
+    ORDER BY doc_id"""
+  }
+
   // ---- C7 benchmark decontamination ------------------------------------
 
   private val ContamMinShared = 5
@@ -722,7 +773,8 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embcos"  -> (dedupEmbcos _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_keep_best" -> (dedupKeepBest _))
 
   val oracle: Map[String, String] = Map(
     "dedup_contamination" -> dedupContaminationSql,
@@ -733,5 +785,6 @@ object Dedup {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embcos"  -> dedupEmbcosSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep_best" -> dedupKeepBestSql)
 }
