@@ -56,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[graft.plans.Winnow].getName, null,
+        "graft_winnow"),
+      (children: Seq[Expression]) => graft.plans.Winnow(children.head,
+        children(1).eval(null).asInstanceOf[Int],
+        children(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
       new FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[graft.plans.LshBuckets].getName, null,
         "graft_lsh_buckets"),

@@ -431,13 +431,119 @@ object Similarity {
            CAST(aq % d AS BIGINT) AS residual
     FROM scaled ORDER BY vec_id, dim"""
 
+  // ---- B7: product quantization + ADC search ----------------------------
+
+  private val PqM = 8   // subspaces
+  private val PqSub = VecDim / PqM // dims per subspace
+  private val PqK = 16  // centroids per subspace codebook
+
+  /** B7: product quantization (Jégou/Douze/Schmid, TPAMI 2011) — the
+    * standard billion-scale ANN compression: split each vector into
+    * `PqM` subspaces, quantize each subvector to the nearest of `PqK`
+    * codebook centroids, store only the code (here 8×4 bits ≈ 4 bytes
+    * per vector instead of 256). Search is ADC (asymmetric distance):
+    * the query computes one small distance table (M×K subspace
+    * distances to every centroid), and each corpus vector's approximate
+    * distance is a table-lookup SUM over its codes — no per-pair float
+    * math at scan time.
+    *
+    * The codebook here is sampled (subvectors of the first `PqK` corpus
+    * vectors — the k-means|| seeding step, frozen for cross-engine
+    * determinism; a production pipeline would iterate k-means on it).
+    * All arithmetic is exact int64 on 1e4-scaled elements (|Σ over a
+    * subspace| ≤ 8·(4·10⁴)² ≈ 1.3·10¹⁰, ADC sum ≤ 10¹¹ — far inside
+    * int64), so codes, distance tables, and ranking hash-match DuckDB.
+    *
+    * Scale shape: the codebook (M·K·8 longs) broadcasts; encoding is a
+    * broadcast join + (vec, subspace) argmin with map-side partial
+    * aggregation; the ADC scan joins the code table (the compressed
+    * corpus — the only per-vector state at search time) to a broadcast
+    * M×K query distance table and sums per (query, vector). */
+  def vecPq(s: SparkSession, dir: String): DataFrame = {
+    def q4vec(c: Column): Column = transform(c, x => q4(x))
+    // (id, m, sub): q4-quantized subvectors, pinned repartition ahead of
+    // the K-way fan-out join (AQE would coalesce the small map side)
+    def subvecs(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol), posexplode(
+          transform(sequence(lit(0), lit(PqM - 1)),
+            m => slice(col("v"), m * lit(PqSub) + 1, lit(PqSub)))))
+        .select(col(idCol), col("pos").as("m"), col("col").as("sub"))
+    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), q4vec(col("embedding")).as("v"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val corpusSub = subvecs(corpus, "vec_id")
+    // sampled codebook: subvectors of corpus vectors 10..(10+K-1)
+    val codebook = corpusSub.filter(col("vec_id") < 10 + PqK)
+      .select((col("vec_id") - 10).as("j"), col("m"), col("sub").as("cent"))
+    def sq(a: Column, b: Column): Column =
+      call_function("graft_sqdist_l", a, b)
+    // encode: per (vector, subspace) argmin over the K centroids
+    val codes = corpusSub.join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id"), col("m"), col("j"),
+        sq(col("sub"), col("cent")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+    // query-side ADC distance table: M×K per query, broadcast
+    val qsub = subvecs(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), q4vec(col("embedding")).as("v")),
+      "query_id")
+    val dtab = qsub.join(broadcast(codebook), Seq("m"))
+      .select(col("query_id"), col("m"), col("j"),
+        sq(col("sub"), col("cent")).as("qdist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    codes.join(broadcast(dtab),
+        codes("m") === dtab("m") && codes("code") === dtab("j"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("qdist").as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val vecPqSql: String = s"""
+    WITH e4 AS (
+      SELECT vec_id, CAST(d.range AS INT) AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    sub AS (
+      SELECT vec_id, d // $PqSub AS m, d % $PqSub AS sd, x FROM e4),
+    cent AS (
+      SELECT vec_id - 10 AS j, m, sd, x FROM sub
+      WHERE vec_id >= 10 AND vec_id < ${10 + PqK}),
+    dist AS (
+      SELECT s.vec_id, s.m, c.j,
+        CAST(SUM((s.x - c.x) * (s.x - c.x)) AS BIGINT) AS dist
+      FROM sub s JOIN cent c ON c.m = s.m AND c.sd = s.sd
+      GROUP BY s.vec_id, s.m, c.j),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        FROM dist WHERE vec_id >= 10) WHERE rk = 1),
+    adc AS (
+      SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(SUM(d.dist) AS BIGINT) AS adist
+      FROM codes c JOIN dist d ON d.m = c.m AND d.j = c.code AND d.vec_id < 10
+      GROUP BY d.vec_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+        row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, rank, neighbor_id, adist
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
     "knn_vote"  -> (knnVote _),
     "vec_embed" -> (vecEmbed _),
     "ann_lsh"   -> (annLsh _),
     "ann_ivf"   -> (annIvf _),
-    "vec_quantize" -> (vecQuantize _))
+    "vec_quantize" -> (vecQuantize _),
+    "vec_pq"    -> (vecPq _))
 
   val oracle: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
@@ -445,5 +551,6 @@ object Similarity {
     "vec_embed" -> vecEmbedSql,
     "ann_lsh"   -> annLshSql,
     "ann_ivf"   -> annIvfSql,
-    "vec_quantize" -> vecQuantizeSql)
+    "vec_quantize" -> vecQuantizeSql,
+    "vec_pq"    -> vecPqSql)
 }

@@ -6,8 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Scale-pattern operators (SURVEY §2 E15–E16): skew-safe salted
-  * aggregation and a cross-engine-deterministic HyperLogLog sketch.
+/** Scale-pattern operators (SURVEY §2 E15–E16, E19, E28): skew-safe
+  * salted aggregation and join, cross-engine-deterministic HyperLogLog
+  * and count-min sketches.
   */
 object Sketches {
 
@@ -157,13 +158,65 @@ object Sketches {
     ORDER BY cms_estimate DESC, est.user_id
     LIMIT 10"""
 
+  /** E28: skew-safe salted JOIN — the join-side twin of E15. The fact
+    * table joins per-key statistics back on `event_type`, a 5-value key:
+    * a plain shuffle join would land each hot key on ONE reducer (5 busy
+    * tasks at 100 TB, the rest idle). Remedy: replicate the stats side
+    * `Salt` ways (`explode(sequence)`), salt the fact side by a hash of
+    * its row id, and equi-join on (key, salt) — each hot key spreads
+    * over `Salt` reducers and the join result is EXACTLY the unsalted
+    * join, which is what the oracle runs. The SHUFFLE_HASH hint pins the
+    * shuffle path so the demo exercises what it demonstrates (unhinted,
+    * Spark would broadcast this tiny stats side — the right call in
+    * production when the dim fits, in which case salting is unneeded;
+    * salting is the remedy when the replicated side is itself too big to
+    * broadcast, e.g. per-user stats with hot users). AQE's skew-join
+    * split covers sort-merge joins at runtime; salting is the
+    * plan-level form that also works without AQE.
+    *
+    * The query itself is groupwise normalization — count each type's
+    * events above the type mean. "Above mean" is tested as
+    * v·n > Σv in exact decimal×int arithmetic: no division, no IEEE
+    * drift, oracle hash-matches bit-for-bit. */
+  private val JoinSalt = 16
+
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    def v = col("value").cast(DecimalType(12, 2))
+    val facts = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), v.as("v"))
+      .withColumn("salt", Hashing.h60(col("event_id").cast("string")) % JoinSalt)
+    val stats = Tables.events(s, dir)
+      .select(col("event_type"), v.as("v"))
+      .groupBy("event_type").agg(sum("v").as("tv"), count(lit(1)).as("n"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(JoinSalt - 1L))))
+    facts.join(stats.hint("SHUFFLE_HASH"), Seq("event_type", "salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("v") * col("n") > col("tv"), 1).otherwise(0))
+          .as("n_above"))
+      .orderBy("event_type")
+  }
+
+  val qSkewJoinSql: String = """
+    WITH stats AS (
+      SELECT event_type, SUM(CAST(value AS DECIMAL(12,2))) AS tv,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN CAST(e.value AS DECIMAL(12,2)) * s.n > s.tv
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (qSaltedAgg _),
     "q_hll_users"  -> (qHllUsers _),
-    "q_cms_topk"   -> (qCmsTopk _))
+    "q_cms_topk"   -> (qCmsTopk _),
+    "q_skew_join"  -> (qSkewJoin _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
     "q_hll_users"  -> qHllUsersSql,
-    "q_cms_topk"   -> qCmsTopkSql)
+    "q_cms_topk"   -> qCmsTopkSql,
+    "q_skew_join"  -> qSkewJoinSql)
 }

@@ -469,6 +469,57 @@ object TextAnalysis {
     FROM b JOIN c USING (bigram)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- D16 winnowing fingerprints ---------------------------------------
+
+  private val WinnowK = 3 // word k-gram length
+  private val WinnowW = 4 // winnowing window (k-grams per window)
+
+  /** D16: winnowing document fingerprints — the local fingerprinting
+    * algorithm of Schleimer/Wilkerson/Aiken (SIGMOD 2003, the MOSS
+    * detector): hash every word-K-gram positionally, slide a W-window
+    * over the hash sequence, keep the minimum hash per window. Guarantee:
+    * two documents sharing any run of ≥ W+K-1 tokens share at least one
+    * fingerprint, with expected density 2/(W+1) of the grams — unlike
+    * MinHash (C3) the selection is LOCAL, so matches also pinpoint where
+    * the overlap is. The fingerprint inverted index (fp → doc list) is
+    * the candidate generator for substring-level plagiarism/quote
+    * detection, complementing whole-document near-dup (C2–C4).
+    *
+    * Scale shape: one shuffle-free narrow pass per document through the
+    * fused `graft_winnow` kernel (tokenize → positional gram md5 →
+    * monotonic-deque window minima → dedup, O(n) per doc) + one explode.
+    * The composed transform/slice/array_min HOF chain computing the same
+    * thing is CodegenFallback and O(n·w) — measured 154 s at sf0.1 vs
+    * sub-second fused (the SURVEY §9 finding-1/finding-6 pattern). */
+  def textWinnow(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(
+        call_function("graft_winnow", col("text"),
+          lit(WinnowK), lit(WinnowW))).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
+  val textWinnowSql: String = {
+    val gram = "t[i] || ' ' || t[i+1] || ' ' || t[i+2]"
+    s"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, len(t) - ${WinnowK - 1}),
+          i -> ${Hashing.h60pSql(gram)}) AS g
+      FROM toks WHERE len(t) >= $WinnowK),
+    w AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, len(g) - ${WinnowW - 1}),
+          j -> list_min(list_slice(g, j, j + ${WinnowW - 1}))) AS mins
+      FROM g WHERE len(g) >= $WinnowW)
+    SELECT DISTINCT doc_id, fp
+    FROM (SELECT doc_id, unnest(mins) AS fp FROM w)
+    ORDER BY doc_id, fp"""
+  }
+
   /** Per-source mixture rates (per-mille) for D15 — the data-mix recipe a
     * pretraining run pins: oversample curated sources, downsample web. */
   private val mixRates: Seq[(String, Int)] =
@@ -508,6 +559,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_mix"         -> (textMix _),
+    "text_winnow"      -> (textWinnow _),
     "text_lm_score"    -> (textLmScore _),
     "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
@@ -525,6 +577,7 @@ object TextAnalysis {
 
   val oracle: Map[String, String] = Map(
     "text_mix"         -> textMixSql,
+    "text_winnow"      -> textWinnowSql,
     "text_lm_score"    -> textLmScoreSql,
     "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,

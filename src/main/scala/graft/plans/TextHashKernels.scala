@@ -115,6 +115,57 @@ object TextHash {
     w
   }
 
+  /** Sorted distinct winnowing fingerprints (Schleimer et al. 2003):
+    * h60p hashes of the word-`k`-grams in positional order, then the
+    * minimum hash of every sliding window of `w` grams, deduplicated.
+    * The window minima run through a monotonic deque — O(n) total, one
+    * narrow pass per document, vs the interpreted HOF chain's O(n·w)
+    * array slicing with per-gram expression-tree md5 (measured 154 s →
+    * sub-second at sf0.1). Same gram string ("a b c") and same
+    * md5-mod-P math as the SQL oracle. */
+  def winnow(text: UTF8String, k: Int, w: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < k + w - 1) return Array.emptyLongArray
+    val nGrams = toks.length - k + 1
+    val gh = new Array[Long](nGrams)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val b = sb.toString.getBytes("UTF-8")
+      gh(i) = h60Bytes(b, 0, b.length) % P
+      i += 1
+    }
+    val nWin = nGrams - w + 1
+    val mins = new Array[Long](nWin)
+    // monotonic deque of gram indices with increasing hash values
+    val dq = new Array[Int](nGrams)
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    while (i < nGrams) {
+      while (tail > head && gh(dq(tail - 1)) >= gh(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) mins(i - w + 1) = gh(dq(head))
+      i += 1
+    }
+    java.util.Arrays.sort(mins)
+    var wr = 1
+    var r = 1
+    while (r < nWin) {
+      if (mins(r) != mins(wr - 1)) { mins(wr) = mins(r); wr += 1 }
+      r += 1
+    }
+    if (wr == nWin) mins else java.util.Arrays.copyOf(mins, wr)
+  }
+
   /** Split on single space, drop empties — Text.tokens semantics. */
   private def tokenize(text: UTF8String): Array[String] = {
     val s = text.toString
@@ -181,6 +232,27 @@ case class HashEmbed(child: Expression, dim: Int) extends TextKernelTyping {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.plans.TextHash.hashEmbed($c, $dim));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → sorted distinct winnowing
+  * fingerprints (k-gram h60p hashes → sliding-window minima → dedup),
+  * fusing the whole Schleimer-et-al. pipeline into one O(n) per-row
+  * kernel — the interpreted transform/slice/array_min chain it replaces
+  * was O(n·w) with per-gram expression-tree md5. */
+case class Winnow(child: Expression, k: Int, w: Int) extends TextKernelTyping {
+  override def prettyName: String = "graft_winnow"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.winnow(input.asInstanceOf[UTF8String], k, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.TextHash.winnow($c, $k, $w));")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -48,6 +48,30 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_winnow == composed window-minima form on 200 generated strings") {
+    val k = 3; val w = 4
+    val texts = sample(textGen, 200)
+    val df = texts.toDF("text")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val n = size(toks)
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => Hashing.h60p(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val mins = when(size(grams) >= w,
+      transform(sequence(lit(1), size(grams) - (w - 1)),
+        j => array_min(slice(grams, j, lit(w)))))
+      .otherwise(array().cast("array<bigint>"))
+    val rows = df.select(
+      call_function("graft_winnow", col("text"), lit(k), lit(w)).as("native"),
+      array_sort(array_distinct(mins)).as("composed"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"winnow mismatch for text=${r.getString(2)}")
+    }
+  }
+
   test("graft_simhash32 == composed sign-vote on generated strings") {
     val texts = sample(textGen, 200).filter(_.exists(_ != ' '))
     val df = texts.toDF("text").withColumn("id", monotonically_increasing_id())
