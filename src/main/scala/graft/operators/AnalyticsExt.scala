@@ -356,7 +356,88 @@ object AnalyticsExt {
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority"""
 
+  /** E29: time-RANGE window frame — per-user trailing-hour count/sum at
+    * every event (the sliding-window feature a fraud/abuse model reads).
+    * Distinct from E5's ROWS frame: a RANGE frame bounds by ORDER-key
+    * VALUE, so it includes ties and spans variable row counts. The order
+    * key is exact int64 epoch-micros (`unix_micros`), the frame
+    * [t-1h, t] — integer arithmetic both engines evaluate identically;
+    * sums are decimal until the final double cast.
+    *
+    * Scale: one shuffle on user_id; the frame is evaluated by a single
+    * sort-window pass per partition — no self-join range probe. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-(hourUs - 1), Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum("v").over(w).cast("double").as("value_last_hour"))
+      .orderBy("event_id")
+  }
+
+  val qWindowRangeSql: String = """
+    SELECT event_id, user_id,
+      COUNT(*) OVER w AS n_last_hour,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id"""
+
+  /** E30: calendar gap-filling — densify each event_type's hourly series
+    * over its own [min, max] hour span, zero-filling empty hours (the
+    * step before any time-series model or rate alarm; gaps otherwise
+    * read as missing rows, not zeros). The grid generates from a 5-row
+    * per-type bounds aggregate via `sequence(min, max, 1 hour)` —
+    * explode of a tiny side, broadcast-joined back to the hourly
+    * aggregate; the fact table is scanned once. */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val hour = date_trunc("hour", col("ts"))
+    val events = Tables.events(s, dir)
+    val hourly = events
+      .groupBy(col("event_type"), hour.as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).as("v"))
+    val grid = events
+      .groupBy("event_type").agg(min(hour).as("h0"), max(hour).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("v").cast("double"), lit(0.0)).as("total_value"),
+        col("n").isNull.as("is_gap"))
+      .orderBy("event_type", "hour")
+  }
+
+  val qGapFillSql: String = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+        SUM(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    bounds AS (
+      SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+      GROUP BY event_type),
+    grid AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds)
+    SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+      COALESCE(n, 0) AS n_events,
+      COALESCE(CAST(v AS DOUBLE), 0.0) AS total_value,
+      n IS NULL AS is_gap
+    FROM grid g LEFT JOIN hourly USING (event_type, h)
+    ORDER BY g.event_type, hour"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_range" -> (qWindowRange _),
+    "q_gap_fill"    -> (qGapFill _),
     "q_asof_join"   -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_asof_tolerance" -> (qAsofTolerance _),
@@ -369,6 +450,8 @@ object AnalyticsExt {
     "q_bloom_join"  -> (qBloomJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_window_range" -> qWindowRangeSql,
+    "q_gap_fill"    -> qGapFillSql,
     "q_asof_join"   -> qAsofJoinSql,
     "q_asof_native" -> qAsofJoinSql,
     "q_asof_tolerance" -> qAsofToleranceSql,

@@ -73,6 +73,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan not pruned to (vec_id, embedding):\n$plan")
   }
 
+  test("q_skew_join actually takes the salted shuffle-hash path") {
+    val plan = executedPlan(SparkEntry.queries("q_skew_join")(spark, sf))
+    // the point of the demo: the fact<->stats join must be a shuffled
+    // hash join on (event_type, salt), NOT a broadcast of the tiny side
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join lost its SHUFFLE_HASH pin:\n$plan")
+    assert(plan.contains("salt"), s"salt column missing from plan:\n$plan")
+  }
+
+  test("vec_pq keeps codebook and distance table broadcast") {
+    val plan = executedPlan(SparkEntry.queries("vec_pq")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"PQ encode/ADC fell back to sort-merge:\n$plan")
+  }
+
+  test("text_winnow is a shuffle-free narrow scan up to the output sort") {
+    val plan = executedPlan(SparkEntry.queries("text_winnow")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_winnow"), s"fused kernel missing:\n$plan")
+    // only the presentation sort's range exchange may shuffle
+    val exchanges = plan.linesIterator.filter(_.contains("+- Exchange "))
+      .filterNot(_.contains("rangepartitioning")).toSeq
+    assert(exchanges.isEmpty, s"winnow shuffled before the sort:\n$plan")
+  }
+
   test("jaccard join condition evaluates the intersect kernel exactly once") {
     val plan = executedPlan(Dedup.dedupJaccard(spark, sf))
     val joinLines = plan.linesIterator
