@@ -158,6 +158,70 @@ object Sketches {
     ORDER BY cms_estimate DESC, est.user_id
     LIMIT 10"""
 
+  /** E31: HLL sketch MERGE — the property that makes sketches work at
+    * 100 TB: registers built independently per shard (here per day)
+    * combine with element-wise MAX into exactly the registers a global
+    * pass would build, so distinct counts merge without re-touching the
+    * data. The pipeline: per-(type, day) registers → MAX-merge per type
+    * → the same exact-int64 estimate as E16 — and because MAX is
+    * associative the merged estimate is bit-identical to E16's
+    * single-pass estimate, which is precisely what the oracle (written
+    * in the same two-level shape) hash-checks. At scale the per-shard
+    * sketch table is the only thing that moves: ≤64 small ints per
+    * (shard, group), mergeable in any order, incrementally updatable as
+    * new days land. */
+  def qHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val dayRegs = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        Hashing.h60(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"), col("day"),
+        (col("h") % HllM).cast("int").as("reg"),
+        (lit(55) - length(bin(expr(s"h div $HllM")))).as("rank"))
+      .groupBy("event_type", "day", "reg")
+      .agg(max("rank").as("m"))
+    val merged = dayRegs.groupBy("event_type", "reg").agg(max("m").as("m"))
+    val days = dayRegs.groupBy("event_type")
+      .agg(countDistinct("day").as("n_days"))
+    merged
+      .withColumn("w", expr("shiftleft(cast(1 as bigint), cast(55 - m as int))"))
+      .groupBy("event_type")
+      .agg(sum("w").as("z_present"), count(lit(1)).as("n_present"))
+      .withColumn("z",
+        col("z_present") + (lit(HllM) - col("n_present")) * expr(s"cast($Scale55 as bigint)"))
+      .join(days, "event_type")
+      .select(col("event_type"), col("n_days"),
+        (lit(0.709) * lit((HllM * HllM).toDouble) * lit(Scale55.toDouble)
+          / col("z").cast("double")).as("hll_estimate"))
+      .orderBy("event_type")
+  }
+
+  val qHllMergeSql: String = s"""
+    WITH dayregs AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+        CAST(h % $HllM AS INT) AS reg,
+        MAX(55 - length(bin(h // $HllM))) AS m
+      FROM (SELECT event_type, ts,
+              ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+            FROM events)
+      GROUP BY event_type, date_trunc('day', ts), CAST(h % $HllM AS INT)),
+    merged AS (
+      SELECT event_type, reg, MAX(m) AS m
+      FROM dayregs GROUP BY event_type, reg),
+    days AS (
+      SELECT event_type, COUNT(DISTINCT day) AS n_days
+      FROM dayregs GROUP BY event_type),
+    est AS (
+      SELECT event_type,
+        SUM(CAST(1 AS BIGINT) << (55 - m)) AS z_present,
+        COUNT(*) AS n_present
+      FROM merged GROUP BY event_type)
+    SELECT est.event_type, days.n_days,
+      CAST(0.709 AS DOUBLE) * ${(HllM * HllM).toDouble} * ${Scale55}.0
+        / CAST(z_present + ($HllM - n_present) * CAST($Scale55 AS BIGINT) AS DOUBLE)
+        AS hll_estimate
+    FROM est JOIN days USING (event_type)
+    ORDER BY est.event_type"""
+
   /** E28: skew-safe salted JOIN — the join-side twin of E15. The fact
     * table joins per-key statistics back on `event_type`, a 5-value key:
     * a plain shuffle join would land each hot key on ONE reducer (5 busy
@@ -212,11 +276,13 @@ object Sketches {
     "q_salted_agg" -> (qSaltedAgg _),
     "q_hll_users"  -> (qHllUsers _),
     "q_cms_topk"   -> (qCmsTopk _),
-    "q_skew_join"  -> (qSkewJoin _))
+    "q_skew_join"  -> (qSkewJoin _),
+    "q_hll_merge"  -> (qHllMerge _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
     "q_hll_users"  -> qHllUsersSql,
     "q_cms_topk"   -> qCmsTopkSql,
-    "q_skew_join"  -> qSkewJoinSql)
+    "q_skew_join"  -> qSkewJoinSql,
+    "q_hll_merge"  -> qHllMergeSql)
 }

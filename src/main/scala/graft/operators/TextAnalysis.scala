@@ -520,6 +520,44 @@ object TextAnalysis {
     ORDER BY doc_id, fp"""
   }
 
+  /** D17: CCNet-style perplexity bucketing — split each language's docs
+    * into head/middle/tail terciles by LM score (D14's corpus-frequency
+    * stand-in, high = fluent), the partition CCNet uses to keep head+
+    * middle and drop tail. `ntile(3)` over a fully deterministic order
+    * (score desc, doc_id) — both engines implement the standard
+    * larger-groups-first rule, so bucket edges match exactly.
+    *
+    * Scale: D14's two keyed shuffles + one lang-partitioned window; the
+    * lang join is against the same scan (Catalyst reuses it). */
+  def textPplBucket(s: SparkSession, dir: String): DataFrame = {
+    val lm = textLmScore(s, dir).select("doc_id", "avg_freq")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_freq").desc, col("doc_id"))
+    Tables.documents(s, dir).select("doc_id", "lang")
+      .join(lm, "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_freq"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val textPplBucketSql: String = {
+    val lmSql = textLmScoreSql.replace("ORDER BY doc_id", "")
+    s"""
+    WITH lm AS ($lmSql),
+    t AS (
+      SELECT d.doc_id, d.lang, lm.avg_freq,
+        ntile(3) OVER (PARTITION BY d.lang
+                       ORDER BY lm.avg_freq DESC, d.doc_id) AS tercile
+      FROM documents d JOIN lm ON lm.doc_id = d.doc_id)
+    SELECT doc_id, lang, avg_freq,
+      CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+           ELSE 'tail' END AS bucket
+    FROM t ORDER BY doc_id"""
+  }
+
   /** Per-source mixture rates (per-mille) for D15 — the data-mix recipe a
     * pretraining run pins: oversample curated sources, downsample web. */
   private val mixRates: Seq[(String, Int)] =
@@ -560,6 +598,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_mix"         -> (textMix _),
     "text_winnow"      -> (textWinnow _),
+    "text_ppl_bucket"  -> (textPplBucket _),
     "text_lm_score"    -> (textLmScore _),
     "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
@@ -578,6 +617,7 @@ object TextAnalysis {
   val oracle: Map[String, String] = Map(
     "text_mix"         -> textMixSql,
     "text_winnow"      -> textWinnowSql,
+    "text_ppl_bucket"  -> textPplBucketSql,
     "text_lm_score"    -> textLmScoreSql,
     "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,

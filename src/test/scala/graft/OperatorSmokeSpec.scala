@@ -31,6 +31,19 @@ class OperatorSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("merged per-day HLL estimate is bit-identical to the single-pass estimate") {
+    // MAX is associative: shard registers merged per type must equal the
+    // global registers, so the two estimates match exactly — the property
+    // that lets 100 TB sketches build per-partition and merge
+    val merged = operators.Sketches.qHllMerge(spark, sf)
+      .select("event_type", "hll_estimate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val single = operators.Sketches.qHllUsers(spark, sf)
+      .select("event_type", "hll_estimate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(merged == single)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
       val df = fn(spark, sf)
