@@ -321,7 +321,9 @@ object Similarity {
   private def q4(x: Column): Column =
     floor(x.cast("double") * lit(1.0e4) + lit(0.5))
 
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF cell-probe: (query_id, qq, label) for each query's
+    * top-`IvfProbes` cells by exact centroid score (used by B5 and B8). */
+  private def ivfProbed(s: SparkSession, dir: String): DataFrame = {
     val c = corpusSet(s, dir)
     // centroid sums: one narrow posexplode + (label, dim) partial agg —
     // at scale this is a tiny broadcastable summary (ncells × dim rows)
@@ -333,13 +335,18 @@ object Similarity {
       .join(c.groupBy("label").agg(count(lit(1)).as("cnt")), "label")
     val cellW = Window.partitionBy("query_id")
       .orderBy(col("cell_score").desc, col("label"))
-    val probed = queriesSet(s, dir).join(broadcast(cent))
+    queriesSet(s, dir).join(broadcast(cent))
       .select(col("query_id"), col("qq"), col("label"),
         (dotExact(transform(col("q"), x => q4(x)), col("csum")).cast("double")
           / col("cnt")).as("cell_score"))
       .withColumn("crk", row_number().over(cellW))
       .filter(col("crk") <= IvfProbes)
       .select(col("query_id"), col("qq"), col("label"))
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val c = corpusSet(s, dir)
+    val probed = ivfProbed(s, dir)
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
     c.join(broadcast(probed), Seq("label"))
       .select(col("query_id"), col("neighbor_id"),
@@ -459,38 +466,50 @@ object Similarity {
     * aggregation; the ADC scan joins the code table (the compressed
     * corpus — the only per-vector state at search time) to a broadcast
     * M×K query distance table and sums per (query, vector). */
-  def vecPq(s: SparkSession, dir: String): DataFrame = {
-    def q4vec(c: Column): Column = transform(c, x => q4(x))
-    // (id, m, sub): q4-quantized subvectors, pinned repartition ahead of
-    // the K-way fan-out join (AQE would coalesce the small map side)
-    def subvecs(df: DataFrame, idCol: String): DataFrame =
-      df.select(col(idCol), posexplode(
-          transform(sequence(lit(0), lit(PqM - 1)),
-            m => slice(col("v"), m * lit(PqSub) + 1, lit(PqSub)))))
-        .select(col(idCol), col("pos").as("m"), col("col").as("sub"))
-    val corpus = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+  private def q4vec(c: Column): Column = transform(c, x => q4(x))
+
+  /** (id, m, sub): q4-quantized subvectors, pinned repartition ahead of
+    * the K-way fan-out join (AQE would coalesce the small map side). */
+  private def pqSubvecs(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(PqM - 1)),
+          m => slice(col("v"), m * lit(PqSub) + 1, lit(PqSub)))))
+      .select(col(idCol), col("pos").as("m"), col("col").as("sub"))
+
+  private def pqCorpusSub(s: SparkSession, dir: String): DataFrame =
+    pqSubvecs(Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
       .select(col("vec_id"), q4vec(col("embedding")).as("v"))
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    val corpusSub = subvecs(corpus, "vec_id")
-    // sampled codebook: subvectors of corpus vectors 10..(10+K-1)
-    val codebook = corpusSub.filter(col("vec_id") < 10 + PqK)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id")), "vec_id")
+
+  /** Sampled codebook: subvectors of corpus vectors 10..(10+K-1). */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame =
+    pqCorpusSub(s, dir).filter(col("vec_id") < 10 + PqK)
       .select((col("vec_id") - 10).as("j"), col("m"), col("sub").as("cent"))
-    def sq(a: Column, b: Column): Column =
-      call_function("graft_sqdist_l", a, b)
-    // encode: per (vector, subspace) argmin over the K centroids
-    val codes = corpusSub.join(broadcast(codebook), Seq("m"))
+
+  private def sq(a: Column, b: Column): Column =
+    call_function("graft_sqdist_l", a, b)
+
+  /** Encode: per (vector, subspace) argmin over the K centroids. */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCorpusSub(s, dir).join(broadcast(pqCodebook(s, dir)), Seq("m"))
       .select(col("vec_id"), col("m"), col("j"),
         sq(col("sub"), col("cent")).as("dist"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
-    // query-side ADC distance table: M×K per query, broadcast
-    val qsub = subvecs(
+
+  /** Query-side ADC distance table: M×K rows per query, broadcast. */
+  private def pqDistTab(s: SparkSession, dir: String): DataFrame =
+    pqSubvecs(
       Tables.embeddings(s, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), q4vec(col("embedding")).as("v")),
       "query_id")
-    val dtab = qsub.join(broadcast(codebook), Seq("m"))
+      .join(broadcast(pqCodebook(s, dir)), Seq("m"))
       .select(col("query_id"), col("m"), col("j"),
         sq(col("sub"), col("cent")).as("qdist"))
+
+  def vecPq(s: SparkSession, dir: String): DataFrame = {
+    val codes = pqCodes(s, dir)
+    val dtab = pqDistTab(s, dir)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist"), col("neighbor_id"))
     codes.join(broadcast(dtab),
@@ -536,6 +555,94 @@ object Similarity {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** B8: IVF-PQ — the composition production billion-scale indexes
+    * actually ship (FAISS IVFPQ): the IVF coarse quantizer prunes the
+    * scan to the query's top-`IvfProbes` cells, and within those cells
+    * distances are PQ ADC table lookups over the compressed code table —
+    * per-vector search state is M small codes, no float vector is read
+    * at scan time. Output is pure ADC ranking (the memory-tight
+    * deployment; an exact re-rank of the top-k is one narrow follow-up
+    * join if the raw vectors are kept). Exact int64 throughout, fully
+    * oracle-checked: cell scores, probe choice, codes, ADC sums.
+    *
+    * Scale: candidate set = members of nprobe cells (shuffle on cell
+    * id); codes join is co-keyed on vec_id; the query distance table
+    * (Q·M·K rows) broadcasts. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val probed = ivfProbed(s, dir).select("query_id", "label")
+    val members = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("label"))
+    val cand = members.join(broadcast(probed), Seq("label"))
+      .select(col("query_id"), col("vec_id"))
+    val dt = pqDistTab(s, dir).select(col("query_id").as("dq"),
+      col("m").as("dm"), col("j"), col("qdist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    cand.join(pqCodes(s, dir), Seq("vec_id"))
+      .join(broadcast(dt), col("query_id") === col("dq")
+        && col("m") === col("dm") && col("code") === col("j"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("qdist").as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annIvfPqSql: String = s"""
+    WITH q4c AS (
+      SELECT vec_id, label, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    cent AS (
+      SELECT label, d, CAST(SUM(qe) AS BIGINT) AS csum
+      FROM q4c WHERE vec_id >= 10 GROUP BY label, d),
+    cnt AS (
+      SELECT label, COUNT(*) AS cnt FROM embeddings WHERE vec_id >= 10 GROUP BY label),
+    cellscore AS (
+      SELECT q.vec_id AS query_id, cent.label,
+        CAST(CAST(SUM(q.qe * cent.csum) AS BIGINT) AS DOUBLE) / MAX(cnt.cnt) AS cell_score
+      FROM q4c q JOIN cent ON q.d = cent.d JOIN cnt ON cnt.label = cent.label
+      WHERE q.vec_id < 10
+      GROUP BY q.vec_id, cent.label),
+    probed AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+          row_number() OVER (PARTITION BY query_id ORDER BY cell_score DESC, label) AS crk
+        FROM cellscore) WHERE crk <= $IvfProbes),
+    pqsub AS (
+      SELECT vec_id, d // $PqSub AS m, d % $PqSub AS sd, qe AS x FROM q4c),
+    pqcent AS (
+      SELECT vec_id - 10 AS j, m, sd, x FROM pqsub
+      WHERE vec_id >= 10 AND vec_id < ${10 + PqK}),
+    pqdist AS (
+      SELECT s.vec_id, s.m, c.j,
+        CAST(SUM((s.x - c.x) * (s.x - c.x)) AS BIGINT) AS dist
+      FROM pqsub s JOIN pqcent c ON c.m = s.m AND c.sd = s.sd
+      GROUP BY s.vec_id, s.m, c.j),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        FROM pqdist WHERE vec_id >= 10) WHERE rk = 1),
+    cand AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id
+      FROM probed p JOIN embeddings e ON e.label = p.label AND e.vec_id >= 10),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        CAST(SUM(d.dist) AS BIGINT) AS adist
+      FROM cand
+      JOIN codes c ON c.vec_id = cand.neighbor_id
+      JOIN pqdist d ON d.m = c.m AND d.j = c.code AND d.vec_id = cand.query_id
+      GROUP BY cand.query_id, cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+        row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, rank, neighbor_id, adist
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
     "knn_vote"  -> (knnVote _),
@@ -543,7 +650,8 @@ object Similarity {
     "ann_lsh"   -> (annLsh _),
     "ann_ivf"   -> (annIvf _),
     "vec_quantize" -> (vecQuantize _),
-    "vec_pq"    -> (vecPq _))
+    "vec_pq"    -> (vecPq _),
+    "ann_ivfpq" -> (annIvfPq _))
 
   val oracle: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
@@ -552,5 +660,6 @@ object Similarity {
     "ann_lsh"   -> annLshSql,
     "ann_ivf"   -> annIvfSql,
     "vec_quantize" -> vecQuantizeSql,
-    "vec_pq"    -> vecPqSql)
+    "vec_pq"    -> vecPqSql,
+    "ann_ivfpq" -> annIvfPqSql)
 }
