@@ -505,7 +505,43 @@ object Analytics {
                             (o_orderpriority), ())
     ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
 
+  /** E32: relational set operators — INTERSECT / EXCEPT / UNION DISTINCT
+    * over the purchaser and clicker user sets, labeled and counted in
+    * one result. Spark plans INTERSECT/EXCEPT as left-semi/anti
+    * aggregates on the hashed key — one shuffle each on user_id, no
+    * row-tagging tricks needed; at scale they behave exactly like the
+    * equivalent semi/anti joins (E10/E27) on pre-aggregated distinct
+    * sets. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    def users(t: String) = Tables.events(s, dir)
+      .filter(col("event_type") === t).select("user_id").distinct()
+    val p = users("purchase")
+    val c = users("click")
+    p.intersect(c).select(lit("intersect").as("set_op"), col("user_id"))
+      .union(p.except(c).select(lit("except").as("set_op"), col("user_id")))
+      .union(p.union(c).distinct()
+        .select(lit("union").as("set_op"), col("user_id")))
+      .groupBy("set_op").agg(count(lit(1)).as("n_users"))
+      .orderBy("set_op")
+  }
+
+  val qSetOpsSql: String = """
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    lab AS (
+      SELECT 'intersect' AS set_op, user_id
+      FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+      UNION ALL
+      SELECT 'except' AS set_op, user_id
+      FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+      UNION ALL
+      SELECT 'union' AS set_op, user_id
+      FROM (SELECT user_id FROM p UNION SELECT user_id FROM c))
+    SELECT set_op, COUNT(*) AS n_users
+    FROM lab GROUP BY set_op ORDER BY set_op"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_ops"    -> (qSetOps _),
     "q1_pricing"   -> (q1Pricing _),
     "q3_revenue"   -> (q3Revenue _),
     "q5_region"    -> (q5Region _),
@@ -526,6 +562,7 @@ object Analytics {
     "q_scd2"       -> (qScd2 _))
 
   val oracle: Map[String, String] = Map(
+    "q_set_ops"    -> qSetOpsSql,
     "q1_pricing"   -> q1PricingSql,
     "q3_revenue"   -> q3RevenueSql,
     "q5_region"    -> q5RegionSql,

@@ -96,16 +96,83 @@ object Multimodal {
   private def mmFrameSampleQ(s: SparkSession, dir: String): DataFrame =
     mmFrameSample(s, dir)
 
+  /** F11: exact media dedup by payload content hash — the first pass of
+    * every image/video dedup pipeline (byte-identical copies collapse on
+    * md5 before any expensive perceptual step). One hash shuffle,
+    * keep-min-id, copy count: the binary twin of C1. */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(col("payload").isNotNull)
+      .groupBy(md5(col("payload")).as("content_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  }
+
+  // DuckDB's md5() takes VARCHAR, not BLOB — hashing the text directly
+  // covers the same UTF-8 bytes the Spark side casts to binary.
+  val mmDedupSql: String = """
+    SELECT md5(text) AS content_hash,
+      MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY md5(text)
+    ORDER BY keep_doc_id"""
+
+  private val OverlapMinShared = 3
+  private val OverlapMaxDf = 100
+
+  /** F12: near-dup media by shared sampled frames — the video-pipeline
+    * near-dup step: two blobs sharing ≥ 3 frame hashes are re-encodes /
+    * re-uploads of the same content. Candidate generation is an
+    * equi-join on frame_hash (blocked — never all-pairs), with
+    * stop-frame removal first: hashes appearing in > 100 docs (black
+    * frames, intros) are dropped before the join, the frequency cap
+    * every shared-frame joiner at scale applies to bound hot-key
+    * fan-out. */
+  def mmFrameOverlap(s: SparkSession, dir: String): DataFrame = {
+    val frames = mmFrameSample(s, dir)
+      .select(col("doc_id"), col("frame_hash")).distinct()
+    val keep = frames.groupBy("frame_hash")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= OverlapMaxDf)
+      .select("frame_hash")
+    val f = frames.join(keep, "frame_hash")
+    val a = f.select(col("frame_hash"), col("doc_id").as("doc_a"))
+    val b = f.select(col("frame_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("frame_hash")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= OverlapMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _),
-    "mm_framesample" -> (mmFrameSampleQ _))
+    "mm_framesample" -> (mmFrameSampleQ _),
+    "mm_dedup" -> (mmDedup _),
+    "mm_frame_overlap" -> (mmFrameOverlap _))
 
   /** Oracles replicate the stub decode from the payload bytes. The test
     * corpus is pure ASCII (verified), so DuckDB's per-character ord()
     * equals the UTF-8 byte the Scala side reads — the operator contract
     * is over bytes; the oracle is valid for this dataset. */
-  val oracle: Map[String, String] = Map(
-    "mm_framesample" -> s"""
+  /** Oracle for F12: the framesample oracle as a CTE, stop-frame cap,
+    * pair join, shared-count threshold. */
+  private def mmFrameOverlapSql(frameSql: String): String = {
+    val inner = frameSql.replace("ORDER BY doc_id, frame_ix", "")
+    s"""
+    WITH frames AS (
+      SELECT DISTINCT doc_id, frame_hash FROM ($inner)),
+    keep AS (
+      SELECT frame_hash FROM frames GROUP BY frame_hash
+      HAVING COUNT(*) <= $OverlapMaxDf),
+    f AS (SELECT frames.* FROM frames JOIN keep USING (frame_hash))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM f a JOIN f b ON a.frame_hash = b.frame_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= $OverlapMinShared
+    ORDER BY doc_a, doc_b"""
+  }
+
+  private val mmFrameSampleSql: String = s"""
       WITH f AS (
         SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
         WHERE text IS NOT NULL),
@@ -119,7 +186,12 @@ object Multimodal {
               i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
           (a, b) -> (a * 31 + b) % $P) AS BIGINT) AS frame_hash
       FROM offs
-      ORDER BY doc_id, frame_ix""",
+      ORDER BY doc_id, frame_ix"""
+
+  val oracle: Map[String, String] = Map(
+    "mm_dedup" -> mmDedupSql,
+    "mm_framesample" -> mmFrameSampleSql,
+    "mm_frame_overlap" -> mmFrameOverlapSql(mmFrameSampleSql),
     "mm_pipeline" -> """
       WITH f AS (
         SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
