@@ -52,6 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Int])
         .toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hll_est"),
+      new ExpressionInfo(classOf[graft.plans.HllEstimate].getName, null,
+        "graft_hll_est"),
+      (children: Seq[Expression]) => graft.plans.HllEstimate(children.head)
+        .toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))

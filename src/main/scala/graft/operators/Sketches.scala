@@ -158,6 +158,23 @@ object Sketches {
     ORDER BY cms_estimate DESC, est.user_id
     LIMIT 10"""
 
+  /** E16n: the HLL sketch as a native MERGEABLE aggregate
+    * ([[graft.plans.HllEstimate]], G18) — same registers, same exact
+    * int64 estimate as E16, but the shuffle carries ONE 64-byte register
+    * buffer per (mapper, group) with map-side partial aggregation,
+    * instead of E16's 64 (group, register) rows through a two-level
+    * aggregation. Same oracle as E16 — the expression form's SQL
+    * validates the aggregate unchanged. */
+  def qHllNative(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        Hashing.h60(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(call_function("graft_hll_est", col("h")).as("hll_estimate"),
+        countDistinct("user_id").as("exact_distinct"))
+      .orderBy("event_type")
+  }
+
   /** E31: HLL sketch MERGE — the property that makes sketches work at
     * 100 TB: registers built independently per shard (here per day)
     * combine with element-wise MAX into exactly the registers a global
@@ -277,12 +294,14 @@ object Sketches {
     "q_hll_users"  -> (qHllUsers _),
     "q_cms_topk"   -> (qCmsTopk _),
     "q_skew_join"  -> (qSkewJoin _),
-    "q_hll_merge"  -> (qHllMerge _))
+    "q_hll_merge"  -> (qHllMerge _),
+    "q_hll_native" -> (qHllNative _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
     "q_hll_users"  -> qHllUsersSql,
     "q_cms_topk"   -> qCmsTopkSql,
     "q_skew_join"  -> qSkewJoinSql,
-    "q_hll_merge"  -> qHllMergeSql)
+    "q_hll_merge"  -> qHllMergeSql,
+    "q_hll_native" -> qHllUsersSql)
 }

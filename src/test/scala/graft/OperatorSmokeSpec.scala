@@ -44,6 +44,22 @@ class OperatorSmokeSpec extends AnyFunSuite {
     assert(merged == single)
   }
 
+  test("native HLL aggregate matches the expression-form sketch bit-for-bit") {
+    val native = operators.Sketches.qHllNative(spark, sf)
+      .select("event_type", "hll_estimate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expr = operators.Sketches.qHllUsers(spark, sf)
+      .select("event_type", "hll_estimate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(native == expr)
+    // and it must participate in map-side partial aggregation
+    val df = operators.Sketches.qHllNative(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_hll_est"),
+      s"no partial aggregation in plan:\n$plan")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
       val df = fn(spark, sf)
