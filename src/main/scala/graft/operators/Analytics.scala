@@ -515,28 +515,34 @@ object Analytics {
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
     def users(t: String) = Tables.events(s, dir)
       .filter(col("event_type") === t).select("user_id").distinct()
-    val p = users("purchase")
+    // every user has every event type on this data, so the purchaser
+    // side is restricted to HIGH-VALUE purchases — a strict subset, so
+    // intersect, except, and union are all non-trivially exercised
     val c = users("click")
-    p.intersect(c).select(lit("intersect").as("set_op"), col("user_id"))
-      .union(p.except(c).select(lit("except").as("set_op"), col("user_id")))
-      .union(p.union(c).distinct()
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 250)
+      .select("user_id").distinct()
+    c.intersect(p).select(lit("intersect").as("set_op"), col("user_id"))
+      .union(c.except(p).select(lit("except").as("set_op"), col("user_id")))
+      .union(c.union(p).distinct()
         .select(lit("union").as("set_op"), col("user_id")))
       .groupBy("set_op").agg(count(lit(1)).as("n_users"))
       .orderBy("set_op")
   }
 
   val qSetOpsSql: String = """
-    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
-    c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND value > 250),
     lab AS (
       SELECT 'intersect' AS set_op, user_id
-      FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+      FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
       UNION ALL
       SELECT 'except' AS set_op, user_id
-      FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+      FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
       UNION ALL
       SELECT 'union' AS set_op, user_id
-      FROM (SELECT user_id FROM p UNION SELECT user_id FROM c))
+      FROM (SELECT user_id FROM c UNION SELECT user_id FROM p))
     SELECT set_op, COUNT(*) AS n_users
     FROM lab GROUP BY set_op ORDER BY set_op"""
 
