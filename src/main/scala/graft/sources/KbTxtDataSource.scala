@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,9 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Schema: (file string, meta map<string,string>, body string) — the same
   * rows [[KnowledgeFiles.read]] produces with column expressions.
   * V2 surface implemented: schema inference, balanced multi-file input
-  * partitions (size-binned, so one huge export can't skew a task), and
+  * partitions (size-binned, so one huge export can't skew a task),
   * column pruning (`SupportsPushDownRequiredColumns` — a `select(file)`
-  * never parses headers or carries bodies). Write path stays
+  * never parses headers or carries bodies), and file-name filter
+  * pushdown (`SupportsPushDownFilters` — equality/prefix/suffix/contains
+  * predicates on `file` prune the file list at planning time, the
+  * export-directory analog of partition pruning). Write path stays
   * [[KnowledgeFiles.write]]: the reference's one-file-per-chunk contract
   * is a row-wise sink, not a table format.
   */
@@ -60,26 +63,65 @@ class KbTxtTable(dir: String) extends Table with SupportsRead {
 }
 
 class KbTxtScanBuilder(dir: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = KbTxtTable.schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KbTxtScan(dir, required)
+  /** Filters on the `file` column prune the FILE LIST at planning time —
+    * the export-directory analog of partition pruning: a
+    * `filter(file = 'x.txt')` opens one file, not the directory. All
+    * filters are also returned as residual (Spark re-evaluates them
+    * post-scan), so the pruning is a pure optimization and can never
+    * change results. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(KbTxtScan.prunesFiles)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new KbTxtScan(dir, required, pushed)
 }
 
 case class KbTxtInputPartition(files: Array[String]) extends InputPartition
 
-class KbTxtScan(dir: String, required: StructType) extends Batch with Scan {
+object KbTxtScan {
+  /** Is this a filter the scan can use to prune file names? */
+  def prunesFiles(f: Filter): Boolean = f match {
+    case EqualTo("file", _) | In("file", _) | IsNotNull("file") => true
+    case StringStartsWith("file", _) | StringEndsWith("file", _)
+       | StringContains("file", _) => true
+    case _ => false
+  }
+
+  /** Evaluate a pushed filter against a file NAME (never reads content). */
+  def fileMatches(name: String, f: Filter): Boolean = f match {
+    case EqualTo("file", v)          => name == String.valueOf(v)
+    case In("file", vs)              => vs.exists(v => name == String.valueOf(v))
+    case IsNotNull("file")           => true
+    case StringStartsWith("file", p) => name.startsWith(p)
+    case StringEndsWith("file", p)   => name.endsWith(p)
+    case StringContains("file", p)   => name.contains(p)
+    case _ => true
+  }
+}
+
+class KbTxtScan(dir: String, required: StructType,
+    pushed: Array[Filter] = Array.empty) extends Batch with Scan {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"KbTxtScan dir=$dir ReadSchema=${required.fieldNames.mkString(",")}"
+    s"KbTxtScan dir=$dir ReadSchema=${required.fieldNames.mkString(",")}" +
+      s" PushedFilters=[${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Files.list(Paths.get(dir)).iterator().asScala
       .filter(_.toString.endsWith(".txt")).toSeq
+      .filter(p => pushed.forall(f =>
+        KbTxtScan.fileMatches(p.getFileName.toString, f)))
       .map(p => (p.toString, Files.size(p))).sortBy(-_._2)
     if (files.isEmpty) return Array.empty
     // size-binned greedy packing into up to 32 balanced splits — one

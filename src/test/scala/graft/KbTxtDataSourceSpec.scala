@@ -53,4 +53,33 @@ class KbTxtDataSourceSpec extends AnyFunSuite {
     val parts = v2.rdd.getNumPartitions
     assert(parts > 1 && parts <= 32, s"got $parts partitions")
   }
+
+  test("file-name filters prune the file list at planning time") {
+    // equality filter → exactly one input partition with one file
+    val q = spark.read.format("graft-kbtxt").load(dir)
+      .filter(col("file") === "bad.txt")
+    assert(q.rdd.getNumPartitions == 1, "file list not pruned to one file")
+    assert(q.count() == 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters=[") && plan.contains("bad.txt"),
+      s"pushed filter not visible in scan:\n$plan")
+    // prefix filter prunes but is also still applied post-scan (residual)
+    val pre = spark.read.format("graft-kbtxt").load(dir)
+      .filter(col("file").startsWith("src0_"))
+    val expected = spark.read.format("graft-kbtxt").load(dir)
+      .collect().count(_.getString(0).startsWith("src0_"))
+    assert(pre.count() == expected && expected > 0)
+    assert(pre.rdd.getNumPartitions < 32)
+  }
+
+  test("pruning filters never change results (residual re-evaluation)") {
+    // a contains-filter result must equal the unpushed in-memory filter
+    val pushed = spark.read.format("graft-kbtxt").load(dir)
+      .filter(col("file").contains("_1")).select("file").collect()
+      .map(_.getString(0)).sorted
+    val plain = spark.read.format("graft-kbtxt").load(dir)
+      .select("file").collect().map(_.getString(0))
+      .filter(_.contains("_1")).sorted
+    assert(pushed.toSeq == plain.toSeq)
+  }
 }
