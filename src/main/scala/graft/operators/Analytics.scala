@@ -546,8 +546,48 @@ object Analytics {
     SELECT set_op, COUNT(*) AS n_users
     FROM lab GROUP BY set_op ORDER BY set_op"""
 
+  /** E33: FULL OUTER join — daily order revenue vs daily event activity,
+    * with both unmatched sides kept and zero-filled (the reconciliation
+    * shape: which days have orders but no telemetry, and vice versa).
+    * One co-partitioned shuffle join on the day key; at scale both
+    * sides are pre-aggregated to one row per day before the join, so
+    * the outer join itself is tiny. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    val e = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("d"), "full_outer")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (col("n_orders").isNotNull && col("n_events").isNotNull).as("matched"))
+      .orderBy("day")
+  }
+
+  val qFullOuterSql: String = """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    e AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT strftime(COALESCE(o.d, e.d), '%Y-%m-%d') AS day,
+      COALESCE(n_orders, 0) AS n_orders,
+      COALESCE(revenue, 0.0) AS revenue,
+      COALESCE(n_events, 0) AS n_events,
+      n_orders IS NOT NULL AND n_events IS NOT NULL AS matched
+    FROM o FULL OUTER JOIN e ON o.d = e.d
+    ORDER BY day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_set_ops"    -> (qSetOps _),
+    "q_full_outer" -> (qFullOuter _),
     "q1_pricing"   -> (q1Pricing _),
     "q3_revenue"   -> (q3Revenue _),
     "q5_region"    -> (q5Region _),
@@ -569,6 +609,7 @@ object Analytics {
 
   val oracle: Map[String, String] = Map(
     "q_set_ops"    -> qSetOpsSql,
+    "q_full_outer" -> qFullOuterSql,
     "q1_pricing"   -> q1PricingSql,
     "q3_revenue"   -> q3RevenueSql,
     "q5_region"    -> q5RegionSql,

@@ -558,6 +558,43 @@ object TextAnalysis {
     FROM t ORDER BY doc_id"""
   }
 
+  /** D18: one BPE-training iteration — corpus-wide adjacent-symbol pair
+    * counts within words (symbols start as characters), top-20 by
+    * frequency: the pair a byte-pair-encoding tokenizer trainer would
+    * merge next. Iterating this (merge → re-count) is exactly BPE
+    * training; one iteration exercises the whole distributed shape:
+    * narrow per-token pair explode, one keyed shuffle with map-side
+    * partial counts, sort-limit.
+    *
+    * Pairs are `substr(token, i, 2)` — identical character semantics in
+    * both engines on this ASCII corpus. */
+  def textBpeMerge(s: SparkSession, dir: String): DataFrame = {
+    val tok = col("tok")
+    val pairs = when(length(tok) >= 2,
+      transform(sequence(lit(1), length(tok) - 1),
+        i => tok.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  val textBpeMergeSql: String = """
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+        i -> substr(tok, CAST(i AS INT), 2))) AS pair
+      FROM t WHERE len(tok) >= 2)
+    SELECT pair, COUNT(*) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20"""
+
   /** Per-source mixture rates (per-mille) for D15 — the data-mix recipe a
     * pretraining run pins: oversample curated sources, downsample web. */
   private val mixRates: Seq[(String, Int)] =
@@ -599,6 +636,7 @@ object TextAnalysis {
     "text_mix"         -> (textMix _),
     "text_winnow"      -> (textWinnow _),
     "text_ppl_bucket"  -> (textPplBucket _),
+    "text_bpe_merge"   -> (textBpeMerge _),
     "text_lm_score"    -> (textLmScore _),
     "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
@@ -618,6 +656,7 @@ object TextAnalysis {
     "text_mix"         -> textMixSql,
     "text_winnow"      -> textWinnowSql,
     "text_ppl_bucket"  -> textPplBucketSql,
+    "text_bpe_merge"   -> textBpeMergeSql,
     "text_lm_score"    -> textLmScoreSql,
     "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,
