@@ -54,11 +54,14 @@ object VectorStore {
     val chunks = docs
       .select(col("doc_id"), posexplode(Text.chunks(toks, chunkSize, overlap)))
       .select(col("doc_id"), (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))
+    // `raw` (exact int64 weights) is kept in the index: search ranks with
+    // the codegen'd graft_dot_l kernel over it — the interpreted
+    // aggregate/zip_with double dot it replaces was the scan-time cost of
+    // every probe. `embedding` stays for float-vector consumers.
     val indexed = chunks
       .withColumn("raw", rawWeights(col("chunk")))
       .withColumn("bucket", bucketOf(col("raw")))
       .withColumn("embedding", embedFromRaw(col("raw")))
-      .drop("raw")
       .cache()
     val n = indexed.count()
     if (n > 0)
@@ -69,7 +72,11 @@ object VectorStore {
 
   /** Search: top-k chunks for a free-text query, probing the query's LSH
     * bucket and its Hamming-1 neighbors. Bucket pruning happens at the
-    * parquet partition level (`bucket IN (…)` on the partition column). */
+    * parquet partition level (`bucket IN (…)` on the partition column).
+    * Cosine ranking runs on the stored int64 weights through the
+    * graft_dot_l codegen kernel — exact integer dot, two norms, one IEEE
+    * division per candidate — instead of an interpreted per-element
+    * double fold (higher-order functions are CodegenFallback). */
   def search(spark: SparkSession, indexDir: String, query: String, k: Int = 5)
       : DataFrame = {
     val index = spark.read.parquet(indexDir)
@@ -77,15 +84,18 @@ object VectorStore {
     val q = qvec
       .withColumn("qraw", rawWeights(col("qtext")))
       .withColumn("qbucket", bucketOf(col("qraw")))
-      .withColumn("qemb", embedFromRaw(col("qraw")))
-      .select(col("qemb"), explode(array(
+      .select(col("qraw"), explode(array(
         col("qbucket") +: (0 until Planes).map(p =>
           col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
     val w = Window.orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
     index.join(broadcast(q), "bucket")
-      .select(col("doc_id"), col("chunk_ix"), col("chunk"),
-        aggregate(zip_with(col("embedding"), col("qemb"), (x, y) => x * y),
-          lit(0.0d), (acc, v) => acc + v).as("score"))
+      .select(col("doc_id"), col("chunk_ix"), col("chunk"), score.as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("rank", "doc_id", "chunk_ix", "chunk", "score")
