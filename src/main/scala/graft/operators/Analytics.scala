@@ -585,9 +585,55 @@ object Analytics {
     FROM o FULL OUTER JOIN e ON o.d = e.d
     ORDER BY day"""
 
+  /** E34: recursive CTE (Spark 4 `WITH RECURSIVE`) — a 24-month
+    * fixed-principal amortization schedule over urgent orders, carried
+    * state (balance, cumulative interest) advanced one month per
+    * recursion step, aggregated to one row per month. Everything is
+    * exact integer cents (floor-division restatements), so the DuckDB
+    * oracle — the same recursion with `//` for `div` — hash-matches.
+    * Also exercises the SQL surface end-to-end: temp view + `spark.sql`
+    * rather than the DataFrame API (UNION ALL recursion; Spark does not
+    * yet support distinct-UNION recursion, so the shape is a bounded
+    * chain, not a graph closure). */
+  def qRecursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_rec_v")
+    s.sql("""
+      WITH RECURSIVE sched(k, month, init, balance, interest_paid) AS (
+        SELECT o_orderkey, 0, b, b, CAST(0 AS BIGINT)
+        FROM (SELECT o_orderkey,
+                CAST(floor(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS b
+              FROM orders_rec_v WHERE o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT k, month + 1, init,
+          balance - (init div 24),
+          interest_paid + ((balance * 5) div 1000)
+        FROM sched WHERE month < 24)
+      SELECT month, COUNT(*) AS n_orders,
+        CAST(SUM(balance) AS BIGINT) AS total_balance_cents,
+        CAST(SUM(interest_paid) AS BIGINT) AS total_interest_cents
+      FROM sched GROUP BY month ORDER BY month""")
+  }
+
+  val qRecursiveSql: String = """
+    WITH RECURSIVE sched(k, month, init, balance, interest_paid) AS (
+      SELECT o_orderkey, 0, b, b, CAST(0 AS BIGINT)
+      FROM (SELECT o_orderkey,
+              CAST(floor(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS b
+            FROM orders WHERE o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT k, month + 1, init,
+        balance - (init // 24),
+        interest_paid + ((balance * 5) // 1000)
+      FROM sched WHERE month < 24)
+    SELECT month, COUNT(*) AS n_orders,
+      CAST(SUM(balance) AS BIGINT) AS total_balance_cents,
+      CAST(SUM(interest_paid) AS BIGINT) AS total_interest_cents
+    FROM sched GROUP BY month ORDER BY month"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_set_ops"    -> (qSetOps _),
     "q_full_outer" -> (qFullOuter _),
+    "q_recursive"  -> (qRecursive _),
     "q1_pricing"   -> (q1Pricing _),
     "q3_revenue"   -> (q3Revenue _),
     "q5_region"    -> (q5Region _),
@@ -610,6 +656,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q_set_ops"    -> qSetOpsSql,
     "q_full_outer" -> qFullOuterSql,
+    "q_recursive"  -> qRecursiveSql,
     "q1_pricing"   -> q1PricingSql,
     "q3_revenue"   -> q3RevenueSql,
     "q5_region"    -> q5RegionSql,
