@@ -148,6 +148,30 @@ class KernelPropertySpec extends AnyFunSuite {
     rows.foreach { r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)) }
   }
 
+  test("graft_hll_est == composed register math on generated hash groups") {
+    // arbitrary 60-bit hashes across groups with very different sizes —
+    // partial/merge/serialize all exercised through a real shuffle
+    val rows = sample(Gen.zip(Gen.chooseNum(0, 7), Gen.chooseNum(0L, (1L << 60) - 1)), 2000)
+    val df = rows.toDF("g", "h").repartition(8)
+    val native = df.groupBy("g")
+      .agg(call_function("graft_hll_est", col("h")).as("est"))
+      .as[(Int, Double)].collect().toMap
+    val composed = df
+      .select(col("g"), (col("h") % 64).cast("int").as("reg"),
+        (lit(55) - length(bin(expr("h div 64")))).as("rank"))
+      .groupBy("g", "reg").agg(max("rank").as("m"))
+      .withColumn("w", expr("shiftleft(cast(1 as bigint), cast(55 - m as int))"))
+      .groupBy("g")
+      .agg(sum("w").as("zp"), count(lit(1)).as("np"))
+      .select(col("g"), (lit(0.709) * lit(4096.0) * lit(36028797018963968.0) /
+        (col("zp") + (lit(64) - col("np")) * lit(36028797018963968L)).cast("double"))
+        .as("est"))
+      .as[(Int, Double)].collect().toMap
+    composed.foreach { case (g, e) =>
+      assert(native(g) == e, s"hll mismatch for group $g")
+    }
+  }
+
   test("graft_lsh_buckets == composed per-plane sign dots on generated vectors") {
     val tables = 8; val bits = 8; val dim = 64
     val vecGen = Gen.listOfN(dim, Gen.chooseNum(-200000000L, 200000000L))
