@@ -226,6 +226,52 @@ object AnalyticsExt {
     GROUP BY date_trunc('hour', ts), event_type
     ORDER BY window_start, event_type"""
 
+  /** E35: mergeable quantile HISTOGRAM — the scalable twin of E12's
+    * exact percentiles. E12 must shuffle and rank every row; this
+    * operator reduces each partition to integer-bucket counts (width 10,
+    * mergeable by addition — the same per-shard/merge contract as the
+    * HLL registers), then reads approximate quantiles off the cumulative
+    * histogram: quantile(p) = the upper edge of the first bucket whose
+    * cumulative count reaches ceil(p·n). All integer arithmetic —
+    * deterministic in any engine — with guaranteed error ≤ one bucket
+    * width. At 100 TB the shuffle carries (type, bucket) counts, not
+    * values. */
+  def qQuantileHist(s: SparkSession, dir: String): DataFrame = {
+    val W = 10
+    val hist = Tables.events(s, dir)
+      .select(col("event_type"),
+        (floor(col("value") / W).cast("long") * W + W).as("edge"))
+      .groupBy("event_type", "edge").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("edge")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+    def pick(p: Double) =
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("edge")))
+    cum.groupBy("event_type")
+      .agg(pick(0.5).as("p50_edge"), pick(0.9).as("p90_edge"),
+        pick(0.99).as("p99_edge"), max("n").as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val qQuantileHistSql: String = """
+    WITH hist AS (
+      SELECT event_type,
+        CAST(floor(value / 10) AS BIGINT) * 10 + 10 AS edge,
+        COUNT(*) AS cnt
+      FROM events GROUP BY event_type, CAST(floor(value / 10) AS BIGINT) * 10 + 10),
+    cum AS (
+      SELECT event_type, edge, cnt,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY edge) AS cum,
+        CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM hist)
+    SELECT event_type,
+      MIN(CASE WHEN cum >= ceil(0.5 * n) THEN edge END) AS p50_edge,
+      MIN(CASE WHEN cum >= ceil(0.9 * n) THEN edge END) AS p90_edge,
+      MIN(CASE WHEN cum >= ceil(0.99 * n) THEN edge END) AS p99_edge,
+      MAX(n) AS n_events
+    FROM cum GROUP BY event_type ORDER BY event_type"""
+
   /** E14: TF-IDF top-3 terms per document (rational idf = N/df — avoids
     * ln(), whose libm rounding is engine-specific). Two shuffles: term
     * counts, then doc re-aggregation; df is a broadcast-size side table. */
@@ -438,6 +484,7 @@ object AnalyticsExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_range" -> (qWindowRange _),
     "q_gap_fill"    -> (qGapFill _),
+    "q_quantile_hist" -> (qQuantileHist _),
     "q_asof_join"   -> (qAsofJoin _),
     "q_asof_native" -> (qAsofNative _),
     "q_asof_tolerance" -> (qAsofTolerance _),
@@ -452,6 +499,7 @@ object AnalyticsExt {
   val oracle: Map[String, String] = Map(
     "q_window_range" -> qWindowRangeSql,
     "q_gap_fill"    -> qGapFillSql,
+    "q_quantile_hist" -> qQuantileHistSql,
     "q_asof_join"   -> qAsofJoinSql,
     "q_asof_native" -> qAsofJoinSql,
     "q_asof_tolerance" -> qAsofToleranceSql,
