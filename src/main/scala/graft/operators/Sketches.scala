@@ -166,12 +166,20 @@ object Sketches {
     * aggregation. Same oracle as E16 — the expression form's SQL
     * validates the aggregate unchanged. */
   def qHllNative(s: SparkSession, dir: String): DataFrame = {
-    Tables.events(s, dir)
-      .select(col("event_type"), col("user_id"),
+    // the exact count lives in its OWN aggregation: count(distinct)
+    // in the same agg would force Spark's two-phase distinct expansion,
+    // keying the first shuffle by (type, user) — the register buffers
+    // would ride a per-user shuffle and the one-buffer-per-mapper
+    // property (the aggregate's whole point) would be lost
+    val est = Tables.events(s, dir)
+      .select(col("event_type"),
         Hashing.h60(col("user_id").cast("string")).as("h"))
       .groupBy("event_type")
-      .agg(call_function("graft_hll_est", col("h")).as("hll_estimate"),
-        countDistinct("user_id").as("exact_distinct"))
+      .agg(call_function("graft_hll_est", col("h")).as("hll_estimate"))
+    val exact = Tables.events(s, dir).groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("hll_estimate"), col("exact_distinct"))
       .orderBy("event_type")
   }
 
