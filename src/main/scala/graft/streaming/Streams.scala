@@ -165,6 +165,33 @@ object Streams {
         col("c_ts"), col("click_value"))
   }
 
+  /** F13: stream-stream OUTER interval join — F7's enrichment, but
+    * purchases with NO preceding click must still be emitted (the
+    * telemetry-gap case an inner join silently drops). Spark supports
+    * outer stream-stream joins only when the watermark + join condition
+    * bound the unmatched side's wait: here both sides carry a 30-minute
+    * watermark and the interval condition, so a purchase is held until
+    * the click watermark passes its window and is then emitted
+    * null-padded — late-bounded completeness, not best-effort. */
+  def clicksBeforePurchaseOuter(events: DataFrame, gapSeconds: Long = 1800)
+      : DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "30 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+      .withWatermark("c_ts", "30 minutes")
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $gapSeconds SECONDS") &&
+        col("c_ts") < col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("c_ts"), col("click_value"))
+  }
+
   /** F10: streaming vector-index maintenance — the reference's realtime
     * loop (poll → chunk → embed → upsert index, KnowledgeBot.main +
     * VectorDatabase.ingest_documents) as a Structured Streaming sink:

@@ -143,6 +143,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq((100L, 1.5), (101L, 6.5)))
   }
 
+  test("F13: outer stream-stream join emits clickless purchases null-padded") {
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(
+      StreamEvent(100, ts(90), 1, "purchase", 0.0),
+      StreamEvent(10, ts(70), 1, "click", 1.5),   // in range → matched
+      StreamEvent(101, ts(95), 2, "purchase", 0.0)) // no click at all
+    // advance BOTH watermarks far past the join window so the unmatched
+    // purchase's wait expires and the null-padded row is emitted
+    input.addData(
+      StreamEvent(998, ts(600), 9, "click", 0.0),
+      StreamEvent(999, ts(600), 9, "purchase", 0.0))
+    val rows = runToCompletion(
+      Streams.clicksBeforePurchaseOuter(input.toDF()), OutputMode.Append)
+      .filter(r => r.getLong(0) < 900)
+      .map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows == Seq((100L, 1.5), (101L, null)))
+  }
+
   test("F10: streaming index maintenance appends each micro-batch to the store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val indexDir = java.nio.file.Files.createTempDirectory("graft_sidx").toString + "/idx"
