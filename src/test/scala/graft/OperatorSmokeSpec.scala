@@ -60,6 +60,21 @@ class OperatorSmokeSpec extends AnyFunSuite {
       s"no partial aggregation in plan:\n$plan")
   }
 
+  test("histogram quantiles are within one bucket width of the exact ranks") {
+    val approx = operators.AnalyticsExt.qQuantileHist(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = operators.AnalyticsExt.qPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (t, (p50, p90, p99)) =>
+      val (a50, a90, a99) = approx(t)
+      // the bucket's upper edge can exceed the exact quantile by at most
+      // the bucket width (10), and can never undershoot it
+      for ((a, e) <- Seq((a50, p50), (a90, p90), (a99, p99))) {
+        assert(a >= e && a - e <= 10.0, s"$t: approx $a vs exact $e")
+      }
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {
       val df = fn(spark, sf)
