@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -91,6 +91,81 @@ object AnalyticsExt {
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT user_id, event_id AS purchase_id, click_id,
       click_epoch - epoch AS gap_s
+    FROM m WHERE kind = 1
+    ORDER BY user_id, purchase_id"""
+
+  /** E11x: nearest-either-direction as-of (pandas merge_asof
+    * `direction='nearest'`): each purchase takes the closer of its last
+    * prior click and first following click, ties to backward (the pandas
+    * convention). One user_id shuffle carries both window passes; the
+    * choice is pure integer CASE arithmetic, identical in both
+    * engines. */
+  def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("epoch"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+    val wB = Window.partitionBy("user_id")
+      .orderBy(col("epoch"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id")
+      .orderBy(col("epoch"), col("kind").desc, col("event_id").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def c0(v: Column) = when(col("kind") === 0, v)
+    e.withColumn("b_id", last(c0(col("event_id")), ignoreNulls = true).over(wB))
+      .withColumn("b_ep", last(c0(col("epoch")), ignoreNulls = true).over(wB))
+      .withColumn("f_id", first(c0(col("event_id")), ignoreNulls = true).over(wF))
+      .withColumn("f_ep", first(c0(col("epoch")), ignoreNulls = true).over(wF))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        when(col("b_ep").isNull, col("f_id"))
+          .when(col("f_ep").isNull, col("b_id"))
+          .when(col("epoch") - col("b_ep") <= col("f_ep") - col("epoch"),
+            col("b_id")).otherwise(col("f_id")).as("click_id"),
+        when(col("b_ep").isNull, col("f_ep") - col("epoch"))
+          .when(col("f_ep").isNull, col("epoch") - col("b_ep"))
+          .when(col("epoch") - col("b_ep") <= col("f_ep") - col("epoch"),
+            col("epoch") - col("b_ep"))
+          .otherwise(col("f_ep") - col("epoch")).as("gap_s"),
+        when(col("b_ep").isNull && col("f_ep").isNull, lit(null).cast("string"))
+          .when(col("f_ep").isNull, "backward")
+          .when(col("b_ep").isNull, "forward")
+          .when(col("epoch") - col("b_ep") <= col("f_ep") - col("epoch"),
+            "backward").otherwise("forward").as("direction"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val qAsofNearestSql: String = """
+    WITH e AS (
+      SELECT user_id, event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch,
+        CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    m AS (
+      SELECT user_id, event_id, epoch, kind,
+        last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER wb AS b_id,
+        last_value(CASE WHEN kind = 0 THEN epoch END IGNORE NULLS) OVER wb AS b_ep,
+        first_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER wf AS f_id,
+        first_value(CASE WHEN kind = 0 THEN epoch END IGNORE NULLS) OVER wf AS f_ep
+      FROM e
+      WINDOW wb AS (PARTITION BY user_id ORDER BY epoch, kind, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY epoch, kind DESC, event_id DESC
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, event_id AS purchase_id,
+      CASE WHEN b_ep IS NULL THEN f_id
+           WHEN f_ep IS NULL THEN b_id
+           WHEN epoch - b_ep <= f_ep - epoch THEN b_id ELSE f_id END AS click_id,
+      CASE WHEN b_ep IS NULL THEN f_ep - epoch
+           WHEN f_ep IS NULL THEN epoch - b_ep
+           WHEN epoch - b_ep <= f_ep - epoch THEN epoch - b_ep
+           ELSE f_ep - epoch END AS gap_s,
+      CASE WHEN b_ep IS NULL AND f_ep IS NULL THEN NULL
+           WHEN f_ep IS NULL THEN 'backward'
+           WHEN b_ep IS NULL THEN 'forward'
+           WHEN epoch - b_ep <= f_ep - epoch THEN 'backward'
+           ELSE 'forward' END AS direction
     FROM m WHERE kind = 1
     ORDER BY user_id, purchase_id"""
 
@@ -489,6 +564,7 @@ object AnalyticsExt {
     "q_asof_native" -> (qAsofNative _),
     "q_asof_tolerance" -> (qAsofTolerance _),
     "q_asof_forward" -> (qAsofForward _),
+    "q_asof_nearest" -> (qAsofNearest _),
     "q_funnel" -> (qFunnel _),
     "q_cohort" -> (qCohort _),
     "q_percentiles" -> (qPercentiles _),
@@ -504,6 +580,7 @@ object AnalyticsExt {
     "q_asof_native" -> qAsofJoinSql,
     "q_asof_tolerance" -> qAsofToleranceSql,
     "q_asof_forward" -> qAsofForwardSql,
+    "q_asof_nearest" -> qAsofNearestSql,
     "q_funnel" -> qFunnelSql,
     "q_cohort" -> qCohortSql,
     "q_percentiles" -> qPercentilesSql,
