@@ -605,12 +605,21 @@ object TextAnalysis {
     * dropped in every run and engine. A shuffle-free scan (the decision
     * is per-row); the output aggregates kept/total per source so rates
     * are auditable. The data-mix step of a pretraining pipeline. */
+  /** Per-row D15 mixture keep decision over (doc_id, source) — shared
+    * with [[graft.CorpusJob]] so the job applies the exact recipe the
+    * oracle-checked query audits. */
+  def mixKeep: Column = {
+    val rate = mixRates.foldLeft(lit(300)) { case (acc, (src, r)) =>
+      when(col("source") === src, r).otherwise(acc)
+    }
+    Hashing.h60p(col("doc_id").cast("string")) % 1000 < rate
+  }
+
   def textMix(s: SparkSession, dir: String): DataFrame = {
     val rate = mixRates.foldLeft(lit(300)) { case (acc, (src, r)) =>
       when(col("source") === src, r).otherwise(acc)
     }
-    val kept = (Hashing.h60p(col("doc_id").cast("string")) % 1000 < rate)
-      .cast("int")
+    val kept = mixKeep.cast("int")
     Tables.documents(s, dir)
       .select(col("source"), rate.as("rate_pm"), kept.as("kept"))
       .groupBy("source", "rate_pm")

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The end-to-end corpus build must funnel monotonically, write readable
+  * source-partitioned shards, and be deterministic across reruns. */
+class CorpusJobSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def audit(out: String): Seq[(String, Long)] =
+    CorpusJob.run(spark, sf, out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("stage counts funnel monotonically and chunks are written") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cj").toString
+    val a = audit(out)
+    val byStage = a.toMap
+    val docStages = a.filter(_._1.head <= '6').map(_._2)
+    assert(docStages == docStages.sorted.reverse,
+      s"doc counts not monotonically non-increasing: $a")
+    assert(byStage("0_load") > 0 && byStage("6_mixture") > 0)
+    assert(byStage("6_mixture") < byStage("0_load"),
+      "pipeline dropped nothing — gates not applied")
+    assert(byStage("7_chunks_written") >= byStage("6_mixture"),
+      "every kept doc must contribute at least one chunk")
+    // shards are source-partitioned and re-readable
+    val shards = spark.read.parquet(out)
+    assert(shards.columns.sorted.toSeq ==
+      Seq("chunk", "chunk_ix", "doc_id", "source"))
+    assert(shards.select("source").distinct().count() >= 1)
+  }
+
+  test("a rerun is bit-identical (deterministic pipeline)") {
+    val out1 = java.nio.file.Files.createTempDirectory("graft_cj1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cj2").toString
+    assert(audit(out1) == audit(out2))
+    val a = spark.read.parquet(out1)
+    val b = spark.read.parquet(out2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
