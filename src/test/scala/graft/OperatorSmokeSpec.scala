@@ -7,9 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class OperatorSmokeSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
-  test("oracleSql keys are a subset of queries keys") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracle without query: $missing")
+  test("queries and oracleSql cover exactly the same keys") {
+    // no rows-only checks remain: every declared query carries a DuckDB
+    // oracle, and no oracle exists without its query
+    val orphanOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    val uncovered = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(orphanOracle.isEmpty, s"oracle without query: $orphanOracle")
+    assert(uncovered.isEmpty, s"query without oracle: $uncovered")
   }
 
   test("entry returns rows") {
