@@ -67,6 +67,11 @@ object CorpusJob {
       .select(col("doc_id"), col("source"),
         (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))
     chunks.write.mode("overwrite").partitionBy("source").parquet(outDir)
+    // a fully-filtered corpus writes no part files, and parquet schema
+    // inference on an empty directory throws — count from the plan then
+    val nChunks =
+      try s.read.parquet(outDir).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
     Seq(
       ("0_load", docs.count()),
@@ -76,7 +81,7 @@ object CorpusJob {
       ("4_decontam", afterDecontam.count()),
       ("5_ppl_gate", afterPpl.count()),
       ("6_mixture", afterMix.count()),
-      ("7_chunks_written", s.read.parquet(outDir).count()))
+      ("7_chunks_written", nChunks))
       .toDF("stage", "n")
   }
 

@@ -28,4 +28,11 @@ class EmptyInputSpec extends AnyFunSuite {
       assert(df.count() == 0, s"$name returned rows from empty input")
     }
   }
+
+  test("CorpusJob runs on empty tables: zero counts, no crash") {
+    val out = Files.createTempDirectory("graft_cj_empty").toString
+    val a = CorpusJob.run(spark, emptyDir, out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(a.values.forall(_ == 0L), s"expected all-zero audit: $a")
+  }
 }
