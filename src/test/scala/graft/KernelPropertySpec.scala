@@ -72,6 +72,30 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnow guarantee: docs sharing a w+k-1 token run share a fingerprint") {
+    // Schleimer et al. theorem: with k-gram hashing and window w, any
+    // shared token run of length >= w+k-1 guarantees a common fingerprint
+    val k = 3; val w = 4
+    val word: Gen[String] = Gen.choose('a', 'z').map(_.toString)
+    val docPair = for {
+      run <- Gen.listOfN(w + k - 1, word)       // the shared run
+      preA <- Gen.listOfN(10, word); sufA <- Gen.listOfN(10, word)
+      preB <- Gen.listOfN(7, word); sufB <- Gen.listOfN(13, word)
+    } yield ((preA ++ run ++ sufA).mkString(" "),
+             (preB ++ run ++ sufB).mkString(" "))
+    val pairs = sample(docPair, 100)
+    val rows = pairs.toDF("a", "b").select(
+      call_function("graft_winnow", col("a"), lit(k), lit(w)).as("fa"),
+      call_function("graft_winnow", col("b"), lit(k), lit(w)).as("fb"),
+      col("a"), col("b")).collect()
+    rows.foreach { r =>
+      val shared = r.getSeq[Long](0).toSet intersect r.getSeq[Long](1).toSet
+      assert(shared.nonEmpty,
+        s"no shared fingerprint for docs sharing a ${w + k - 1}-token run:\n" +
+          s"${r.getString(2)}\n${r.getString(3)}")
+    }
+  }
+
   test("graft_simhash32 == composed sign-vote on generated strings") {
     val texts = sample(textGen, 200).filter(_.exists(_ != ' '))
     val df = texts.toDF("text").withColumn("id", monotonically_increasing_id())
