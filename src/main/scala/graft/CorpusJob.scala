@@ -28,37 +28,50 @@ object CorpusJob {
 
   def run(s: SparkSession, dir: String, outDir: String,
       chunkSize: Int = 64, overlap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Observation
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-      .select("doc_id", "text", "lang", "source")
+    // Stage counts ride the SINGLE write action via the Observation API:
+    // a per-stage count() would re-run the whole upstream pipeline once
+    // per stage (the near-dup keep-list alone is a clustering job), 8×
+    // the work for the same numbers.
+    val obs = Seq("0_load", "1_quality", "2_exact_dedup", "3_near_dedup",
+      "4_decontam", "5_ppl_gate", "6_mixture").map(n => n -> new Observation(n))
+    def observed(df: DataFrame, stage: Int): DataFrame =
+      df.observe(obs(stage)._2, count(lit(1)).as("n"))
+
+    val docs = observed(Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source"), 0)
 
     // D9: rule-based quality gate (length → symbols → repetition)
     val qualityKeep = TextAnalysis.textFilter(s, dir)
       .filter(col("keep")).select("doc_id")
-    val afterQuality = docs.join(qualityKeep, "doc_id")
+    val afterQuality = observed(docs.join(qualityKeep, "doc_id"), 1)
 
     // C1: exact dedup — survivors are each hash's min doc_id
     val exactKeep = Dedup.dedupExact(s, dir)
       .select(col("keep_doc_id").as("doc_id"))
-    val afterExact = afterQuality.join(exactKeep, "doc_id")
+    val afterExact = observed(afterQuality.join(exactKeep, "doc_id"), 2)
 
     // C6+C10: near-dup clusters, keep the best-quality member
     val nearDupDrops = Dedup.dedupKeepBest(s, dir)
       .filter(!col("keep")).select("doc_id")
-    val afterNearDup = afterExact.join(nearDupDrops, Seq("doc_id"), "left_anti")
+    val afterNearDup = observed(
+      afterExact.join(nearDupDrops, Seq("doc_id"), "left_anti"), 3)
 
     // C7: drop anything sharing >= 5 shingles with the benchmark set
     val contaminated = Dedup.dedupContamination(s, dir)
       .select("doc_id").distinct()
-    val afterDecontam = afterNearDup.join(contaminated, Seq("doc_id"), "left_anti")
+    val afterDecontam = observed(
+      afterNearDup.join(contaminated, Seq("doc_id"), "left_anti"), 4)
 
     // D17: drop the per-language perplexity tail
     val pplTail = TextAnalysis.textPplBucket(s, dir)
       .filter(col("bucket") === "tail").select("doc_id")
-    val afterPpl = afterDecontam.join(pplTail, Seq("doc_id"), "left_anti")
+    val afterPpl = observed(
+      afterDecontam.join(pplTail, Seq("doc_id"), "left_anti"), 5)
 
     // D15: per-source mixture rates, the exact audited recipe
-    val afterMix = afterPpl.filter(TextAnalysis.mixKeep)
+    val afterMix = observed(afterPpl.filter(TextAnalysis.mixKeep), 6)
 
     // A10 chunking semantics -> source-partitioned shards
     val chunks = afterMix
@@ -73,14 +86,7 @@ object CorpusJob {
       try s.read.parquet(outDir).count()
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
-    Seq(
-      ("0_load", docs.count()),
-      ("1_quality", afterQuality.count()),
-      ("2_exact_dedup", afterExact.count()),
-      ("3_near_dedup", afterNearDup.count()),
-      ("4_decontam", afterDecontam.count()),
-      ("5_ppl_gate", afterPpl.count()),
-      ("6_mixture", afterMix.count()),
+    (obs.map { case (n, o) => (n, o.get("n").asInstanceOf[Long]) } :+
       ("7_chunks_written", nChunks))
       .toDF("stage", "n")
   }
