@@ -86,7 +86,10 @@ object CorpusJob {
       try s.read.parquet(outDir).count()
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
-    (obs.map { case (n, o) => (n, o.get("n").asInstanceOf[Long]) } :+
+    // a zero-task action (fully-empty corpus) collects no observation
+    // metrics at all — read absent as zero
+    (obs.map { case (n, o) =>
+      (n, o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)) } :+
       ("7_chunks_written", nChunks))
       .toDF("stage", "n")
   }
