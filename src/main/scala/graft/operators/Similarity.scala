@@ -643,6 +643,88 @@ object Similarity {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  private val RerankShortlist = 20
+
+  /** B9: two-stage PQ search — ADC over the compressed code table
+    * shortlists `RerankShortlist` candidates per query, then ONLY those
+    * rows are re-ranked with the exact scaled-int64 dot on the full
+    * vectors (the standard refine step ADC deployments bolt on when the
+    * raw vectors are kept on disk). At scale the expensive exact math
+    * touches shortlist·|queries| rows instead of the corpus, and the
+    * refine join is an equi-join on neighbor_id against the vector
+    * store. Fully exact integer arithmetic end to end → hash-checked. */
+  def annPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val codes = pqCodes(s, dir)
+    val dtab = pqDistTab(s, dir)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    val shortlist = codes.join(broadcast(dtab),
+        codes("m") === dtab("m") && codes("code") === dtab("j"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("qdist").as("adist"))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= RerankShortlist)
+      .select("query_id", "neighbor_id")
+    val wX = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    shortlist
+      .join(corpusSet(s, dir).select("neighbor_id", "cq"), "neighbor_id")
+      .join(broadcast(queriesSet(s, dir).select("query_id", "qq")), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dotExact(col("qq"), col("cq")).as("dot"))
+      .withColumn("rank", row_number().over(wX).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annPqRerankSql: String = s"""
+    WITH e4 AS (
+      SELECT vec_id, CAST(d.range AS INT) AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    sub AS (
+      SELECT vec_id, d // $PqSub AS m, d % $PqSub AS sd, x FROM e4),
+    cent AS (
+      SELECT vec_id - 10 AS j, m, sd, x FROM sub
+      WHERE vec_id >= 10 AND vec_id < ${10 + PqK}),
+    dist AS (
+      SELECT s.vec_id, s.m, c.j,
+        CAST(SUM((s.x - c.x) * (s.x - c.x)) AS BIGINT) AS dist
+      FROM sub s JOIN cent c ON c.m = s.m AND c.sd = s.sd
+      GROUP BY s.vec_id, s.m, c.j),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        FROM dist WHERE vec_id >= 10) WHERE rk = 1),
+    adc AS (
+      SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(SUM(d.dist) AS BIGINT) AS adist
+      FROM codes c JOIN dist d ON d.m = c.m AND d.j = c.code AND d.vec_id < 10
+      GROUP BY d.vec_id, c.vec_id),
+    shortlist AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS ark
+        FROM adc) WHERE ark <= $RerankShortlist),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+        CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          z -> CAST(floor(CAST(z[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(z[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM shortlist s
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+      JOIN embeddings q ON q.vec_id = s.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      FROM exact)
+    SELECT query_id, rank, neighbor_id, CAST(dot AS DOUBLE) / 1.0e16 AS score
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
     "knn_vote"  -> (knnVote _),
@@ -651,7 +733,8 @@ object Similarity {
     "ann_ivf"   -> (annIvf _),
     "vec_quantize" -> (vecQuantize _),
     "vec_pq"    -> (vecPq _),
-    "ann_ivfpq" -> (annIvfPq _))
+    "ann_ivfpq" -> (annIvfPq _),
+    "ann_pq_rerank" -> (annPqRerank _))
 
   val oracle: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
@@ -661,5 +744,6 @@ object Similarity {
     "ann_ivf"   -> annIvfSql,
     "vec_quantize" -> vecQuantizeSql,
     "vec_pq"    -> vecPqSql,
-    "ann_ivfpq" -> annIvfPqSql)
+    "ann_ivfpq" -> annIvfPqSql,
+    "ann_pq_rerank" -> annPqRerankSql)
 }
