@@ -53,7 +53,11 @@ object Preflight {
           "size(graft_shingle_hashes('a b c'))" -> "2",
           "size(graft_minhash_sig(array(1L,2L), 4))" -> "4",
           "size(graft_hash_embed('a b', 8))" -> "8",
-          "size(graft_lsh_buckets(array(1L,2L), 8, 8))" -> "8")
+          "size(graft_lsh_buckets(array(1L,2L), 8, 8))" -> "8",
+          // 6 tokens, k=3, w=4 -> exactly one window minimum
+          "size(graft_winnow('a b c d e f', 3, 4))" -> "1",
+          "size(graft_topk(struct(1L, 2L), 3))" -> "1",
+          "graft_hll_est(CAST(12345 AS BIGINT)) > 0.0" -> "true")
         smokes.foreach { case (exprSql, expect) =>
           val got = spark.sql(s"SELECT $exprSql").head().get(0)
           if (expect != null)
