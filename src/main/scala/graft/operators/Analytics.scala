@@ -630,10 +630,64 @@ object Analytics {
       CAST(SUM(interest_paid) AS BIGINT) AS total_interest_cents
     FROM sched GROUP BY month ORDER BY month"""
 
+  /** E36: period-over-period movers — revenue per priority in 2000 vs
+    * 1999, ranked by absolute change (the "what moved" BI question).
+    * Both periods pre-aggregate to one row per priority before the full
+    * outer join; deltas and the |Δ| ranking stay in exact decimals until
+    * the final double cast, so ordering is engine-identical. */
+  def qTopMovers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority"),
+        year(to_date(col("o_orderdate"))).as("y"),
+        dec(col("o_totalprice")).as("p"))
+    def rev(yr: Int, name: String) = o.filter(col("y") === yr)
+      .groupBy("o_orderpriority").agg(sum("p").as(name))
+    val zero = lit("0.00").cast(DecimalType(22, 2))
+    val w = Window.orderBy(
+      abs(col("rev_curr") - col("rev_prev")).desc, col("o_orderpriority"))
+    rev(1999, "rev_prev")
+      .join(rev(2000, "rev_curr"), Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("rev_prev"), zero).as("rev_prev"),
+        coalesce(col("rev_curr"), zero).as("rev_curr"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("o_orderpriority"),
+        col("rev_prev").cast("double").as("rev_prev"),
+        col("rev_curr").cast("double").as("rev_curr"),
+        (col("rev_curr") - col("rev_prev")).cast("double").as("delta"),
+        col("rank"))
+      .orderBy("rank")
+  }
+
+  val qTopMoversSql: String = """
+    WITH o AS (
+      SELECT o_orderpriority, year(CAST(o_orderdate AS DATE)) AS y,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      FROM orders),
+    prev AS (SELECT o_orderpriority, SUM(p) AS rev_prev FROM o
+             WHERE y = 1999 GROUP BY o_orderpriority),
+    curr AS (SELECT o_orderpriority, SUM(p) AS rev_curr FROM o
+             WHERE y = 2000 GROUP BY o_orderpriority),
+    j AS (
+      SELECT COALESCE(prev.o_orderpriority, curr.o_orderpriority) AS o_orderpriority,
+        COALESCE(rev_prev, 0) AS rev_prev, COALESCE(rev_curr, 0) AS rev_curr
+      FROM prev FULL OUTER JOIN curr
+        ON prev.o_orderpriority = curr.o_orderpriority),
+    r AS (
+      SELECT o_orderpriority, rev_prev, rev_curr,
+        row_number() OVER (ORDER BY abs(rev_curr - rev_prev) DESC,
+                           o_orderpriority) AS rank
+      FROM j)
+    SELECT o_orderpriority, CAST(rev_prev AS DOUBLE) AS rev_prev,
+      CAST(rev_curr AS DOUBLE) AS rev_curr,
+      CAST(rev_curr - rev_prev AS DOUBLE) AS delta, rank
+    FROM r ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_set_ops"    -> (qSetOps _),
     "q_full_outer" -> (qFullOuter _),
     "q_recursive"  -> (qRecursive _),
+    "q_top_movers" -> (qTopMovers _),
     "q1_pricing"   -> (q1Pricing _),
     "q3_revenue"   -> (q3Revenue _),
     "q5_region"    -> (q5Region _),
@@ -657,6 +711,7 @@ object Analytics {
     "q_set_ops"    -> qSetOpsSql,
     "q_full_outer" -> qFullOuterSql,
     "q_recursive"  -> qRecursiveSql,
+    "q_top_movers" -> qTopMoversSql,
     "q1_pricing"   -> q1PricingSql,
     "q3_revenue"   -> q3RevenueSql,
     "q5_region"    -> q5RegionSql,
