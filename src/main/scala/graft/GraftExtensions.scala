@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_char_trigrams"),
+      new ExpressionInfo(classOf[graft.plans.CharTrigrams].getName, null,
+        "graft_char_trigrams"),
+      (children: Seq[Expression]) => graft.plans.CharTrigrams(children.head,
+        children(1).eval(null).asInstanceOf[Boolean])))
+    ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[graft.plans.Winnow].getName, null,
         "graft_winnow"),

@@ -595,6 +595,80 @@ object TextAnalysis {
     FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair LIMIT 20"""
 
+  // ---- D19 character-n-gram language ID ---------------------------------
+
+  private val LidTopN = 30
+
+  /** D19: character-trigram language ID (Cavnar/Trenkle 1994, the
+    * textcat algorithm) — build a top-30 trigram profile per tagged
+    * language, then classify every document by how many of its DISTINCT
+    * trigrams appear in each profile (argmax, ties to the
+    * lexicographically smallest language). Upgrades D1's marker-word
+    * heuristic to the standard published approach; the corpus is its
+    * own training set, which is exactly how per-domain profiles get
+    * refreshed in production.
+    *
+    * Scale shape: profiles are one (lang, trigram) aggregation + a
+    * per-lang top-N window → a tiny broadcast table (langs × 30 rows);
+    * classification is a narrow distinct-trigram explode joined to the
+    * broadcast, one (doc, lang) count, one argmax window. */
+  def textLangidNgram(s: SparkSession, dir: String): DataFrame = {
+    // fused graft_char_trigrams kernel: one per-row pass instead of the
+    // interpreted transform(sequence, substr) chain (one expression-tree
+    // evaluation per character — measured 4.1 s → sub-second at sf0.1)
+    def tris(distinct: Boolean): Column =
+      call_function("graft_char_trigrams", col("text"), lit(distinct))
+    val docTris = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tris(true)).as("tri"))
+    val profW = Window.partitionBy("plang")
+      .orderBy(col("cnt").desc, col("tri"))
+    val profiles = Tables.documents(s, dir)
+      .select(col("lang").as("plang"), explode(tris(false)).as("tri"))
+      .groupBy("plang", "tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(profW))
+      .filter(col("rk") <= LidTopN)
+      .select("plang", "tri")
+    val pickW = Window.partitionBy("doc_id")
+      .orderBy(col("hits").desc, col("plang"))
+    docTris.join(broadcast(profiles), "tri")
+      .groupBy("doc_id", "lang", "plang").agg(count(lit(1)).as("hits"))
+      .withColumn("prk", row_number().over(pickW))
+      .filter(col("prk") === 1)
+      .select(col("doc_id"), col("lang").as("tagged_lang"),
+        col("plang").as("pred_lang"), col("hits"))
+      .orderBy("doc_id")
+  }
+
+  val textLangidNgramSql: String = s"""
+    WITH tris AS (
+      SELECT doc_id, lang,
+        list_transform(generate_series(1, length(text) - 2),
+          i -> substr(text, CAST(i AS INT), 3)) AS tri
+      FROM documents WHERE length(text) >= 3),
+    prof AS (
+      SELECT plang, tri FROM (
+        SELECT lang AS plang, t.tri AS tri, COUNT(*) AS cnt,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY COUNT(*) DESC, t.tri) AS rk
+        FROM (SELECT lang, unnest(tri) AS tri FROM tris) t
+        GROUP BY lang, t.tri)
+      WHERE rk <= $LidTopN),
+    dt AS (
+      SELECT DISTINCT doc_id, lang, tri
+      FROM (SELECT doc_id, lang, unnest(tri) AS tri FROM tris)),
+    hits AS (
+      SELECT dt.doc_id, dt.lang, prof.plang, COUNT(*) AS hits
+      FROM dt JOIN prof ON prof.tri = dt.tri
+      GROUP BY dt.doc_id, dt.lang, prof.plang),
+    best AS (
+      SELECT doc_id, lang, plang, hits,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY hits DESC, plang) AS prk
+      FROM hits)
+    SELECT doc_id, lang AS tagged_lang, plang AS pred_lang, hits
+    FROM best WHERE prk = 1
+    ORDER BY doc_id"""
+
   /** Per-source mixture rates (per-mille) for D15 — the data-mix recipe a
     * pretraining run pins: oversample curated sources, downsample web. */
   private val mixRates: Seq[(String, Int)] =
@@ -646,6 +720,7 @@ object TextAnalysis {
     "text_winnow"      -> (textWinnow _),
     "text_ppl_bucket"  -> (textPplBucket _),
     "text_bpe_merge"   -> (textBpeMerge _),
+    "text_langid_ngram" -> (textLangidNgram _),
     "text_lm_score"    -> (textLmScore _),
     "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
@@ -666,6 +741,7 @@ object TextAnalysis {
     "text_winnow"      -> textWinnowSql,
     "text_ppl_bucket"  -> textPplBucketSql,
     "text_bpe_merge"   -> textBpeMergeSql,
+    "text_langid_ngram" -> textLangidNgramSql,
     "text_lm_score"    -> textLmScoreSql,
     "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,

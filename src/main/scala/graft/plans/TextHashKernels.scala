@@ -166,6 +166,35 @@ object TextHash {
     if (wr == nWin) mins else java.util.Arrays.copyOf(mins, wr)
   }
 
+  /** Character trigrams of `text` in order (`distinct` = true dedups and
+    * sorts). One pass per row — the transform(sequence, substr) chain
+    * computing the same thing is CodegenFallback and allocates one
+    * expression-tree evaluation per character. */
+  def charTrigrams(text: UTF8String, distinct: Boolean): Array[UTF8String] = {
+    // CODEPOINT windows, not UTF-16 units — Spark's substr counts
+    // characters, and a surrogate pair split in half is mojibake
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length - 2
+    if (n <= 0) return Array.empty
+    if (!distinct) {
+      val out = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        out(i) = UTF8String.fromString(new String(cps, i, 3)); i += 1
+      }
+      out
+    } else {
+      val set = new java.util.TreeSet[String]()
+      var i = 0
+      while (i < n) { set.add(new String(cps, i, 3)); i += 1 }
+      val out = new Array[UTF8String](set.size)
+      val it = set.iterator()
+      var w = 0
+      while (it.hasNext) { out(w) = UTF8String.fromString(it.next()); w += 1 }
+      out
+    }
+  }
+
   /** Split on single space, drop empties — Text.tokens semantics. */
   private def tokenize(text: UTF8String): Array[String] = {
     val s = text.toString
@@ -253,6 +282,26 @@ case class Winnow(child: Expression, k: Int, w: Int) extends TextKernelTyping {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.plans.TextHash.winnow($c, $k, $w));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → character trigrams (positional, or
+  * distinct-sorted with `distinct = true`) in one per-row pass. */
+case class CharTrigrams(child: Expression, distinct: Boolean)
+    extends TextKernelTyping {
+  override def prettyName: String = "graft_char_trigrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.charTrigrams(
+      input.asInstanceOf[UTF8String], distinct).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) graft.plans.TextHash.charTrigrams($c, $distinct));")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -196,6 +196,27 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_char_trigrams == composed substr form on generated strings") {
+    val texts = sample(textGen, 200)
+    val df = texts.toDF("text")
+    val composed = when(length(col("text")) >= 3,
+      transform(sequence(lit(1), length(col("text")) - 2),
+        i => col("text").substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(
+      call_function("graft_char_trigrams", col("text"), lit(false)).as("no"),
+      composed.as("co"),
+      call_function("graft_char_trigrams", col("text"), lit(true)).as("nd"),
+      array_sort(array_distinct(composed)).as("cd"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"positional mismatch for ${r.getString(4)}")
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"distinct mismatch for ${r.getString(4)}")
+    }
+  }
+
   test("graft_lsh_buckets == composed per-plane sign dots on generated vectors") {
     val tables = 8; val bits = 8; val dim = 64
     val vecGen = Gen.listOfN(dim, Gen.chooseNum(-200000000L, 200000000L))
