@@ -720,6 +720,43 @@ object Dedup {
     ORDER BY doc_id"""
   }
 
+  // ---- C11 soft dedup ---------------------------------------------------
+
+  /** C11: SOFT deduplication — instead of dropping near-dup cluster
+    * members (C10), every document gets a sampling weight
+    * 1/cluster_size: duplicated content contributes once in expectation
+    * while rare phrasing variants still contribute signal (the
+    * down-weighting alternative studied for LLM pretraining, where hard
+    * dedup measurably over-prunes). Unclustered docs keep weight 1.
+    *
+    * Scale shape: one left join of the corpus id list against C6's
+    * cluster assignment; the weight is a single IEEE division of
+    * identical operands in both engines. */
+  def dedupSoft(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+      .select("doc_id", "cluster_rep", "cluster_size")
+    Tables.documents(s, dir).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        (lit(1.0) / coalesce(col("cluster_size"), lit(1L)).cast("double"))
+          .as("weight"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSoftSql: String = {
+    val clustersSql = dedupClustersSql.replace("ORDER BY doc_id", "")
+    s"""
+    WITH clusters AS ($clustersSql)
+    SELECT d.doc_id,
+      COALESCE(c.cluster_rep, d.doc_id) AS cluster_rep,
+      COALESCE(c.cluster_size, 1) AS cluster_size,
+      1.0 / CAST(COALESCE(c.cluster_size, 1) AS DOUBLE) AS weight
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+  }
+
   // ---- C7 benchmark decontamination ------------------------------------
 
   private val ContamMinShared = 5
@@ -774,7 +811,8 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embcos"  -> (dedupEmbcos _),
     "dedup_clusters" -> (dedupClusters _),
-    "dedup_keep_best" -> (dedupKeepBest _))
+    "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_soft" -> (dedupSoft _))
 
   val oracle: Map[String, String] = Map(
     "dedup_contamination" -> dedupContaminationSql,
@@ -786,5 +824,6 @@ object Dedup {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embcos"  -> dedupEmbcosSql,
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_keep_best" -> dedupKeepBestSql)
+    "dedup_keep_best" -> dedupKeepBestSql,
+    "dedup_soft" -> dedupSoftSql)
 }
