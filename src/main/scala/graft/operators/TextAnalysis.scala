@@ -669,6 +669,49 @@ object TextAnalysis {
     FROM best WHERE prk = 1
     ORDER BY doc_id"""
 
+  /** D20: content novelty — per document, the fraction of its distinct
+    * word-2-gram shingles that appear in NO other document (df = 1).
+    * High novelty marks unique content worth keeping; near-zero novelty
+    * marks boilerplate or heavy duplication the dedup family should have
+    * caught — the cheap corpus-health metric next to C2–C4.
+    *
+    * Scale shape: the fused shingle kernel gives each doc's distinct
+    * hashed shingles in one narrow pass; one (shingle) shuffle computes
+    * document frequency with partial aggregation; one (doc) re-agg
+    * computes the exact integer counts, one final IEEE division. */
+  def textNovelty(s: SparkSession, dir: String): DataFrame = {
+    val ds = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("graft_shingle_hashes", col("text"))).as("sh"))
+    val df = ds.groupBy("sh").agg(count(lit(1)).as("docf"))
+    ds.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("docf") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val textNoveltySql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        ${Hashing.h60pSql("sh")} AS sh
+      FROM (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1])) AS sh
+            FROM toks)),
+    df AS (SELECT sh, COUNT(*) AS docf FROM sh GROUP BY sh)
+    SELECT doc_id, COUNT(*) AS n_shingles,
+      CAST(SUM(CASE WHEN docf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      CAST(SUM(CASE WHEN docf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+    FROM sh JOIN df USING (sh)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   /** Per-source mixture rates (per-mille) for D15 — the data-mix recipe a
     * pretraining run pins: oversample curated sources, downsample web. */
   private val mixRates: Seq[(String, Int)] =
@@ -721,6 +764,7 @@ object TextAnalysis {
     "text_ppl_bucket"  -> (textPplBucket _),
     "text_bpe_merge"   -> (textBpeMerge _),
     "text_langid_ngram" -> (textLangidNgram _),
+    "text_novelty"     -> (textNovelty _),
     "text_lm_score"    -> (textLmScore _),
     "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
@@ -742,6 +786,7 @@ object TextAnalysis {
     "text_ppl_bucket"  -> textPplBucketSql,
     "text_bpe_merge"   -> textBpeMergeSql,
     "text_langid_ngram" -> textLangidNgramSql,
+    "text_novelty"     -> textNoveltySql,
     "text_lm_score"    -> textLmScoreSql,
     "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,
