@@ -87,9 +87,18 @@ object Bench {
     val scaleJson = scale.map { case (dir, small) =>
       val ratios = results.collect { case (k, big) if small.contains(k) =>
         k -> (if (small(k) > 0) big / small(k) else Double.NaN) }
-      s""","scale":{"small_sf":"$dir","small_queries":${jmap(small)},"ratio_big_over_small":${jmap(ratios)}}"""
+      s""""scale":{"small_sf":"$dir","ratio_big_over_small":${jmap(ratios)}},"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","protocol":"min-of-$reps, cold cache + gc between runs, sf0.001 warmup"$scaleJson}""")
+    // Field order is deliberate: the driver archives only the LAST 2000
+    // chars of this line (round-4 lesson — the tail preserved the ratio
+    // map and cut the absolute seconds). So the tail-most bytes carry the
+    // most valuable data: the per-query seconds sorted ascending (slowest
+    // operators land at the very end and always survive truncation),
+    // followed by the headline total as the final key. The verbose
+    // per-query small-SF seconds are dropped; the ratio map carries the
+    // scale signal in a tenth of the bytes.
+    val queriesAsc = results.toSeq.sortBy(_._2)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","protocol":"min-of-$reps, cold cache + gc between runs, sf0.001 warmup",$scaleJson"queries":${jmap(queriesAsc)},"value":$total}""")
     spark.stop()
   }
 }

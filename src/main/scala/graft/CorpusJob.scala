@@ -76,7 +76,7 @@ object CorpusJob {
     // A10 chunking semantics -> source-partitioned shards
     val chunks = afterMix
       .select(col("doc_id"), col("source"),
-        posexplode(Text.chunks(Text.tokens(col("text")), chunkSize, overlap)))
+        posexplode(Text.chunks(col("text"), chunkSize, overlap)))
       .select(col("doc_id"), col("source"),
         (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))
     chunks.write.mode("overwrite").partitionBy("source").parquet(outDir)

@@ -75,6 +75,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Int],
         children(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_chunks"),
+      new ExpressionInfo(classOf[graft.plans.Chunks].getName, null,
+        "graft_chunks"),
+      (children: Seq[Expression]) => graft.plans.Chunks(children.head,
+        children(1).eval(null).asInstanceOf[Int],
+        children(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
       new FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[graft.plans.LshBuckets].getName, null,
         "graft_lsh_buckets"),

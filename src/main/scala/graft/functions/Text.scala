@@ -18,8 +18,19 @@ object Text {
   /** Reference chunker semantics (TextProcessor.py:34-48): slide a
     * `size`-token window advancing by `size - overlap`; emit every window
     * whose start is inside the token array. Returns array<string> of
-    * chunk texts, in order. */
-  def chunks(toks: Column, size: Int, overlap: Int): Column = {
+    * chunk texts, in order. Fused single-pass codegen kernel
+    * ([[graft.plans.Chunks]]) — the composed HOF form below is kept only
+    * as the property-spec reference. */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    val step = size - overlap
+    require(step > 0, "overlap must be < chunk size")
+    call_function("graft_chunks", text, lit(size), lit(step))
+  }
+
+  /** The pre-kernel composed form of [[chunks]] (transform + sequence +
+    * slice + array_join over a pre-tokenized column). CodegenFallback —
+    * kept solely as the differential reference for KernelPropertySpec. */
+  def chunksComposed(toks: Column, size: Int, overlap: Int): Column = {
     val step = size - overlap
     require(step > 0, "overlap must be < chunk size")
     val nToks = org.apache.spark.sql.functions.size(toks)

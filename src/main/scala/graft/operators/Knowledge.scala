@@ -248,9 +248,8 @@ object Knowledge {
   /** A10: token-window chunking, size 20 / overlap 5
     * (TextProcessor.py:34-48) — pure narrow transform, zero shuffle. */
   def kbChunks(s: SparkSession, dir: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(Text.chunks(toks, 20, 5)))
+      .select(col("doc_id"), posexplode(Text.chunks(col("text"), 20, 5)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_ix"),
         col("col").as("chunk"))
       .orderBy("doc_id", "chunk_ix")

@@ -50,9 +50,9 @@ object VectorStore {
     * count (an empty batch writes nothing and returns 0). */
   def ingest(docs: DataFrame, indexDir: String,
       chunkSize: Int = 20, overlap: Int = 5, mode: String = "overwrite"): Long = {
-    val toks = Text.tokens(col("text"))
     val chunks = docs
-      .select(col("doc_id"), posexplode(Text.chunks(toks, chunkSize, overlap)))
+      .select(col("doc_id"),
+        posexplode(Text.chunks(col("text"), chunkSize, overlap)))
       .select(col("doc_id"), (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))
     // `raw` (exact int64 weights) is kept in the index: search ranks with
     // the codegen'd graft_dot_l kernel over it — the interpreted

@@ -166,6 +166,38 @@ object TextHash {
     if (wr == nWin) mins else java.util.Arrays.copyOf(mins, wr)
   }
 
+  /** Token-window chunks of `text` (TextProcessor.py:34-48 semantics):
+    * tokenize (split on single space, drop empties), slide a `size`-token
+    * window advancing by `step` tokens, emit every window whose start is
+    * inside the token array, each re-joined with single spaces. One pass
+    * per row with a single StringBuilder — the transform(sequence, slice,
+    * array_join) chain computing the same thing is CodegenFallback and
+    * re-materializes a sliced token array per window. Empty text → empty
+    * array, matching the reference while-loop that never enters. */
+  def chunks(text: UTF8String, size: Int, step: Int): Array[UTF8String] = {
+    val toks = tokenize(text)
+    if (toks.length == 0) return Array.empty
+    val n = (toks.length + step - 1) / step
+    val out = new Array[UTF8String](n)
+    val sb = new java.lang.StringBuilder
+    var w = 0
+    var start = 0
+    while (start < toks.length) {
+      sb.setLength(0)
+      val end = math.min(start + size, toks.length)
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(w) = UTF8String.fromString(sb.toString)
+      w += 1
+      start += step
+    }
+    out
+  }
+
   /** Character trigrams of `text` in order (`distinct` = true dedups and
     * sorts). One pass per row — the transform(sequence, substr) chain
     * computing the same thing is CodegenFallback and allocates one
@@ -302,6 +334,31 @@ case class CharTrigrams(child: Expression, distinct: Boolean)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"(Object[]) graft.plans.TextHash.charTrigrams($c, $distinct));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → token-window chunk strings (window
+  * `size` tokens, stride `step`), fusing tokenize + window-slice +
+  * re-join into one per-row kernel. Replaces the interpreted
+  * transform(sequence, slice, array_join) chain — the reference's core
+  * chunking loop (TextProcessor.py:34-48) and the hottest path in the
+  * ingest pipeline (A10/A11/G5/G6/G19). */
+case class Chunks(child: Expression, size: Int, step: Int)
+    extends TextKernelTyping {
+  require(size > 0 && step > 0, "chunk size and step must be positive")
+  override def prettyName: String = "graft_chunks"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.chunks(
+      input.asInstanceOf[UTF8String], size, step).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) graft.plans.TextHash.chunks($c, $size, $step));")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

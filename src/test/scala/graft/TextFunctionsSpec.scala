@@ -23,8 +23,28 @@ class TextFunctionsSpec extends AnyFunSuite {
 
   private def sparkChunks(text: String, size: Int, overlap: Int): Seq[String] =
     Seq(text).toDF("text")
-      .select(Text.chunks(Text.tokens(col("text")), size, overlap).as("c"))
+      .select(Text.chunks(col("text"), size, overlap).as("c"))
       .as[Seq[String]].head()
+
+  test("graft_chunks kernel matches the composed HOF form") {
+    val gen = for {
+      n <- Gen.choose(0, 80)
+      toks <- Gen.listOfN(n, Gen.oneOf(Gen.alphaLowerStr.map(_.take(4)),
+        Gen.const(""))) // empty tokens → runs of spaces exercise tokenize
+      size <- Gen.choose(2, 25)
+      overlap <- Gen.choose(0, size - 1)
+    } yield (toks.mkString(" "), size, overlap)
+    val cases = Gen.listOfN(10, gen).sample.get :+ (("", 20, 5))
+    cases.foreach { case (text, size, overlap) =>
+      val df = Seq(text).toDF("text")
+      val fused = df.select(Text.chunks(col("text"), size, overlap).as("c"))
+        .as[Seq[String]].head()
+      val composed = df.select(
+        Text.chunksComposed(Text.tokens(col("text")), size, overlap).as("c"))
+        .as[Seq[String]].head()
+      assert(fused == composed, s"for (${text.take(40)}, $size, $overlap)")
+    }
+  }
 
   test("chunks matches the reference sliding-window loop") {
     for ((text, size, overlap) <- Seq(
