@@ -462,39 +462,86 @@ object Dedup {
   private[operators] def sqDistExact(a: Column, b: Column): Column =
     call_function("graft_sqdist_l", a, b)
 
-  /** C5: embedding-cosine/L2 near-dup pairs, blocked on the cluster label
-    * column (at 100 TB: a coarse quantizer / IVF cell id). Vectors are
-    * quantized once per row before the pair join — the join evaluates
-    * pure int64 math. */
+  // LSH blocking parameters for C5. More tables / fewer bits trades
+  // candidate volume for recall; 16×6 keeps ~23% of all pairs as
+  // candidates at the deliberately-loose test threshold (cos ≥ 0.4 —
+  // the synthetic corpus has no closer pairs) while recovering ~70% of
+  // the in-threshold pairs. At a production near-dup threshold
+  // (cos ≥ 0.9) the same table count blocks far harder because close
+  // pairs almost never split: recall ≈ 1-(1-0.39^6)^16 ≈ 0.9997 with the
+  // same ~2% random-pair collision rate per table.
+  private[operators] val EmbLshTables = 16
+  private[operators] val EmbLshBits = 6
+
+  /** C5: embedding near-dup pairs, blocked on hyperplane-LSH buckets —
+    * the same md5-seeded ±1 planes as B3 ([[graft.plans.LshBuckets]],
+    * JVM-cached plane matrix), so candidate generation is a bucket
+    * equi-join whose volume tracks the number of genuinely-close pairs,
+    * not Θ(N²/labels) like the label-blocked form this replaces. The
+    * exact scaled-int64 distance kernel then verifies each DISTINCT
+    * candidate once: the 16×-exploded bucket join carries only
+    * (vec_id, tbl, bucket) — never the vectors — and the quantized
+    * vectors are fetched back by key after the distinct. At 100 TB the
+    * bucket ids are ingest-time columns (exactly B3's layout) and the
+    * pair join shuffles on (tbl, bucket). */
   def dedupEmbcos(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => q7(x)).as("qe"),
-        col("label"))
-      .persist() // both pair-join sides — quantize once
-    val a = e.select(col("vec_id").as("vec_a"), col("qe").as("ea"), col("label"))
-    val b = e.select(col("vec_id").as("vec_b"), col("qe").as("eb"),
-      col("label").as("label_b"))
-    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("label"),
+    val qe = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => q7(x)).as("qe"))
+    val buckets = qe
+      .select(col("vec_id"), posexplode(call_function("graft_lsh_buckets",
+        col("qe"), lit(EmbLshTables), lit(EmbLshBits))))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
+    // a pair colliding in k tables must score once, not k times —
+    // distinct BEFORE the distance kernel
+    val cand = buckets.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("vec_b"), col("tbl").as("tbl_b"),
+          col("bucket").as("bucket_b")),
+        col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b")
+          && col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val ea = qe.select(col("vec_id").as("vec_a"), col("qe").as("ea"))
+    val eb = qe.select(col("vec_id").as("vec_b"), col("qe").as("eb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
         sqDistExact(col("ea"), col("eb")).as("d2x"))
       .filter(col("d2x") <= lit(120000000000000L)) // 1.2 at scale 1e14
-      .select(col("vec_a"), col("vec_b"), col("label"),
+      .select(col("vec_a"), col("vec_b"),
         (col("d2x").cast("double") / lit(1.0e14)).as("sq_dist"))
       .orderBy("vec_a", "vec_b")
   }
 
-  val dedupEmbcosSql: String = """
-    WITH p AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+  val dedupEmbcosSql: String = s"""
+    WITH planes AS (
+      SELECT t.range AS t, p.range AS p, d.range AS d,
+        (((('0x'||substr(md5(CAST(t.range AS VARCHAR) || '_' || CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)),1,15))::BIGINT) & 1) * 2 - 1) AS sign
+      FROM range($EmbLshTables) t CROSS JOIN range($EmbLshBits) p CROSS JOIN range(64) d),
+    vq AS (
+      SELECT vec_id, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings CROSS JOIN range(64) d),
+    pd AS (
+      SELECT vq.vec_id, planes.t, planes.p, SUM(planes.sign * vq.qe) AS pdot
+      FROM vq JOIN planes ON vq.d = planes.d
+      GROUP BY vq.vec_id, planes.t, planes.p),
+    buckets AS (
+      SELECT vec_id, t,
+        CAST(SUM(CASE WHEN pdot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+      FROM pd GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM buckets a JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT vec_a, vec_b,
         CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
           s -> (CAST(floor(CAST(s[1] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)
               - CAST(floor(CAST(s[2] AS DOUBLE) * 10000000 + 0.5) AS BIGINT))
              * (CAST(floor(CAST(s[1] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)
               - CAST(floor(CAST(s[2] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)))) AS BIGINT) AS d2x
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, label, CAST(d2x AS DOUBLE) / 1.0e14 AS sq_dist
-    FROM p WHERE d2x <= 120000000000000
+      FROM cand JOIN embeddings a ON a.vec_id = vec_a
+                JOIN embeddings b ON b.vec_id = vec_b)
+    SELECT vec_a, vec_b, CAST(d2x AS DOUBLE) / 1.0e14 AS sq_dist
+    FROM scored WHERE d2x <= 120000000000000
     ORDER BY vec_a, vec_b"""
 
   // ---- C6 near-dup clustering (pairs → components → keep-list) ---------
@@ -766,21 +813,45 @@ object Dedup {
     * stand in for the held-out eval set). The pattern every LLM training
     * pipeline runs before a corpus ships.
     *
-    * Scale shape: the benchmark side is tiny by construction, so its
-    * hashed shingle sets BROADCAST and the training corpus is checked in
-    * one shuffle-free scan — each (train, bench) overlap is one pass of
-    * the sorted-intersect codegen kernel over pre-hashed int64 arrays. */
+    * Scale shape: per-training-doc cost is INDEPENDENT of the benchmark
+    * document count, and the corpus side is completely join-free. The
+    * benchmark shingle sets are materialized once at plan-build time
+    * (one pushdown scan of the tiny id < 20 slice); their merged sorted
+    * distinct union rides the plan as an array literal, so pass 1 is a
+    * narrow shuffle-free Filter — one sorted-intersect kernel call per
+    * training doc against the union (sound prefilter: each per-bench set
+    * is a subset of the union, so a doc sharing ≥ k shingles with some
+    * bench doc shares ≥ k with the union). Only the rare survivors fan
+    * out ×bench for exact pair attribution, via an exploded literal —
+    * no cartesian, nested-loop, or crossJoin node anywhere. The old plan
+    * (broadcast bench table, one kernel pass per (train, bench) pair)
+    * multiplied the full corpus scan by the benchmark count; with a real
+    * eval suite (tens of thousands of docs) that multiplier bites. At
+    * extreme benchmark sizes the literal becomes a broadcast variable;
+    * the plan shape is unchanged. */
   def dedupContamination(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text")).as("shs"))
-    val bench = docs.filter(col("doc_id") < 20)
-      .select(col("doc_id").as("bench_id"), col("shs").as("bshs"))
-    val train = docs.filter(col("doc_id") >= 20)
-    train.crossJoin(broadcast(bench))
-      .select(col("doc_id"), col("bench_id"),
-        call_function("graft_intersect_count", col("shs"), col("bshs"))
+    // NULL-text bench docs have no shingles and cannot contaminate
+    val benchSets: Seq[(Long, Seq[Long])] = docs
+      .filter(col("doc_id") < 20 && col("shs").isNotNull)
+      .select(col("doc_id"), col("shs"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val union: Array[Long] =
+      benchSets.flatMap(_._2).distinct.sorted.toArray
+    val survivors = docs
+      .filter(col("doc_id") >= 20)
+      .filter(call_function("graft_intersect_count",
+        col("shs"), typedLit(union)) >= ContamMinShared)
+    survivors
+      .select(col("doc_id"), col("shs"),
+        explode(typedLit(benchSets)).as("b"))
+      .select(col("doc_id"), col("b._1").as("bench_id"),
+        call_function("graft_intersect_count", col("shs"), col("b._2"))
           .as("n_shared"))
       .filter(col("n_shared") >= ContamMinShared)
       .orderBy("doc_id", "bench_id")

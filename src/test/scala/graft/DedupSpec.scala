@@ -93,4 +93,71 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((0L, 1L)) == 0L)
     assert(pairs.get((0L, 2L)).forall(_ <= 6L))
   }
+
+  test("embcos: exact/near dups always collide in a bucket; distant vectors dropped") {
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("graft_embcos").toString
+    val dim = 64
+    def unit(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(dim)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val v0 = unit(1)
+    val v2 = { // small perturbation of v0, renormalized: a true near-dup
+      val w = v0.map(_.toDouble); w(0) += 0.05
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(x => (x / n).toFloat)
+    }
+    Seq((0L, v0.toSeq, "a"), (1L, v0.toSeq, "b"),
+        (2L, v2.toSeq, "a"), (3L, unit(99).toSeq, "b"))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val pairs = Dedup.dedupEmbcos(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    // identical vectors share every bucket deterministically; a tiny-angle
+    // near-dup splits a given plane with prob θ/π ≈ 0.016, so missing all
+    // 16 tables has probability ~1e-16 under the FIXED md5 planes
+    assert(keys == Set((0L, 1L), (0L, 2L), (1L, 2L)), s"got $keys")
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 0.0)
+  }
+
+  test("embcos LSH pair set: sound subset of brute force, recall tracked vs label blocking") {
+    import org.apache.spark.sql.functions.{call_function, col, floor, lit, transform}
+    val sfDir = TestSpark.sf
+    val qe = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1.0e7) + lit(0.5))).as("qe"),
+        col("label"))
+    val a = qe.select(col("vec_id").as("vec_a"), col("qe").as("ea"), col("label").as("la"))
+    val b = qe.select(col("vec_id").as("vec_b"), col("qe").as("eb"), col("label").as("lb"))
+    val brute = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        call_function("graft_sqdist_l", col("ea"), col("eb")).as("d2x"),
+        col("la"), col("lb"))
+      .filter(col("d2x") <= lit(120000000000000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.get(3) == r.get(4))).toMap
+    val lsh = Dedup.dedupEmbcos(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // soundness: every emitted pair is a true in-threshold pair with the
+    // exact brute-force distance (LSH affects candidates, never scores)
+    lsh.foreach { case (k, d) =>
+      assert(brute.contains(k), s"unsound pair $k")
+      assert(d == brute(k)._1.toDouble / 1.0e14, s"distance drift for $k")
+    }
+    // recall floor on the loosest-possible pairs this corpus has
+    // (cos ∈ [0.4, 0.51] — see operator comment); the legacy label-blocked
+    // form is the differential baseline the LSH blocking replaced
+    val labelBlocked = brute.filter(_._2._2).keySet
+    val recallAll = lsh.size.toDouble / brute.size
+    val recallLabel = labelBlocked.count(lsh.contains).toDouble /
+      math.max(labelBlocked.size, 1)
+    info(f"recall vs brute force: $recallAll%.2f (${lsh.size}/${brute.size}); " +
+      f"vs label-blocked subset: $recallLabel%.2f (of ${labelBlocked.size})")
+    assert(recallAll >= 0.5, f"LSH recall $recallAll%.2f below floor")
+  }
 }

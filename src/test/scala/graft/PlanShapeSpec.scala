@@ -33,6 +33,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination is join-free: literal union prefilter + exploded attribution") {
+    val plan = executedPlan(SparkEntry.queries("dedup_contamination")(spark, sf))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"contamination should carry no join node:\n$plan")
+    // pass 1 must be a pushed-down narrow filter over the corpus scan
+    assert(plan.contains("graft_intersect_count"), s"prefilter missing:\n$plan")
+    assert(plan.contains("Generate explode"), s"literal attribution missing:\n$plan")
+  }
+
+  test("embcos candidate generation is a bucket equi-join carrying no vectors") {
+    val plan = executedPlan(SparkEntry.queries("dedup_embcos")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi pair join:\n$plan")
+    // the bucket self-join must key on (tbl, bucket) — label blocking gone
+    assert(plan.contains("bucket"), s"bucket key missing:\n$plan")
+    assert(!plan.contains("label"), s"label blocking resurfaced:\n$plan")
+  }
+
   test("grouping sets expands into a single exchange") {
     val plan = executedPlan(SparkEntry.queries("q_grouping_sets")(spark, sf))
       .split("== Initial Plan ==")(0) // count the AQE final plan only
