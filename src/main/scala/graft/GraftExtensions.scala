@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Int],
         children(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_word_tri_stats"),
+      new ExpressionInfo(classOf[graft.plans.WordTriStats].getName, null,
+        "graft_word_tri_stats"),
+      (children: Seq[Expression]) => graft.plans.WordTriStats(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_chunks"),
       new ExpressionInfo(classOf[graft.plans.Chunks].getName, null,
         "graft_chunks"),

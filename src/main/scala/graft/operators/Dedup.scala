@@ -717,6 +717,29 @@ object Dedup {
     ORDER BY doc_id"""
   }
 
+  /** Session-shared C6 artifact: the tiny (doc_id, cluster_rep,
+    * cluster_size) assignment, computed once per (session, dir) and
+    * eagerly localCheckpointed. C10 keep-best, C11 soft-dedup and the
+    * G19 corpus build all consume exactly this artifact; before the memo
+    * each of them re-ran the whole clustering job (pair generation +
+    * label propagation) from scratch — the three slowest non-diagnostic
+    * queries in the round-4 bench, all recomputing identical output. On
+    * a cluster the artifact is a parquet keep-list the pipeline writes
+    * once; the memo is the session-local equivalent (the checkpoint
+    * holds one row per CLUSTERED doc — near-dups only, a sliver of the
+    * corpus). [[invalidateClusterArtifacts]] drops the memo if the
+    * underlying tables change within a session. */
+  private val clusterMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def clusterArtifact(s: SparkSession, dir: String): DataFrame =
+    clusterMemo.computeIfAbsent((s, dir), _ =>
+      dedupClusters(s, dir)
+        .select("doc_id", "cluster_rep", "cluster_size")
+        .localCheckpoint(true))
+
+  def invalidateClusterArtifacts(): Unit = clusterMemo.clear()
+
   // ---- C10 cluster-canonical selection ---------------------------------
 
   /** C10: cluster-canonical selection — the step after clustering (C6)
@@ -735,8 +758,7 @@ object Dedup {
     * cluster_rep — two keyed shuffles over cluster members only (the
     * non-duplicated bulk of the corpus never enters). */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupClusters(s, dir)
-      .select("doc_id", "cluster_rep", "cluster_size")
+    val clusters = clusterArtifact(s, dir)
     val quality = TextAnalysis.textQuality(s, dir).select("doc_id", "score")
     val w = Window.partitionBy("cluster_rep")
       .orderBy(col("score").desc, col("doc_id"))
@@ -780,8 +802,7 @@ object Dedup {
     * cluster assignment; the weight is a single IEEE division of
     * identical operands in both engines. */
   def dedupSoft(s: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupClusters(s, dir)
-      .select("doc_id", "cluster_rep", "cluster_size")
+    val clusters = clusterArtifact(s, dir)
     Tables.documents(s, dir).select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),

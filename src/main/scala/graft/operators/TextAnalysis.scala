@@ -201,17 +201,15 @@ object TextAnalysis {
     * ratio is one IEEE division of exact ints, so it hash-matches the
     * oracle bit-for-bit. */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val n = size(toks)
-    val tri = when(n >= 3,
-      transform(sequence(lit(1), n - 2), i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    // fused graft_word_tri_stats kernel: tokenize + trigram + distinct
+    // count in one codegen pass (the interpreted transform/array_distinct
+    // chain it replaces was CodegenFallback)
     Tables.documents(s, dir)
-      .select(col("doc_id"), tri.as("tri"))
       .select(col("doc_id"),
-        size(col("tri")).cast("long").as("n_trigrams"),
-        size(array_distinct(col("tri"))).cast("long").as("n_unique"))
+        call_function("graft_word_tri_stats", col("text")).as("ts"))
+      .select(col("doc_id"),
+        element_at(col("ts"), 1).as("n_trigrams"),
+        element_at(col("ts"), 2).as("n_unique"))
       .select(col("doc_id"), col("n_trigrams"), col("n_unique"),
         when(col("n_trigrams") > 0,
           (col("n_trigrams") - col("n_unique")).cast("double") / col("n_trigrams"))
@@ -247,13 +245,14 @@ object TextAnalysis {
     val nTok = regexp_count(col("text"), lit("[^ ]+"))
     val nChars = length(col("text"))
     val nSym = regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))
-    val toks = Text.tokens(col("text"))
-    val tri = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2), i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    val nTri = size(tri)
-    val nUniq = size(array_distinct(tri))
+    // fused graft_word_tri_stats kernel, staged through its own projection
+    // so the rule expression's three references read the SAME evaluated
+    // array (CollapseProject keeps non-cheap multi-referenced aliases
+    // staged). The interpreted HOF chain this replaces was re-inlined per
+    // reference — three CodegenFallback trigram builds per row, 15 s at
+    // sf0.1 for this gate alone vs sub-second fused.
+    val nTri = element_at(col("ts"), 1)
+    val nUniq = element_at(col("ts"), 2)
     // rule order: length → symbols → repetition; exact-int comparisons
     // (5*nSym > nChars ⟺ symbol ratio > 0.2; 2*(nTri-nUniq) > nTri ⟺
     // repetition ratio > 0.5)
@@ -262,6 +261,8 @@ object TextAnalysis {
       .when((nTri - nUniq) * 2 > nTri, lit("repetition"))
       .otherwise(lit("ok"))
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        call_function("graft_word_tri_stats", col("text")).as("ts"))
       .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
         reason.as("reason"))
       .withColumn("keep", col("reason") === "ok")

@@ -23,6 +23,19 @@ object VectorStore {
   val Dim = 32
   val Planes = 8
 
+  // PQ sidecar geometry (B7/B8 machinery): Dim-long raw weights split
+  // into PqM subspaces of PqSubDim, each coded to the nearest of PqK
+  // sampled centroids — 4 small ints per chunk instead of 32 longs.
+  val PqM = 4
+  val PqSubDim: Int = Dim / PqM
+  val PqK = 16
+  private val PqDir = "_graft_pq"
+
+  /** Per-subspace views of a raw int64 vector: array of PqM slices. */
+  private def subvecs(v: Column): Column =
+    transform(sequence(lit(0), lit(PqM - 1)),
+      m => slice(v, m * lit(PqSubDim) + 1, lit(PqSubDim)))
+
   /** Raw int64 hashing-trick weights of a chunk — one pass of the fused
     * graft_hash_embed kernel (the O(dim·tokens) per-slot filter/aggregate
     * HOF chain it replaced was the store's dominant ingest cost). */
@@ -58,16 +71,62 @@ object VectorStore {
     // the codegen'd graft_dot_l kernel over it — the interpreted
     // aggregate/zip_with double dot it replaces was the scan-time cost of
     // every probe. `embedding` stays for float-vector consumers.
-    val indexed = chunks
+    val embedded = chunks
       .withColumn("raw", rawWeights(col("chunk")))
       .withColumn("bucket", bucketOf(col("raw")))
       .withColumn("embedding", embedFromRaw(col("raw")))
       .cache()
-    val n = indexed.count()
-    if (n > 0)
+    val n = embedded.count()
+    if (n > 0) {
+      // PQ codebook: frozen at store creation (k-means|| seeding sampled
+      // from the first PqK chunks, deterministic); appends MUST reuse it —
+      // codes from two different codebooks don't compare. The sidecar is
+      // written AFTER the index data: an overwrite-mode index write wipes
+      // indexDir, sidecar included.
+      val spark = embedded.sparkSession
+      val cbPath = s"$indexDir/$PqDir/codebook.parquet"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val reuse = mode == "append" &&
+        fs.exists(new org.apache.hadoop.fs.Path(cbPath))
+      val codebook = if (reuse) {
+        // materialize NOW: the lazy plan must not race a sidecar rewrite
+        spark.read.parquet(cbPath).localCheckpoint(true)
+      } else {
+        val wj = Window.orderBy("doc_id", "chunk_ix")
+        embedded.select("doc_id", "chunk_ix", "raw")
+          .orderBy("doc_id", "chunk_ix").limit(PqK)
+          .withColumn("j", row_number().over(wj) - 1)
+          .select(col("j"), posexplode(subvecs(col("raw"))))
+          .select(col("j"), col("pos").as("m"), col("col").as("cent"))
+          .localCheckpoint(true)
+      }
+      val indexed = embedded.join(
+        pqEncode(codebook, embedded), Seq("doc_id", "chunk_ix"))
       indexed.write.mode(mode).partitionBy("bucket").parquet(indexDir)
-    indexed.unpersist()
+      if (!reuse)
+        codebook.coalesce(1).write.mode("overwrite").parquet(cbPath)
+    }
+    embedded.unpersist()
     n
+  }
+
+  /** PQ-encode a batch against a codebook: (doc_id, chunk_ix, codes) with
+    * `codes(m)` = nearest centroid id in subspace m (exact int64 sqdist,
+    * ties to the smaller id — deterministic). Broadcast codebook join +
+    * per-(chunk, subspace) argmin: the B7 encoding shape. */
+  private def pqEncode(codebook: DataFrame, batch: DataFrame): DataFrame = {
+    val wMin = Window.partitionBy("doc_id", "chunk_ix", "m")
+      .orderBy(col("dist"), col("j"))
+    batch.select(col("doc_id"), col("chunk_ix"), posexplode(subvecs(col("raw"))))
+      .select(col("doc_id"), col("chunk_ix"), col("pos").as("m"), col("col").as("sub"))
+      .join(broadcast(codebook), "m")
+      .withColumn("dist", call_function("graft_sqdist_l", col("sub"), col("cent")))
+      .withColumn("rk", row_number().over(wMin))
+      .filter(col("rk") === 1)
+      .groupBy("doc_id", "chunk_ix")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("j")))),
+        e => e.getField("j")).as("codes"))
   }
 
   /** Search: top-k chunks for a free-text query, probing the query's LSH
@@ -95,6 +154,66 @@ object VectorStore {
       .otherwise(lit(0.0d))
     val w = Window.orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
     index.join(broadcast(q), "bucket")
+      .select(col("doc_id"), col("chunk_ix"), col("chunk"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "chunk_ix", "chunk", "score")
+      .orderBy("rank")
+  }
+
+  /** Compressed serving path: IVF-PQ over the store (B8's machinery
+    * composed onto the index). The probed LSH partitions are scanned
+    * reading ONLY (ids, bucket, codes) — column pruning keeps the raw
+    * vectors, embeddings and chunk text out of the ADC scan, which is
+    * what makes a 100 TB store searchable: per-chunk state at scan time
+    * is PqM small ints. The query builds one broadcast M×K distance
+    * table; approximate distance is a per-code table-lookup sum; the
+    * top-`shortlist` ADC candidates are then exact-re-ranked (B9) by
+    * fetching their raw vectors from the same probed partitions. Output
+    * schema matches [[search]]. */
+  def searchCompressed(spark: SparkSession, indexDir: String, query: String,
+      k: Int = 5, shortlist: Int = 50): DataFrame = {
+    val index = spark.read.parquet(indexDir)
+    val codebook = spark.read.parquet(s"$indexDir/$PqDir/codebook.parquet")
+    val qvec = { import spark.implicits._; Seq(query).toDF("qtext") }
+    val q = qvec
+      .withColumn("qraw", rawWeights(col("qtext")))
+      .withColumn("qbucket", bucketOf(col("qraw")))
+    val probes = q.select(col("qraw"), explode(array(
+      col("qbucket") +: (0 until Planes).map(p =>
+        col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
+    // ADC table: exact int64 subspace distances query ↔ every centroid
+    val dtab = q
+      .select(posexplode(subvecs(col("qraw"))))
+      .select(col("pos").as("m"), col("col").as("qsub"))
+      .join(broadcast(codebook), "m")
+      .select(col("m").as("dm"), col("j").as("dj"),
+        call_function("graft_sqdist_l", col("qsub"), col("cent")).as("qdist"))
+    val wAdc = Window.orderBy(col("adist"), col("doc_id"), col("chunk_ix"))
+    val adcShortlist = index
+      .join(broadcast(probes.select("bucket")), "bucket")
+      .select(col("doc_id"), col("chunk_ix"), posexplode(col("codes")))
+      .select(col("doc_id"), col("chunk_ix"),
+        col("pos").as("m"), col("col").as("code"))
+      .join(broadcast(dtab),
+        col("m") === col("dm") && col("code") === col("dj"))
+      .groupBy("doc_id", "chunk_ix")
+      .agg(sum("qdist").as("adist"))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= shortlist)
+      .select("doc_id", "chunk_ix")
+    // exact re-rank of the shortlist only (B9): fetch raw + text by key
+    // from the probed partitions
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    index
+      .join(broadcast(probes), "bucket")
+      .join(broadcast(adcShortlist), Seq("doc_id", "chunk_ix"))
       .select(col("doc_id"), col("chunk_ix"), col("chunk"), score.as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -217,6 +217,25 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_word_tri_stats == composed trigram counts on generated strings") {
+    val texts = sample(textGen, 200)
+    val df = texts.toDF("text")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val tri = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(
+      call_function("graft_word_tri_stats", col("text")).as("k"),
+      size(tri).cast("long").as("n"),
+      size(array_distinct(tri)).cast("long").as("u"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == Seq(r.getLong(1), r.getLong(2)),
+        s"mismatch for '${r.getString(3)}'")
+    }
+  }
+
   test("graft_lsh_buckets == composed per-plane sign dots on generated vectors") {
     val tables = 8; val bits = 8; val dim = 64
     val vecGen = Gen.listOfN(dim, Gen.chooseNum(-200000000L, 200000000L))

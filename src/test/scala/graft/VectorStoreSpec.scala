@@ -37,6 +37,47 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(hits.head.getAs[Double]("score") > 0.999)
   }
 
+  test("compressed search: verbatim query self-hit ranks #1 after re-rank") {
+    val sample = spark.read.parquet(indexDir)
+      .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val hits = VectorStore.searchCompressed(spark, indexDir, sample, k = 3).collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getAs[Long]("doc_id") == 3L &&
+      hits.head.getAs[Int]("chunk_ix") == 1, s"top hit was ${hits.head}")
+    assert(hits.head.getAs[Double]("score") > 0.999)
+  }
+
+  test("compressed search recall vs the exact path") {
+    // same probed buckets, ADC shortlist + re-rank vs exact ranking: the
+    // compressed path must recover most of the exact top-k
+    val queries = Seq("spark table merge join", "knowledge export channel",
+      "quality filter tokens", "vector store search")
+    val recalls = queries.map { qt =>
+      val exact = VectorStore.search(spark, indexDir, qt, k = 5).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_ix"))).toSet
+      val comp = VectorStore.searchCompressed(spark, indexDir, qt, k = 5)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_ix"))).toSet
+      if (exact.isEmpty) 1.0
+      else exact.intersect(comp).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@5 vs exact: $mean%.2f ($recalls)")
+    assert(mean >= 0.6, f"compressed recall $mean%.2f below floor")
+  }
+
+  test("compressed ADC scan reads codes, not raw vectors or chunk text") {
+    val q = VectorStore.searchCompressed(spark, indexDir, "merge join", k = 2)
+    q.collect()
+    // the ADC branch's parquet scan must be pruned to ids/bucket/codes —
+    // raw/embedding/chunk stay out until the shortlist re-rank fetch
+    val scans = q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(s => s.contains("codes") && !s.contains("raw")),
+      s"no codes-only pruned scan found:\n${scans.mkString("\n")}")
+  }
+
   test("search scans only the probed buckets") {
     val q = VectorStore.search(spark, indexDir, "spark table merge join", k = 2)
     val scan = q.queryExecution.executedPlan.toString
