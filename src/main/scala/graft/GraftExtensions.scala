@@ -75,6 +75,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Int],
         children(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[graft.plans.RollingFp].getName, null,
+        "graft_fingerprint"),
+      (children: Seq[Expression]) => graft.plans.RollingFp(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_set_hits"),
+      new ExpressionInfo(classOf[graft.plans.TokenSetHits].getName, null,
+        "graft_token_set_hits"),
+      (children: Seq[Expression]) => graft.plans.TokenSetHits(children.head,
+        children(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_word_tri_stats"),
       new ExpressionInfo(classOf[graft.plans.WordTriStats].getName, null,
         "graft_word_tri_stats"),

@@ -247,6 +247,45 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** B4n: k-NN label vote routed over the B3 LSH index — the serving
+    * shape for classification at scale: candidates come from the bucket
+    * equi-join (plus Hamming-1 multi-probe), only they are exact-scored,
+    * and the 5 best candidates vote. Approximate where B4 is exact (a
+    * neighbor that collides in no probed bucket can't vote), which is
+    * precisely the ANN trade: the corpus scan shrinks to the probed
+    * buckets instead of every (query, corpus) pair. Oracle mirrors the
+    * bucket math like B3's. */
+  def knnVoteLsh(s: SparkSession, dir: String): DataFrame = {
+    def buckets(v: Column): Column =
+      call_function("graft_lsh_buckets", v, lit(LshTables), lit(LshPlanes))
+    val q = queriesSet(s, dir)
+      .select(col("query_id"), col("qq"), posexplode(buckets(col("qq"))))
+      .withColumnRenamed("pos", "qtbl")
+      .select(col("query_id"), col("qq"), col("qtbl"), explode(array(
+        col("col") +: (0 until LshPlanes).map(p =>
+          col("col").bitwiseXOR(lit(1 << p))): _*)).as("probe"))
+    val c = corpusSet(s, dir)
+      .select(col("neighbor_id"), col("cq"), col("label"),
+        posexplode(buckets(col("cq"))))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket_c")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    val neighbors = c.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bucket_c") === col("probe"))
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        dotExact(col("qq"), col("cq")).as("dot"))
+      .distinct() // k-table collisions carry identical (label, dot)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val voteW = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label"))
+    neighbors.groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(voteW))
+      .filter(col("vrk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
   val annLshSql: String = s"""
     WITH planes AS (
       SELECT t.range AS t, p.range AS p, d.range AS d,
@@ -289,6 +328,58 @@ object Similarity {
     SELECT query_id, rank, neighbor_id, CAST(dot AS DOUBLE) / 1.0e16 AS score
     FROM ranked WHERE rank <= 3
     ORDER BY query_id, rank"""
+
+  /** Oracle for B4n: B3's bucket/probe/candidate CTEs with labels joined
+    * in, top-5 exact-scored candidates voting per query. */
+  val knnVoteLshSql: String = s"""
+    WITH planes AS (
+      SELECT t.range AS t, p.range AS p, d.range AS d,
+        (((('0x'||substr(md5(CAST(t.range AS VARCHAR) || '_' || CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)),1,15))::BIGINT) & 1) * 2 - 1) AS sign
+      FROM range($LshTables) t CROSS JOIN range($LshPlanes) p CROSS JOIN range($VecDim) d),
+    vq AS (
+      SELECT vec_id, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    pd AS (
+      SELECT vq.vec_id, planes.t, planes.p, SUM(planes.sign * vq.qe) AS pdot
+      FROM vq JOIN planes ON vq.d = planes.d
+      GROUP BY vq.vec_id, planes.t, planes.p),
+    buckets AS (
+      SELECT vec_id, t,
+        CAST(SUM(CASE WHEN pdot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+      FROM pd GROUP BY vec_id, t),
+    probes AS (
+      SELECT b.vec_id AS query_id, b.t,
+        CASE WHEN r.range = 0 THEN b.bucket
+             ELSE xor(b.bucket, (1 << (CAST(r.range AS INT) - 1))) END AS probe
+      FROM buckets b CROSS JOIN range(${LshPlanes + 1}) r
+      WHERE b.vec_id < 10),
+    cand AS (
+      SELECT DISTINCT p.query_id, cb.vec_id AS neighbor_id
+      FROM probes p
+      JOIN buckets cb ON cb.t = p.t AND cb.bucket = p.probe AND cb.vec_id >= 10),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, c.label,
+        CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM cand
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+      JOIN embeddings q ON q.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, label, dot,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes
+      FROM ranked WHERE rank <= 5 GROUP BY query_id, label),
+    best AS (
+      SELECT query_id, label, votes,
+        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vrk
+      FROM votes)
+    SELECT query_id, label AS pred_label, votes
+    FROM best WHERE vrk = 1
+    ORDER BY query_id"""
 
   // ---- B5: IVF-style ANN (coarse cells + probe top-2) -------------------
 
@@ -728,6 +819,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
     "knn_vote"  -> (knnVote _),
+    "knn_vote_lsh" -> (knnVoteLsh _),
     "vec_embed" -> (vecEmbed _),
     "ann_lsh"   -> (annLsh _),
     "ann_ivf"   -> (annIvf _),
@@ -739,6 +831,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
     "knn_vote"  -> knnVoteSql,
+    "knn_vote_lsh" -> knnVoteLshSql,
     "vec_embed" -> vecEmbedSql,
     "ann_lsh"   -> annLshSql,
     "ann_ivf"   -> annIvfSql,

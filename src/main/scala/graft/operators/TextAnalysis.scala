@@ -22,12 +22,15 @@ object TextAnalysis {
     * fixed priority on ties. A classic n-gram-profile heuristic reduced to
     * pure column expressions. */
   def textLangid(s: SparkSession, dir: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val hits = langMarkers.map { case (lang, ms) =>
-      lang -> size(filter(toks, t => t.isInCollection(ms)))
-    }
-    val Seq(he, hd, hs, hf) = hits.map(_._2)
+    // one fused tokenize pass counting all four marker sets
+    // (graft_token_set_hits) — the per-language size(filter(tokens, …))
+    // columns each re-tokenized the text and ran a boxed HOF filter
+    val spec = langMarkers.map(_._2.mkString(",")).mkString(";")
+    val hits = call_function("graft_token_set_hits", col("text"), lit(spec))
+    val Seq(he, hd, hs, hf) =
+      langMarkers.indices.map(i => element_at(col("hits"), i + 1))
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), hits.as("hits"))
       .select(col("doc_id"), col("lang").as("tagged_lang"),
         when(he >= hd && he >= hs && he >= hf, "en")
           .when(hd >= hs && hd >= hf, "de")
@@ -100,12 +103,11 @@ object TextAnalysis {
     * over md5-derived token hashes, mod P. Near-zero-cost change
     * detection for incremental pipelines. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val hashes = transform(toks, t => Hashing.h60p(t))
-    val fp = aggregate(hashes, lit(0L),
-      (acc, x) => pmod(acc * 31 + x, lit(Hashing.P)))
+    // fused graft_fingerprint kernel: the interpreted aggregate(transform)
+    // fold ran one md5 expression tree per token
     Tables.documents(s, dir)
-      .select(col("doc_id"), fp.as("fingerprint"))
+      .select(col("doc_id"),
+        call_function("graft_fingerprint", col("text")).as("fingerprint"))
       .orderBy("doc_id")
   }
 

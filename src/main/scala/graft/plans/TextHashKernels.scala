@@ -198,6 +198,57 @@ object TextHash {
     out
   }
 
+  /** Rolling document fingerprint: fold `acc ← (acc·31 + h60p(token))
+    * mod P` over the space-separated tokens, acc₀ = 0 — the exact
+    * `aggregate(transform(tokens, h60p), …)` chain of D4, fused into one
+    * per-row pass (the interpreted fold ran an md5 expression tree per
+    * token). No overflow: acc < P ≈ 10⁹ so acc·31 + h < 3.2·10¹⁰. */
+  def rollingFp(text: UTF8String): Long = {
+    val toks = tokenize(text)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes("UTF-8")
+      acc = (acc * 31L + h60Bytes(b, 0, b.length) % P) % P
+      i += 1
+    }
+    acc
+  }
+
+  private val markerSets =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[java.util.HashSet[String]]]()
+
+  /** Parsed form of a marker-set spec "a,b;c,d" — cached per distinct
+    * spec string, shared by every task in the JVM. */
+  def parseMarkerSets(spec: String): Array[java.util.HashSet[String]] =
+    markerSets.computeIfAbsent(spec, { sp =>
+      sp.split(";", -1).map { group =>
+        val set = new java.util.HashSet[String]()
+        group.split(",", -1).foreach(m => if (m.nonEmpty) set.add(m))
+        set
+      }
+    })
+
+  /** Per-set token hit counts: `out(i)` = number of token OCCURRENCES of
+    * `text` that belong to marker set i of `spec`. One tokenize pass per
+    * row shared by every set — the `size(filter(tokens, isInCollection))`
+    * column this fuses re-tokenized the text once PER LANGUAGE. */
+  def tokenSetHits(text: UTF8String, spec: String): Array[Long] = {
+    val sets = parseMarkerSets(spec)
+    val toks = tokenize(text)
+    val out = new Array[Long](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(toks(i))) out(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Word-trigram repetition stats: `[n_trigrams, n_unique]` over the
     * space-tokenized word 3-grams of `text` (trigram string = three
     * tokens joined with single spaces — Text.tokens semantics, matching
@@ -360,6 +411,47 @@ case class CharTrigrams(child: Expression, distinct: Boolean)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"(Object[]) graft.plans.TextHash.charTrigrams($c, $distinct));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → rolling h60p token fingerprint
+  * (D4's fold, one pass per row). */
+case class RollingFp(child: Expression) extends TextKernelTyping {
+  override def prettyName: String = "graft_fingerprint"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHash.rollingFp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash.rollingFp($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → per-marker-set token hit counts.
+  * `spec` is a constant "a,b;c,d" marker-set list, parsed once per JVM.
+  * One tokenize pass serves every set — D1's per-language
+  * size(filter(tokens, …)) columns each re-tokenized the text. */
+case class TokenSetHits(child: Expression, spec: String)
+    extends TextKernelTyping {
+  override def prettyName: String = "graft_token_set_hits"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.tokenSetHits(input.asInstanceOf[UTF8String], spec))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val specRef = ctx.addReferenceObj("markerSpec", spec, "java.lang.String")
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.TextHash.tokenSetHits($c, $specRef));"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -236,6 +236,37 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_fingerprint == composed rolling fold on generated strings") {
+    val texts = sample(textGen, 200)
+    val df = texts.toDF("text")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val composed = aggregate(transform(toks, t => Hashing.h60p(t)), lit(0L),
+      (acc, x) => pmod(acc * 31 + x, lit(Hashing.P)))
+    val rows = df.select(
+      call_function("graft_fingerprint", col("text")).as("k"),
+      composed.as("c"), col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch for '${r.getString(2)}'")
+    }
+  }
+
+  test("graft_token_set_hits == composed size(filter(...)) on generated strings") {
+    val sets = Seq(Seq("the", "a", "ab"), Seq("λ", "é"), Seq("x-y", "0", "b"))
+    val spec = sets.map(_.mkString(",")).mkString(";")
+    val texts = sample(textGen, 200)
+    val df = texts.toDF("text")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val composed = sets.map(ms =>
+      size(filter(toks, t => t.isInCollection(ms))).cast("long"))
+    val rows = df.select(
+      call_function("graft_token_set_hits", col("text"), lit(spec)).as("k"),
+      array(composed: _*).as("c"), col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"mismatch for '${r.getString(2)}'")
+    }
+  }
+
   test("graft_lsh_buckets == composed per-plane sign dots on generated vectors") {
     val tables = 8; val bits = 8; val dim = 64
     val vecGen = Gen.listOfN(dim, Gen.chooseNum(-200000000L, 200000000L))

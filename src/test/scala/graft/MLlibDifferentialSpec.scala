@@ -161,4 +161,27 @@ class MLlibDifferentialSpec extends AnyFunSuite {
     assert(customRecall >= mllibRecall - 0.1,
       s"custom $customRecall vs MLlib $mllibRecall")
   }
+
+  test("knn_vote_lsh: every query classified, vote bounds hold, agreement tracked") {
+    val exact = Similarity.knnVote(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val lsh = Similarity.knnVoteLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1), r.getLong(2)))
+    // the OR-amplified multi-probe always yields candidates on this
+    // corpus: every query must come back with a prediction and a sane
+    // vote count (1..5 voters)
+    assert(lsh.map(_._1).toSet == exact.keySet,
+      "LSH vote lost a query entirely")
+    lsh.foreach { case (q, _, votes) =>
+      assert(votes >= 1 && votes <= 5, s"query $q vote count $votes")
+    }
+    val agree = lsh.count { case (q, l, _) => exact(q) == l }
+    info(s"prediction agreement vs exact knn_vote: $agree/${lsh.length}")
+    // uniform synthetic embeddings are LSH's worst case; on real
+    // clustered data agreement tracks the candidate recall. Fixed plane
+    // seeds + fixed corpus make this deterministic — a drop means the
+    // bucket math changed.
+    assert(agree >= lsh.length / 3,
+      s"agreement collapsed: $agree/${lsh.length}")
+  }
 }

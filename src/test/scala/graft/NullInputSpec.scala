@@ -34,7 +34,7 @@ class NullInputSpec extends AnyFunSuite {
 
   private val affected = SparkEntry.queries.keys.filter(n =>
     n.startsWith("text_") || n.startsWith("dedup_") || n.startsWith("kb_") ||
-      n.startsWith("mm_") || n.startsWith("ann_") || n == "knn_vote" ||
+      n.startsWith("mm_") || n.startsWith("ann_") || n.startsWith("knn_vote") ||
       n == "vec_embed").toSeq.sorted
 
   affected.foreach { name =>
