@@ -117,6 +117,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.isEmpty, s"winnow shuffled before the sort:\n$plan")
   }
 
+  test("fused text kernels keep their operators narrow up to the output sort") {
+    // each query must carry its kernel in the plan and shuffle only for
+    // the presentation sort — the composed HOF forms they replaced were
+    // CodegenFallback chains (kb_chunks was the worst scale slope in r4)
+    val expect = Map(
+      "kb_chunks" -> "graft_chunks",
+      "text_repetition" -> "graft_word_tri_stats",
+      "text_filter" -> "graft_word_tri_stats",
+      "text_fingerprint" -> "graft_fingerprint",
+      "text_langid" -> "graft_token_set_hits")
+    for ((q, kernel) <- expect) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains(kernel), s"$q lost its $kernel kernel:\n$plan")
+      val exchanges = plan.linesIterator.filter(_.contains("+- Exchange "))
+        .filterNot(_.contains("rangepartitioning")).toSeq
+      assert(exchanges.isEmpty, s"$q shuffled before the sort:\n$plan")
+    }
+  }
+
   test("jaccard join condition evaluates the intersect kernel exactly once") {
     val plan = executedPlan(Dedup.dedupJaccard(spark, sf))
     val joinLines = plan.linesIterator
