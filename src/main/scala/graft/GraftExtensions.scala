@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Int],
         children(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_word_bigrams"),
+      new ExpressionInfo(classOf[graft.plans.WordBigrams].getName, null,
+        "graft_word_bigrams"),
+      (children: Seq[Expression]) => graft.plans.WordBigrams(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[graft.plans.RollingFp].getName, null,
         "graft_fingerprint"),

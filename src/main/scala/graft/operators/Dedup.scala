@@ -25,16 +25,6 @@ object Dedup {
 
   // ---- shared shingling -------------------------------------------------
 
-  /** Word-bigram shingle array (distinct, sorted) of `text`. */
-  private def shingleArr: Column = {
-    val toks = Text.tokens(col("text"))
-    when(size(toks) >= 2,
-      array_sort(array_distinct(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
-
   private val toksSqlCte =
     "toks AS (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS toks FROM documents)"
 

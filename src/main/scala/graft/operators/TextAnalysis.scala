@@ -303,14 +303,12 @@ object TextAnalysis {
     * then a sort-limit. The standard n-gram LM / boilerplate-mining
     * pre-pass over a corpus. */
   def textBigrams(s: SparkSession, dir: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val bigrams = when(size(toks) >= 2,
-      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
+    // fused graft_word_bigrams kernel — the zip_with(slice, slice) chain
+    // it replaces was CodegenFallback and sliced the token array twice
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .select(col("doc_id"),
+        explode(call_function("graft_word_bigrams", col("text"))).as("bigram"))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -436,16 +434,14 @@ object TextAnalysis {
     * counts re-aggregated per doc — both with map-side partial
     * aggregation; the division is one IEEE op over exact int64 sums. */
   def textLmScore(s: SparkSession, dir: String): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    val bigrams = when(size(toks) >= 2,
-      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
     // pinned (AQE-exempt) repartition: the bigram explode fans out a
-    // single-file scan; without it the whole fan-out runs on one core
+    // single-file scan; without it the whole fan-out runs on one core.
+    // Bigrams via the fused graft_word_bigrams kernel (the
+    // zip_with(slice, slice) chain was CodegenFallback).
     val db = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .select(col("doc_id"),
+        explode(call_function("graft_word_bigrams", col("text"))).as("bigram"))
     val counts = db.groupBy("bigram").agg(count(lit(1)).as("cnt"))
     db.join(counts, "bigram")
       .groupBy("doc_id")

@@ -249,6 +249,26 @@ object TextHash {
     out
   }
 
+  /** Positional word bigrams ("tok(i) tok(i+1)") of `text`, in order —
+    * one pass with a shared StringBuilder. The zip_with(slice, slice)
+    * chain computing the same array is CodegenFallback and materializes
+    * both sliced token arrays per row. */
+  def wordBigrams(text: UTF8String): Array[UTF8String] = {
+    val toks = tokenize(text)
+    val n = toks.length - 1
+    if (n <= 0) return Array.empty
+    val out = new Array[UTF8String](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    out
+  }
+
   /** Word-trigram repetition stats: `[n_trigrams, n_unique]` over the
     * space-tokenized word 3-grams of `text` (trigram string = three
     * tokens joined with single spaces — Text.tokens semantics, matching
@@ -452,6 +472,25 @@ case class TokenSetHits(child: Expression, spec: String)
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.plans.TextHash.tokenSetHits($c, $specRef));"
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → positional word-bigram strings in
+  * one per-row pass (feeds the D10/D14 explode paths). */
+case class WordBigrams(child: Expression) extends TextKernelTyping {
+  override def prettyName: String = "graft_word_bigrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.wordBigrams(
+      input.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) graft.plans.TextHash.wordBigrams($c));")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

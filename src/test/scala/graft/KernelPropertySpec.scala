@@ -236,6 +236,23 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_word_bigrams == composed zip_with form on generated strings") {
+    val texts = sample(textGen, 200)
+    val df = texts.toDF("text")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val composed = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1), (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(
+      call_function("graft_word_bigrams", col("text")).as("k"),
+      composed.as("c"), col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch for '${r.getString(2)}'")
+    }
+  }
+
   test("graft_fingerprint == composed rolling fold on generated strings") {
     val texts = sample(textGen, 200)
     val df = texts.toDF("text")
