@@ -78,6 +78,31 @@ class VectorStoreSpec extends AnyFunSuite {
       s"no codes-only pruned scan found:\n${scans.mkString("\n")}")
   }
 
+  test("append reuses the frozen codebook; compressed search spans both batches") {
+    val dir = Files.createTempDirectory("graft_vs_app").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    VectorStore.ingest(docs.filter(col("doc_id") < 50), dir)
+    def codebook() = spark.read
+      .parquet(s"$dir/_graft_pq/codebook.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2))
+    val cb1 = codebook()
+    VectorStore.ingest(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+      dir, mode = "append")
+    // the codebook is frozen at store creation — an append that rebuilt it
+    // would leave the first batch's codes scored against the wrong centroids
+    assert(codebook().toSeq == cb1.toSeq, "append rewrote the codebook")
+    // a verbatim chunk from the APPENDED batch must self-hit at rank 1
+    // through the compressed path (its codes were encoded with the reused
+    // codebook)
+    val sample = spark.read.parquet(dir)
+      .filter(col("doc_id") === 70 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val hits = VectorStore.searchCompressed(spark, dir, sample, k = 3).collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 70L &&
+      hits.head.getAs[Int]("chunk_ix") == 1, s"top hit was ${hits.headOption}")
+  }
+
   test("search scans only the probed buckets") {
     val q = VectorStore.search(spark, indexDir, "spark table merge join", k = 2)
     val scan = q.queryExecution.executedPlan.toString
