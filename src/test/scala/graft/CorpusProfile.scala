@@ -45,12 +45,6 @@ object CorpusProfile {
       val chunks = afterMix
         .select(col("doc_id"), col("source"),
           posexplode(functions.Text.chunks(col("text"), 64, 8)))
-      t("qualityKeep_alone")(qualityKeep.count())
-      t("join_checkpointed")(docs.join(
-        qualityKeep.localCheckpoint(true), "doc_id").count())
-      val qk2 = operators.TextAnalysis.textFilter(spark, dir)
-        .filter(col("keep")).select("doc_id").repartition(col("doc_id"))
-      t("join_repart")(docs.join(qk2, "doc_id").count())
       t("chain_afterQuality")(afterQuality.count())
       t("chain_afterExact")(afterExact.count())
       t("chain_afterNearDup")(afterNearDup.count())
