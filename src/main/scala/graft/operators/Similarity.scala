@@ -329,6 +329,80 @@ object Similarity {
     FROM ranked WHERE rank <= 3
     ORDER BY query_id, rank"""
 
+  // dot ≥ 0.25 at the exact 1e16 quantized scale — the radius for B10
+  private val RangeThreshold = 2500000000000000L
+
+  /** B10: radius (range) search — every in-threshold neighbor per query
+    * rather than a fixed top-k (FAISS `range_search` / Milvus `radius`,
+    * the other standard vector-store read API). Routed over the B3 LSH
+    * index exactly like B4n: bucket candidates + Hamming-1 probe, exact
+    * int64 scoring of candidates only, threshold applied to the exact
+    * score. Result size is data-driven (that's the point of range
+    * search), so the output is keyed and fully ordered. */
+  def annRange(s: SparkSession, dir: String): DataFrame = {
+    def buckets(v: Column): Column =
+      call_function("graft_lsh_buckets", v, lit(LshTables), lit(LshPlanes))
+    val q = queriesSet(s, dir)
+      .select(col("query_id"), col("qq"), posexplode(buckets(col("qq"))))
+      .withColumnRenamed("pos", "qtbl")
+      .select(col("query_id"), col("qq"), col("qtbl"), explode(array(
+        col("col") +: (0 until LshPlanes).map(p =>
+          col("col").bitwiseXOR(lit(1 << p))): _*)).as("probe"))
+    val c = corpusSet(s, dir)
+      .select(col("neighbor_id"), col("cq"), posexplode(buckets(col("cq"))))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket_c")
+    c.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bucket_c") === col("probe"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotExact(col("qq"), col("cq")).as("dot"))
+      .distinct() // k-table collisions carry the same exact dot
+      .filter(col("dot") >= RangeThreshold)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Oracle for B10: B3's bucket/probe/candidate CTEs, exact score,
+    * threshold instead of rank. */
+  val annRangeSql: String = s"""
+    WITH planes AS (
+      SELECT t.range AS t, p.range AS p, d.range AS d,
+        (((('0x'||substr(md5(CAST(t.range AS VARCHAR) || '_' || CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)),1,15))::BIGINT) & 1) * 2 - 1) AS sign
+      FROM range($LshTables) t CROSS JOIN range($LshPlanes) p CROSS JOIN range($VecDim) d),
+    vq AS (
+      SELECT vec_id, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    pd AS (
+      SELECT vq.vec_id, planes.t, planes.p, SUM(planes.sign * vq.qe) AS pdot
+      FROM vq JOIN planes ON vq.d = planes.d
+      GROUP BY vq.vec_id, planes.t, planes.p),
+    buckets AS (
+      SELECT vec_id, t,
+        CAST(SUM(CASE WHEN pdot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+      FROM pd GROUP BY vec_id, t),
+    probes AS (
+      SELECT b.vec_id AS query_id, b.t,
+        CASE WHEN r.range = 0 THEN b.bucket
+             ELSE xor(b.bucket, (1 << (CAST(r.range AS INT) - 1))) END AS probe
+      FROM buckets b CROSS JOIN range(${LshPlanes + 1}) r
+      WHERE b.vec_id < 10),
+    cand AS (
+      SELECT DISTINCT p.query_id, cb.vec_id AS neighbor_id
+      FROM probes p
+      JOIN buckets cb ON cb.t = p.t AND cb.bucket = p.probe AND cb.vec_id >= 10),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM cand
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+      JOIN embeddings q ON q.vec_id = cand.query_id)
+    SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) / 1.0e16 AS score
+    FROM scored WHERE dot >= $RangeThreshold
+    ORDER BY query_id, neighbor_id"""
+
   /** Oracle for B4n: B3's bucket/probe/candidate CTEs with labels joined
     * in, top-5 exact-scored candidates voting per query. */
   val knnVoteLshSql: String = s"""
@@ -820,6 +894,7 @@ object Similarity {
     "ann_brute" -> (annBrute _),
     "knn_vote"  -> (knnVote _),
     "knn_vote_lsh" -> (knnVoteLsh _),
+    "ann_range" -> (annRange _),
     "vec_embed" -> (vecEmbed _),
     "ann_lsh"   -> (annLsh _),
     "ann_ivf"   -> (annIvf _),
@@ -832,6 +907,7 @@ object Similarity {
     "ann_brute" -> annBruteSql,
     "knn_vote"  -> knnVoteSql,
     "knn_vote_lsh" -> knnVoteLshSql,
+    "ann_range" -> annRangeSql,
     "vec_embed" -> vecEmbedSql,
     "ann_lsh"   -> annLshSql,
     "ann_ivf"   -> annIvfSql,
