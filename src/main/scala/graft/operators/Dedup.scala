@@ -300,6 +300,86 @@ object Dedup {
     ORDER BY doc_a, doc_b"""
   }
 
+  /** C3e: MinHash-ESTIMATED Jaccard — the signature agreement fraction
+    * |{i : sig_a[i] = sig_b[i]}| / 16 stands in for the exact set
+    * intersection, so the verify stage touches only the 16-long
+    * signatures and never re-reads shingle sets. This is the shape a
+    * 100 TB dedup pass actually ships: signatures are ~128 bytes/doc
+    * regardless of document length, the pair compare is fixed-cost, and
+    * the full-text column stays out of the join entirely. Candidates come
+    * from the same 4-band bucketing as C3 (so every emitted pair already
+    * agrees on at least one full band); the 16 per-component equality
+    * terms are plain codegen'd conditionals — no HOF, no kernel needed. */
+  def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    // Persist the SIGNATURES (16 ints/doc), not the shingle sets: both the
+    // band explode and the two pair-side attaches re-read them, and at
+    // scale this is the entire working set — the shingle arrays are
+    // consumed inside the one upstream projection and never materialized.
+    val mins = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_hashes", col("text")), lit(NumHashes)).as("sig"))
+      // empty shingle set → all-null signature (min over empty); drop it
+      // here or every such doc would share the "" band key downstream
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .persist()
+    val bandKeys = (0 until Bands).map { bnd =>
+      concat_ws("_", (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), bnd * RowsPerBand + r + 1)): _*)
+    }
+    val bands = mins.select(col("doc_id"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band_ix").withColumnRenamed("col", "bkey")
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band_ix") === col("b.band_ix") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val agree = (0 until NumHashes).map(i =>
+      when(element_at(col("siga"), i + 1) === element_at(col("sigb"), i + 1),
+        1).otherwise(0)).reduce(_ + _)
+    cand
+      .join(mins.select(col("doc_id").as("doc_a"), col("sig").as("siga")), "doc_a")
+      .join(mins.select(col("doc_id").as("doc_b"), col("sig").as("sigb")), "doc_b")
+      // k/16 with k integral: exact in binary, so the double compares and
+      // the oracle hash are deterministic
+      .withColumn("est_jaccard", agree.cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupMinhashEstSql: String = {
+    val minExprs = (0 until NumHashes)
+      .map(i => s"MIN(${Hashing.permSql(i, "h")}) AS mh$i").mkString(",\n        ")
+    val bandSelects = (0 until Bands).map { bnd =>
+      val key = (0 until RowsPerBand).map(r => s"mh${bnd * RowsPerBand + r}")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band_ix, $key AS bkey FROM mh"
+    }.mkString("\n      UNION ALL ")
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH $toksSqlCte,
+    $shingleSqlCte,
+    h AS (SELECT doc_id, ${Hashing.h60pSql("sh")} AS h FROM sh),
+    mh AS (SELECT doc_id,
+        $minExprs
+      FROM h GROUP BY doc_id),
+    bands AS (
+      $bandSelects),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band_ix = b.band_ix AND a.bkey = b.bkey
+        AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, est_jaccard FROM (
+      SELECT doc_a, doc_b,
+        CAST($agree AS DOUBLE) / $NumHashes AS est_jaccard
+      FROM cand JOIN mh x ON doc_a = x.doc_id JOIN mh y ON doc_b = y.doc_id)
+    WHERE est_jaccard >= 0.5
+    ORDER BY doc_a, doc_b"""
+  }
+
   /** C8: incremental dedup — a NEW batch of documents (doc_id % 5 == 0)
     * screened against the already-indexed corpus (every other doc), the
     * shape a production dedup service runs on each arriving batch. Same
@@ -890,6 +970,7 @@ object Dedup {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_prefix"  -> (dedupPrefix _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embcos"  -> (dedupEmbcos _),
     "dedup_clusters" -> (dedupClusters _),
@@ -903,6 +984,7 @@ object Dedup {
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_prefix"  -> dedupPrefixSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embcos"  -> dedupEmbcosSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -46,6 +46,21 @@ class DedupSpec extends AnyFunSuite {
     assert(mh == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("minhash-estimated jaccard: exact dup estimates 1.0, grid-valued, no unrelated pair") {
+    val est = Dedup.dedupMinhashEst(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical texts → identical signatures → all 16 components agree
+    assert(est.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    assert(!est.exists(p => p._1 == 3L || p._2 == 3L))
+    // every estimate is k/16 for integral k (signature agreement fraction)
+    assert(est.forall(p => (p._3 * 16) == (p._3 * 16).round.toDouble))
+    // estimator consistency on the shared candidate set: where C3 verified
+    // a pair exactly, the C3e estimate for that pair is also >= its 0.5 gate
+    val exact = Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(est.map(p => (p._1, p._2)).toSet))
+  }
+
   test("prefix join finds exact + near dup (J>=1/2), not unrelated docs") {
     val pairs = Dedup.dedupPrefix(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
