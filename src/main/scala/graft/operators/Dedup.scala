@@ -218,6 +218,68 @@ object Dedup {
     FROM p WHERE 3 * i >= na + nb
     ORDER BY doc_a, doc_b"""
 
+  /** C9c: containment dedup — directed near-dup pairs where ≥ τ=0.9 of
+    * doc A's shingles appear in doc B (A quoted/subsumed by B). Jaccard
+    * misses these whenever |B| ≫ |A|, so this is the operator that
+    * catches boilerplate inclusion and quote-expansion duplicates a
+    * symmetric gate passes through.
+    *
+    * Candidate generation is a DF-weighted pigeonhole prefix filter: at
+    * τ=0.9 a true pair misses at most ⌊n/10⌋ of A's n shingles, so ANY
+    * ⌊n/10⌋+1 of them must hit B — probing with the lowest-document-
+    * frequency ones minimizes posting-list fan-out. The candidate join is
+    * probe(sh) ⋈ index(sh), an equi-join whose cost tracks rare-shingle
+    * posting lists, never O(n²). The oracle is deliberately brute-force
+    * all-pairs, so it checks the filter's LOSSLESSNESS, not just the
+    * verify arithmetic. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .persist()
+    val posts = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
+    // rank each doc's shingles rarest-first; na rides the same exchange
+    // (two window functions over one partition key = one shuffle + sort)
+    val byDoc = Window.partitionBy("doc_id")
+    val probes = posts.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("na", count(lit(1)).over(byDoc))
+      .filter(col("rk") <= floor(col("na") / 10) + 1)
+      .select(col("doc_id").as("doc_a"), col("sh"))
+    val cand = probes
+      .join(posts.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("inter",
+        call_function("graft_intersect_count", col("sa"), col("sb")))
+      // C(A,B) ≥ 0.9 division-free: 10·i ≥ 9·|A|
+      .filter(lit(10) * col("inter") >= lit(9) * size(col("sa")))
+      .withColumn("containment", col("inter").cast("double") / size(col("sa")))
+      .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainmentSql: String = s"""
+    WITH $toksSqlCte,
+    d AS (SELECT doc_id,
+        list_sort(list_distinct(list_transform(
+          list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1]),
+          sh -> ${Hashing.h60pSql("sh")}))) AS shs
+      FROM toks WHERE len(toks) >= 2),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        len(list_intersect(a.shs, b.shs)) AS i, len(a.shs) AS na
+      FROM d a JOIN d b ON a.doc_id != b.doc_id
+      WHERE len(a.shs) > 0 AND len(b.shs) > 0)
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / na AS containment
+    FROM p WHERE 10 * i >= 9 * na
+    ORDER BY doc_a, doc_b"""
+
   // ---- C3 MinHash + LSH -------------------------------------------------
 
   private val NumHashes = 16
@@ -969,6 +1031,7 @@ object Dedup {
     "dedup_exact"   -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_prefix"  -> (dedupPrefix _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -983,6 +1046,7 @@ object Dedup {
     "dedup_exact"   -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_prefix"  -> dedupPrefixSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_simhash" -> dedupSimhashSql,

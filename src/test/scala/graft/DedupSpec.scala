@@ -102,6 +102,50 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("containment: exact dups mutually contained, unrelated doc excluded") {
+    val pairs = Dedup.dedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0 && pairs((1L, 0L)) == 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("containment pigeonhole filter is lossless vs brute force on generated docs") {
+    // same adversarial tiny-vocabulary corpus shape as the prefix spec:
+    // dense posting lists + a short doc appended inside a longer one, so
+    // asymmetric (containment-only) pairs exist that Jaccard would miss
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i / 3) // triples share a seed
+      val n = 4 + rnd.nextInt(8)
+      val base = Vector.fill(n)(words(rnd.nextInt(words.size)))
+      val toks =
+        if (i % 3 == 2) base ++ base.reverse ++ Vector.fill(6)(words(rnd.nextInt(words.size)))
+        else base // i%3==2 is a strict superset-ish expansion of its pair
+      (i.toLong, toks.mkString(" "), "en", "s", 1L)
+    }
+    val d = Files.createTempDirectory("graft_containment").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = Dedup.dedupContainment(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 2) Set.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      x <- docs; y <- docs if x._1 != y._1
+      sx = shingles(x._2); sy = shingles(y._2)
+      if sx.nonEmpty && sy.nonEmpty
+      i = (sx & sy).size
+      if 10 * i >= 9 * sx.size
+    } yield (x._1, y._1)).toSet
+    assert(got == want)
+    // the corpus construction must actually exercise asymmetry: at least
+    // one directed pair whose reverse is absent
+    assert(want.exists(p => !want.contains(p.swap)))
+  }
+
   test("simhash: identical docs at hamming 0, near dup within threshold") {
     val pairs = Dedup.dedupSimhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
