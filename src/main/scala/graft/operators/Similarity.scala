@@ -329,6 +329,84 @@ object Similarity {
     FROM ranked WHERE rank <= 3
     ORDER BY query_id, rank"""
 
+  /** B11: k-NN graph construction — every corpus vector's top-3 nearest
+    * OTHER vectors among those sharing an LSH bucket in ANY of the 8
+    * tables. The primitive under SemDeDup-style semantic dedup, graph
+    * clustering, and diversity sampling: unlike B2–B10 (small query set
+    * vs corpus) BOTH sides are the full corpus, so the blocked self-join
+    * is the only admissible shape — candidate volume tracks bucket
+    * occupancy (Σ_buckets m²), never n². No Hamming-1 probe: a graph
+    * edge needs just one collision in one of 8 tables, and probing would
+    * multiply the self-join fan-out 9×. The pair join carries only
+    * (vec_id, tbl, bucket) ints; quantized vectors attach AFTER the
+    * distinct, so the exact int64 kernel scores each candidate edge
+    * once — the same fetch-after-distinct discipline as C2/C5. */
+  def annKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    def buckets(v: Column): Column =
+      call_function("graft_lsh_buckets", v, lit(LshTables), lit(LshPlanes))
+    val v = Tables.embeddings(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), transform(col("embedding"), x => q8(x)).as("vq"))
+      .persist() // quantize once: feeds bucket scan + both edge attaches
+    val slim = v.select(col("vec_id"), posexplode(buckets(col("vq"))))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val pairs = slim.alias("a")
+      .join(slim.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("nbr_id"))
+      .distinct() // multi-table collisions yield one edge
+    val w = Window.partitionBy("src_id").orderBy(col("dot").desc, col("nbr_id"))
+    pairs
+      .join(v.select(col("vec_id").as("src_id"), col("vq").as("sq")), "src_id")
+      .join(v.select(col("vec_id").as("nbr_id"), col("vq").as("nq")), "nbr_id")
+      .withColumn("dot", dotExact(col("sq"), col("nq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("src_id"), col("rank"), col("nbr_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"))
+      .orderBy("src_id", "rank")
+  }
+
+  /** Oracle for B11: B3's plane/bucket CTEs over ALL vectors, bucket
+    * self-join, exact score, per-source rank. */
+  val annKnnGraphSql: String = s"""
+    WITH planes AS (
+      SELECT t.range AS t, p.range AS p, d.range AS d,
+        (((('0x'||substr(md5(CAST(t.range AS VARCHAR) || '_' || CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)),1,15))::BIGINT) & 1) * 2 - 1) AS sign
+      FROM range($LshTables) t CROSS JOIN range($LshPlanes) p CROSS JOIN range($VecDim) d),
+    vq AS (
+      SELECT vec_id, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    pd AS (
+      SELECT vq.vec_id, planes.t, planes.p, SUM(planes.sign * vq.qe) AS pdot
+      FROM vq JOIN planes ON vq.d = planes.d
+      GROUP BY vq.vec_id, planes.t, planes.p),
+    buckets AS (
+      SELECT vec_id, t,
+        CAST(SUM(CASE WHEN pdot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+      FROM pd GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+      FROM buckets a
+      JOIN buckets b ON b.t = a.t AND b.bucket = a.bucket AND b.vec_id != a.vec_id),
+    scored AS (
+      SELECT cand.src_id, cand.nbr_id,
+        CAST(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM cand
+      JOIN embeddings x ON x.vec_id = cand.src_id
+      JOIN embeddings y ON y.vec_id = cand.nbr_id),
+    ranked AS (
+      SELECT src_id, nbr_id, dot,
+        row_number() OVER (PARTITION BY src_id ORDER BY dot DESC, nbr_id) AS rank
+      FROM scored)
+    SELECT src_id, rank, nbr_id, CAST(dot AS DOUBLE) / 1.0e16 AS score
+    FROM ranked WHERE rank <= 3
+    ORDER BY src_id, rank"""
+
   // dot ≥ 0.25 at the exact 1e16 quantized scale — the radius for B10
   private val RangeThreshold = 2500000000000000L
 
@@ -895,6 +973,7 @@ object Similarity {
     "knn_vote"  -> (knnVote _),
     "knn_vote_lsh" -> (knnVoteLsh _),
     "ann_range" -> (annRange _),
+    "ann_knn_graph" -> (annKnnGraph _),
     "vec_embed" -> (vecEmbed _),
     "ann_lsh"   -> (annLsh _),
     "ann_ivf"   -> (annIvf _),
@@ -908,6 +987,7 @@ object Similarity {
     "knn_vote"  -> knnVoteSql,
     "knn_vote_lsh" -> knnVoteLshSql,
     "ann_range" -> annRangeSql,
+    "ann_knn_graph" -> annKnnGraphSql,
     "vec_embed" -> vecEmbedSql,
     "ann_lsh"   -> annLshSql,
     "ann_ivf"   -> annIvfSql,

@@ -557,6 +557,44 @@ object TextAnalysis {
     FROM t ORDER BY doc_id"""
   }
 
+  /** D17a: per-language ADAPTIVE quality gate — drop each language's
+    * bottom quartile by LM score instead of applying one global
+    * threshold. A fixed cutoff tuned on the majority language
+    * over-filters every other one (their score distributions differ);
+    * ranking within the language partition is the standard fix. Gate is
+    * `percent_rank() ≥ 0.25` over a fully deterministic order (score asc,
+    * doc_id): (rank−1)/(n−1) is an exact-int IEEE division, so the
+    * emitted double and the 0.25 compare match the oracle bit-for-bit.
+    *
+    * Scale: D14's two keyed shuffles + one lang-partitioned window —
+    * language cardinality is tiny but each partition only needs a sort,
+    * not a broadcast of per-lang thresholds, and skew is bounded by the
+    * biggest language (the same shape D17 already ships). */
+  def textAdaptiveFilter(s: SparkSession, dir: String): DataFrame = {
+    val lm = textLmScore(s, dir).select("doc_id", "avg_freq")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_freq").asc, col("doc_id"))
+    Tables.documents(s, dir).select("doc_id", "lang")
+      .join(lm, "doc_id")
+      .withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("pct_rank") >= 0.25)
+      .select("doc_id", "lang", "avg_freq", "pct_rank")
+      .orderBy("doc_id")
+  }
+
+  val textAdaptiveFilterSql: String = {
+    val lmSql = textLmScoreSql.replace("ORDER BY doc_id", "")
+    s"""
+    WITH lm AS ($lmSql),
+    t AS (
+      SELECT d.doc_id, d.lang, lm.avg_freq,
+        percent_rank() OVER (PARTITION BY d.lang
+                             ORDER BY lm.avg_freq ASC, d.doc_id) AS pct_rank
+      FROM documents d JOIN lm ON lm.doc_id = d.doc_id)
+    SELECT doc_id, lang, avg_freq, pct_rank
+    FROM t WHERE pct_rank >= 0.25 ORDER BY doc_id"""
+  }
+
   /** D18: one BPE-training iteration — corpus-wide adjacent-symbol pair
     * counts within words (symbols start as characters), top-20 by
     * frequency: the pair a byte-pair-encoding tokenizer trainer would
@@ -761,6 +799,7 @@ object TextAnalysis {
     "text_mix"         -> (textMix _),
     "text_winnow"      -> (textWinnow _),
     "text_ppl_bucket"  -> (textPplBucket _),
+    "text_adaptive_filter" -> (textAdaptiveFilter _),
     "text_bpe_merge"   -> (textBpeMerge _),
     "text_langid_ngram" -> (textLangidNgram _),
     "text_novelty"     -> (textNovelty _),
@@ -783,6 +822,7 @@ object TextAnalysis {
     "text_mix"         -> textMixSql,
     "text_winnow"      -> textWinnowSql,
     "text_ppl_bucket"  -> textPplBucketSql,
+    "text_adaptive_filter" -> textAdaptiveFilterSql,
     "text_bpe_merge"   -> textBpeMergeSql,
     "text_langid_ngram" -> textLangidNgramSql,
     "text_novelty"     -> textNoveltySql,

@@ -184,4 +184,28 @@ class MLlibDifferentialSpec extends AnyFunSuite {
     assert(agree >= lsh.length / 3,
       s"agreement collapsed: $agree/${lsh.length}")
   }
+
+  test("ann_knn_graph: contiguous ranks, exact scores, edges only between bucket-mates") {
+    val edges = Similarity.annKnnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(edges.nonEmpty)
+    // per-source ranks are 1..m contiguous and scores non-increasing
+    edges.groupBy(_._1).foreach { case (src, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"src $src ranks")
+      assert(sorted.sliding(2).forall(w => w.length < 2 || w(0)._4 >= w(1)._4),
+        s"src $src scores not descending")
+    }
+    // no self-edges, and every edge score equals the exact quantized dot
+    val vecs = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def qdot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * 1e8 + 0.5).toLong * math.floor(y.toDouble * 1e8 + 0.5).toLong
+      }.sum.toDouble / 1e16
+    edges.foreach { case (s0, _, n, score) =>
+      assert(s0 != n, "self edge")
+      assert(score == qdot(vecs(s0), vecs(n)), s"score mismatch on ($s0,$n)")
+    }
+  }
 }

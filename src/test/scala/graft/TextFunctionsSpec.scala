@@ -9,6 +9,24 @@ class TextFunctionsSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("adaptive filter drops exactly each language's bottom score quartile") {
+    val all = graft.operators.TextAnalysis.textLmScore(spark, TestSpark.sf)
+      .join(graft.sources.Tables.documents(spark, TestSpark.sf).select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val kept = graft.operators.TextAnalysis.textAdaptiveFilter(spark, TestSpark.sf)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val nByLang = all.groupBy(_._2).view.mapValues(_.length).toMap
+    val keptByLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(nByLang.keySet == keptByLang.keySet) // no language filtered away entirely
+    nByLang.foreach { case (lang, n) =>
+      // (score, doc_id) order has no rank ties, so the gate keeps exactly
+      // the docs with rank-1 >= 0.25*(n-1)
+      val expectDropped = math.ceil(0.25 * (n - 1)).toInt
+      assert(keptByLang(lang) == n - expectDropped,
+        s"lang=$lang n=$n kept=${keptByLang(lang)} expectDropped=$expectDropped")
+    }
+  }
+
   /** Reference chunker reimplemented verbatim from
     * TextProcessor.chunk_text (tokens stand in for tiktoken ids). */
   private def referenceChunks(tokens: Vector[String], size: Int, overlap: Int): Vector[String] = {
