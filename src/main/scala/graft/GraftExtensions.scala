@@ -75,6 +75,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Int],
         children(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_contain_count"),
+      new ExpressionInfo(classOf[graft.plans.SortedLongContainCount].getName, null,
+        "graft_contain_count"),
+      (children: Seq[Expression]) => graft.plans.SortedLongContainCount(
+        children.head, children(1),
+        children(2).eval(null).asInstanceOf[Int],
+        children(3).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
       new FunctionIdentifier("graft_word_bigrams"),
       new ExpressionInfo(classOf[graft.plans.WordBigrams].getName, null,
         "graft_word_bigrams"),

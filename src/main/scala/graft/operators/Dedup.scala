@@ -248,18 +248,26 @@ object Dedup {
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("sh"))))
       .withColumn("na", count(lit(1)).over(byDoc))
       .filter(col("rk") <= floor(col("na") / 10) + 1)
-      .select(col("doc_id").as("doc_a"), col("sh"))
-    val cand = probes
-      .join(posts.select(col("doc_id").as("doc_b"), col("sh")), "sh")
-      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("sh"), col("na"))
+    // size prune at candidate time, implied by the gate (i ≤ |B|, so
+    // 10·i ≥ 9·|A| forces 10·|B| ≥ 9·|A|) — lossless, and on a dense
+    // corpus it drops the many (big A, small B) posting-list pairs
+    // before they reach the distinct/verify stages
+    val idx = sets.select(col("doc_id").as("doc_b"),
+      size(col("shs")).as("nb"), explode(col("shs")).as("sh"))
+    val cand = probes.join(idx, "sh")
+      .filter(col("doc_a") =!= col("doc_b") &&
+        lit(10) * col("nb") >= lit(9) * col("na"))
       .select("doc_a", "doc_b").distinct()
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      // early-exit gated verify: returns |sa ∩ sb| when 10·i ≥ 9·|sa|,
+      // else -1 after at most ⌊|sa|/10⌋+1 misses — rejected candidates
+      // (the vast majority) cost O(|sa|/10), not a full merge walk
       .withColumn("inter",
-        call_function("graft_intersect_count", col("sa"), col("sb")))
-      // C(A,B) ≥ 0.9 division-free: 10·i ≥ 9·|A|
-      .filter(lit(10) * col("inter") >= lit(9) * size(col("sa")))
+        call_function("graft_contain_count", col("sa"), col("sb"), lit(9), lit(10)))
+      .filter(col("inter") >= 0)
       .withColumn("containment", col("inter").cast("double") / size(col("sa")))
       .select("doc_a", "doc_b", "containment")
       .orderBy("doc_a", "doc_b")

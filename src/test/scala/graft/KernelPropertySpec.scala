@@ -134,6 +134,26 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_contain_count == composed gate+intersect on generated sorted sets") {
+    // sorted-distinct sets with heavy overlap (small value domain) so both
+    // gate outcomes appear, including exact-boundary 10·i == 9·|a| cases
+    val setGen = for {
+      n <- Gen.chooseNum(0, 40)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0L, 60L))
+    } yield vs.distinct.sorted.toArray
+    val pairs = sample(Gen.zip(setGen, setGen), 300)
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      call_function("graft_contain_count", col("a"), col("b"), lit(9), lit(10)).as("native"),
+      call_function("graft_intersect_count", col("a"), col("b")).as("i"),
+      size(col("a")).as("na")).collect()
+    rows.foreach { r =>
+      val (native, i, na) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val expect = if (10 * i >= 9 * na) i else -1L
+      assert(native == expect, s"i=$i na=$na native=$native")
+    }
+  }
+
   test("graft_hash_embed == composed slot/sign aggregation on generated strings") {
     val texts = sample(textGen, 200)
     val df = texts.toDF("text").withColumn("id", monotonically_increasing_id())
