@@ -331,6 +331,68 @@ object TextAnalysis {
     FROM b GROUP BY bigram
     ORDER BY n_occurrences DESC, bigram LIMIT 50"""
 
+  /** D10a: collocation mining — bigrams ranked by LIFT against unigram
+    * independence, P(xy)/(P(x)·P(y)) = c_xy·Nu²/(Nb·c_x·c_y), min
+    * support 5, top-20. The multiword-expression detector (high lift =
+    * tokens that co-occur far beyond chance even at modest counts, where
+    * raw frequency ranking just returns stopword pairs). All factors
+    * stay exact int64 until ONE final double division, so ranking is
+    * deterministic across engines.
+    *
+    * Scale: two keyed shuffles (unigram counts, bigram counts) with
+    * map-side partial aggregation; the two unigram attach joins are
+    * vocabulary-sized (broadcast-able — Catalyst/AQE picks), totals ride
+    * a 1-row broadcast cross join; final global sort is over the
+    * min-support survivors only. */
+  def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val toks = docs.select(explode(Text.tokens(col("text"))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val bi = docs
+      .select(explode(call_function("graft_word_bigrams", col("text"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt_xy"))
+    val totals = uni.agg(sum("cnt").as("nu"))
+      .crossJoin(bi.agg(sum("cnt_xy").as("nb")))
+    bi.filter(col("cnt_xy") >= 5)
+      .withColumn("x", element_at(split(col("bigram"), " "), 1))
+      .withColumn("y", element_at(split(col("bigram"), " "), 2))
+      .join(uni.select(col("tok").as("x"), col("cnt").as("cx")), "x")
+      .join(uni.select(col("tok").as("y"), col("cnt").as("cy")), "y")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift",
+        (col("cnt_xy") * col("nu") * col("nu")).cast("double") /
+          (col("nb") * col("cx") * col("cy")).cast("double"))
+      .select("bigram", "cnt_xy", "lift")
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val textCollocationsSql: String = """
+    WITH t AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      FROM documents),
+    uni AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+    tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents),
+    b AS (
+      SELECT unnest(CASE WHEN len(toks) >= 2
+        THEN list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1])
+        ELSE [] END) AS bigram
+      FROM tk),
+    bc AS (SELECT bigram, COUNT(*) AS cnt_xy FROM b GROUP BY bigram),
+    tot AS (SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM uni) AS nu,
+                   (SELECT CAST(SUM(cnt_xy) AS BIGINT) FROM bc) AS nb)
+    SELECT bigram, cnt_xy,
+      CAST(cnt_xy * nu * nu AS DOUBLE) / CAST(nb * x.cnt * y.cnt AS DOUBLE) AS lift
+    FROM bc CROSS JOIN tot
+    JOIN uni x ON x.tok = string_split(bigram, ' ')[1]
+    JOIN uni y ON y.tok = string_split(bigram, ' ')[2]
+    WHERE cnt_xy >= 5
+    ORDER BY lift DESC, bigram LIMIT 20"""
+
   /** D11: token-length histogram — width-10 buckets over per-doc token
     * counts. One narrow scan + one tiny aggregation; the corpus
     * length-distribution profile every data-mix report starts with. */
@@ -800,6 +862,7 @@ object TextAnalysis {
     "text_winnow"      -> (textWinnow _),
     "text_ppl_bucket"  -> (textPplBucket _),
     "text_adaptive_filter" -> (textAdaptiveFilter _),
+    "text_collocations" -> (textCollocations _),
     "text_bpe_merge"   -> (textBpeMerge _),
     "text_langid_ngram" -> (textLangidNgram _),
     "text_novelty"     -> (textNovelty _),
@@ -823,6 +886,7 @@ object TextAnalysis {
     "text_winnow"      -> textWinnowSql,
     "text_ppl_bucket"  -> textPplBucketSql,
     "text_adaptive_filter" -> textAdaptiveFilterSql,
+    "text_collocations" -> textCollocationsSql,
     "text_bpe_merge"   -> textBpeMergeSql,
     "text_langid_ngram" -> textLangidNgramSql,
     "text_novelty"     -> textNoveltySql,

@@ -51,6 +51,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("label"), s"label blocking resurfaced:\n$plan")
   }
 
+  test("containment verify rides the early-exit kernel with a bucket-free equi-join") {
+    val plan = executedPlan(SparkEntry.queries("dedup_containment")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi candidate join:\n$plan")
+    assert(plan.contains("graft_contain_count"),
+      s"early-exit verify kernel missing:\n$plan")
+    // same single-substitution shape as C2: one kernel occurrence in the
+    // pushed join condition (early-exit, per candidate) and one in the
+    // output projection (per rare survivor) — count the final plan only
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    finalPlan.linesIterator.filter(_.contains("graft_contain_count")).foreach { l =>
+      val n = "graft_contain_count".r.findAllIn(l).length
+      assert(n == 1, s"contain kernel appears $n times in one node:\n$l")
+    }
+    assert(finalPlan.linesIterator.count(_.contains("graft_contain_count")) <= 2,
+      s"contain kernel in more than two nodes:\n$finalPlan")
+  }
+
+  test("knn graph self-join carries only ints; vectors attach after the distinct") {
+    val plan = executedPlan(SparkEntry.queries("ann_knn_graph")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi pair join:\n$plan")
+    // the (tbl, bucket) self-join must not shuffle the quantized vectors:
+    // no line may carry both the join keys and a vq projection
+    val joinLines = plan.linesIterator.filter(_.contains("HashJoin")).toSeq
+    assert(joinLines.nonEmpty, s"no hash join in knn graph plan:\n$plan")
+    assert(joinLines.exists(l => l.contains("tbl") && l.contains("bucket")),
+      s"pair join not keyed on (tbl, bucket):\n$plan")
+    assert(plan.contains("graft_dot_l"), s"exact re-rank kernel missing:\n$plan")
+  }
+
   test("grouping sets expands into a single exchange") {
     val plan = executedPlan(SparkEntry.queries("q_grouping_sets")(spark, sf))
       .split("== Initial Plan ==")(0) // count the AQE final plan only

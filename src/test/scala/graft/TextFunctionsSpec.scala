@@ -9,6 +9,32 @@ class TextFunctionsSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
+  test("collocations: min support holds, lift matches an independent recompute") {
+    val rows = graft.operators.TextAnalysis.textCollocations(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty && rows.forall(_._2 >= 5))
+    // descending by lift with bigram tie-break
+    assert(rows.sliding(2).forall(w => w.length < 2 ||
+      w(0)._3 > w(1)._3 || (w(0)._3 == w(1)._3 && w(0)._1 < w(1)._1)))
+    // recompute lift from first principles on the collected corpus
+    val texts = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+    val uni = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bis = texts.flatMap { t =>
+      val ts = t.split(" ").filter(_.nonEmpty)
+      ts.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    }
+    val bc = bis.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nu = toks.length.toLong; val nb = bis.length.toLong
+    rows.foreach { case (bg, cnt, lift) =>
+      assert(bc(bg) == cnt, s"count mismatch for $bg")
+      val Array(x, y) = bg.split(" ")
+      val expect = (cnt * nu * nu).toDouble / (nb * uni(x) * uni(y)).toDouble
+      assert(lift == expect, s"lift mismatch for $bg: $lift vs $expect")
+    }
+  }
+
   test("adaptive filter drops exactly each language's bottom score quartile") {
     val all = graft.operators.TextAnalysis.textLmScore(spark, TestSpark.sf)
       .join(graft.sources.Tables.documents(spark, TestSpark.sf).select("doc_id", "lang"), "doc_id")
