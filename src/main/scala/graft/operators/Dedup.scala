@@ -290,9 +290,29 @@ object Dedup {
 
   // ---- C3 MinHash + LSH -------------------------------------------------
 
-  private val NumHashes = 16
-  private val Bands = 4
-  private val RowsPerBand = NumHashes / Bands
+  private[graft] val NumHashes = 16
+  private[graft] val Bands = 4
+  private[graft] val RowsPerBand = NumHashes / Bands
+
+  /** Static MinHash band index over a corpus — (idx_id, idx_sig,
+    * band_ix, bkey), the precomputed side the F14 streaming screen joins
+    * each micro-batch against. At 100 TB this is a bucketed table the
+    * ingest pipeline writes once and appends to; here it is derived
+    * on demand with the same fused kernels as C3. */
+  private[graft] def bandIndex(s: SparkSession, dir: String): DataFrame = {
+    val mins = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_hashes", col("text")), lit(NumHashes)).as("sig"))
+      .filter(element_at(col("sig"), 1).isNotNull)
+    val bandKeys = (0 until Bands).map { bnd =>
+      concat_ws("_", (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), bnd * RowsPerBand + r + 1)): _*)
+    }
+    mins.select(col("doc_id").as("idx_id"), col("sig").as("idx_sig"),
+        posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band_ix").withColumnRenamed("col", "bkey")
+  }
 
   /** C3: MinHash signatures (16 md5-derived permutations), 4-band LSH
     * bucketing, candidate equi-join on (band, key), exact Jaccard verify.

@@ -211,6 +211,43 @@ object Streams {
       }
       .start()
 
+  /** F14: streaming near-dup screening — each arriving micro-batch of
+    * documents checked against a static MinHash band index
+    * ([[graft.operators.Dedup.bandIndex]]): the admission gate a
+    * production corpus service runs on incoming data, and the streaming
+    * twin of C8's batch screen. Same fused signature kernels as C3,
+    * stream-static equi-join on (band_ix, bkey), then the C3e
+    * signature-agreement estimate on colliding pairs — the verify reads
+    * only the two 16-long signatures, no shingle sets. Flag est ≥ 0.5.
+    * Joins are stateless per micro-batch (the index IS the state and is
+    * re-read each batch, so an index rebuild is picked up live);
+    * `dropDuplicates` emits a pair once across band multi-collisions
+    * and replays. */
+  def nearDupScreen(docs: DataFrame, bandIndex: DataFrame): DataFrame = {
+    import graft.operators.Dedup.{Bands, NumHashes, RowsPerBand}
+    val withSig = docs.select(col("doc_id"),
+        call_function("graft_minhash_sig",
+          call_function("graft_shingle_hashes", col("text")),
+          lit(NumHashes)).as("sig"))
+      .filter(element_at(col("sig"), 1).isNotNull)
+    val bandKeys = (0 until Bands).map { bnd =>
+      concat_ws("_", (0 until RowsPerBand).map(r =>
+        element_at(col("sig"), bnd * RowsPerBand + r + 1)): _*)
+    }
+    val bands = withSig.select(col("doc_id"), col("sig"),
+        posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band_ix").withColumnRenamed("col", "bkey")
+    val agree = (0 until NumHashes).map(i =>
+      when(element_at(col("sig"), i + 1) === element_at(col("idx_sig"), i + 1),
+        1).otherwise(0)).reduce(_ + _)
+    bands.join(bandIndex, Seq("band_ix", "bkey"))
+      .filter(col("doc_id") =!= col("idx_id"))
+      .select(col("doc_id"), col("idx_id"),
+        (agree.cast("double") / NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .dropDuplicates("doc_id", "idx_id")
+  }
+
   /** F9: stream-static enrichment — each streamed event joined to a
     * static dimension (the channel/user roster the reference resolves
     * mentions against, KnowledgeBot.py:333-348). The static side is

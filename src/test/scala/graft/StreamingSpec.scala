@@ -84,6 +84,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(("2024-01-01 00:10:00.0", "view")) == (1L, 5.0))
   }
 
+  test("F14: streaming near-dup screen flags index collisions, passes novel docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the quick brown fox is tired of jumping over dogs"
+    val d = java.nio.file.Files.createTempDirectory("graft_screen").toString
+    Seq((0L, base, "en", "s", base.length.toLong),
+        (1L, "totally separate subject matter covering distributed query engines and storage formats", "en", "s", 80L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val index = graft.operators.Dedup.bandIndex(spark, d)
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData(
+      (100L, base.replace("lazy", "sleepy")), // near-dup of indexed doc 0
+      (101L, "unrelated words about cooking pasta with garlic and fresh basil leaves tonight"))
+    val rows = runToCompletion(
+      Streams.nearDupScreen(input.toDF().toDF("doc_id", "text"), index),
+      OutputMode.Append)
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 100L && p._2 == 0L && p._3 >= 0.5),
+      s"near-dup not flagged: $pairs")
+    assert(!pairs.exists(_._1 == 101L), s"novel doc flagged: $pairs")
+    // multi-band collisions of the same pair must emit exactly one row
+    assert(pairs.count(p => p._1 == 100L && p._2 == 0L) == 1)
+  }
+
   test("F6: streaming dedup drops replayed events within the watermark") {
     val input = MemoryStream[StreamEvent](spark)
     input.addData(
