@@ -644,9 +644,15 @@ object Dedup {
     * vectors are fetched back by key after the distinct. At 100 TB the
     * bucket ids are ingest-time columns (exactly B3's layout) and the
     * pair join shuffles on (tbl, bucket). */
-  def dedupEmbcos(s: SparkSession, dir: String): DataFrame = {
-    val qe = Tables.embeddings(s, dir)
+  /** Quantized embedding table shared by C5/C12: (vec_id, qe). */
+  private def quantizedEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => q7(x)).as("qe"))
+
+  /** C5's verified near-dup pair set (vec_a < vec_b, d2x = exact scaled
+    * sq-dist ≤ threshold) — the edge source C12's clustering consumes. */
+  private[operators] def embcosPairs(s: SparkSession, dir: String): DataFrame = {
+    val qe = quantizedEmb(s, dir)
     val buckets = qe
       .select(col("vec_id"), posexplode(call_function("graft_lsh_buckets",
         col("qe"), lit(EmbLshTables), lit(EmbLshBits))))
@@ -665,13 +671,18 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"),
         sqDistExact(col("ea"), col("eb")).as("d2x"))
       .filter(col("d2x") <= lit(120000000000000L)) // 1.2 at scale 1e14
+  }
+
+  def dedupEmbcos(s: SparkSession, dir: String): DataFrame = {
+    embcosPairs(s, dir)
       .select(col("vec_a"), col("vec_b"),
         (col("d2x").cast("double") / lit(1.0e14)).as("sq_dist"))
       .orderBy("vec_a", "vec_b")
   }
 
-  val dedupEmbcosSql: String = s"""
-    WITH planes AS (
+  /** CTE chain producing `scored` (vec_a, vec_b, d2x) — the DuckDB mirror
+    * of [[embcosPairs]] before the threshold filter; shared by C5/C12. */
+  private val embcosScoredCtes: String = s"""planes AS (
       SELECT t.range AS t, p.range AS p, d.range AS d,
         (((('0x'||substr(md5(CAST(t.range AS VARCHAR) || '_' || CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)),1,15))::BIGINT) & 1) * 2 - 1) AS sign
       FROM range($EmbLshTables) t CROSS JOIN range($EmbLshBits) p CROSS JOIN range(64) d),
@@ -699,10 +710,104 @@ object Dedup {
              * (CAST(floor(CAST(s[1] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)
               - CAST(floor(CAST(s[2] AS DOUBLE) * 10000000 + 0.5) AS BIGINT)))) AS BIGINT) AS d2x
       FROM cand JOIN embeddings a ON a.vec_id = vec_a
-                JOIN embeddings b ON b.vec_id = vec_b)
+                JOIN embeddings b ON b.vec_id = vec_b)"""
+
+  val dedupEmbcosSql: String = s"""
+    WITH $embcosScoredCtes
     SELECT vec_a, vec_b, CAST(d2x AS DOUBLE) / 1.0e14 AS sq_dist
     FROM scored WHERE d2x <= 120000000000000
     ORDER BY vec_a, vec_b"""
+
+  // ---- C12 semantic dedup (SemDeDup) -----------------------------------
+
+  /** C12: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup over embeddings. C5's LSH-blocked cosine pairs are the edges;
+    * [[connectedComponents]] (the C6 engine) transitively closes them
+    * into semantic-duplicate groups; then per group the paper's keep
+    * rule applies: KEEP the member LEAST similar to the group centroid
+    * (dropping the redundant "core" copies preserves the informative
+    * outlier — SemDeDup §3.2), ties to the smaller vec_id. Output is the
+    * full corpus keep/drop list, one row per vector; singletons keep
+    * themselves with a NULL centroid score.
+    *
+    * Centroid similarity is exact int64: centroid SUMS per dimension
+    * (not means) — members of a group share the same centroid vector,
+    * and all embeddings are unit-norm, so dot-with-sum ordering ≡ cosine
+    * -with-mean ordering while staying division-free. Overflow bound:
+    * |qe_i| ≤ 1e7, |csum_i| ≤ size·1e7, so |dot| ≤ 64·size·1e14 —
+    * int64-safe to size ≈ 1.4e3; groups beyond that would rescale.
+    *
+    * Scale shape: edges/cc as C5/C6 (bucket equi-join, hook+contract);
+    * centroid sums are one narrow posexplode + (rep, dim) partial agg
+    * over CLUSTER MEMBERS ONLY (near-dups — a sliver of the corpus);
+    * the final left join fans the tiny clustered artifact back across
+    * the corpus scan. */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val qe = quantizedEmb(s, dir)
+    val comp = connectedComponents(s,
+        embcosPairs(s, dir).select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .select(col("doc_id").as("vec_id"), col("cluster_rep"), col("cluster_size"))
+    val members = comp.join(qe, "vec_id")
+    val cent = members
+      .select(col("cluster_rep"), posexplode(col("qe")))
+      .groupBy(col("cluster_rep"), col("pos")).agg(sum("col").as("cdim"))
+      .groupBy("cluster_rep")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cdim")))),
+        e => e.getField("cdim")).as("csum"))
+    val w = Window.partitionBy("cluster_rep").orderBy(col("cdot").asc, col("vec_id"))
+    val clustered = members.join(cent, "cluster_rep")
+      .select(col("vec_id"), col("cluster_rep"), col("cluster_size"),
+        call_function("graft_dot_l", col("qe"), col("csum")).as("cdot"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("vec_id"), col("cluster_rep"), col("cluster_size"),
+        (col("cdot").cast("double") / lit(1.0e14)).as("cent_dot"), col("keep"))
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(clustered, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_rep"), col("vec_id")).as("cluster_rep"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        col("cent_dot"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticSql: String = s"""
+    WITH $embcosScoredCtes,
+    edges0 AS (SELECT vec_a, vec_b FROM scored WHERE d2x <= 120000000000000),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM edges0
+      UNION SELECT vec_b AS src, vec_a AS dst FROM edges0),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    reach AS (
+      WITH RECURSIVE r(v, u) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.v, e.dst FROM r JOIN edges e ON e.src = r.u)
+      SELECT v, MIN(u) AS cluster_rep FROM r GROUP BY v),
+    sizes AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM reach GROUP BY cluster_rep),
+    cdims AS (
+      SELECT reach.cluster_rep, vq.d, SUM(vq.qe) AS cdim
+      FROM reach JOIN vq ON vq.vec_id = reach.v
+      GROUP BY reach.cluster_rep, vq.d),
+    cdot AS (
+      SELECT reach.v AS vec_id, reach.cluster_rep,
+        CAST(SUM(vq.qe * cdims.cdim) AS BIGINT) AS cdot
+      FROM reach JOIN vq ON vq.vec_id = reach.v
+      JOIN cdims ON cdims.cluster_rep = reach.cluster_rep AND cdims.d = vq.d
+      GROUP BY reach.v, reach.cluster_rep),
+    ranked AS (
+      SELECT vec_id, cluster_rep, cdot,
+        row_number() OVER (PARTITION BY cluster_rep ORDER BY cdot ASC, vec_id) AS rk
+      FROM cdot)
+    SELECT e.vec_id,
+      COALESCE(r.cluster_rep, e.vec_id) AS cluster_rep,
+      CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+      CAST(r.cdot AS DOUBLE) / 1.0e14 AS cent_dot,
+      COALESCE(r.rk = 1, TRUE) AS keep
+    FROM embeddings e
+    LEFT JOIN ranked r ON r.vec_id = e.vec_id
+    LEFT JOIN sizes s ON s.cluster_rep = r.cluster_rep
+    ORDER BY e.vec_id"""
 
   // ---- C6 near-dup clustering (pairs → components → keep-list) ---------
 
@@ -720,11 +825,20 @@ object Dedup {
     * shuffled edge list); at 100 TB the same loop runs with the edge
     * list hash-partitioned by vertex. Output: one row per clustered doc
     * with its cluster representative and cluster size. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(s, dedupSimhash(s, dir).select("doc_a", "doc_b"))
+      .orderBy("doc_id")
+
+  /** The C6 clustering engine on an arbitrary undirected pair list
+    * (`doc_a`, `doc_b` long columns): hook → contract → finish
+    * (driver union-find or distributed pointer-jumping propagation).
+    * Returns one row per clustered vertex: (doc_id, cluster_rep,
+    * cluster_size), unsorted. Reused by C12's semantic clustering over
+    * embedding-cosine edges. */
+  private[graft] def connectedComponents(s: SparkSession, pairs0: DataFrame): DataFrame = {
     // materialize the pair generation ONCE before the union doubles the
-    // lineage (both union branches would otherwise recompute simhash)
-    val pairs = dedupSimhash(s, dir).select("doc_a", "doc_b")
-      .localCheckpoint(true)
+    // lineage (both union branches would otherwise recompute the edges)
+    val pairs = pairs0.localCheckpoint(true)
     // Undirected edge list, both directions — min-label flows both ways.
     // localCheckpoint (eager) TRUNCATES the logical plan: in an iterative
     // DataFrame loop the lineage otherwise grows every round and Catalyst
@@ -1064,6 +1178,7 @@ object Dedup {
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embcos"  -> (dedupEmbcos _),
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_soft" -> (dedupSoft _))
@@ -1079,6 +1194,7 @@ object Dedup {
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embcos"  -> dedupEmbcosSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_soft" -> dedupSoftSql)

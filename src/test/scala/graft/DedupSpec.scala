@@ -219,4 +219,33 @@ class DedupSpec extends AnyFunSuite {
       f"vs label-blocked subset: $recallLabel%.2f (of ${labelBlocked.size})")
     assert(recallAll >= 0.5, f"LSH recall $recallAll%.2f below floor")
   }
+
+  test("semantic: SemDeDup keep rule — one keep per cluster, the min-centroid-dot member") {
+    val sfDir = TestSpark.sf
+    val rows = Dedup.dedupSemantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    // covers the whole corpus, ids unique
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val (single, clustered) = rows.partition(_._3 == 1L)
+    assert(clustered.nonEmpty, "corpus has no semantic clusters — spec vacuous")
+    // singletons keep themselves with no centroid score
+    single.foreach { r => assert(r._5 && r._2 == r._1 && r._4.isEmpty) }
+    clustered.groupBy(_._2).foreach { case (rep, ms) =>
+      assert(ms.length == ms.head._3.toInt, s"cluster_size mismatch for $rep")
+      val keeps = ms.filter(_._5)
+      assert(keeps.length == 1, s"cluster $rep keeps ${keeps.length} members")
+      // the paper's rule: kept member is LEAST similar to the centroid
+      val kept = keeps.head
+      val best = ms.map(m => (m._4.get, m._1)).min
+      assert((kept._4.get, kept._1) == best,
+        s"cluster $rep kept $kept, expected min-centroid-dot $best")
+    }
+    // edges come from C5: every C5 pair lands in one cluster together
+    Dedup.dedupEmbcos(spark, sfDir).collect().foreach { p =>
+      val (a, b) = (p.getLong(0), p.getLong(1))
+      val byId = rows.map(r => r._1 -> r._2).toMap
+      assert(byId(a) == byId(b), s"C5 pair ($a,$b) split across clusters")
+    }
+  }
 }
