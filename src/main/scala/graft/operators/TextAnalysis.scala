@@ -530,6 +530,70 @@ object TextAnalysis {
     FROM b JOIN c USING (bigram)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- D21 DSIR-style importance selection -------------------------------
+
+  // Target-domain stand-in on the synthetic corpus (uniform 20 sources).
+  private val DsirTarget = "src0"
+
+  /** D21: DSIR-shaped data selection (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document's affinity to a TARGET domain from its tokens'
+    * frequencies in the target subset vs the raw corpus, keep the top-k
+    * by importance. DSIR proper sums hashed-ngram log importance weights
+    * (log p_target − log p_raw); IEEE log sums are order-dependent and
+    * drift across engines, so the score is the division-free integer
+    * analog: per doc, Σ target-corpus count and Σ raw-corpus count of
+    * its tokens (exact int64, order-free), ONE final IEEE division
+    * t_sum/r_sum — D14's exactness pattern. Ranking by that ratio
+    * prefers docs whose token mass sits where the target domain's does.
+    *
+    * Scale shape: token explode → two (term) keyed count aggs with
+    * map-side partials (the target one over a filtered sliver of the
+    * scan); counts equi-join back on term; one per-doc re-agg; global
+    * top-k is a sort-limit (TakeOrdered — k rows per partition shuffle,
+    * never a full sort). The term-count join is the DSIR hashed-feature
+    * table lookup; at 100 TB the raw/target count tables are
+    * vocabulary-sized (≪ corpus) and broadcast-eligible. */
+  def textDsir(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Text.tokens(col("text"))).as("term"))
+    val raw = toks.groupBy("term").agg(count(lit(1)).as("r_cnt"))
+    val tgt = toks.filter(col("source") === DsirTarget)
+      .groupBy("term").agg(count(lit(1)).as("t_cnt"))
+    toks.join(raw, "term")
+      .join(tgt, Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(max("source").as("source"), count(lit(1)).as("n_tok"),
+        sum(coalesce(col("t_cnt"), lit(0L))).as("t_sum"),
+        sum("r_cnt").as("r_sum"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("t_sum"),
+        col("r_sum"),
+        (col("t_sum").cast("double") / col("r_sum")).as("affinity"))
+      .orderBy(col("affinity").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val textDsirSql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, source,
+        unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS term
+      FROM documents),
+    raw AS (SELECT term, COUNT(*) AS r_cnt FROM tok GROUP BY term),
+    tgt AS (SELECT term, COUNT(*) AS t_cnt FROM tok
+            WHERE source = '$DsirTarget' GROUP BY term),
+    d AS (
+      SELECT tok.doc_id, MAX(tok.source) AS source, COUNT(*) AS n_tok,
+        CAST(SUM(COALESCE(tgt.t_cnt, 0)) AS BIGINT) AS t_sum,
+        CAST(SUM(raw.r_cnt) AS BIGINT) AS r_sum
+      FROM tok JOIN raw USING (term) LEFT JOIN tgt USING (term)
+      GROUP BY tok.doc_id)
+    SELECT doc_id, source, n_tok, t_sum, r_sum,
+      CAST(t_sum AS DOUBLE) / r_sum AS affinity
+    FROM d
+    ORDER BY affinity DESC, doc_id
+    LIMIT 100"""
+
   // ---- D16 winnowing fingerprints ---------------------------------------
 
   private val WinnowK = 3 // word k-gram length
@@ -867,6 +931,7 @@ object TextAnalysis {
     "text_langid_ngram" -> (textLangidNgram _),
     "text_novelty"     -> (textNovelty _),
     "text_lm_score"    -> (textLmScore _),
+    "text_dsir"        -> (textDsir _),
     "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
     "text_lenhist"     -> (textLenhist _),
@@ -891,6 +956,7 @@ object TextAnalysis {
     "text_langid_ngram" -> textLangidNgramSql,
     "text_novelty"     -> textNoveltySql,
     "text_lm_score"    -> textLmScoreSql,
+    "text_dsir"        -> textDsirSql,
     "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,
     "text_lenhist"     -> textLenhistSql,

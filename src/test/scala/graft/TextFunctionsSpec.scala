@@ -124,6 +124,35 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out.map(_.trim) == Seq("one", "two three"))
   }
 
+  test("dsir: target-vocab docs outrank off-target; affinity exact on a crafted corpus") {
+    val d = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    // src0 is the DSIR target: its vocab is {alpha beta}; others use
+    // {gamma delta}; doc 4 mixes. Every token of doc 0/1 is target-pure.
+    Seq(
+      (0L, "alpha beta alpha", "en", "src0", 15L),
+      (1L, "beta alpha", "en", "src0", 10L),
+      (2L, "gamma delta gamma delta", "en", "src1", 23L),
+      (3L, "delta gamma", "en", "src2", 11L),
+      (4L, "alpha gamma", "en", "src3", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = graft.operators.TextAnalysis.textDsir(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    // doc 1 (5/6) noses out doc 0 (8/10): beta is rarer corpus-wide and
+    // fully target-owned, and doc 1's mass tilts toward it
+    assert(rows.map(_._1).toSeq == Seq(1L, 0L, 4L, 2L, 3L)) // rank order
+    // doc 0: alpha×2 + beta — alpha: target 3 raw 4; beta: target 2 raw 2
+    val d0 = rows.find(_._1 == 0L).get
+    assert(d0._2 == 3L && d0._3 == 8L && d0._4 == 10L && d0._5 == 0.8)
+    // doc 2 is pure off-target: t_sum 0, affinity 0
+    val d2 = rows.find(_._1 == 2L).get
+    assert(d2._3 == 0L && d2._5 == 0.0)
+    // mixed doc sits strictly between pure-target and pure-off-target
+    val d4 = rows.find(_._1 == 4L).get
+    assert(d4._5 > 0.0 && d4._5 < rows.find(_._1 == 1L).get._5)
+  }
+
   test("mentionIds parses <@U…> ids") {
     val out = Seq("hi <@U42> and <@U7>!").toDF("t")
       .select(Text.mentionIds(col("t")).as("m")).as[Seq[Long]].head()
