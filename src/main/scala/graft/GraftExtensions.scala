@@ -75,6 +75,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Int],
         children(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_pos_grams"),
+      new ExpressionInfo(classOf[graft.plans.PosGrams].getName, null,
+        "graft_pos_grams"),
+      (children: Seq[Expression]) => graft.plans.PosGrams(children.head,
+        children(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
       new FunctionIdentifier("graft_contain_count"),
       new ExpressionInfo(classOf[graft.plans.SortedLongContainCount].getName, null,
         "graft_contain_count"),

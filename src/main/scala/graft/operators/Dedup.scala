@@ -1167,6 +1167,71 @@ object Dedup {
     WHERE len(list_intersect(t.shs, b.bshs)) >= $ContamMinShared
     ORDER BY t.doc_id, b.bench_id"""
 
+  // ---- C13 exact-substring span dedup -----------------------------------
+
+  private val SubstrK = 8 // span resolution: duplicated runs of >= K tokens
+
+  /** C13: exact duplicated-substring spans (the ExactSubstr pass of Lee et
+    * al. 2022, arXiv:2107.06499, "Deduplicating Training Data Makes
+    * Language Models Better"): for every document, report the maximal
+    * token spans whose every K-token window also appears in some OTHER
+    * document — the regions that pass would cut, at K-token resolution.
+    * (Lee et al. build a corpus-wide suffix array; a distributed engine
+    * gets the same spans from a positional K-gram inverted index — the
+    * gram granularity means spans are detected once they reach K tokens
+    * and boundaries are exact.) Whole-doc near-dup (C2–C4) cannot see
+    * these partial overlaps; winnowing (D16) samples them but cannot
+    * bound span edges.
+    *
+    * Scale shape: positional gram hashes are one shuffle-free narrow pass
+    * (fused `graft_pos_grams` kernel) + posexplode; cross-doc document
+    * frequency is one keyed count-distinct shuffle on the gram hash;
+    * flagged positions come back via a gram-hash equi-join (never an
+    * all-pairs doc join); island grouping is one doc-keyed window. Every
+    * stage is linear in corpus grams — the suffix array's O(n log n)
+    * global sort is replaced by two O(n) shuffles. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(
+        call_function("graft_pos_grams", col("text"), lit(SubstrK)))
+        .as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2).select("gh")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, "gh")
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "isl")
+      .agg(min("pos").as("p0"), count(lit(1)).as("n_win"))
+      .select(col("doc_id"),
+        (col("p0") + 1).cast("long").as("span_start"),
+        (col("n_win") + lit(SubstrK - 1)).cast("long").as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val dedupSubstringSql: String = {
+    val k = SubstrK
+    val gram = s"list_aggregate(list_slice(t, i, i + ${k - 1}), 'string_agg', ' ')"
+    s"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS t
+      FROM documents),
+    pg AS (
+      SELECT doc_id, u.pos AS pos, u.gh AS gh
+      FROM (SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - ${k - 1}),
+            i -> {'pos': i, 'gh': ${Hashing.h60pSql(gram)}})) AS u
+        FROM toks WHERE len(t) >= $k)),
+    dup AS (SELECT gh FROM pg GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+    hit AS (SELECT doc_id, pos,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM pg JOIN dup USING (gh))
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      CAST(COUNT(*) + ${k - 1} AS BIGINT) AS span_tokens
+    FROM hit GROUP BY doc_id, pos - rn
+    ORDER BY doc_id, span_start"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_contamination" -> (dedupContamination _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -1181,7 +1246,8 @@ object Dedup {
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_keep_best" -> (dedupKeepBest _),
-    "dedup_soft" -> (dedupSoft _))
+    "dedup_soft" -> (dedupSoft _),
+    "dedup_substring" -> (dedupSubstring _))
 
   val oracle: Map[String, String] = Map(
     "dedup_contamination" -> dedupContaminationSql,
@@ -1197,5 +1263,6 @@ object Dedup {
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,
-    "dedup_soft" -> dedupSoftSql)
+    "dedup_soft" -> dedupSoftSql,
+    "dedup_substring" -> dedupSubstringSql)
 }

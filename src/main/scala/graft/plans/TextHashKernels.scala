@@ -166,6 +166,33 @@ object TextHash {
     if (wr == nWin) mins else java.util.Arrays.copyOf(mins, wr)
   }
 
+  /** Positional `h60p` hashes of the word-k-grams of `text`, in document
+    * order (index i = gram starting at token i; NOT deduplicated — the
+    * position is the payload). Same gram string ("a b c") and md5-mod-P
+    * math as [[winnow]]'s first stage and the SQL oracle. Fewer than k
+    * tokens → empty array. One narrow pass per document. */
+  def posGrams(text: UTF8String, k: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < k) return Array.emptyLongArray
+    val nGrams = toks.length - k + 1
+    val gh = new Array[Long](nGrams)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val b = sb.toString.getBytes("UTF-8")
+      gh(i) = h60Bytes(b, 0, b.length) % P
+      i += 1
+    }
+    gh
+  }
+
   /** Token-window chunks of `text` (TextProcessor.py:34-48 semantics):
     * tokenize (split on single space, drop empties), slide a `size`-token
     * window advancing by `step` tokens, emit every window whose start is
@@ -411,6 +438,27 @@ case class Winnow(child: Expression, k: Int, w: Int) extends TextKernelTyping {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.plans.TextHash.winnow($c, $k, $w));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → positional word-k-gram h60p hashes
+  * in document order (posexplode-ready; index = starting token). The
+  * position-carrying sibling of `graft_winnow`'s first stage, for
+  * operators that must report WHERE an overlap sits, not just that one
+  * exists. */
+case class PosGrams(child: Expression, k: Int) extends TextKernelTyping {
+  override def prettyName: String = "graft_pos_grams"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.posGrams(input.asInstanceOf[UTF8String], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.TextHash.posGrams($c, $k));")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

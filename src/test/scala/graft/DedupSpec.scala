@@ -24,6 +24,44 @@ class DedupSpec extends AnyFunSuite {
     d
   }
 
+  test("substring spans: cross-doc 10-token run reported with exact boundaries") {
+    val d = Files.createTempDirectory("graft_substr").toString
+    val run = (1 to 10).map(i => s"s$i").mkString(" ") // shared 10-token run
+    val a = (1 to 5).map(i => s"a$i").mkString(" ") + " " + run + " " +
+      (6 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 7).map(i => s"b$i").mkString(" ") + " " + run + " " +
+      (8 to 9).map(i => s"b$i").mkString(" ")
+    val c = (1 to 12).map(i => s"c$i").mkString(" ") // no overlap anywhere
+    Seq((0L, a, "en", "s", a.length.toLong), (1L, b, "en", "s", b.length.toLong),
+      (2L, c, "en", "s", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = Dedup.dedupSubstring(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the run begins at token 6 of doc 0 and token 8 of doc 1 (1-based);
+    // windows straddling the run edge contain doc-unique tokens, so the
+    // island closes exactly at the 10-token run — boundaries are exact
+    assert(rows.toSeq == Seq((0L, 6L, 10L), (1L, 8L, 10L)))
+  }
+
+  test("substring spans: run shorter than K invisible; exact dups span whole doc") {
+    val d = Files.createTempDirectory("graft_substr2").toString
+    val short7 = (1 to 7).map(i => s"r$i").mkString(" ") // 7 < K=8
+    val a = short7 + " " + (1 to 6).map(i => s"x$i").mkString(" ")
+    val b = short7 + " " + (1 to 6).map(i => s"y$i").mkString(" ")
+    val dup = (1 to 15).map(i => s"d$i").mkString(" ")
+    Seq((0L, a, "en", "s", a.length.toLong), (1L, b, "en", "s", b.length.toLong),
+      (2L, dup, "en", "s", dup.length.toLong),
+      (3L, dup, "en", "s", dup.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = Dedup.dedupSubstring(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 0/1 share only 7 consecutive tokens — below span resolution;
+    // exact dups 2/3 are one full-document island each
+    assert(rows.toSeq == Seq((2L, 1L, 15L), (3L, 1L, 15L)))
+  }
+
   test("exact dedup groups identical texts under the min id") {
     val rows = Dedup.dedupExact(spark, dir).collect()
       .map(r => r.getLong(1) -> r.getLong(2)).toMap

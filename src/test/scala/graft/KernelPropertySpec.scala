@@ -72,6 +72,26 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_pos_grams == composed positional-gram form on 200 generated strings") {
+    val k = 8
+    val texts = sample(textGen, 200)
+    val df = texts.toDF("text")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val n = size(toks)
+    val grams = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => Hashing.h60p(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val rows = df.select(
+      call_function("graft_pos_grams", col("text"), lit(k)).as("native"),
+      grams.as("composed"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"pos_grams mismatch for text=${r.getString(2)}")
+    }
+  }
+
   test("winnow guarantee: docs sharing a w+k-1 token run share a fingerprint") {
     // Schleimer et al. theorem: with k-gram hashing and window w, any
     // shared token run of length >= w+k-1 guarantees a common fingerprint
