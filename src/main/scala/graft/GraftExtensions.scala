@@ -81,6 +81,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => graft.plans.PosGrams(children.head,
         children(1).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_gopher_stats"),
+      new ExpressionInfo(classOf[graft.plans.GopherStats].getName, null,
+        "graft_gopher_stats"),
+      (children: Seq[Expression]) => graft.plans.GopherStats(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_contain_count"),
       new ExpressionInfo(classOf[graft.plans.SortedLongContainCount].getName, null,
         "graft_contain_count"),

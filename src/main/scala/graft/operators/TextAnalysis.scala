@@ -594,6 +594,80 @@ object TextAnalysis {
     ORDER BY affinity DESC, doc_id
     LIMIT 100"""
 
+  // ---- D22 Gopher quality rules ------------------------------------------
+
+  /** D22: the Gopher / MassiveWeb quality-rule filter (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A1.1) with the paper's published
+    * thresholds: word count in [50, 100k]; mean word length in [3, 10];
+    * symbol-word ('#' or "...") ratio ≤ 0.1; ≤90% bullet lines; ≤30%
+    * ellipsis-ending lines; ≥80% of words contain a letter; ≥2 distinct
+    * stop words of {the,be,to,of,and,that,have,with}. D2's quality score
+    * is a continuous ranking; this is the published hard gate real
+    * curation stacks start from.
+    *
+    * Scale shape: ONE shuffle-free narrow pass — all eight counters come
+    * from the fused `graft_gopher_stats` kernel, every threshold is
+    * division-free int64 math (3n ≤ Σ ≤ 10n, not Σ/n ∈ [3,10]), and the
+    * single IEEE division is the reported mean_word_len, computed after
+    * every boolean is already decided. */
+  def textGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir).select(col("doc_id"),
+      call_function("graft_gopher_stats", col("text")).as("g"))
+    val nW = col("g")(0); val sumC = col("g")(1); val nAlpha = col("g")(2)
+    val nSym = col("g")(3); val nLines = col("g")(4); val nBullet = col("g")(5)
+    val nEll = col("g")(6); val nStop = col("g")(7)
+    val rules = Seq(
+      "r_wordcount" -> (nW >= 50 && nW <= 100000),
+      "r_mean_len"  -> (lit(3) * nW <= sumC && sumC <= lit(10) * nW),
+      "r_symbol"    -> (lit(10) * nSym <= nW),
+      "r_bullet"    -> (lit(10) * nBullet <= lit(9) * nLines),
+      "r_ellipsis"  -> (lit(10) * nEll <= lit(3) * nLines),
+      "r_alpha"     -> (lit(10) * nAlpha >= lit(8) * nW),
+      "r_stop"      -> (nStop >= 2))
+    g.select(Seq(col("doc_id"), nW.as("n_words"),
+        when(nW > 0, sumC.cast("double") / nW).as("mean_word_len")) ++
+        rules.map { case (n, c) => c.as(n) } :+
+        rules.map(_._2).reduce(_ && _).as("keep"): _*)
+      .orderBy("doc_id")
+  }
+
+  val textGopherRulesSql: String = """
+    WITH t AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS w,
+        string_split(text, chr(10)) AS ln
+      FROM documents),
+    c AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sum_chars,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        CAST(len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS n_symbol,
+        CAST(len(ln) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(ln, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(ln, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis,
+        CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+          s -> list_contains(w, s))) AS BIGINT) AS n_stop
+      FROM t)
+    SELECT doc_id, n_words,
+      CASE WHEN n_words > 0 THEN CAST(sum_chars AS DOUBLE) / n_words END AS mean_word_len,
+      n_words >= 50 AND n_words <= 100000 AS r_wordcount,
+      3 * n_words <= sum_chars AND sum_chars <= 10 * n_words AS r_mean_len,
+      10 * n_symbol <= n_words AS r_symbol,
+      10 * n_bullet <= 9 * n_lines AS r_bullet,
+      10 * n_ellipsis <= 3 * n_lines AS r_ellipsis,
+      10 * n_alpha >= 8 * n_words AS r_alpha,
+      n_stop >= 2 AS r_stop,
+      (n_words >= 50 AND n_words <= 100000)
+        AND (3 * n_words <= sum_chars AND sum_chars <= 10 * n_words)
+        AND (10 * n_symbol <= n_words)
+        AND (10 * n_bullet <= 9 * n_lines)
+        AND (10 * n_ellipsis <= 3 * n_lines)
+        AND (10 * n_alpha >= 8 * n_words)
+        AND (n_stop >= 2) AS keep
+    FROM c
+    ORDER BY doc_id"""
+
   // ---- D16 winnowing fingerprints ---------------------------------------
 
   private val WinnowK = 3 // word k-gram length
@@ -932,6 +1006,7 @@ object TextAnalysis {
     "text_novelty"     -> (textNovelty _),
     "text_lm_score"    -> (textLmScore _),
     "text_dsir"        -> (textDsir _),
+    "text_gopher_rules" -> (textGopherRules _),
     "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
     "text_lenhist"     -> (textLenhist _),
@@ -957,6 +1032,7 @@ object TextAnalysis {
     "text_novelty"     -> textNoveltySql,
     "text_lm_score"    -> textLmScoreSql,
     "text_dsir"        -> textDsirSql,
+    "text_gopher_rules" -> textGopherRulesSql,
     "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,
     "text_lenhist"     -> textLenhistSql,

@@ -276,6 +276,55 @@ object TextHash {
     out
   }
 
+  /** Gopher quality-rule statistics (Rae et al. 2021, A1.1 MassiveWeb
+    * filtering) in ONE pass over the text:
+    * [n_words, sum_word_chars, n_alpha_words, n_symbol_words,
+    *  n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_types].
+    * Words = space tokens (same tokenizer as every text kernel);
+    * alpha word = contains an ASCII letter; symbol word = contains '#'
+    * or "..."; lines split on '\n' (empty lines kept — they are lines);
+    * bullet line starts with "- " or "* "; ellipsis line ends with
+    * "..."; stop types = how many DISTINCT Gopher stop words
+    * {the,be,to,of,and,that,have,with} occur as tokens. */
+  def gopherStats(text: UTF8String): Array[Long] = {
+    val s = text.toString
+    val out = new Array[Long](8)
+    val toks = tokenize(text)
+    out(0) = toks.length
+    var stopMask = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      out(1) += t.codePointCount(0, t.length)
+      var alpha = false
+      var j = 0
+      while (j < t.length && !alpha) {
+        val c = t.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha = true
+        j += 1
+      }
+      if (alpha) out(2) += 1
+      if (t.indexOf('#') >= 0 || t.contains("...")) out(3) += 1
+      val si = GopherStops.indexOf(t)
+      if (si >= 0) stopMask |= 1 << si
+      i += 1
+    }
+    out(7) = java.lang.Integer.bitCount(stopMask)
+    val lines = s.split("\n", -1)
+    out(4) = lines.length
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.startsWith("- ") || l.startsWith("* ")) out(5) += 1
+      if (l.endsWith("...")) out(6) += 1
+      i += 1
+    }
+    out
+  }
+
+  val GopherStops: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Positional word bigrams ("tok(i) tok(i+1)") of `text`, in order —
     * one pass with a shared StringBuilder. The zip_with(slice, slice)
     * chain computing the same array is CodegenFallback and materializes
@@ -438,6 +487,24 @@ case class Winnow(child: Expression, k: Int, w: Int) extends TextKernelTyping {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.plans.TextHash.winnow($c, $k, $w));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → the 8 Gopher quality-rule counters
+  * in one per-row pass (see [[TextHash.gopherStats]]). */
+case class GopherStats(child: Expression) extends TextKernelTyping {
+  override def prettyName: String = "graft_gopher_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.gopherStats(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.TextHash.gopherStats($c));")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

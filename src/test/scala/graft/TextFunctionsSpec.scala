@@ -153,6 +153,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(d4._5 > 0.0 && d4._5 < rows.find(_._1 == 1L).get._5)
   }
 
+  test("gopher rules: each published threshold trips on a crafted violator") {
+    val d = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    val good = (("the of " * 3) + "word " * 44).trim // 50 words, letters, 2 stops
+    val tooShort = "the of words"                    // < 50 words
+    val longWords = (("the of " * 3) + "abcdefghijklmno " * 44).trim // mean len > 10
+    val symbols = (("the of " * 3) + "#tag " * 44).trim // symbol ratio > 0.1
+    val bullets = Seq.fill(10)("- the of item").mkString("\n") +
+      "\n" + good // 10/11 bullet lines > 90%
+    val numeric = (("the of " * 3) + "12345 " * 44).trim // alpha words < 80%
+    val noStops = ("word " * 50).trim                // 0 distinct stop words
+    val ellipsis = Seq.fill(4)("the of word...").mkString("\n") +
+      "\n" + good                                    // 4/5 ellipsis lines > 30%
+    val rows = Seq(good, tooShort, longWords, symbols, bullets, numeric,
+      noStops, ellipsis)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val out = graft.operators.TextAnalysis.textGopherRules(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def rule(id: Long, col: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(col))
+    assert(rule(0, "keep"))
+    assert(!rule(1, "r_wordcount") && !rule(1, "keep"))
+    assert(!rule(2, "r_mean_len") && rule(2, "r_wordcount") && !rule(2, "keep"))
+    assert(!rule(3, "r_symbol") && !rule(3, "keep"))
+    assert(!rule(4, "r_bullet") && !rule(4, "keep"))
+    assert(!rule(5, "r_alpha") && !rule(5, "keep"))
+    assert(!rule(6, "r_stop") && rule(6, "r_wordcount") && !rule(6, "keep"))
+    assert(!rule(7, "r_ellipsis") && rule(7, "r_symbol") && !rule(7, "keep"))
+    // mean_word_len is the counters' ratio exactly
+    val g0 = out(0L)
+    assert(g0.getDouble(g0.fieldIndex("mean_word_len")) ==
+      (("the of " * 3) + "word " * 44).trim.replace(" ", "").length.toDouble / 50)
+  }
+
   test("mentionIds parses <@U…> ids") {
     val out = Seq("hi <@U42> and <@U7>!").toDF("t")
       .select(Text.mentionIds(col("t")).as("m")).as[Seq[Long]].head()
