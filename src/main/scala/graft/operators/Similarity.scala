@@ -681,6 +681,99 @@ object Similarity {
            CAST(aq % d AS BIGINT) AS residual
     FROM scaled ORDER BY vec_id, dim"""
 
+  // ---- B12: k-means (Lloyd) clustering -----------------------------------
+
+  private val KmK = 8 // clusters
+
+  /** B12: k-means clustering of the corpus embeddings — one full Lloyd
+    * iteration (seed assignment → exact centroid update → re-assignment),
+    * the training loop behind real IVF cell maps and the SemDeDup paper's
+    * own clustering stage (Abbas et al. 2023 §3 cluster the corpus with
+    * k-means before intra-cluster pair search; C12 here uses LSH edges —
+    * this operator supplies the paper-faithful alternative). Seeds are
+    * the `KmK` smallest corpus vec_ids; fixed iteration count is the
+    * industrial pattern (FAISS trains coarse quantizers with a fixed
+    * `niter`, not to convergence).
+    *
+    * Exactness: round-1 distances are exact int64 square distances to
+    * integer seed vectors; the round-2 argmin over rational centroids
+    * S_j/n_j uses ‖x−S_j/n_j‖² ranking restated as
+    * (‖S_j‖² − 2·x·S_j·n_j)/n_j² — numerator and denominator exact
+    * int64, ONE IEEE division per (vector, cluster), identical in any
+    * engine. At q4 scale the worst term |2·x·S·n| ≤ 64·(6·10³)·(6·10³·n)·n
+    * stays int64-safe to n ≈ 6·10⁴ members — past that, shard the update
+    * or widen to decimal (same bound discipline as the IVF centroids).
+    *
+    * Scale shape: both assignment rounds are a broadcast of the K-row
+    * centroid summary against a narrow corpus scan + per-vector top-1
+    * window; the update is one (cluster, dim) partial-agg shuffle of
+    * K·64 rows. Nothing pairwise, nothing super-linear. */
+  def vecKmeans(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), transform(col("embedding"), v => q4(v)).as("xq"))
+    val seeds = x.filter(col("vec_id") < 10 + KmK)
+      .select(col("vec_id").as("cid"), col("xq").as("sq"))
+    val w1 = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid"))
+    val a1 = x.join(broadcast(seeds))
+      .select(col("vec_id"), col("xq"), col("cid"),
+        call_function("graft_sqdist_l", col("xq"), col("sq")).as("d2"))
+      .withColumn("rk", row_number().over(w1))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("xq"), col("cid"))
+    val cent = a1.select(col("cid"), posexplode(col("xq")))
+      .groupBy("cid", "pos").agg(sum("col").as("cs"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cs")))),
+        e => e.getField("cs")).as("cs"))
+      .join(a1.groupBy("cid").agg(count(lit(1)).as("n")), "cid")
+    val w2 = Window.partitionBy("vec_id").orderBy(col("score").asc, col("cid"))
+    x.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        ((call_function("graft_dot_l", col("cs"), col("cs"))
+          - lit(2) * call_function("graft_dot_l", col("xq"), col("cs")) * col("n"))
+          .cast("double") / (col("n") * col("n")).cast("double")).as("score"))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"), col("score"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster")).cast("long"))
+      .orderBy("vec_id")
+  }
+
+  val vecKmeansSql: String = s"""
+    WITH x AS (
+      SELECT vec_id, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS xq
+      FROM embeddings CROSS JOIN range(64) d WHERE vec_id >= 10),
+    seeds AS (SELECT vec_id AS cid, d, xq AS sq FROM x WHERE vec_id < ${10 + KmK}),
+    d1 AS (
+      SELECT x.vec_id, s.cid,
+        CAST(SUM((x.xq - s.sq) * (x.xq - s.sq)) AS BIGINT) AS d2
+      FROM x JOIN seeds s USING (d) GROUP BY x.vec_id, s.cid),
+    a1 AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        FROM d1) WHERE rk = 1),
+    cs AS (
+      SELECT a1.cid, x.d, CAST(SUM(x.xq) AS BIGINT) AS cs
+      FROM x JOIN a1 USING (vec_id) GROUP BY a1.cid, x.d),
+    n AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY cid),
+    cnorm AS (SELECT cid, CAST(SUM(cs * cs) AS BIGINT) AS c2 FROM cs GROUP BY cid),
+    s2 AS (
+      SELECT x.vec_id, cs.cid,
+        CAST(cnorm.c2 - 2 * CAST(SUM(x.xq * cs.cs) AS BIGINT) * n.n AS DOUBLE)
+          / (n.n * n.n) AS score
+      FROM x JOIN cs ON cs.d = x.d
+      JOIN n ON n.cid = cs.cid JOIN cnorm ON cnorm.cid = cs.cid
+      GROUP BY x.vec_id, cs.cid, cnorm.c2, n.n),
+    fin AS (SELECT vec_id, cid AS cluster, score FROM (
+        SELECT vec_id, cid, score,
+          row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rk
+        FROM s2) WHERE rk = 1)
+    SELECT vec_id, cluster, score,
+      COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+    FROM fin ORDER BY vec_id"""
+
   // ---- B7: product quantization + ADC search ----------------------------
 
   private val PqM = 8   // subspaces
@@ -978,6 +1071,7 @@ object Similarity {
     "ann_lsh"   -> (annLsh _),
     "ann_ivf"   -> (annIvf _),
     "vec_quantize" -> (vecQuantize _),
+    "vec_kmeans" -> (vecKmeans _),
     "vec_pq"    -> (vecPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_pq_rerank" -> (annPqRerank _))
@@ -992,6 +1086,7 @@ object Similarity {
     "ann_lsh"   -> annLshSql,
     "ann_ivf"   -> annIvfSql,
     "vec_quantize" -> vecQuantizeSql,
+    "vec_kmeans" -> vecKmeansSql,
     "vec_pq"    -> vecPqSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_pq_rerank" -> annPqRerankSql)
