@@ -92,6 +92,46 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_gopher_stats == composed counters on 200 generated multi-line strings") {
+    val gopherToken: Gen[String] = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)), Gen.const(""),
+      Gen.oneOf("the", "of", "and", "with", "#tag", "so...", "12345", "é"))
+    val lineGen: Gen[String] = for {
+      n <- Gen.chooseNum(0, 8)
+      toks <- Gen.listOfN(n, gopherToken)
+      pre <- Gen.oneOf("", "- ", "* ", "• ")
+      suf <- Gen.oneOf("", "...", ".")
+    } yield pre + toks.mkString(" ") + suf
+    val docGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 5)
+      ls <- Gen.listOfN(n, lineGen)
+    } yield ls.mkString("\n")
+    val texts = sample(docGen, 200)
+    val df = texts.toDF("text")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val lines = split(col("text"), "\n", -1)
+    val stops = array(graft.plans.TextHash.GopherStops.map(lit): _*)
+    val rows = df.select(
+      call_function("graft_gopher_stats", col("text")).as("native"),
+      array(
+        size(toks).cast("long"),
+        coalesce(aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, v) => a + v), lit(0L)),
+        size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("long"),
+        size(filter(toks, t => t.contains("#") || t.contains("..."))).cast("long"),
+        size(lines).cast("long"),
+        size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ")))
+          .cast("long"),
+        size(filter(lines, l => l.endsWith("..."))).cast("long"),
+        size(filter(stops, s => array_contains(toks, s))).cast("long")
+      ).as("composed"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"gopher_stats mismatch for text=${r.getString(2).replace("\n", "\\n")}")
+    }
+  }
+
   test("winnow guarantee: docs sharing a w+k-1 token run share a fingerprint") {
     // Schleimer et al. theorem: with k-gram hashing and window w, any
     // shared token run of length >= w+k-1 guarantees a common fingerprint
