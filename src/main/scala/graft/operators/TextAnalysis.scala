@@ -610,13 +610,13 @@ object TextAnalysis {
     * division-free int64 math (3n ≤ Σ ≤ 10n, not Σ/n ∈ [3,10]), and the
     * single IEEE division is the reported mean_word_len, computed after
     * every boolean is already decided. */
-  def textGopherRules(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(s, dir).select(col("doc_id"),
-      call_function("graft_gopher_stats", col("text")).as("g"))
-    val nW = col("g")(0); val sumC = col("g")(1); val nAlpha = col("g")(2)
-    val nSym = col("g")(3); val nLines = col("g")(4); val nBullet = col("g")(5)
-    val nEll = col("g")(6); val nStop = col("g")(7)
-    val rules = Seq(
+  /** The seven Gopher rule predicates over a `graft_gopher_stats` counter
+    * array — shared by the batch gate below and the streaming admission
+    * gate (`Streams.qualityGate`). All division-free int64 comparisons. */
+  def gopherRules(g: Column): Seq[(String, Column)] = {
+    val nW = g(0); val sumC = g(1); val nAlpha = g(2); val nSym = g(3)
+    val nLines = g(4); val nBullet = g(5); val nEll = g(6); val nStop = g(7)
+    Seq(
       "r_wordcount" -> (nW >= 50 && nW <= 100000),
       "r_mean_len"  -> (lit(3) * nW <= sumC && sumC <= lit(10) * nW),
       "r_symbol"    -> (lit(10) * nSym <= nW),
@@ -624,6 +624,13 @@ object TextAnalysis {
       "r_ellipsis"  -> (lit(10) * nEll <= lit(3) * nLines),
       "r_alpha"     -> (lit(10) * nAlpha >= lit(8) * nW),
       "r_stop"      -> (nStop >= 2))
+  }
+
+  def textGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir).select(col("doc_id"),
+      call_function("graft_gopher_stats", col("text")).as("g"))
+    val nW = col("g")(0); val sumC = col("g")(1)
+    val rules = gopherRules(col("g"))
     g.select(Seq(col("doc_id"), nW.as("n_words"),
         when(nW > 0, sumC.cast("double") / nW).as("mean_word_len")) ++
         rules.map { case (n, c) => c.as(n) } :+

@@ -248,6 +248,24 @@ object Streams {
       .dropDuplicates("doc_id", "idx_id")
   }
 
+  /** F15: streaming quality admission gate — arriving documents scored
+    * against the Gopher rules (D22) inside the stream: the other half of
+    * a corpus service's admission pipeline next to [[nearDupScreen]].
+    * The fused `graft_gopher_stats` kernel is a deterministic narrow
+    * expression, so the gate is completely stateless — no watermark, no
+    * state store, scales as a pure map over micro-batches. Emits every
+    * doc with its keep verdict and the failed-rule count so downstream
+    * sinks can route rejects to a quarantine table. */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val rules = graft.operators.TextAnalysis
+      .gopherRules(call_function("graft_gopher_stats", col("text")))
+      .map(_._2)
+    docs.select(col("doc_id"), col("text"),
+      rules.reduce(_ && _).as("keep"),
+      rules.map(r => when(r, 0).otherwise(1)).reduce(_ + _)
+        .cast("long").as("n_failed_rules"))
+  }
+
   /** F9: stream-static enrichment — each streamed event joined to a
     * static dimension (the channel/user roster the reference resolves
     * mentions against, KnowledgeBot.py:333-348). The static side is

@@ -108,6 +108,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(pairs.count(p => p._1 == 100L && p._2 == 0L) == 1)
   }
 
+  test("F15: streaming quality gate admits a clean doc, quarantines violators statelessly") {
+    val good = (("the of " * 3) + "word " * 44).trim // 50 words, 2 stops
+    val tooShort = "the of short"
+    val noStops = ("word " * 60).trim
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData((1L, good), (2L, tooShort))
+    input.addData((3L, noStops)) // second micro-batch — no cross-batch state
+    val rows = runToCompletion(
+      Streams.qualityGate(input.toDF().toDF("doc_id", "text")),
+      OutputMode.Append)
+    val byId = rows.map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+    assert(byId(1L) == (true, 0L))
+    assert(byId(2L)._1 == false && byId(2L)._2 >= 1L)
+    assert(byId(3L) == (false, 1L)) // exactly the stop-word rule failed
+  }
+
   test("F6: streaming dedup drops replayed events within the watermark") {
     val input = MemoryStream[StreamEvent](spark)
     input.addData(
