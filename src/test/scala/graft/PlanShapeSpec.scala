@@ -168,6 +168,36 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("gopher gate is a shuffle-free narrow scan up to the output sort") {
+    val plan = executedPlan(SparkEntry.queries("text_gopher_rules")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("graft_gopher_stats"), s"fused kernel missing:\n$plan")
+    val exchanges = plan.linesIterator.filter(_.contains("+- Exchange "))
+      .filterNot(_.contains("rangepartitioning")).toSeq
+    assert(exchanges.isEmpty, s"gopher gate shuffled before the sort:\n$plan")
+  }
+
+  test("substring dedup never forms a pair join: gram-keyed shuffles only") {
+    val plan = executedPlan(SparkEntry.queries("dedup_substring")(spark, sf))
+    assert(plan.contains("graft_pos_grams"), s"fused kernel missing:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"substring dedup must join on the gram hash (broadcast/hash), not pairwise:\n$plan")
+  }
+
+  test("kmeans assignment rounds broadcast the centroid summary, never shuffle the corpus") {
+    val plan = executedPlan(SparkEntry.queries("vec_kmeans")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid summary not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"kmeans must not cross-join the corpus:\n$plan")
+    // the only hash exchanges allowed are the K-row centroid partial aggs
+    // and per-vector window; the corpus side itself never repartitions by
+    // anything but vec_id
+    assert(!plan.contains("SortMergeJoin"),
+      s"kmeans join fell back to sort-merge:\n$plan")
+  }
+
   test("jaccard join condition evaluates the intersect kernel exactly once") {
     val plan = executedPlan(Dedup.dedupJaccard(spark, sf))
     val joinLines = plan.linesIterator
