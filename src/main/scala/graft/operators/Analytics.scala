@@ -481,6 +481,39 @@ object Analytics {
       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n_5
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** E23u: UNPIVOT/melt — the inverse of E23's pivot, turning the four
+    * lineitem measure columns into (measure, value) long format: the
+    * wide→long reshape every metrics warehouse needs before a generic
+    * per-measure aggregation. Spark's native `unpivot` is a narrow
+    * Expand (no shuffle, no join); aggregating to per-measure stats
+    * keeps the oracle compact while still checking every generated row
+    * through the sum. Decimal-cast before summing per the determinism
+    * rules. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey") +: col("l_linenumber") +:
+        measures.map(col): _*)
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        measures.map(col).toArray, "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+        max("value").as("max_value"))
+      .orderBy("measure")
+  }
+
+  val qUnpivotSql: String = """
+    WITH long AS (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+    SELECT measure, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      MAX(value) AS max_value
+    FROM long GROUP BY measure ORDER BY measure"""
+
   /** E22: explicit GROUPING SETS — an asymmetric set list that neither
     * ROLLUP (E4) nor CUBE (E18) can express: per (status, priority),
     * per priority alone, and the grand total. Still one shuffle — Spark
@@ -703,6 +736,7 @@ object Analytics {
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
+    "q_unpivot"    -> (qUnpivot _),
     "q_topk_native" -> (qTopkNative _),
     "q_sample_group" -> (qSampleGroup _),
     "q_scd2"       -> (qScd2 _))
@@ -727,6 +761,7 @@ object Analytics {
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,
+    "q_unpivot"    -> qUnpivotSql,
     "q_topk_native" -> qTopkNativeSql,
     "q_sample_group" -> qSampleGroupSql,
     "q_scd2"       -> qScd2Sql)
