@@ -349,6 +349,85 @@ object Analytics {
     GROUP BY p.event_id
     ORDER BY p.event_id"""
 
+  /** E17i: interval-overlap join — the range×range sibling of E17's
+    * point-in-range join: per-user click activity sessions overlapped
+    * against view sessions, reporting the exact shared seconds. The
+    * session intervals come from the standard gaps-and-islands build
+    * (1-day gap — the synthetic event stream is sparse), and the overlap
+    * join is bin-decomposed: each interval explodes into the 1-day bins
+    * it covers, candidates come from a
+    * (user, bin) equi-join, pairs dedupe before the exact overlap
+    * arithmetic. No inequality-only join anywhere — at scale the bin
+    * fan-out is bounded by interval span / bin width, and the shuffle is
+    * a plain hash join. The brute-force oracle checks the bin scheme's
+    * losslessness, not just the arithmetic. */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val gap = 86400L; val binW = 86400L
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("epoch", "event_id")
+    val sess = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts").cast(TimestampType)).as("epoch"))
+      .withColumn("ns",
+        when(lag("epoch", 1).over(w).isNull ||
+          col("epoch") - lag("epoch", 1).over(w) > gap, 1L).otherwise(0L))
+      .withColumn("sid", sum("ns").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "event_type", "sid")
+      .agg(min("epoch").as("s"), max("epoch").as("e"))
+    val c = sess.filter(col("event_type") === "click")
+      .select(col("user_id"), col("sid").as("click_sid"),
+        col("s").as("cs"), col("e").as("ce"))
+      .withColumn("bin", explode(sequence(
+        floor(col("cs") / binW), floor(col("ce") / binW))))
+    val v = sess.filter(col("event_type") === "view")
+      .select(col("user_id"), col("sid").as("view_sid"),
+        col("s").as("vs"), col("e").as("ve"))
+      .withColumn("bin", explode(sequence(
+        floor(col("vs") / binW), floor(col("ve") / binW))))
+    c.join(v, Seq("user_id", "bin"))
+      .filter(col("vs") <= col("ce") && col("cs") <= col("ve"))
+      .select("user_id", "click_sid", "view_sid", "cs", "ce", "vs", "ve")
+      .distinct()
+      .select(col("user_id"), col("click_sid"), col("view_sid"),
+        (least(col("ce"), col("ve")) - greatest(col("cs"), col("vs")))
+          .as("overlap_sec"))
+      .orderBy("user_id", "click_sid", "view_sid")
+  }
+
+  val qIntervalJoinSql: String = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+      FROM events WHERE event_type IN ('click', 'view')),
+    m AS (
+      SELECT user_id, event_type, event_id, epoch,
+        CASE WHEN lag(epoch) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY epoch, event_id) IS NULL
+               OR epoch - lag(epoch) OVER (PARTITION BY user_id, event_type
+                                           ORDER BY epoch, event_id) > 86400
+             THEN 1 ELSE 0 END AS ns
+      FROM ev),
+    s1 AS (
+      SELECT user_id, event_type, epoch,
+        SUM(ns) OVER (PARTITION BY user_id, event_type
+                      ORDER BY epoch, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+    sess AS (
+      SELECT user_id, event_type, CAST(sid AS BIGINT) AS sid,
+        MIN(epoch) AS s, MAX(epoch) AS e
+      FROM s1 GROUP BY user_id, event_type, sid),
+    c AS (SELECT user_id, sid AS click_sid, s AS cs, e AS ce
+          FROM sess WHERE event_type = 'click'),
+    v AS (SELECT user_id, sid AS view_sid, s AS vs, e AS ve
+          FROM sess WHERE event_type = 'view')
+    SELECT c.user_id, click_sid, view_sid,
+      least(ce, ve) - greatest(cs, vs) AS overlap_sec
+    FROM c JOIN v ON c.user_id = v.user_id AND vs <= ce AND cs <= ve
+    ORDER BY c.user_id, click_sid, view_sid"""
+
   /** E21: CDC-style validity intervals (SCD type-2 build) — turn an event
     * stream into keyed history rows [valid_from, valid_to) where valid_to
     * is the next change's timestamp (NULL = current). One shuffle on the
@@ -737,6 +816,7 @@ object Analytics {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
     "q_unpivot"    -> (qUnpivot _),
+    "q_interval_join" -> (qIntervalJoin _),
     "q_topk_native" -> (qTopkNative _),
     "q_sample_group" -> (qSampleGroup _),
     "q_scd2"       -> (qScd2 _))
@@ -762,6 +842,7 @@ object Analytics {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,
     "q_unpivot"    -> qUnpivotSql,
+    "q_interval_join" -> qIntervalJoinSql,
     "q_topk_native" -> qTopkNativeSql,
     "q_sample_group" -> qSampleGroupSql,
     "q_scd2"       -> qScd2Sql)
