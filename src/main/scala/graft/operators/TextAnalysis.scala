@@ -675,6 +675,62 @@ object TextAnalysis {
     FROM c
     ORDER BY doc_id"""
 
+  // ---- D23 corpus-wide duplicated-line removal ---------------------------
+
+  /** D23: boilerplate line removal (the RefinedWeb / CCNet "line-wise
+    * correction": lines repeated verbatim across ≥ `LineDupDf` documents
+    * are navigation chrome, cookie banners, signatures — strip them,
+    * keep everything else in original order). Exact-dedup (C1) drops
+    * whole documents; this repairs partially-boilerplate ones. Emits
+    * (doc_id, kept_text, n_lines, n_dropped) for every document that
+    * HAD at least one line (kept_text may be empty when every line was
+    * boilerplate — the downstream quality gate's problem, not ours).
+    *
+    * Scale shape: line explode is narrow; the line-df table is one keyed
+    * count-distinct shuffle (hash the line, never ship it twice); the
+    * flag join is an equi-join on the line hash; reassembly is one
+    * doc-keyed agg with an in-group sort by position (array_sort on
+    * (pos, line) structs — no window). Linear end to end. */
+  private val LineDupDf = 2
+
+  def textLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n", -1)))
+      .select(col("doc_id"), col("pos"), col("col").as("line"),
+        Hashing.h60p(col("col")).as("lh"))
+    val dupLines = lines.groupBy("lh")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= LineDupDf).select("lh")
+    lines.join(dupLines.withColumn("isdup", lit(1L)), Seq("lh"), "left")
+      .select(col("doc_id"), col("pos"), col("line"),
+        coalesce(col("isdup"), lit(0L)).as("dropped"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("dropped") === 0, struct(col("pos"), col("line"))))),
+          e => e.getField("line")), "\n").as("kept_text"),
+        count(lit(1)).as("n_lines"),
+        sum("dropped").as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  val textLineDedupSql: String = s"""
+    WITH l AS (
+      SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+        unnest(string_split(text, chr(10))) AS line
+      FROM documents),
+    h AS (SELECT doc_id, pos, line, ${Hashing.h60pSql("line")} AS lh FROM l),
+    dup AS (SELECT lh FROM h GROUP BY lh
+            HAVING COUNT(DISTINCT doc_id) >= $LineDupDf)
+    SELECT doc_id,
+      coalesce(string_agg(CASE WHEN dup.lh IS NULL THEN line END, chr(10)
+        ORDER BY pos), '') AS kept_text,
+      COUNT(*) AS n_lines,
+      CAST(COUNT(dup.lh) AS BIGINT) AS n_dropped
+    FROM h LEFT JOIN dup ON h.lh = dup.lh
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   // ---- D16 winnowing fingerprints ---------------------------------------
 
   private val WinnowK = 3 // word k-gram length
@@ -1014,6 +1070,7 @@ object TextAnalysis {
     "text_lm_score"    -> (textLmScore _),
     "text_dsir"        -> (textDsir _),
     "text_gopher_rules" -> (textGopherRules _),
+    "text_line_dedup"  -> (textLineDedup _),
     "text_pack"        -> (textPack _),
     "text_bigrams"     -> (textBigrams _),
     "text_lenhist"     -> (textLenhist _),
@@ -1040,6 +1097,7 @@ object TextAnalysis {
     "text_lm_score"    -> textLmScoreSql,
     "text_dsir"        -> textDsirSql,
     "text_gopher_rules" -> textGopherRulesSql,
+    "text_line_dedup"  -> textLineDedupSql,
     "text_pack"        -> textPackSql,
     "text_bigrams"     -> textBigramsSql,
     "text_lenhist"     -> textLenhistSql,

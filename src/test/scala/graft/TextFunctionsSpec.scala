@@ -188,6 +188,26 @@ class TextFunctionsSpec extends AnyFunSuite {
       (("the of " * 3) + "word " * 44).trim.replace(" ", "").length.toDouble / 50)
   }
 
+  test("line dedup strips corpus-wide boilerplate lines, keeps order, counts drops") {
+    val d = java.nio.file.Files.createTempDirectory("graft_linededup").toString
+    val banner = "accept cookies to continue"
+    val footer = "copyright example corp"
+    val a = s"$banner\nunique first line\n$footer\nunique last line"
+    val b = s"$banner\ndifferent content here\n$footer"
+    val c = "totally original document\nwith original lines only"
+    Seq((0L, a, "en", "s", a.length.toLong), (1L, b, "en", "s", b.length.toLong),
+      (2L, c, "en", "s", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val rows = graft.operators.TextAnalysis.textLineDedup(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // banner+footer appear in 2 docs -> stripped everywhere; order kept
+    assert(rows(0L) == (("unique first line\nunique last line", 4L, 2L)))
+    assert(rows(1L) == (("different content here", 3L, 2L)))
+    assert(rows(2L) == (("totally original document\nwith original lines only", 2L, 0L)))
+  }
+
   test("mentionIds parses <@U…> ids") {
     val out = Seq("hi <@U42> and <@U7>!").toDF("t")
       .select(Text.mentionIds(col("t")).as("m")).as[Seq[Long]].head()
