@@ -31,6 +31,13 @@ object VectorStore {
   val PqK = 16
   private val PqDir = "_graft_pq"
 
+  // Learned-cell IVF geometry: KmCells k-means cells trained at store
+  // creation (one Lloyd round, B12's exact-int64 math), frozen in a
+  // sidecar like the PQ codebook. `cell` is the second partition level
+  // (bucket=…/cell=…), so a cell-probed search prunes whole directories.
+  val KmCells = 8
+  private val CellsDir = "_graft_cells"
+
   /** Per-subspace views of a raw int64 vector: array of PqM slices. */
   private def subvecs(v: Column): Column =
     transform(sequence(lit(0), lit(PqM - 1)),
@@ -101,14 +108,67 @@ object VectorStore {
           .select(col("j"), col("pos").as("m"), col("col").as("cent"))
           .localCheckpoint(true)
       }
-      val indexed = embedded.join(
-        pqEncode(codebook, embedded), Seq("doc_id", "chunk_ix"))
-      indexed.write.mode(mode).partitionBy("bucket").parquet(indexDir)
+      // Cell centroids: same freezing discipline as the codebook — one
+      // Lloyd round over the creation batch (seed = first KmCells chunks,
+      // assignment by exact int64 sqdist, centroid = exact sum + count),
+      // appends assign against the frozen summary so cell ids stay
+      // comparable across batches.
+      val cellPath = s"$indexDir/$CellsDir/centroids.parquet"
+      val reuseCells = mode == "append" &&
+        fs.exists(new org.apache.hadoop.fs.Path(cellPath))
+      val centroids = if (reuseCells) {
+        spark.read.parquet(cellPath).localCheckpoint(true)
+      } else {
+        val wj = Window.orderBy("doc_id", "chunk_ix")
+        val seeds = embedded.select("doc_id", "chunk_ix", "raw")
+          .orderBy("doc_id", "chunk_ix").limit(KmCells)
+          .withColumn("cell", row_number().over(wj) - 1)
+          .select(col("cell"), col("raw").as("sq"))
+        val wMin = Window.partitionBy("doc_id", "chunk_ix")
+          .orderBy(col("d2"), col("cell"))
+        embedded.select(col("doc_id"), col("chunk_ix"), col("raw"))
+          .join(broadcast(seeds))
+          .withColumn("d2", call_function("graft_sqdist_l", col("raw"), col("sq")))
+          .withColumn("rk", row_number().over(wMin))
+          .filter(col("rk") === 1)
+          .select(col("cell"), posexplode(col("raw")))
+          .groupBy("cell", "pos").agg(sum("col").as("cs"), count(lit(1)).as("cnt"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cs")))),
+            e => e.getField("cs")).as("csum"),
+            (max("cnt")).as("n"))
+          .localCheckpoint(true)
+      }
+      val indexed = embedded
+        .join(pqEncode(codebook, embedded), Seq("doc_id", "chunk_ix"))
+        .join(cellAssign(centroids, embedded), Seq("doc_id", "chunk_ix"))
+      indexed.write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)
       if (!reuse)
         codebook.coalesce(1).write.mode("overwrite").parquet(cbPath)
+      if (!reuseCells)
+        centroids.coalesce(1).write.mode("overwrite").parquet(cellPath)
     }
     embedded.unpersist()
     n
+  }
+
+  /** Assign each batch chunk to its nearest frozen cell centroid S/n:
+    * argmin ‖x − S/n‖² restated division-free as
+    * (‖S‖² − 2·x·S·n)/n² — exact int64 numerator and denominator, one
+    * IEEE division per (chunk, cell), ties to the smaller cell id (the
+    * B12 assignment discipline). Broadcast K-row summary × narrow scan. */
+  private def cellAssign(centroids: DataFrame, batch: DataFrame): DataFrame = {
+    val wMin = Window.partitionBy("doc_id", "chunk_ix")
+      .orderBy(col("score"), col("cell"))
+    batch.select(col("doc_id"), col("chunk_ix"), col("raw"))
+      .join(broadcast(centroids))
+      .select(col("doc_id"), col("chunk_ix"), col("cell"),
+        ((call_function("graft_dot_l", col("csum"), col("csum"))
+          - lit(2) * call_function("graft_dot_l", col("raw"), col("csum")) * col("n"))
+          .cast("double") / (col("n") * col("n")).cast("double")).as("score"))
+      .withColumn("rk", row_number().over(wMin))
+      .filter(col("rk") === 1)
+      .select("doc_id", "chunk_ix", "cell")
   }
 
   /** PQ-encode a batch against a codebook: (doc_id, chunk_ix, codes) with
@@ -221,6 +281,46 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** Learned-cell IVF serving path: probe the query's top-`nprobe`
+    * k-means cells (by exact centroid score, the B5 probing rule) and
+    * exact-rank ONLY inside those cells' directories — `cell` is a
+    * partition column, so the pruning is directory-level, and the probe
+    * list is literal (collected from the K-row sidecar), so the pruning
+    * is static, not even DPP. The measured case for learned cells over
+    * hash buckets is IvfCellQualitySpec: Voronoi cells concentrate true
+    * neighbors, recall clears the scan fraction; random partitions
+    * don't. Output schema matches [[search]]. */
+  def searchCells(spark: SparkSession, indexDir: String, query: String,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/$CellsDir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val qvec = { import spark.implicits._; Seq(query).toDF("qtext") }
+    val qraw = qvec.select(rawWeights(col("qtext")).as("qraw"))
+      .collect().head.getSeq[Long](0).toArray
+    // cell score = dot(q, S)/n (one IEEE division of exact int64
+    // operands); top-nprobe, ties to the smaller cell id
+    val probeCells = centroids.map { case (cell, csum, nMem) =>
+        val dot = qraw.zip(csum).map { case (a, b) => a * b }.sum
+        (dot.toDouble / nMem, cell)
+      }.sortBy { case (s, cell) => (-s, cell) }.take(nprobe).map(_._2).toSeq
+    val index = spark.read.parquet(indexDir)
+      .filter(col("cell").isInCollection(probeCells))
+    val qdf = qvec.select(rawWeights(col("qtext")).as("qraw"))
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    index.join(broadcast(qdf))
+      .select(col("doc_id"), col("chunk_ix"), col("chunk"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "chunk_ix", "chunk", "score")
+      .orderBy("rank")
+  }
+
   /** Targeted delete — the engine-side analog of the reference's
     * `_delete_knowledge_chunks` (KnowledgeBot.py:351-379), which removes a
     * message's chunks before an #EDIT re-export. Spark-native shape:
@@ -323,21 +423,32 @@ object VectorStore {
     if (removed > 0) {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try survivors.write.mode("overwrite").partitionBy("bucket").parquet(indexDir)
+      try survivors.write.mode("overwrite")
+        .partitionBy("bucket", "cell").parquet(indexDir)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
     // dynamic overwrite only replaces partitions PRESENT in the output: a
-    // bucket whose every row was a victim has no survivors and must be
-    // dropped explicitly (idempotent — a replay deletes a missing dir)
-    val surviving = survivors.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
+    // (bucket, cell) dir whose every row was a victim has no survivors
+    // and must be dropped explicitly (idempotent — a replay deletes a
+    // missing dir). Whole-bucket drops cover their cell subdirs.
+    val survivingPairs = survivors.select("bucket", "cell").distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val survivingBuckets = survivingPairs.map(_._1)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    buckets.filterNot(surviving).foreach { b =>
+    buckets.filterNot(survivingBuckets).foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/bucket=$b"), true)
+    }
+    buckets.filter(survivingBuckets).foreach { b =>
+      val bDir = new org.apache.hadoop.fs.Path(s"$indexDir/bucket=$b")
+      if (fs.exists(bDir)) fs.listStatus(bDir).map(_.getPath)
+        .filter(_.getName.startsWith("cell=")).foreach { cDir =>
+          val c = cDir.getName.stripPrefix("cell=").toInt
+          if (!survivingPairs((b, c))) fs.delete(cDir, true)
+        }
     }
     spark.catalog.refreshByPath(indexDir)
     removed

@@ -103,6 +103,71 @@ class VectorStoreSpec extends AnyFunSuite {
       hits.head.getAs[Int]("chunk_ix") == 1, s"top hit was ${hits.headOption}")
   }
 
+  test("cell layout: second-level cell=N dirs exist; searchCells self-hits at rank 1") {
+    val bucketDirs = new java.io.File(indexDir).listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    val cellDirs = bucketDirs.flatMap(_.listFiles())
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "expected cell=N subdirectories")
+    val sample = spark.read.parquet(indexDir)
+      .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    // a verbatim chunk maps to its own cell (nearest centroid is stable
+    // between ingest-time and query-time assignment), so the self-hit
+    // must survive cell probing
+    val hits = VectorStore.searchCells(spark, indexDir, sample, k = 3).collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 3L &&
+      hits.head.getAs[Int]("chunk_ix") == 1, s"top hit was ${hits.headOption}")
+    assert(hits.head.getAs[Double]("score") > 0.999)
+    // and the plan prunes partitions by the literal probed cell list
+    val plan = VectorStore.searchCells(spark, indexDir, sample, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cell"), "expected cell partition pruning in plan")
+  }
+
+  test("append reuses the frozen cell centroids; appended chunks searchable by cell") {
+    val dir = Files.createTempDirectory("graft_vs_cells").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    VectorStore.ingest(docs.filter(col("doc_id") < 50), dir)
+    def cents() = spark.read
+      .parquet(s"$dir/_graft_cells/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    val c1 = cents()
+    assert(c1.nonEmpty)
+    VectorStore.ingest(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+      dir, mode = "append")
+    assert(cents().toSeq == c1.toSeq, "append rewrote the cell centroids")
+    val sample = spark.read.parquet(dir)
+      .filter(col("doc_id") === 70 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val hits = VectorStore.searchCells(spark, dir, sample, k = 3).collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 70L &&
+      hits.head.getAs[Int]("chunk_ix") == 1, s"top hit was ${hits.headOption}")
+  }
+
+  test("delete drops fully-victim cell subdirs inside surviving buckets (no zombies)") {
+    val dir = Files.createTempDirectory("graft_vs_zomb").toString + "/index"
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+      .select("doc_id", "text")
+    VectorStore.ingest(docs, dir)
+    val before = spark.read.parquet(dir)
+      .select("doc_id", "bucket", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // pick a (bucket, cell) dir and delete EVERY doc that has rows in it:
+    // the dir must vanish while its bucket (if other cells survive) stays
+    val (_, tb, tc) = before.head
+    val victims = before.filter(p => p._2 == tb && p._3 == tc).map(_._1).distinct
+    VectorStore.delete(spark, dir, victims.toSeq)
+    val cellDir = new java.io.File(s"$dir/bucket=$tb/cell=$tc")
+    assert(!cellDir.exists, s"zombie cell dir survived: $cellDir")
+    // no stale rows readable from any victim doc
+    val left = spark.read.parquet(dir)
+      .filter(col("doc_id").isInCollection(victims.toSeq)).count()
+    assert(left == 0, s"victim rows still readable: $left")
+  }
+
   test("search scans only the probed buckets") {
     val q = VectorStore.search(spark, indexDir, "spark table merge join", k = 2)
     val scan = q.queryExecution.executedPlan.toString
