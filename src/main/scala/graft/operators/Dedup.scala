@@ -1232,6 +1232,31 @@ object Dedup {
     ORDER BY doc_id, span_start"""
   }
 
+  // ---- C14 dedup audit report --------------------------------------------
+
+  /** C14: the per-source duplication report a data-governance review asks
+    * for before any dedup pass runs — document count, distinct-content
+    * count (md5 identity, C1's key), duplicate count, and the unique
+    * ratio per source. One keyed aggregation with map-side partial
+    * count-distinct; the single IEEE division has exact int64 operands. */
+  def dedupStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_dup_docs"),
+        (col("n_unique").cast("double") / col("n_docs")).as("unique_ratio"))
+      .orderBy("source")
+  }
+
+  val dedupStatsSql: String = """
+    SELECT source, COUNT(*) AS n_docs,
+      COUNT(DISTINCT md5(text)) AS n_unique,
+      COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs,
+      CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS unique_ratio
+    FROM documents GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_contamination" -> (dedupContamination _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -1247,7 +1272,8 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_soft" -> (dedupSoft _),
-    "dedup_substring" -> (dedupSubstring _))
+    "dedup_substring" -> (dedupSubstring _),
+    "dedup_stats" -> (dedupStats _))
 
   val oracle: Map[String, String] = Map(
     "dedup_contamination" -> dedupContaminationSql,
@@ -1264,5 +1290,6 @@ object Dedup {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_soft" -> dedupSoftSql,
-    "dedup_substring" -> dedupSubstringSql)
+    "dedup_substring" -> dedupSubstringSql,
+    "dedup_stats" -> dedupStatsSql)
 }

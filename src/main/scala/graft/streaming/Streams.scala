@@ -266,6 +266,38 @@ object Streams {
         .cast("long").as("n_failed_rules"))
   }
 
+  /** F16: streaming cell router — assign each arriving document to the
+    * frozen k-means cell (G22's centroid sidecar) its embedding lands
+    * in: the partition-routing step of a streaming index ingest, and the
+    * third stage of the admission pipeline after [[nearDupScreen]] and
+    * [[qualityGate]]. The K-row centroid summary is collected once and
+    * compiled into a LITERAL argmin expression — per row: K exact int64
+    * dot kernels, K IEEE divisions, one lexicographic array_min — so the
+    * router is a pure narrow map: no stream-static join, no window, no
+    * state, legal in any output mode. Same score and tie rule as the
+    * batch assignment (B12 / VectorStore.cellAssign). */
+  def cellRouter(docs: DataFrame,
+      centroids: Seq[(Int, Array[Long], Long)]): DataFrame = {
+    val raw = call_function("graft_hash_embed", col("text"),
+      lit(graft.operators.VectorStore.Dim))
+    val scored = centroids.map { case (cell, csum, n) =>
+      val c2 = csum.map(v => v * v).sum
+      val score = (lit(c2) - lit(2L) * call_function("graft_dot_l",
+        raw, typedlit(csum.toSeq)) * lit(n)).cast("double") /
+        lit(n * n).cast("double")
+      struct(score.as("s"), lit(cell).as("c"))
+    }
+    docs.select(col("doc_id"), col("text"),
+      array_min(array(scored: _*)).getField("c").as("cell"))
+  }
+
+  /** Convenience: load the G22 centroid sidecar for [[cellRouter]]. */
+  def loadCentroids(spark: SparkSession, indexDir: String)
+      : Seq[(Int, Array[Long], Long)] =
+    spark.read.parquet(s"$indexDir/_graft_cells/centroids.parquet")
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+
   /** F9: stream-static enrichment — each streamed event joined to a
     * static dimension (the channel/user roster the reference resolves
     * mentions against, KnowledgeBot.py:333-348). The static side is

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
@@ -122,6 +123,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId(1L) == (true, 0L))
     assert(byId(2L)._1 == false && byId(2L)._2 >= 1L)
     assert(byId(3L) == (false, 1L)) // exactly the stop-word rule failed
+  }
+
+  test("F16: streaming cell router matches the ingested store's cell assignment") {
+    // short docs (< chunkSize tokens) chunk to themselves, so the store's
+    // chunk-1 cell IS the whole-doc cell the router must reproduce
+    val d = java.nio.file.Files.createTempDirectory("graft_router").toString + "/ix"
+    val texts = (0L until 20L).map(i =>
+      (i, (1 to 10).map(j => s"tok${i}_$j").mkString(" ")))
+    val docs = texts.toDF("doc_id", "text")
+    graft.operators.VectorStore.ingest(docs, d)
+    val indexed = spark.read.parquet(d)
+      .filter(col("chunk_ix") === 1)
+      .select("doc_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = Streams.loadCentroids(spark, d)
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData(texts.take(10): _*)
+    input.addData(texts.drop(10): _*)
+    val rows = runToCompletion(
+      Streams.cellRouter(input.toDF().toDF("doc_id", "text"), cents),
+      OutputMode.Append)
+    val routed = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(routed.size == 20)
+    routed.foreach { case (id, cell) =>
+      assert(cell == indexed(id),
+        s"doc $id routed to $cell but indexed in ${indexed(id)}")
+    }
   }
 
   test("F6: streaming dedup drops replayed events within the watermark") {
