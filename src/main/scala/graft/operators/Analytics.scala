@@ -795,7 +795,125 @@ object Analytics {
       CAST(rev_curr - rev_prev AS DOUBLE) AS delta, rank
     FROM r ORDER BY rank"""
 
+  /** E37: Z-order (Morton) layout audit — the multi-dimensional
+    * data-skipping primitive (Delta/Iceberg `OPTIMIZE ZORDER BY`).
+    * Each row's (partkey, suppkey) pair is bucketed to 4 bits per
+    * dimension and the bits interleaved into an 8-bit Morton key; rows
+    * are then assigned to 16 contiguous-z "files" (z div 16 — exactly
+    * what `repartitionByRange(z)` produces at write time) and each
+    * file reports its per-dimension min/max bounding box plus the box
+    * area. The audit shows why the layout works: fixing the top 4
+    * interleaved bits fixes the top 2 bits of BOTH dimensions, so every
+    * file's box is 4×4 out of the 16×16 plane (box_area 16 = 1/16 of
+    * the key space) — a predicate on EITHER dimension prunes 3/4 of the
+    * files from their min/max stats alone, where a linear sort on one
+    * key leaves the other dimension spanning the full range. All exact
+    * int64 arithmetic (floor-div/mod bit extraction, no engine bit
+    * intrinsics), one narrow scan + one 16-group aggregate. */
+  def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val interleave = (0 until 4).map { i =>
+      val p2 = 1L << i
+      s"((a div $p2) % 2) * ${2L << (2 * i)} + ((b div $p2) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    Tables.lineitem(s, dir)
+      .select((col("l_partkey") % 16).as("a"), (col("l_suppkey") % 16).as("b"))
+      .withColumn("z", expr(interleave))
+      .withColumn("file_id", expr("z div 16"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("a").as("pk_lo"), max("a").as("pk_hi"),
+        min("b").as("sk_lo"), max("b").as("sk_hi"))
+      .withColumn("box_area",
+        (col("pk_hi") - col("pk_lo") + 1) * (col("sk_hi") - col("sk_lo") + 1))
+      .orderBy("file_id")
+  }
+
+  val qZorderSql: String = {
+    val interleave = (0 until 4).map { i =>
+      val p2 = 1L << i
+      s"((a // $p2) % 2) * ${2L << (2 * i)} + ((b // $p2) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    s"""
+    WITH kv AS (
+      SELECT l_partkey % 16 AS a, l_suppkey % 16 AS b FROM lineitem),
+    z AS (SELECT a, b, ($interleave) // 16 AS file_id FROM kv),
+    f AS (
+      SELECT file_id, COUNT(*) AS n_rows,
+        MIN(a) AS pk_lo, MAX(a) AS pk_hi, MIN(b) AS sk_lo, MAX(b) AS sk_hi
+      FROM z GROUP BY file_id)
+    SELECT file_id, n_rows, pk_lo, pk_hi, sk_lo, sk_hi,
+      (pk_hi - pk_lo + 1) * (sk_hi - sk_lo + 1) AS box_area
+    FROM f ORDER BY file_id"""
+  }
+
+  /** E38: robust anomaly gate — per event_type median + MAD (median
+    * absolute deviation, the Hampel estimator) and the count of events
+    * outside med ± 3·MAD. The robust twin of z-scores: one wild outlier
+    * shifts a mean/stddev gate but leaves rank statistics untouched,
+    * which is why data-quality monitors on heavy-tailed pipeline metrics
+    * use MAD. Medians are exact rank picks (lower median, deterministic
+    * (value, event_id) tie order — the same discipline as E12's exact
+    * percentiles), so both engines pick the identical element and the
+    * comparison arithmetic is reproducible IEEE on identical operands.
+    * Shape: two keyed window passes (the per-type sort is the price of
+    * exactness; E35's mergeable histogram is the sketch alternative at
+    * 100 TB) + two 5-row broadcast joins back; anomaly flagging is a
+    * narrow scan. */
+  def qAnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val wp = Window.partitionBy("event_type")
+    val med = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(wp))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("value").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("value") - col("med")))
+    val mad = dev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("d"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(wp))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("d").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("d") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_anomalies"))
+      .orderBy("event_type")
+  }
+
+  val qAnomalyMadSql: String = """
+    WITH ev AS (SELECT event_id, event_type, value FROM events),
+    m AS (
+      SELECT event_type, value AS med FROM (
+        SELECT event_type, value,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM ev) WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT ev.event_id, ev.event_type, m.med, abs(ev.value - m.med) AS d
+      FROM ev JOIN m USING (event_type)),
+    md AS (
+      SELECT event_type, d AS mad FROM (
+        SELECT event_type, d,
+          row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d) WHERE rn = (n + 1) // 2)
+    SELECT d.event_type, COUNT(*) AS n_events,
+      MAX(d.med) AS med, MAX(md.mad) AS mad,
+      CAST(SUM(CASE WHEN d.d > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_anomalies
+    FROM d JOIN md USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder"     -> (qZorder _),
+    "q_anomaly_mad" -> (qAnomalyMad _),
     "q_set_ops"    -> (qSetOps _),
     "q_full_outer" -> (qFullOuter _),
     "q_recursive"  -> (qRecursive _),
@@ -822,6 +940,8 @@ object Analytics {
     "q_scd2"       -> (qScd2 _))
 
   val oracle: Map[String, String] = Map(
+    "q_zorder"     -> qZorderSql,
+    "q_anomaly_mad" -> qAnomalyMadSql,
     "q_set_ops"    -> qSetOpsSql,
     "q_full_outer" -> qFullOuterSql,
     "q_recursive"  -> qRecursiveSql,

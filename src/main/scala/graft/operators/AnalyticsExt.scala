@@ -556,7 +556,102 @@ object AnalyticsExt {
     FROM grid g LEFT JOIN hourly USING (event_type, h)
     ORDER BY g.event_type, hour"""
 
+  /** E39: linear multi-touch attribution — each purchase's value split
+    * equally across the same user's clicks in the prior 24 h, rolled up
+    * to the click's channel (`props.k div 10`). The marketing-analytics
+    * workhorse between last-touch (E11 as-of) and first-touch. Exact
+    * and conservative: value is integer cents, each click gets
+    * `cents div k`, and the remainder pennies go to the LAST touch
+    * (deterministic (c_epoch, click_id) order), so attributed revenue
+    * plus the `channel = -1` unattributed row sums to total purchase
+    * revenue bit-for-bit — the audit property a revenue pipeline must
+    * hold. Shape: the 24 h lookback is the E17 bin decomposition (clicks
+    * explode to 2 day-bins, equi-join on (user_id, bin) — no theta
+    * join), per-purchase shares are one window pass keyed on
+    * purchase_id, and the channel rollup is a tiny aggregate. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val gap = 86400L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"),
+        unix_timestamp(col("ts").cast(TimestampType)).as("epoch"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("epoch").as("p_epoch"),
+        floor(col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("cents"),
+        expr(s"epoch div $gap").as("bin"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("epoch").as("c_epoch"),
+        expr("cast(get_json_object(props, '$.k') as bigint) div 10")
+          .as("channel"),
+        explode(array(expr(s"epoch div $gap"), expr(s"epoch div $gap") + 1))
+          .as("bin"))
+    val pairs = p.join(c, Seq("user_id", "bin"))
+      .filter(col("c_epoch") >= col("p_epoch") - gap &&
+        col("c_epoch") < col("p_epoch"))
+    val shared = pairs
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("purchase_id")))
+      .withColumn("rn", row_number().over(Window.partitionBy("purchase_id")
+        .orderBy(col("c_epoch").desc, col("click_id").desc)))
+      .withColumn("share", expr("cents div k") +
+        when(col("rn") === 1, expr("cents % k")).otherwise(0L))
+    val attributed = shared.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct("purchase_id").as("n_purchases"),
+        (sum("share").cast("double") / 100).as("revenue"))
+    val unattributed = p
+      .join(pairs.select("purchase_id").distinct(), Seq("purchase_id"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_purchases"),
+        (coalesce(sum("cents"), lit(0L)).cast("double") / 100).as("revenue"))
+      .filter(col("n_purchases") > 0) // no empty audit row
+      .select(lit(-1L).as("channel"), lit(0L).as("n_touches"),
+        col("n_purchases"), col("revenue"))
+    attributed.unionByName(unattributed).orderBy("channel")
+  }
+
+  val qAttributionSql: String = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value, props,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+      FROM events),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, epoch AS p_epoch,
+        CAST(floor(CAST(value AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+      FROM ev WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS click_id, user_id, epoch AS c_epoch,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS channel
+      FROM ev WHERE event_type = 'click'),
+    pairs AS (
+      SELECT p.purchase_id, p.cents, c.click_id, c.c_epoch, c.channel
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.c_epoch >= p.p_epoch - 86400 AND c.c_epoch < p.p_epoch),
+    shared AS (
+      SELECT channel, purchase_id,
+        cents // COUNT(*) OVER (PARTITION BY purchase_id)
+          + CASE WHEN row_number() OVER (PARTITION BY purchase_id
+                   ORDER BY c_epoch DESC, click_id DESC) = 1
+                 THEN cents % COUNT(*) OVER (PARTITION BY purchase_id)
+                 ELSE 0 END AS share
+      FROM pairs),
+    att AS (
+      SELECT channel, COUNT(*) AS n_touches,
+        COUNT(DISTINCT purchase_id) AS n_purchases,
+        CAST(SUM(share) AS DOUBLE) / 100 AS revenue
+      FROM shared GROUP BY channel),
+    un AS (
+      SELECT CAST(-1 AS BIGINT) AS channel, CAST(0 AS BIGINT) AS n_touches,
+        COUNT(*) AS n_purchases,
+        CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 100 AS revenue
+      FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM pairs)
+      HAVING COUNT(*) > 0)
+    SELECT * FROM att UNION ALL SELECT * FROM un ORDER BY channel"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> (qAttribution _),
     "q_window_range" -> (qWindowRange _),
     "q_gap_fill"    -> (qGapFill _),
     "q_quantile_hist" -> (qQuantileHist _),
@@ -573,6 +668,7 @@ object AnalyticsExt {
     "q_bloom_join"  -> (qBloomJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" -> qAttributionSql,
     "q_window_range" -> qWindowRangeSql,
     "q_gap_fill"    -> qGapFillSql,
     "q_quantile_hist" -> qQuantileHistSql,

@@ -1058,7 +1058,48 @@ object TextAnalysis {
     FROM d GROUP BY source, rate_pm ORDER BY source"""
   }
 
+  /** D24: vocabulary coverage / out-of-vocabulary rate — per-doc share
+    * of tokens outside the corpus top-25 vocabulary. The
+    * tokenizer-fit signal: a doc whose tokens mostly miss the vocabulary
+    * a tokenizer was fit on will fragment into long byte-level
+    * sequences (token-inflation), so OOV rate is a standard routing /
+    * quality feature before tokenization at corpus scale. Vocabulary =
+    * top-25 terms by (count desc, term) — a deterministic sort-limit on
+    * a tiny aggregate that broadcasts; per-doc scoring is one
+    * broadcast left join + one doc-keyed aggregate with map-side
+    * partials. The rate is one IEEE division of exact int64 counts. */
+  def textOov(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(25)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val textOovSql: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS term
+      FROM documents),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+        ORDER BY cnt DESC, term LIMIT 25)),
+    j AS (
+      SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v ON t.term = v.term)
+    SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+      CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM j GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_oov"         -> (textOov _),
     "text_mix"         -> (textMix _),
     "text_winnow"      -> (textWinnow _),
     "text_ppl_bucket"  -> (textPplBucket _),
@@ -1086,6 +1127,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_oov"         -> textOovSql,
     "text_mix"         -> textMixSql,
     "text_winnow"      -> textWinnowSql,
     "text_ppl_bucket"  -> textPplBucketSql,
