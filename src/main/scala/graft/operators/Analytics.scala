@@ -911,7 +911,75 @@ object Analytics {
     FROM d JOIN md USING (event_type)
     GROUP BY d.event_type ORDER BY d.event_type"""
 
+  /** E40: PageRank — 3 power iterations over the customer↔supplier
+    * graph (distinct trading pairs from orders⋈lineitem, both
+    * directions so the walk has no dangling sinks), damping 0.85. The
+    * iterative-graph pattern (the seed-quality / link-analysis step of
+    * web-corpus curation, and the shape GraphX/Pregel jobs reduce to):
+    * each round is contributions-along-edges (adjacency ⋈ tiny rank
+    * vector) + one keyed sum — the rank side stays broadcastable while
+    * the edge list, the big side, is never re-shuffled by rank updates.
+    * All arithmetic is exact int64 on a 10^12 fixed-point scale
+    * (floor-div share split, floor-div damping), so three unrolled
+    * CTE rounds in DuckDB reproduce every rank bit-for-bit — the same
+    * determinism discipline as C6's label propagation. Node ids are
+    * disambiguated by parity (customer = 2k, supplier = 2k+1). */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val S = 1000000000000L // 10^12 fixed-point rank scale
+    val e0 = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adj = edges.join(deg, "src")
+    var pr = deg.select(col("src").as("node"), lit(S).as("pr"))
+    for (_ <- 1 to 3) {
+      pr = adj.join(pr, adj("src") === pr("node"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("sc"))
+        .select(col("dst").as("node"),
+          (lit(15L * S / 100) + expr("(85 * sc) div 100")).as("pr"))
+    }
+    pr.select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("key"), col("pr"))
+      .orderBy(col("pr").desc, col("node_type"), col("key"))
+      .limit(20)
+  }
+
+  val qPagerankSql: String = """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+    r1 AS (
+      SELECT e.dst AS node, 150000000000 + (85 * CAST(SUM(r0.pr // deg.deg) AS BIGINT)) // 100 AS pr
+      FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst),
+    r2 AS (
+      SELECT e.dst AS node, 150000000000 + (85 * CAST(SUM(r1.pr // deg.deg) AS BIGINT)) // 100 AS pr
+      FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst),
+    r3 AS (
+      SELECT e.dst AS node, 150000000000 + (85 * CAST(SUM(r2.pr // deg.deg) AS BIGINT)) // 100 AS pr
+      FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        AS node_type,
+      node // 2 AS key, pr
+    FROM r3
+    ORDER BY pr DESC, node_type, key LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank"   -> (qPagerank _),
     "q_zorder"     -> (qZorder _),
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_set_ops"    -> (qSetOps _),
@@ -940,6 +1008,7 @@ object Analytics {
     "q_scd2"       -> (qScd2 _))
 
   val oracle: Map[String, String] = Map(
+    "q_pagerank"   -> qPagerankSql,
     "q_zorder"     -> qZorderSql,
     "q_anomaly_mad" -> qAnomalyMadSql,
     "q_set_ops"    -> qSetOpsSql,

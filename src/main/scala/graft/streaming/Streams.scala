@@ -309,4 +309,24 @@ object Streams {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), coalesce(col("member_name"), lit("unknown"))
           .as("member_name"))
+
+  /** F17: streaming cardinality monitor — the G18 native HLL aggregate
+    * (`graft_hll_est`, a TypedImperativeAggregate) inside a watermarked
+    * windowed streaming aggregation: distinct users per (10-min window,
+    * event_type), estimated. The state store holds ONE 64-byte register
+    * buffer per open (window, type) group regardless of user
+    * cardinality, and micro-batches fold in through the aggregate's
+    * merge path — the same mergeability that makes the sketch safe for
+    * 100 TB rollups (E31) makes it streaming-safe, where an exact
+    * `count(distinct)` would either be unsupported or hold every user id
+    * in state. Watermark closes windows and reclaims buffers. */
+  def cardinalityMonitor(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(call_function("graft_hll_est",
+          graft.functions.Hashing.h60(col("user_id").cast("string")))
+        .as("distinct_users_est"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("distinct_users_est"))
 }

@@ -255,6 +255,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F17: streaming HLL cardinality monitor merges across micro-batches, matches batch") {
+    // users 10..19 in window 0, split across two micro-batches with an
+    // overlapping user — the aggregate's merge path must fold the second
+    // batch into the first's register buffer, not double-count
+    val b1 = (10L to 15L).map(u => StreamEvent(u, ts(1 + (u % 5).toInt), u, "click", 1.0))
+    val b2 = (15L to 19L).map(u => StreamEvent(100 + u, ts(6), u, "click", 1.0)) :+
+      StreamEvent(200, ts(12), 10, "view", 1.0) // second window+type group
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(b1: _*)
+    val q = Streams.cardinalityMonitor(input.toDF())
+      .writeStream.format("memory").queryName("card_mon")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("card_mon").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // batch reference over the SAME rows: bit-identical registers → bit-identical estimate
+    val batch = (b1 ++ b2).toDF()
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "10 minutes"),
+        col("event_type"))
+      .agg(org.apache.spark.sql.functions.call_function("graft_hll_est",
+        graft.functions.Hashing.h60(col("user_id").cast("string"))).as("est"))
+      .collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).toString, r.getString(1)) ->
+        r.getDouble(2))
+      .toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(streamed.keySet ==
+      Set(("2024-01-01 00:00:00.0", "click"), ("2024-01-01 00:10:00.0", "view")))
+  }
+
   test("F9: stream-static broadcast enrichment resolves known members, defaults unknowns") {
     val input = MemoryStream[StreamEvent](spark)
     input.addData(
