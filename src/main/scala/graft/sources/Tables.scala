@@ -14,15 +14,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true and we
-    * rebuild a microsecond timestamp here (integer div — no double
-    * round-trip, matches DuckDB's ns→us truncation). */
-  private def nanosToTs(df: DataFrame): DataFrame = {
+  /** events.ts has shipped in three parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (read as long under
+    * spark.sql.legacy.parquet.nanosAsLong=true), TIMESTAMP(MICROS) with no
+    * timezone (Spark's inferTimestampNTZ maps it to TIMESTAMP_NTZ, which
+    * `unix_micros` & friends reject at analysis), and plain TIMESTAMP.
+    * Normalize all three to session-TZ TIMESTAMP here so every downstream
+    * operator sees one type. Session TZ is pinned UTC
+    * (GraftSession.scala), so NTZ→TIMESTAMP is a pure re-tag — wall-clock
+    * fields and `unix_micros` values are unchanged, and DuckDB (which
+    * reads the same file as its TZ-less TIMESTAMP) agrees. */
+  private def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
@@ -32,7 +41,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = nanosToTs(table(s, d, "events"))
+  def events(s: SparkSession, d: String): DataFrame     = normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
