@@ -839,6 +839,47 @@ object Dedup {
     // materialize the pair generation ONCE before the union doubles the
     // lineage (both union branches would otherwise recompute the edges)
     val pairs = pairs0.localCheckpoint(true)
+    // `graft.cc.maxLocalEdges` is the driver-finish gate shared by both
+    // decision points below — set 0 to force the fully-distributed path
+    // (bench/rehearsal of the shape a 100 TB corpus would hit).
+    val maxLocal = s.conf.getOption("graft.cc.maxLocalEdges")
+      .map(_.toLong).getOrElse(2000000L)
+    // Driver fast path: near-dup pair graphs are a sliver of the corpus
+    // (the clustered docs only — sf0.1 has ~500 of 60k docs), so when the
+    // RAW pair list already fits the driver gate there is nothing to
+    // contract: union-find, component sizes, and the output rows are all
+    // driver-local arithmetic over a few MB of longs. This replaces the
+    // hook → contract → finish pipeline's two further all-partition
+    // barriers, two counts, and three joins with ONE collect off the
+    // checkpointed pairs (2M edges = 32 MB). The count is cheap: pairs is
+    // checkpointed. At 100 TB the pair list exceeds the gate and the
+    // distributed contraction below runs instead — the switch is
+    // data-driven, not hard-coded.
+    if (pairs.count() <= maxLocal) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      val verts = scala.collection.mutable.Set.empty[Long]
+      pairs.select(col("doc_a"), col("doc_b")).collect().foreach { row =>
+        val (u, w) = (row.getLong(0), row.getLong(1))
+        verts += u; verts += w
+        val (a, b) = (find(u), find(w))
+        // min-root union keeps the component minimum as the representative
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+      }
+      val assign = verts.toSeq.map(v => (v, find(v)))
+      val sizes = assign.groupBy(_._2).map { case (r, xs) => (r, xs.size.toLong) }
+      val rows = assign.map { case (v, r) => (v, r, sizes(r)) }
+      import s.implicits._
+      return rows.toDF("doc_id", "cluster_rep", "cluster_size")
+    }
     // Undirected edge list, both directions — min-label flows both ways.
     // localCheckpoint (eager) TRUNCATES the logical plan: in an iterative
     // DataFrame loop the lineage otherwise grows every round and Catalyst
@@ -882,11 +923,6 @@ object Dedup {
     // union-find in-process: zero further jobs instead of one join +
     // count per propagation round. Fallback: distributed min-label
     // propagation, for a contracted graph that is still huge.
-    // `graft.cc.maxLocalEdges` overrides the driver-finish threshold —
-    // set 0 to force the distributed propagation path (bench/rehearsal
-    // of the shape a 100 TB corpus would hit).
-    val maxLocal = s.conf.getOption("graft.cc.maxLocalEdges")
-      .map(_.toLong).getOrElse(2000000L)
     val labels = componentLabels(s, g,
       l1.select(col("label").as("v")).distinct(), maxLocal)
     // Compose: original vertex → hooked label → contracted-component rep.
@@ -945,22 +981,25 @@ object Dedup {
         val neighborMin = g.join(cur, col("dst") === col("v"))
           .groupBy(col("src").as("v2")).agg(min("label").as("nlabel"))
         val stepped = cur.join(neighborMin, col("v") === col("v2"), "left")
-          .select(col("v"), least(col("label"),
+          .select(col("v"), col("label").as("old"), least(col("label"),
             coalesce(col("nlabel"), col("label"))).as("label"))
         // pointer jump: label ← label(label). Neighbor-min alone moves the
         // component min ONE hop per round (O(diameter) rounds — a chain
         // of 50 contracted nodes would blow the round cap); composing the
         // label map with itself each round halves the remaining distance,
         // so convergence is O(log diameter) regardless of chain length.
+        // The round's previous label rides along as `old`, so the
+        // fixpoint check below is a filter+count over the checkpointed
+        // rows — no join back against the previous state (which cost a
+        // second shuffle per round).
         val next = stepped
           .join(stepped.select(col("v").as("lv"), col("label").as("llabel")),
             col("label") === col("lv"), "left")
-          .select(col("v"), least(col("label"),
+          .select(col("v"), col("old"), least(col("label"),
             coalesce(col("llabel"), col("label"))).as("label"))
           .localCheckpoint(true)
-        val changed = next.join(cur.withColumnRenamed("label", "old"), "v")
-          .filter(col("label") =!= col("old")).count()
-        cur = next
+        val changed = next.filter(col("label") =!= col("old")).count()
+        cur = next.select(col("v"), col("label"))
         converged = changed == 0
         rounds += 1
       }
@@ -1121,10 +1160,19 @@ object Dedup {
     * no cartesian, nested-loop, or crossJoin node anywhere. The old plan
     * (broadcast bench table, one kernel pass per (train, bench) pair)
     * multiplied the full corpus scan by the benchmark count; with a real
-    * eval suite (tens of thousands of docs) that multiplier bites. At
-    * extreme benchmark sizes the literal becomes a broadcast variable;
-    * the plan shape is unchanged. */
+    * eval suite (tens of thousands of docs) that multiplier bites.
+    *
+    * Above `graft.contam.maxLiteralShingles` total shingles (default 1M
+    * ≈ 8 MB of longs) the literals stop being free: an expression-tree
+    * literal is serialized into EVERY task binary, so a realistic eval
+    * suite (10⁵ docs × 10² shingles) would ship hundreds of MB per task.
+    * The large path keeps the identical two-pass shape but rides the
+    * union in as a broadcast one-row relation (crossJoin of 1 row =
+    * BroadcastNestedLoopJoin whose data moves once per executor as a
+    * torrent broadcast) and the per-bench sets as a broadcast hash-join
+    * relation — actual broadcast variables, not plan literals. */
   def dedupContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
@@ -1138,18 +1186,39 @@ object Dedup {
       .sortBy(_._1)
     val union: Array[Long] =
       benchSets.flatMap(_._2).distinct.sorted.toArray
-    val survivors = docs
-      .filter(col("doc_id") >= 20)
-      .filter(call_function("graft_intersect_count",
-        col("shs"), typedLit(union)) >= ContamMinShared)
-    survivors
-      .select(col("doc_id"), col("shs"),
-        explode(typedLit(benchSets)).as("b"))
-      .select(col("doc_id"), col("b._1").as("bench_id"),
-        call_function("graft_intersect_count", col("shs"), col("b._2"))
-          .as("n_shared"))
-      .filter(col("n_shared") >= ContamMinShared)
-      .orderBy("doc_id", "bench_id")
+    val maxLiteral = s.conf.getOption("graft.contam.maxLiteralShingles")
+      .map(_.toLong).getOrElse(1000000L)
+    val totalShingles = union.length.toLong + benchSets.map(_._2.size.toLong).sum
+    if (totalShingles <= maxLiteral) {
+      val survivors = docs
+        .filter(col("doc_id") >= 20)
+        .filter(call_function("graft_intersect_count",
+          col("shs"), typedLit(union)) >= ContamMinShared)
+      survivors
+        .select(col("doc_id"), col("shs"),
+          explode(typedLit(benchSets)).as("b"))
+        .select(col("doc_id"), col("b._1").as("bench_id"),
+          call_function("graft_intersect_count", col("shs"), col("b._2"))
+            .as("n_shared"))
+        .filter(col("n_shared") >= ContamMinShared)
+        .orderBy("doc_id", "bench_id")
+    } else {
+      val unionDf = Seq(Tuple1(union.toSeq)).toDF("bunion")
+      val benchDf = benchSets.toDF("bench_id", "bshs")
+      val survivors = docs
+        .filter(col("doc_id") >= 20)
+        .crossJoin(broadcast(unionDf)) // 1 row — union moves once per executor
+        .filter(call_function("graft_intersect_count",
+          col("shs"), col("bunion")) >= ContamMinShared)
+        .select(col("doc_id"), col("shs"))
+      survivors
+        .crossJoin(broadcast(benchDf)) // survivors only fan out ×bench
+        .select(col("doc_id"), col("bench_id"),
+          call_function("graft_intersect_count", col("shs"), col("bshs"))
+            .as("n_shared"))
+        .filter(col("n_shared") >= ContamMinShared)
+        .orderBy("doc_id", "bench_id")
+    }
   }
 
   val dedupContaminationSql: String = s"""

@@ -75,6 +75,27 @@ class ComponentLabelsSpec extends AnyFunSuite {
     }
   }
 
+  test("driver fast path agrees with the full distributed pipeline") {
+    // chain + clique + isolated pair: exercises multi-round merging
+    val pairs = (chain ++ twoComps ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("doc_a", "doc_b")
+    def run(): Map[Long, (Long, Long)] =
+      Dedup.connectedComponents(s, pairs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fast = run() // default gate: pairs fit the driver → union-find fast path
+    s.conf.set("graft.cc.maxLocalEdges", "0")
+    val dist = try run() finally s.conf.unset("graft.cc.maxLocalEdges")
+    assert(fast == dist)
+    assert(fast(40L) == (0L, 41L) && fast(102L) == (100L, 3L))
+  }
+
+  test("connectedComponents on an empty pair list returns an empty typed result") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.connectedComponents(s, empty)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster_rep", "cluster_size"))
+    assert(out.count() == 0)
+  }
+
   test("isolated vertices keep their own label on both paths") {
     val g = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val verts = Seq(1L, 2L, 77L).toDF("v") // 77 has no edges

@@ -42,6 +42,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Generate explode"), s"literal attribution missing:\n$plan")
   }
 
+  test("contamination broadcast path (large eval suites) matches the literal path") {
+    val literal = SparkEntry.queries("dedup_contamination")(spark, sf).collect().toSeq
+    spark.conf.set("graft.contam.maxLiteralShingles", "0")
+    try {
+      val df = SparkEntry.queries("dedup_contamination")(spark, sf)
+      val bcast = df.collect().toSeq
+      assert(bcast == literal, "broadcast path diverged from literal path")
+      val plan = df.queryExecution.executedPlan.toString
+      // the union / bench sets must ride as broadcast relations, and the
+      // corpus side must never be cartesian- or sort-merge-joined
+      assert(plan.contains("Broadcast"), s"no broadcast relation:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+        s"corpus side joined non-broadcast:\n$plan")
+    } finally spark.conf.unset("graft.contam.maxLiteralShingles")
+  }
+
   test("embcos candidate generation is a bucket equi-join carrying no vectors") {
     val plan = executedPlan(SparkEntry.queries("dedup_embcos")(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
