@@ -212,13 +212,55 @@ object VectorStore {
     val score = when(ssC > 0 && ssQ > 0,
       dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
       .otherwise(lit(0.0d))
+    // top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    // heap + driver merge), NOT a global-window rank: a window with no
+    // partition key would funnel EVERY probed candidate into one
+    // partition. Only the k survivors get a rank (trivial by then).
     val w = Window.orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
     index.join(broadcast(q), "bucket")
       .select(col("doc_id"), col("chunk_ix"), col("chunk"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+      .limit(k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select("rank", "doc_id", "chunk_ix", "chunk", "score")
       .orderBy("rank")
+  }
+
+  /** Batch serving path: rank MANY queries through one plan. Each query
+    * probes its own LSH buckets; candidates carry their `query_id`, so
+    * the top-k window partitions BY QUERY — a thousand-query batch ranks
+    * in parallel instead of funneling every query's candidates into the
+    * single partition an unpartitioned window would force. This is the
+    * shape a retrieval-eval or RAG-serving sweep needs; the single-query
+    * paths stay on TakeOrderedAndProject. Output schema = [[search]]
+    * plus a leading `query_id`. */
+  def searchBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5): DataFrame = {
+    val index = spark.read.parquet(indexDir)
+    val qdf = { import spark.implicits._
+      queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("query_id", "qtext") }
+    val q = qdf
+      .withColumn("qraw", rawWeights(col("qtext")))
+      .withColumn("qbucket", bucketOf(col("qraw")))
+      .select(col("query_id"), col("qraw"), explode(array(
+        col("qbucket") +: (0 until Planes).map(p =>
+          col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    index.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), col("chunk"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "chunk_ix", "chunk", "score")
+      .orderBy("query_id", "rank")
   }
 
   /** Compressed serving path: IVF-PQ over the store (B8's machinery
@@ -249,7 +291,8 @@ object VectorStore {
       .join(broadcast(codebook), "m")
       .select(col("m").as("dm"), col("j").as("dj"),
         call_function("graft_sqdist_l", col("qsub"), col("cent")).as("qdist"))
-    val wAdc = Window.orderBy(col("adist"), col("doc_id"), col("chunk_ix"))
+    // shortlist via TakeOrderedAndProject, not a global-window rank —
+    // the ADC scan's candidate set is the whole probed region
     val adcShortlist = index
       .join(broadcast(probes.select("bucket")), "bucket")
       .select(col("doc_id"), col("chunk_ix"), posexplode(col("codes")))
@@ -259,8 +302,8 @@ object VectorStore {
         col("m") === col("dm") && col("code") === col("dj"))
       .groupBy("doc_id", "chunk_ix")
       .agg(sum("qdist").as("adist"))
-      .withColumn("ark", row_number().over(wAdc))
-      .filter(col("ark") <= shortlist)
+      .orderBy(col("adist"), col("doc_id"), col("chunk_ix"))
+      .limit(shortlist)
       .select("doc_id", "chunk_ix")
     // exact re-rank of the shortlist only (B9): fetch raw + text by key
     // from the probed partitions
@@ -270,13 +313,15 @@ object VectorStore {
     val score = when(ssC > 0 && ssQ > 0,
       dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
       .otherwise(lit(0.0d))
+    // shortlist is ≤ `shortlist` rows — rank after the distributed top-k
     val w = Window.orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
     index
       .join(broadcast(probes), "bucket")
       .join(broadcast(adcShortlist), Seq("doc_id", "chunk_ix"))
       .select(col("doc_id"), col("chunk_ix"), col("chunk"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+      .limit(k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select("rank", "doc_id", "chunk_ix", "chunk", "score")
       .orderBy("rank")
   }
@@ -312,11 +357,13 @@ object VectorStore {
     val score = when(ssC > 0 && ssQ > 0,
       dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
       .otherwise(lit(0.0d))
+    // distributed top-k over the probed cells, rank the k survivors
     val w = Window.orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
     index.join(broadcast(qdf))
       .select(col("doc_id"), col("chunk_ix"), col("chunk"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+      .limit(k)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
       .select("rank", "doc_id", "chunk_ix", "chunk", "score")
       .orderBy("rank")
   }

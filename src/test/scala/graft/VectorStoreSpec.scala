@@ -37,6 +37,32 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(hits.head.getAs[Double]("score") > 0.999)
   }
 
+  test("searchBatch matches per-query search and ranks inside a per-query window") {
+    val samples = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(3).collect().map(_.getString(0)).distinct.toSeq
+    assert(samples.size >= 2)
+    val batchDf = VectorStore.searchBatch(spark, indexDir, samples, k = 3)
+    val batch = batchDf.collect()
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.toSeq.sortBy(
+        _.getAs[Int]("rank"))).toMap
+    samples.zipWithIndex.foreach { case (qt, i) =>
+      val single = VectorStore.search(spark, indexDir, qt, k = 3).collect()
+      val got = batch(i.toLong)
+      assert(got.size == single.length, s"query $i: row count diverged")
+      single.zip(got).foreach { case (s, b) =>
+        assert(s.getAs[Long]("doc_id") == b.getAs[Long]("doc_id") &&
+          s.getAs[Int]("chunk_ix") == b.getAs[Int]("chunk_ix") &&
+          s.getAs[Int]("rank") == b.getAs[Int]("rank"),
+          s"query $i diverged: single=$s batch=$b")
+      }
+    }
+    // the ranking window must be keyed by query_id — an unpartitioned
+    // window would funnel every query's candidates into one partition
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("query_id"), s"batch rank lost its query key:\n$plan")
+  }
+
   test("compressed search: verbatim query self-hit ranks #1 after re-rank") {
     val sample = spark.read.parquet(indexDir)
       .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
