@@ -1098,7 +1098,61 @@ object TextAnalysis {
       CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
     FROM j GROUP BY doc_id ORDER BY doc_id"""
 
+  /** D25: seed-classifier quality scoring — the classifier-filtering
+    * step of modern curation (CCNet's fastText LM filter, FineWeb-Edu's
+    * educational-quality classifier): learn per-token weights from a
+    * trusted seed corpus, score every document, gate on the score. Seed
+    * here = `src0` documents (the mixture recipe's most-oversampled
+    * source, mixRates above). The "model" is each term's Laplace-
+    * smoothed seed share in ppm — exact integer floor-division, so the
+    * DuckDB oracle reproduces every score bit-for-bit (the log-odds sum
+    * a float classifier would use is monotone in this share; fixed-point
+    * keeps the oracle exact). A doc's score is the floor-mean of its
+    * term weights; `seed_like` gates at 50%.
+    *
+    * Scale shape: training is ONE keyed shuffle over corpus tokens with
+    * map-side partial counts (the classic word-count shape); the weight
+    * table is vocabulary-sized, so scoring's token⋈weights join
+    * broadcasts here and hash-partitions at a 100 TB vocabulary — AQE
+    * picks per run, nothing in the plan pins the small-table choice.
+    * Scoring is the same keyed shuffle a TF-IDF pass pays (D14/E14). */
+  def textSeedClassify(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(Text.tokens(col("text"))).as("term"))
+    val weights = toks
+      .groupBy("term")
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_pos"),
+        count(lit(1)).as("n_all"))
+      .select(col("term"),
+        expr("((n_pos + 1) * 1000000) div (n_all + 2)").as("w_ppm"))
+    toks.join(weights, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w_ppm").as("w_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("w_sum div n_tokens").as("score_ppm"),
+        (expr("w_sum div n_tokens") >= 500000L).as("seed_like"))
+      .orderBy("doc_id")
+  }
+
+  val textSeedClassifySql: String = """
+    WITH toks AS (
+      SELECT doc_id, source,
+        unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS term
+      FROM documents),
+    w AS (
+      SELECT term,
+        ((CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) + 1)
+          * 1000000) // (COUNT(*) + 2) AS w_ppm
+      FROM toks GROUP BY term)
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+      CAST(SUM(w.w_ppm) AS BIGINT) // COUNT(*) AS score_ppm,
+      (CAST(SUM(w.w_ppm) AS BIGINT) // COUNT(*)) >= 500000 AS seed_like
+    FROM toks t JOIN w USING (term)
+    GROUP BY t.doc_id ORDER BY t.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_seed_classify" -> (textSeedClassify _),
     "text_oov"         -> (textOov _),
     "text_mix"         -> (textMix _),
     "text_winnow"      -> (textWinnow _),
@@ -1127,6 +1181,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_seed_classify" -> textSeedClassifySql,
     "text_oov"         -> textOovSql,
     "text_mix"         -> textMixSql,
     "text_winnow"      -> textWinnowSql,
