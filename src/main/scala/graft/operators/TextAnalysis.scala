@@ -1151,7 +1151,92 @@ object TextAnalysis {
     FROM toks t JOIN w USING (term)
     GROUP BY t.doc_id ORDER BY t.doc_id"""
 
+  /** D26: measured source reweighting — derive the mixture weights D15
+    * pins as a recipe FROM the corpus's own audit stats, the way a
+    * curation pipeline actually sets them (DoReMi-style reweighting,
+    * with measured proxies instead of a trained proxy model): per
+    * source, the Gopher keep rate (D22's gate) rewards quality and the
+    * near-dup cluster rate (C6's assignment) penalizes redundancy;
+    * weight ∝ keep_pm × (1M − dup_pm), normalized to per-mille. All
+    * integer floor-division on exact counts, so the oracle reproduces
+    * every weight bit-for-bit.
+    *
+    * Scale shape: two doc-keyed equi-joins (gopher flags are a narrow
+    * scan-side kernel pass; the cluster assignment is the session-shared
+    * C6 artifact — near-dup docs only, a sliver of the corpus, rides as
+    * a broadcast), one keyed aggregation with map-side partials, and a
+    * 1-row totals attach (the K-source aggregate is driver-sized). */
+  def textSourceWeights(s: SparkSession, dir: String): DataFrame = {
+    // graded quality: rules PASSED per doc (0–7), not the all-rules
+    // conjunction — the strict gate degenerates to 0 on a corpus that
+    // fails one rule uniformly, and a mixture of zeros is no mixture
+    val g = textGopherRules(s, dir)
+    val ruleCols = Seq("r_wordcount", "r_mean_len", "r_symbol",
+      "r_bullet", "r_ellipsis", "r_alpha", "r_stop")
+    val nRules = ruleCols.size
+    val rulesPassed =
+      ruleCols.map(r => when(col(r), 1L).otherwise(0L)).reduce(_ + _)
+    val quality = g.select(col("doc_id"), rulesPassed.as("n_rules"))
+    val dup = Dedup.clusterArtifact(s, dir)
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val stats = Tables.documents(s, dir).select("doc_id", "source")
+      .join(quality, "doc_id")
+      .join(broadcast(dup), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_rules")).as("rules_passed"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("rules_passed"), col("n_dup"),
+        expr(s"(rules_passed * 1000000) div (n_docs * $nRules)").as("quality_pm"),
+        expr("(n_dup * 1000000) div n_docs").as("dup_pm"))
+      .withColumn("w_raw", expr("quality_pm * (1000000 - dup_pm)"))
+    val total = stats.agg(sum("w_raw").as("total"),
+      count(lit(1)).as("n_sources"))
+    stats.crossJoin(broadcast(total)) // 1-row totals attach
+      .select(col("source"), col("n_docs"), col("rules_passed"), col("n_dup"),
+        col("quality_pm"), col("dup_pm"),
+        // degenerate corpus (total 0) falls back to a uniform mixture
+        when(col("total") > 0, expr("(w_raw * 1000) div total"))
+          .otherwise(expr("1000 div n_sources")).as("weight_pm"))
+      .orderBy("source")
+  }
+
+  val textSourceWeightsSql: String = {
+    val gopherSql = textGopherRulesSql.replace("ORDER BY doc_id", "")
+    val clustersSql =
+      graft.operators.Dedup.dedupClustersSql.replace("ORDER BY doc_id", "")
+    s"""
+    WITH gopher AS ($gopherSql),
+    clusters AS ($clustersSql),
+    agg AS (
+      SELECT d.source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN g.r_wordcount THEN 1 ELSE 0 END
+               + CASE WHEN g.r_mean_len THEN 1 ELSE 0 END
+               + CASE WHEN g.r_symbol THEN 1 ELSE 0 END
+               + CASE WHEN g.r_bullet THEN 1 ELSE 0 END
+               + CASE WHEN g.r_ellipsis THEN 1 ELSE 0 END
+               + CASE WHEN g.r_alpha THEN 1 ELSE 0 END
+               + CASE WHEN g.r_stop THEN 1 ELSE 0 END) AS BIGINT) AS rules_passed,
+        CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+      FROM documents d
+      JOIN gopher g ON g.doc_id = d.doc_id
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      GROUP BY d.source),
+    pm AS (
+      SELECT source, n_docs, rules_passed, n_dup,
+        (rules_passed * 1000000) // (n_docs * 7) AS quality_pm,
+        (n_dup * 1000000) // n_docs AS dup_pm
+      FROM agg),
+    w AS (SELECT *, quality_pm * (1000000 - dup_pm) AS w_raw FROM pm)
+    SELECT source, n_docs, rules_passed, n_dup, quality_pm, dup_pm,
+      CASE WHEN CAST(SUM(w_raw) OVER () AS BIGINT) > 0
+        THEN (w_raw * 1000) // CAST(SUM(w_raw) OVER () AS BIGINT)
+        ELSE 1000 // CAST(COUNT(*) OVER () AS BIGINT) END AS weight_pm
+    FROM w ORDER BY source"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_weights" -> (textSourceWeights _),
     "text_seed_classify" -> (textSeedClassify _),
     "text_oov"         -> (textOov _),
     "text_mix"         -> (textMix _),
@@ -1181,6 +1266,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_source_weights" -> textSourceWeightsSql,
     "text_seed_classify" -> textSeedClassifySql,
     "text_oov"         -> textOovSql,
     "text_mix"         -> textMixSql,
