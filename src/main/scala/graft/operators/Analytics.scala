@@ -935,8 +935,18 @@ object Analytics {
     val edges = e0.unionByName(
       e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val adj = edges.join(deg, "src")
-    var pr = deg.select(col("src").as("node"), lit(S).as("pr"))
+    // materialize the degree-annotated adjacency ONCE: it is the big,
+    // loop-invariant side of all three iterations, and without the
+    // barrier each unrolled round re-derives orders⋈lineitem → distinct
+    // → union → deg-join from the scan (exchange reuse only survives
+    // within one AQE stage graph, not across the growing unrolled plan).
+    // On a cluster this is the cached/checkpointed edge partitioning
+    // every Pregel-style loop pins before iterating.
+    val adj = edges.join(deg, "src").localCheckpoint(true)
+    // seed ranks off the checkpointed adjacency (same vertex set as deg)
+    // so the init vector doesn't re-derive the whole edge pipeline
+    var pr = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(S).as("pr"))
     for (_ <- 1 to 3) {
       pr = adj.join(pr, adj("src") === pr("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
