@@ -329,4 +329,57 @@ object Streams {
         .as("distinct_users_est"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("distinct_users_est"))
+
+  private val DriftBuckets = 8 // Gopher rules passed: 0–7
+
+  /** F18: streaming corpus drift monitor — per tumbling window, the
+    * population-stability index (PSI) of arriving documents'
+    * quality-bucket distribution against a FROZEN baseline histogram
+    * (the accepted corpus's distribution at freeze time). The quality
+    * bucket is the Gopher rules-passed count (D26's graded signal) from
+    * the fused `graft_gopher_stats` kernel — a narrow deterministic
+    * per-row expression — so the whole monitor is ONE watermarked
+    * windowed aggregation whose state is nine longs per open window
+    * (8 bucket counts + a total) regardless of stream volume; the
+    * K-bucket baseline folds in as plan literals. PSI over
+    * Laplace-smoothed shares, drift flagged at the standard 0.2
+    * threshold: the guardrail that pages BEFORE a quality regression in
+    * an upstream crawler pollutes the admitted corpus. Completes the
+    * admission pipeline: [[nearDupScreen]] (redundancy),
+    * [[qualityGate]] (per-doc), drift (population). */
+  def driftMonitor(docs: DataFrame, baseline: Seq[(Int, Long)],
+      threshold: Double = 0.2): DataFrame = {
+    val rules = graft.operators.TextAnalysis
+      .gopherRules(call_function("graft_gopher_stats", col("text"))).map(_._2)
+    val bucket = rules.map(r => when(r, 1).otherwise(0)).reduce(_ + _)
+    val baseMap = baseline.toMap
+    val baseTotal = baseline.map(_._2).sum.toDouble + DriftBuckets
+    val baseShare = (0 until DriftBuckets)
+      .map(b => b -> (baseMap.getOrElse(b, 0L) + 1.0) / baseTotal).toMap
+    val bucketCounts = (0 until DriftBuckets).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"n_$b"))
+    val agg = docs
+      .select(col("ts"), bucket.as("bucket"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(bucketCounts.head,
+        bucketCounts.tail :+ count(lit(1)).as("n_docs"): _*)
+    val totalSm = col("n_docs").cast("double") + lit(DriftBuckets.toDouble)
+    val psi = (0 until DriftBuckets).map { b =>
+      val obs = (col(s"n_$b").cast("double") + lit(1.0)) / totalSm
+      (obs - lit(baseShare(b))) * log(obs / lit(baseShare(b)))
+    }.reduce(_ + _)
+    agg.select(col("window.start").as("window_start"), col("n_docs"),
+      psi.as("psi"), (psi > lit(threshold)).as("drifted"))
+  }
+
+  /** Convenience: the frozen baseline histogram for [[driftMonitor]] —
+    * rules-passed bucket counts over an accepted reference corpus. */
+  def qualityBaseline(docs: DataFrame): Seq[(Int, Long)] = {
+    val rules = graft.operators.TextAnalysis
+      .gopherRules(call_function("graft_gopher_stats", col("text"))).map(_._2)
+    val bucket = rules.map(r => when(r, 1).otherwise(0)).reduce(_ + _)
+    docs.select(bucket.as("bucket")).groupBy("bucket").count()
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1)))
+  }
 }

@@ -255,6 +255,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F18: drift monitor passes a baseline-like window, flags a junk window") {
+    // baseline corpus: well-formed prose (stopwords present, sane word
+    // lengths) mixed with some short fragments — a realistic accepted mix
+    val prose = (1 to 30).map(i =>
+      "the be to of and that have with " +
+        (1 to 60).map(j => s"word$i$j").mkString(" "))
+    val frags = (1 to 10).map(i => s"short fragment $i")
+    val base = Streams.qualityBaseline(
+      (prose ++ frags).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
+    // window 0: drawn from the same mix → PSI small; window 1: symbol
+    // junk with no stopwords → distribution collapses into low buckets
+    val wStable = (prose.take(15) ++ frags.take(5)).zipWithIndex
+      .map { case (t, i) => (i.toLong, ts(2), t) }
+    val wJunk = (1 to 20).map(i => (100L + i, ts(12), "### ... ### ..."))
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    input.addData(wStable ++ wJunk: _*)
+    val rows = runToCompletion(
+      Streams.driftMonitor(
+        input.toDF().toDF("doc_id", "ts", "text"), base),
+      OutputMode.Complete)
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val (nS, psiS, driftS) = rows("2024-01-01 00:00:00.0")
+    val (nJ, psiJ, driftJ) = rows("2024-01-01 00:10:00.0")
+    assert(nS == 20L && nJ == 20L)
+    assert(!driftS && psiS < 0.2, s"stable window drifted: psi=$psiS")
+    assert(driftJ && psiJ > 0.2, s"junk window not flagged: psi=$psiJ")
+    // PSI is asymmetric but must still separate the windows by an order
+    // of magnitude on this construction
+    assert(psiJ > 10 * psiS, s"separation too weak: $psiS vs $psiJ")
+  }
+
   test("F17: streaming HLL cardinality monitor merges across micro-batches, matches batch") {
     // users 10..19 in window 0, split across two micro-batches with an
     // overlapping user — the aggregate's merge path must fold the second
