@@ -58,6 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => graft.plans.HllEstimate(children.head)
         .toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_qhist"),
+      new ExpressionInfo(classOf[graft.plans.QhistQuantiles].getName, null,
+        "graft_qhist"),
+      (children: Seq[Expression]) => graft.plans.QhistQuantiles(children.head,
+        children(1).eval(null).asInstanceOf[Double],
+        children.drop(2).map(_.eval(null).asInstanceOf[Double]))
+        .toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))

@@ -297,13 +297,30 @@ object Sketches {
     FROM events e JOIN stats s USING (event_type)
     GROUP BY e.event_type ORDER BY e.event_type"""
 
+  /** E35n: the E35 histogram-quantile question answered by the G24
+    * native mergeable aggregate `graft_qhist` — ONE aggregation with
+    * map-side partial (edge → count) maps, no shuffled histogram, no
+    * windows; quantile picks happen inside `eval` per group. The same
+    * bucket/pick math as the composed form, so E35's DuckDB oracle
+    * validates the aggregate unchanged. The sketch-aggregate family is
+    * now cardinality (G18 HLL) + frequency (G17 top-k) + quantiles. */
+  def qQhistNative(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(call_function("graft_qhist", col("value"), lit(10.0d),
+        lit(0.5d), lit(0.9d), lit(0.99d)).as("q"))
+      .select(col("event_type"), col("q.p50_edge"), col("q.p90_edge"),
+        col("q.p99_edge"), col("q.n_events"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> (qSaltedAgg _),
     "q_hll_users"  -> (qHllUsers _),
     "q_cms_topk"   -> (qCmsTopk _),
     "q_skew_join"  -> (qSkewJoin _),
     "q_hll_merge"  -> (qHllMerge _),
-    "q_hll_native" -> (qHllNative _))
+    "q_hll_native" -> (qHllNative _),
+    "q_qhist_native" -> (qQhistNative _))
 
   val oracle: Map[String, String] = Map(
     "q_salted_agg" -> qSaltedAggSql,
@@ -311,5 +328,6 @@ object Sketches {
     "q_cms_topk"   -> qCmsTopkSql,
     "q_skew_join"  -> qSkewJoinSql,
     "q_hll_merge"  -> qHllMergeSql,
-    "q_hll_native" -> qHllUsersSql)
+    "q_hll_native" -> qHllUsersSql,
+    "q_qhist_native" -> AnalyticsExt.qQuantileHistSql)
 }
