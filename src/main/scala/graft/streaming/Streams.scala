@@ -330,6 +330,24 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("distinct_users_est"))
 
+  /** F19: streaming quantile monitor — the G24 native histogram-quantile
+    * aggregate (`graft_qhist`) inside a watermarked windowed streaming
+    * aggregation: p50/p99 of the value distribution per (10-min window,
+    * event_type). State per open group is the bounded (edge → count)
+    * map — value-range/width entries regardless of event volume — and
+    * micro-batches fold in through the aggregate's commutative add-merge,
+    * the same mergeability that makes it safe for 100 TB rollups. The
+    * ops twin of F17: F17 watches who (cardinality), F19 watches how
+    * big/slow (quantiles). */
+  def quantileMonitor(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(call_function("graft_qhist", col("value"), lit(10.0d),
+        lit(0.5d), lit(0.99d)).as("q"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("q.p50_edge"), col("q.p99_edge"), col("q.n_events"))
+
   private val DriftBuckets = 8 // Gopher rules passed: 0–7
 
   /** F18: streaming corpus drift monitor — per tumbling window, the

@@ -255,6 +255,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("F19: streaming quantile monitor folds micro-batches, matches batch") {
+    // values spread over buckets in window 0, split across two batches;
+    // a second (window, type) group lands in window 1
+    val b1 = (1 to 8).map(i => StreamEvent(i.toLong, ts(1 + i % 5), 1, "click", i * 7.0))
+    val b2 = (9 to 16).map(i => StreamEvent(i.toLong, ts(1 + i % 5), 1, "click", i * 7.0)) :+
+      StreamEvent(99, ts(12), 2, "view", 55.0)
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(b1: _*)
+    val q = Streams.quantileMonitor(input.toDF())
+      .writeStream.format("memory").queryName("qh_mon")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qh_mon").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = (b1 ++ b2).toDF()
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "10 minutes"),
+        col("event_type"))
+      .agg(org.apache.spark.sql.functions.call_function("graft_qhist",
+        col("value"), org.apache.spark.sql.functions.lit(10.0d),
+        org.apache.spark.sql.functions.lit(0.5d),
+        org.apache.spark.sql.functions.lit(0.99d)).as("q"))
+      .select(col("window.start"), col("event_type"),
+        col("q.p50_edge"), col("q.p99_edge"), col("q.n_events"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(streamed(("2024-01-01 00:10:00.0", "view")) == (60L, 60L, 1L))
+  }
+
   test("F18: drift monitor passes a baseline-like window, flags a junk window") {
     // baseline corpus: well-formed prose (stopwords present, sane word
     // lengths) mixed with some short fragments — a realistic accepted mix
