@@ -24,13 +24,15 @@ object Tables {
     * (GraftSession.scala), so NTZ→TIMESTAMP is a pure re-tag — wall-clock
     * fields and `unix_micros` values are unchanged, and DuckDB (which
     * reads the same file as its TZ-less TIMESTAMP) agrees. */
-  private def normalizeTs(df: DataFrame): DataFrame = {
+  private def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
-      case _                => df
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast("timestamp"))
+      case _ => df
     }
   }
 
@@ -39,8 +41,14 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  // o_orderdate / l_shipdate ship in the same TZ-less parquet encoding as
+  // events.ts — normalize them too, so the NEXT operator that reaches for
+  // unix_micros/unix_timestamp on a date column can't reproduce the
+  // round-5 NTZ analysis failure (SchemaContractSpec pins this).
+  def orders(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "orders"), "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "lineitem"), "l_shipdate")
   def events(s: SparkSession, d: String): DataFrame     = normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
