@@ -826,12 +826,30 @@ object Similarity {
     call_function("graft_sqdist_l", a, b)
 
   /** Encode: per (vector, subspace) argmin over the K centroids. */
-  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+  private def pqCodesRaw(s: SparkSession, dir: String): DataFrame =
     pqCorpusSub(s, dir).join(broadcast(pqCodebook(s, dir)), Seq("m"))
       .select(col("vec_id"), col("m"), col("j"),
         sq(col("sub"), col("cent")).as("dist"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+
+  /** Session-shared PQ code artifact — the corpus encoding computed once
+    * per (session, dir), eagerly checkpointed, consumed by B7 ADC
+    * ranking, B8 IVF-PQ and B9 re-rank. A pipeline encodes its corpus
+    * ONCE and every query ranks against the stored codes (exactly what
+    * the G20 store does by writing the codes column at ingest); the memo
+    * is the session-local equivalent, same pattern as C6's G21 cluster
+    * artifact. The checkpoint holds (vec_id, m, code) — M small ints per
+    * vector, the compressed representation whose tininess is PQ's whole
+    * point. */
+  private val pqCodesMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqCodesMemo.computeIfAbsent((s, dir),
+      _ => pqCodesRaw(s, dir).localCheckpoint(true))
+
+  def invalidatePqArtifacts(): Unit = pqCodesMemo.clear()
 
   /** Query-side ADC distance table: M×K rows per query, broadcast. */
   private def pqDistTab(s: SparkSession, dir: String): DataFrame =
