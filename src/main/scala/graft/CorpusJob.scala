@@ -86,6 +86,24 @@ object CorpusJob {
       try s.read.parquet(outDir).count()
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
+    // Per-shard manifest — (source, n_chunks, n_docs, content_hash): the
+    // integrity artifact an incremental consumer checks before trusting a
+    // shard. content_hash is an order-independent exact-int64 SUM of
+    // per-row hashes, so it is invariant to partitioning and task order,
+    // and a rerun of this deterministic job reproduces it bit-for-bit
+    // (spec-checked). Written under an underscore dir, which Spark's
+    // parquet reader ignores — shard reads stay untouched.
+    if (nChunks > 0) {
+      s.read.parquet(outDir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct("doc_id").as("n_docs"),
+          sum(graft.functions.Hashing.h60(concat_ws("\u0001",
+            col("doc_id"), col("chunk_ix"), md5(col("chunk")))))
+            .as("content_hash"))
+        .write.mode("overwrite").parquet(s"$outDir/_graft_manifest")
+    }
+
     // a zero-task action (fully-empty corpus) collects no observation
     // metrics at all — read absent as zero
     (obs.map { case (n, o) =>

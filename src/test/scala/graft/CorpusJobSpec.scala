@@ -37,5 +37,35 @@ class CorpusJobSpec extends AnyFunSuite {
     val a = spark.read.parquet(out1)
     val b = spark.read.parquet(out2)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the shard manifests of the two runs are identical too
+    val m1 = spark.read.parquet(s"$out1/_graft_manifest").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val m2 = spark.read.parquet(s"$out2/_graft_manifest").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(m1 == m2 && m1.nonEmpty)
+  }
+
+  test("the shard manifest matches stats recomputed from the shards") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_cjm").toString
+    audit(out)
+    val manifest = spark.read.parquet(s"$out/_graft_manifest").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // the underscore dir must be invisible to plain shard reads
+    val shards = spark.read.parquet(out)
+    assert(shards.columns.sorted.toSeq ==
+      Seq("chunk", "chunk_ix", "doc_id", "source"))
+    val recomputed = shards
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("d"),
+        sum(graft.functions.Hashing.h60(concat_ws("\u0001",
+          col("doc_id"), col("chunk_ix"), md5(col("chunk"))))).as("h"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(manifest == recomputed && manifest.nonEmpty)
   }
 }
