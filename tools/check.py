@@ -37,7 +37,16 @@ for name, sql in sorted(oracle.items()):
         gottypes = [str(t) for t in got_rel.types]
         got = got_rel.fetchall()
     except Exception as e:
-        print(f"FAIL {name}: spark result missing: {e}")
+        # surface the Spark-side error Verify recorded, if there is one —
+        # an erroring query must be red WITH its reason, never just absent
+        try:
+            spark_err = json.load(open(f"{OUT}/errors.json")).get(name)
+        except Exception:
+            spark_err = None
+        if spark_err:
+            print(f"FAIL {name}: spark query errored: {spark_err[:200]}")
+        else:
+            print(f"FAIL {name}: spark result missing: {e}")
         fails += 1
         continue
     if sorted(expcols) != sorted(gotcols):
