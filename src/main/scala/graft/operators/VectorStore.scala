@@ -263,6 +263,62 @@ object VectorStore {
       .orderBy("query_id", "rank")
   }
 
+  /** Diversity-aware serving path: MMR (maximal marginal relevance,
+    * Carbonell & Goldstein 1998) re-ranking over a relevance shortlist —
+    * the standard RAG retrieval step plain top-k lacks: near-duplicate
+    * chunks crowd out coverage, so each pick maximizes
+    * λ·rel(q,c) − (1−λ)·max sim(c, selected). The shortlist comes from
+    * [[search]] (distributed: bucket-pruned scan + TakeOrderedAndProject);
+    * the greedy selection runs on the driver over the ≤`shortlist`
+    * collected candidates — MMR is inherently sequential (each pick
+    * depends on the previous picks), and a k×shortlist greedy over a
+    * bounded set is exactly the industrial shape: distribute the scan,
+    * finish the tiny sequential tail locally (same reasoning as C6's
+    * gated union-find finish). All similarities are exact int64 dots of
+    * the stored quantized weights with IEEE division at the end;
+    * deterministic ties (score desc, doc_id, chunk_ix), so the result
+    * is reproducible run-to-run. */
+  def searchDiverse(spark: SparkSession, indexDir: String, query: String,
+      k: Int = 5, shortlist: Int = 50, lambdaRel: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val cands = search(spark, indexDir, query, shortlist)
+      .select("doc_id", "chunk_ix", "chunk", "score")
+    val index = spark.read.parquet(indexDir)
+      .select(col("doc_id"), col("chunk_ix"), col("raw"))
+    val rows = cands.join(index, Seq("doc_id", "chunk_ix"))
+      .select(col("doc_id"), col("chunk_ix"), col("chunk"), col("score"),
+        col("raw"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3),
+        r.getSeq[Long](4).toArray))
+      .sortBy { case (d, cx, _, s, _) => (-s, d, cx) }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0L || nb == 0L) 0.0
+      else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, String, Double, Array[Long])]
+    val remaining = scala.collection.mutable.ArrayBuffer(rows: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.zipWithIndex.map { case (c, ix) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(c._5, s._5)).max
+        val mmr = lambdaRel * c._4 - (1 - lambdaRel) * maxSim
+        (mmr, c, ix)
+      }.minBy { case (mmr, c, _) => (-mmr, c._1, c._2) }
+      selected += best._2
+      remaining.remove(best._3)
+    }
+    selected.zipWithIndex
+      .map { case ((d, cx, chunk, rel, _), i) => (i + 1, d, cx, chunk, rel) }
+      .toSeq.toDF("rank", "doc_id", "chunk_ix", "chunk", "score")
+  }
+
   /** Compressed serving path: IVF-PQ over the store (B8's machinery
     * composed onto the index). The probed LSH partitions are scanned
     * reading ONLY (ids, bucket, codes) — column pruning keeps the raw

@@ -63,6 +63,45 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(plan.contains("query_id"), s"batch rank lost its query key:\n$plan")
   }
 
+  test("searchDiverse: MMR keeps the top hit, lowers intra-set similarity, deterministic") {
+    val sample = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(1).collect().head.getString(0)
+    val plain = VectorStore.search(spark, indexDir, sample, k = 4).collect()
+    val diverse = VectorStore.searchDiverse(spark, indexDir, sample,
+      k = 4, shortlist = 20, lambdaRel = 0.5).collect()
+    assert(diverse.nonEmpty)
+    // relevance anchor: rank 1 is the relevance-max pick in both
+    assert(diverse.head.getAs[Long]("doc_id") == plain.head.getAs[Long]("doc_id")
+      && diverse.head.getAs[Int]("chunk_ix") == plain.head.getAs[Int]("chunk_ix"))
+    def avgPairSim(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val keys = rows.map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_ix")))
+      val raws = spark.read.parquet(indexDir)
+        .filter(col("chunk_ix").isNotNull)
+        .select("doc_id", "chunk_ix", "raw").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
+        .toMap
+      val vs = keys.flatMap(raws.get)
+      val pairs = for {
+        i <- vs.indices; j <- vs.indices if j > i
+      } yield {
+        val (a, b) = (vs(i), vs(j))
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+        val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+        val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      if (pairs.isEmpty) 0.0 else pairs.sum / pairs.size
+    }
+    assert(avgPairSim(diverse) <= avgPairSim(plain) + 1e-9,
+      "MMR set is not more diverse than plain top-k")
+    // deterministic rerun
+    val again = VectorStore.searchDiverse(spark, indexDir, sample,
+      k = 4, shortlist = 20, lambdaRel = 0.5).collect()
+    assert(diverse.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("compressed search: verbatim query self-hit ranks #1 after re-rank") {
     val sample = spark.read.parquet(indexDir)
       .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
