@@ -106,7 +106,24 @@ object Bench {
     // per-query small-SF seconds are dropped; the ratio map carries the
     // scale signal in a tenth of the bytes.
     val queriesAsc = results.toSeq.sortBy(_._2)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","protocol":"min-of-$reps, noop-sink full materialization (NOT comparable to rounds <= 4 count()-action numbers), cold cache + gc between runs, sf0.001 warmup",$scaleJson"queries":${jmap(queriesAsc)},"value":$total}""")
+    val protocol = s"min-of-$reps, noop-sink full materialization (NOT comparable to rounds <= 4 count()-action numbers), cold cache + gc between runs, sf0.001 warmup"
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","protocol":"$protocol",$scaleJson"queries":${jmap(queriesAsc)},"value":$total}""")
+    // The stdout line above gets tail-truncated to 2000 chars by the
+    // archiver, losing the fastest two-thirds of the per-query map; also
+    // write the COMPLETE artifact (all big-SF seconds, all small-SF
+    // seconds, all ratios) to a repo file so round-over-round comparison
+    // covers every query. SPARK_GRAFT_BENCH_OUT overrides; empty disables.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench/full_latest.json")
+    if (outPath.nonEmpty) {
+      val smallJson = scale.map { case (dir, small) =>
+        s""""queries_small_sf":${jmap(small.toSeq.sortBy(_._1))},"""
+      }.getOrElse("")
+      val full = s"""{"metric":"total","unit":"sec","sf":"$sfDir","protocol":"$protocol",$scaleJson$smallJson"queries":${jmap(results.toSeq.sortBy(_._1))},"value":$total}"""
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

@@ -12,6 +12,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   SELECT graft_dot(a.embedding, b.embedding) FROM ...
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Extract a foldable numeric argument (int, long, double or decimal
+    * literal all accepted), failing with a clear message instead of a
+    * ClassCastException/NPE when the argument is non-foldable or
+    * non-numeric.
+    */
+  private def foldableNum(e: Expression, fn: String, what: String): Double = {
+    require(e.foldable, s"$fn: $what must be a foldable literal, got ${e.sql}")
+    e.eval(null) match {
+      case n: java.lang.Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case null => throw new IllegalArgumentException(
+        s"$fn: $what must not be NULL")
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be numeric, got ${other.getClass.getSimpleName}")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
@@ -62,8 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.plans.QhistQuantiles].getName, null,
         "graft_qhist"),
       (children: Seq[Expression]) => graft.plans.QhistQuantiles(children.head,
-        children(1).eval(null).asInstanceOf[Double],
-        children.drop(2).map(_.eval(null).asInstanceOf[Double]))
+        foldableNum(children(1), "graft_qhist", "width"),
+        children.drop(2).zipWithIndex.map { case (c, i) =>
+          foldableNum(c, "graft_qhist", s"percentile #${i + 1}") })
         .toAggregateExpression()))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash32"),

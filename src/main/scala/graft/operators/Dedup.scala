@@ -933,9 +933,11 @@ object Dedup {
         "label")
       .select(col("v").as("doc_id"), col("rep").as("cluster_rep"))
     val sizes = full.groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+    // unsorted, like the driver fast path above — the contract says
+    // unsorted and callers (dedupClusters) order themselves; a sort here
+    // would make result ordering depend on which branch the gate picked
     full.join(mb(sizes), "cluster_rep")
       .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
-      .orderBy("doc_id")
   }
 
   /** Phase 3 of [[dedupClusters]]: component representatives of the
@@ -1042,15 +1044,16 @@ object Dedup {
     * holds one row per CLUSTERED doc — near-dups only, a sliver of the
     * corpus). [[invalidateClusterArtifacts]] drops the memo if the
     * underlying tables change within a session. */
-  private val clusterMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val clusterMemo = new graft.SessionMemo
 
   private[graft] def clusterArtifact(s: SparkSession, dir: String): DataFrame =
-    clusterMemo.computeIfAbsent((s, dir), _ =>
+    clusterMemo.getOrElseUpdate(s, dir)(
       dedupClusters(s, dir)
         .select("doc_id", "cluster_rep", "cluster_size")
         .localCheckpoint(true))
 
+  /** Required after rewriting the parquet under a dir within one session —
+    * the memo cannot see filesystem rewrites (see [[graft.SessionMemo]]). */
   def invalidateClusterArtifacts(): Unit = clusterMemo.clear()
 
   // ---- C10 cluster-canonical selection ---------------------------------

@@ -842,13 +842,13 @@ object Similarity {
     * artifact. The checkpoint holds (vec_id, m, code) — M small ints per
     * vector, the compressed representation whose tininess is PQ's whole
     * point. */
-  private val pqCodesMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pqCodesMemo = new graft.SessionMemo
 
   private def pqCodes(s: SparkSession, dir: String): DataFrame =
-    pqCodesMemo.computeIfAbsent((s, dir),
-      _ => pqCodesRaw(s, dir).localCheckpoint(true))
+    pqCodesMemo.getOrElseUpdate(s, dir)(pqCodesRaw(s, dir).localCheckpoint(true))
 
+  /** Required after rewriting the parquet under a dir within one session —
+    * the memo cannot see filesystem rewrites (see [[graft.SessionMemo]]). */
   def invalidatePqArtifacts(): Unit = pqCodesMemo.clear()
 
   /** Query-side ADC distance table: M×K rows per query, broadcast. */

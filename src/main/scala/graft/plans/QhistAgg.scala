@@ -39,15 +39,26 @@ case class QhistQuantiles(
   extends TypedImperativeAggregate[java.util.HashMap[Long, Long]] {
 
   require(width > 0, "graft_qhist width must be positive")
+  // The buffer is keyed by long edges, so a fractional width would silently
+  // misbucket (width.toLong below); fail loudly instead of returning wrong
+  // quantiles.
+  require(width == math.rint(width),
+    "graft_qhist width must be a whole number (long-keyed histogram edges)")
   require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p <= 1),
     "graft_qhist percentiles must be in (0, 1]")
+  require(percentiles.distinct.size == percentiles.size,
+    "graft_qhist percentiles must be distinct")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
 
+  /** Full-precision struct field name: 0.5 → p50_edge, 0.995 → p99_5_edge —
+    * distinct percentiles always yield distinct field names.
+    */
   private def fieldName(p: Double): String = {
-    val pct = math.round(p * 100).toInt
-    s"p${pct}_edge"
+    val pct = BigDecimal(p * 100).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
+    s"p${pct.replace(".", "_")}_edge"
   }
 
   override def dataType: DataType = StructType(

@@ -50,6 +50,44 @@ class QhistAggSpec extends AnyFunSuite {
     assert(rows == Seq(("a", 20L, 1L), ("b", 10L, 1L)))
   }
 
+  test("integer literals are accepted for width and percentile args") {
+    // SQL users naturally write graft_qhist(v, 10, ...) — the extension
+    // must coerce any numeric literal, not ClassCastException on non-Double
+    val rows = spark.sql(
+      "SELECT graft_qhist(v, 10, 0.5) AS q FROM VALUES (CAST(5.0 AS DOUBLE)), (CAST(15.0 AS DOUBLE)) t(v)")
+      .select(col("q.p50_edge"), col("q.n_events")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((10L, 2L)))
+  }
+
+  test("fractional width fails loudly instead of misbucketing") {
+    // the buffer keys edges as longs; width 2.5 would silently truncate to
+    // 2 — the constructor must reject it by name
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_qhist(v, 2.5, 0.5) FROM VALUES (CAST(5.0 AS DOUBLE)) t(v)")
+        .collect()
+    }
+    assert(e.getMessage.contains("whole number"), e.getMessage)
+  }
+
+  test("non-foldable width fails with a clear message, not an NPE") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_qhist(v, v, 0.5) FROM VALUES (CAST(5.0 AS DOUBLE)) t(v)")
+        .collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
+  test("sub-percent percentiles get distinct full-precision field names") {
+    val df = Seq(("a", 1.0)).toDF("g", "value")
+      .groupBy("g")
+      .agg(call_function("graft_qhist", col("value"), lit(10.0d),
+        lit(0.995d), lit(0.999d)).as("q"))
+    val names = df.select("q.*").columns.toSeq
+    // the old round-to-whole-percent scheme collapsed both to p100_edge
+    assert(names == Seq("p99_5_edge", "p99_9_edge", "n_events"))
+  }
+
   test("negative values land on floor-division edges like both engines") {
     val rows = Seq(("a", -0.5), ("a", -12.0))
       .toDF("g", "value")
