@@ -382,6 +382,70 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** Batch twin of [[searchCompressed]]: MANY queries through ONE IVF-PQ
+    * plan. The per-query ADC distance tables are one broadcast relation
+    * keyed by `query_id` (nq·M·K small rows); the codes-only scan joins
+    * it by (query_id, m, code), so the approximate ranking — and the
+    * exact re-rank that follows — both window BY QUERY, never funneling
+    * the whole probed region into one partition. A RAG eval sweep over
+    * the compressed index is one job, not one plan per query. Output
+    * schema = [[searchCompressed]] plus a leading `query_id`. */
+  def searchCompressedBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5, shortlist: Int = 50): DataFrame = {
+    val index = spark.read.parquet(indexDir)
+    val codebook = spark.read.parquet(s"$indexDir/$PqDir/codebook.parquet")
+    val qdf = { import spark.implicits._
+      queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("query_id", "qtext") }
+      .withColumn("qraw", rawWeights(col("qtext")))
+      .withColumn("qbucket", bucketOf(col("qraw")))
+    val probes = qdf.select(col("query_id"), explode(array(
+      col("qbucket") +: (0 until Planes).map(p =>
+        col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
+    // per-query ADC tables, one broadcast relation keyed by query_id
+    val dtab = qdf
+      .select(col("query_id"), posexplode(subvecs(col("qraw"))))
+      .select(col("query_id"), col("pos").as("m"), col("col").as("qsub"))
+      .join(broadcast(codebook), "m")
+      .select(col("query_id").as("dq"), col("m").as("dm"), col("j").as("dj"),
+        call_function("graft_sqdist_l", col("qsub"), col("cent")).as("qdist"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("doc_id"), col("chunk_ix"))
+    val adcShortlist = index
+      .join(broadcast(probes), "bucket")
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"),
+        posexplode(col("codes")))
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"),
+        col("pos").as("m"), col("col").as("code"))
+      .join(broadcast(dtab), col("query_id") === col("dq")
+        && col("m") === col("dm") && col("code") === col("dj"))
+      .groupBy("query_id", "doc_id", "chunk_ix")
+      .agg(sum("qdist").as("adist"))
+      .withColumn("ark", row_number().over(wAdc))
+      .filter(col("ark") <= shortlist)
+      .select("query_id", "doc_id", "chunk_ix")
+    // exact re-rank: fetch raw + text for the ≤ nq·shortlist survivors
+    // from the probed partitions only, attach each query's qraw by key
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    index
+      .join(broadcast(probes.select("bucket").distinct()), "bucket")
+      .join(broadcast(adcShortlist), Seq("doc_id", "chunk_ix"))
+      .join(broadcast(qdf.select("query_id", "qraw")), "query_id")
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), col("chunk"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "chunk_ix", "chunk", "score")
+      .orderBy("query_id", "rank")
+  }
+
   /** Learned-cell IVF serving path: probe the query's top-`nprobe`
     * k-means cells (by exact centroid score, the B5 probing rule) and
     * exact-rank ONLY inside those cells' directories — `cell` is a
@@ -422,6 +486,53 @@ object VectorStore {
       .withColumn("rank", row_number().over(w))
       .select("rank", "doc_id", "chunk_ix", "chunk", "score")
       .orderBy("rank")
+  }
+
+  /** Batch twin of [[searchCells]]: MANY queries through ONE cell-probed
+    * plan. Probe selection stays driver-side (it is nq × K exact dots
+    * against the K-row frozen centroid sidecar — the same bounded
+    * arithmetic the single path does once); the scan then reads the
+    * UNION of all probed cell directories once, a broadcast
+    * (query_id, cell) probe list restricts each candidate row to the
+    * queries that probed its cell, and ranking windows by query. Output
+    * schema = [[searchCells]] plus a leading `query_id`. */
+  def searchCellsBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/$CellsDir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val qdf = queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "qtext")
+      .withColumn("qraw", rawWeights(col("qtext")))
+      .select("query_id", "qraw")
+    val qraws = qdf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val probePairs = qraws.flatMap { case (qid, qraw) =>
+      centroids.map { case (cell, csum, nMem) =>
+          val dot = qraw.zip(csum).map { case (a, b) => a * b }.sum
+          (dot.toDouble / nMem, cell)
+        }.sortBy { case (s, cell) => (-s, cell) }
+        .take(nprobe).map { case (_, cell) => (qid, cell) }
+    }.toSeq
+    val probes = probePairs.toDF("query_id", "cell")
+    val index = spark.read.parquet(indexDir)
+      .filter(col("cell").isInCollection(probePairs.map(_._2).distinct))
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    index.join(broadcast(probes), "cell")
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), col("chunk"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "chunk_ix", "chunk", "score")
+      .orderBy("query_id", "rank")
   }
 
   /** Targeted delete — the engine-side analog of the reference's

@@ -132,6 +132,55 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(mean >= 0.6, f"compressed recall $mean%.2f below floor")
   }
 
+  test("searchCompressedBatch matches per-query searchCompressed, windows by query") {
+    val samples = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(3).collect().map(_.getString(0)).distinct.toSeq
+    assert(samples.size >= 2)
+    val batchDf = VectorStore.searchCompressedBatch(spark, indexDir, samples, k = 3)
+    val batch = batchDf.collect()
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.toSeq.sortBy(
+        _.getAs[Int]("rank"))).toMap
+    samples.zipWithIndex.foreach { case (qt, i) =>
+      val single = VectorStore.searchCompressed(spark, indexDir, qt, k = 3)
+        .collect()
+      val got = batch(i.toLong)
+      assert(got.size == single.length, s"query $i: row count diverged")
+      single.zip(got).foreach { case (s, b) =>
+        assert(s.getAs[Long]("doc_id") == b.getAs[Long]("doc_id") &&
+          s.getAs[Int]("chunk_ix") == b.getAs[Int]("chunk_ix") &&
+          s.getAs[Int]("rank") == b.getAs[Int]("rank"),
+          s"query $i diverged: single=$s batch=$b")
+      }
+    }
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("query_id"), s"batch rank lost its query key:\n$plan")
+  }
+
+  test("searchCellsBatch matches per-query searchCells, windows by query") {
+    val samples = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(3).collect().map(_.getString(0)).distinct.toSeq
+    assert(samples.size >= 2)
+    val batchDf = VectorStore.searchCellsBatch(spark, indexDir, samples, k = 3)
+    val batch = batchDf.collect()
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.toSeq.sortBy(
+        _.getAs[Int]("rank"))).toMap
+    samples.zipWithIndex.foreach { case (qt, i) =>
+      val single = VectorStore.searchCells(spark, indexDir, qt, k = 3).collect()
+      val got = batch(i.toLong)
+      assert(got.size == single.length, s"query $i: row count diverged")
+      single.zip(got).foreach { case (s, b) =>
+        assert(s.getAs[Long]("doc_id") == b.getAs[Long]("doc_id") &&
+          s.getAs[Int]("chunk_ix") == b.getAs[Int]("chunk_ix") &&
+          s.getAs[Int]("rank") == b.getAs[Int]("rank"),
+          s"query $i diverged: single=$s batch=$b")
+      }
+    }
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("query_id"), s"batch rank lost its query key:\n$plan")
+  }
+
   test("compressed ADC scan reads codes, not raw vectors or chunk text") {
     val q = VectorStore.searchCompressed(spark, indexDir, "merge join", k = 2)
     q.collect()
