@@ -943,7 +943,10 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val annIvfPqSql: String = s"""
+  /** Shared oracle CTE chain for the IVF-PQ ladder: coarse probing, PQ
+    * codes, ADC sums, per-query rank — consumed by both the B8 ranking
+    * oracle and the B4pq vote oracle so the ADC math is mirrored once. */
+  private val ivfPqRankedCtes: String = s"""
     WITH q4c AS (
       SELECT vec_id, label, d.range AS d,
         CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qe
@@ -992,10 +995,49 @@ object Similarity {
     ranked AS (
       SELECT query_id, neighbor_id, adist,
         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
-      FROM adc)
+      FROM adc)"""
+
+  val annIvfPqSql: String = s"""$ivfPqRankedCtes
     SELECT query_id, rank, neighbor_id, adist
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
+
+  /** B4pq: k-NN label vote over the COMPRESSED candidate ladder — the
+    * classification read the serving stack was missing: B4 votes over
+    * exact brute-force neighbors, B4n over the LSH-probed ones, and this
+    * over the IVF-PQ ADC top-5 (the candidates a memory-tight deployment
+    * actually has). Vote semantics mirror B4: majority label of the 5
+    * approximate neighbors, ties to the smallest label. At scale the
+    * candidate generation is [[annIvfPq]]'s pruned ADC scan; the vote
+    * adds one keyed label join + per-query aggregation over 5·|queries|
+    * rows. */
+  def knnVotePq(s: SparkSession, dir: String): DataFrame = {
+    val neighbors = annIvfPq(s, dir).select("query_id", "neighbor_id")
+    val labels = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val voteW = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label"))
+    neighbors.join(labels, "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .withColumn("vrk", row_number().over(voteW))
+      .filter(col("vrk") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+      .orderBy("query_id")
+  }
+
+  val knnVotePqSql: String = s"""$ivfPqRankedCtes,
+    topk AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+    votes AS (
+      SELECT t.query_id, e.label, COUNT(*) AS votes
+      FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY t.query_id, e.label),
+    best AS (
+      SELECT query_id, label, votes,
+        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vrk
+      FROM votes)
+    SELECT query_id, label AS pred_label, votes FROM best WHERE vrk = 1
+    ORDER BY query_id"""
 
   private val RerankShortlist = 20
 
@@ -1092,6 +1134,7 @@ object Similarity {
     "vec_kmeans" -> (vecKmeans _),
     "vec_pq"    -> (vecPq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "knn_vote_pq" -> (knnVotePq _),
     "ann_pq_rerank" -> (annPqRerank _))
 
   val oracle: Map[String, String] = Map(
@@ -1107,5 +1150,6 @@ object Similarity {
     "vec_kmeans" -> vecKmeansSql,
     "vec_pq"    -> vecPqSql,
     "ann_ivfpq" -> annIvfPqSql,
+    "knn_vote_pq" -> knnVotePqSql,
     "ann_pq_rerank" -> annPqRerankSql)
 }
