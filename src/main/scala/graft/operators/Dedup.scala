@@ -1176,13 +1176,18 @@ object Dedup {
     * relation — actual broadcast variables, not plan literals. */
   def dedupContamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // bench/train split: docs below the gate play the benchmark suite a
+    // real pipeline would load from its eval sets — `graft.contam.
+    // benchMaxDocId` overrides the demo default (oracle pins 20)
+    val benchMax = s.conf.getOption("graft.contam.benchMaxDocId")
+      .map(_.toLong).getOrElse(20L)
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text")).as("shs"))
     // NULL-text bench docs have no shingles and cannot contaminate
     val benchSets: Seq[(Long, Seq[Long])] = docs
-      .filter(col("doc_id") < 20 && col("shs").isNotNull)
+      .filter(col("doc_id") < benchMax && col("shs").isNotNull)
       .select(col("doc_id"), col("shs"))
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
@@ -1194,7 +1199,7 @@ object Dedup {
     val totalShingles = union.length.toLong + benchSets.map(_._2.size.toLong).sum
     if (totalShingles <= maxLiteral) {
       val survivors = docs
-        .filter(col("doc_id") >= 20)
+        .filter(col("doc_id") >= benchMax)
         .filter(call_function("graft_intersect_count",
           col("shs"), typedLit(union)) >= ContamMinShared)
       survivors
@@ -1209,7 +1214,7 @@ object Dedup {
       val unionDf = Seq(Tuple1(union.toSeq)).toDF("bunion")
       val benchDf = benchSets.toDF("bench_id", "bshs")
       val survivors = docs
-        .filter(col("doc_id") >= 20)
+        .filter(col("doc_id") >= benchMax)
         .crossJoin(broadcast(unionDf)) // 1 row — union moves once per executor
         .filter(call_function("graft_intersect_count",
           col("shs"), col("bunion")) >= ContamMinShared)

@@ -1117,12 +1117,18 @@ object TextAnalysis {
     * picks per run, nothing in the plan pins the small-table choice.
     * Scoring is the same keyed shuffle a TF-IDF pass pays (D14/E14). */
   def textSeedClassify(s: SparkSession, dir: String): DataFrame = {
+    // a real pipeline points the seed at its curated positive set and
+    // tunes the gate; `graft.seed.source` / `graft.seed.thresholdPpm`
+    // override the demo defaults (oracle pins src0 / 500000)
+    val seedSource = s.conf.getOption("graft.seed.source").getOrElse("src0")
+    val thresholdPpm = s.conf.getOption("graft.seed.thresholdPpm")
+      .map(_.toLong).getOrElse(500000L)
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         explode(Text.tokens(col("text"))).as("term"))
     val weights = toks
       .groupBy("term")
-      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n_pos"),
+      .agg(sum(when(col("source") === seedSource, 1L).otherwise(0L)).as("n_pos"),
         count(lit(1)).as("n_all"))
       .select(col("term"),
         expr("((n_pos + 1) * 1000000) div (n_all + 2)").as("w_ppm"))
@@ -1131,7 +1137,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum("w_ppm").as("w_sum"))
       .select(col("doc_id"), col("n_tokens"),
         expr("w_sum div n_tokens").as("score_ppm"),
-        (expr("w_sum div n_tokens") >= 500000L).as("seed_like"))
+        (expr("w_sum div n_tokens") >= thresholdPpm).as("seed_like"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The demo-pinned parameters (seed source + gate in text_seed_classify,
+  * bench/train split in dedup_contamination) are session-configurable;
+  * the defaults keep the oracle rows bit-identical.
+  */
+class ConfigKnobsSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  private def withConf[T](kv: (String, String)*)(body: => T): T = {
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally kv.foreach { case (k, _) => s.conf.unset(k) }
+  }
+
+  test("seed classifier: explicit defaults reproduce the default run") {
+    val default = TextAnalysis.textSeedClassify(s, TestSpark.sf).collect().toSeq
+    val explicit = withConf("graft.seed.source" -> "src0",
+      "graft.seed.thresholdPpm" -> "500000") {
+      TextAnalysis.textSeedClassify(s, TestSpark.sf).collect().toSeq
+    }
+    assert(default.nonEmpty && default == explicit)
+  }
+
+  test("seed classifier: a different seed source changes the scores") {
+    val default = TextAnalysis.textSeedClassify(s, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val other = withConf("graft.seed.source" -> "src1") {
+      TextAnalysis.textSeedClassify(s, TestSpark.sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    assert(other.keySet == default.keySet)
+    assert(other.exists { case (id, score) => default(id) != score },
+      "re-seeding on src1 left every score identical — knob has no effect")
+  }
+
+  test("seed classifier: an unreachable threshold gates every doc out") {
+    val rows = withConf("graft.seed.thresholdPpm" -> "1000001") {
+      TextAnalysis.textSeedClassify(s, TestSpark.sf).collect()
+    }
+    assert(rows.nonEmpty && rows.forall(!_.getBoolean(3)))
+  }
+
+  test("contamination: the bench/train split follows the configured gate") {
+    val moved = withConf("graft.contam.benchMaxDocId" -> "10") {
+      Dedup.dedupContamination(s, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    // bench ids come only from below the gate; train ids only from above —
+    // and docs 10..19, bench under the default split, now appear as train
+    assert(moved.forall { case (docId, benchId) =>
+      benchId < 10L && docId >= 10L })
+    val defaults = Dedup.dedupContamination(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(defaults.forall { case (docId, benchId) =>
+      benchId < 20L && docId >= 20L })
+    assert(moved.toSet != defaults.toSet,
+      "moving the split changed nothing — knob has no effect")
+  }
+}
