@@ -391,6 +391,74 @@ object Streams {
       psi.as("psi"), (psi > lit(threshold)).as("drifted"))
   }
 
+  /** F20: the streaming admission capstone — the composed job a corpus
+    * service actually runs, and the streaming twin of G19's batch
+    * CorpusJob: every micro-batch of arriving documents flows through
+    * the full admission pipeline built from the SAME operators the batch
+    * side uses — [[qualityGate]] (F15, per-doc), [[nearDupScreen]] (F14,
+    * redundancy vs the accepted corpus's band index), admitted docs
+    * appended to the G22 store through the one shared
+    * `VectorStore.ingest` path (chunk → embed → bucket → cell, frozen
+    * sidecars reused), rejects to a quarantine sink WITH their reason,
+    * [[driftMonitor]]'s PSI math over the batch's windows (watermark is
+    * a no-op in batch execution, so the streaming aggregation body runs
+    * unchanged) to a drift-telemetry sink, and [[cellRouter]] (F16)
+    * summarizing where the admitted docs landed (cell-skew telemetry).
+    *
+    * Scale shape: each stage is the operator's own documented shape
+    * (narrow kernel maps, one stream-static band equi-join, the store's
+    * append path); the batch is materialized ONCE and fanned to the
+    * five consumers. Checkpointing makes the whole composition
+    * effectively-once per micro-batch. Input schema: (doc_id, ts, text).
+    * Returns the started query; stop or `processAllAvailable()` in the
+    * caller. */
+  def admissionJob(docs: DataFrame, bandIndex: DataFrame, indexDir: String,
+      quarantineDir: String, telemetryDir: String, checkpointDir: String,
+      baseline: Seq[(Int, Long)], driftThreshold: Double = 0.2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // one materialization, five consumers (gate, screen, ingest,
+          // quarantine, drift) — without it each re-runs the source scan
+          val b = batch.localCheckpoint(true)
+          val gate = qualityGate(b.select("doc_id", "text"))
+          val dups = nearDupScreen(b.select("doc_id", "text"), bandIndex)
+            .select("doc_id").distinct().withColumn("near_dup", lit(true))
+          val verdicts = b.select("doc_id", "ts", "text")
+            .join(gate.select("doc_id", "keep", "n_failed_rules"), "doc_id")
+            .join(dups, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("ts"), col("text"), col("keep"),
+              col("n_failed_rules"),
+              coalesce(col("near_dup"), lit(false)).as("near_dup"))
+            .localCheckpoint(true)
+          val admitted = verdicts.filter(col("keep") && !col("near_dup"))
+          val nAdmitted = graft.operators.VectorStore.ingest(
+            admitted.select("doc_id", "text"), indexDir, mode = "append")
+          verdicts.filter(!col("keep") || col("near_dup"))
+            .select(col("doc_id"), col("ts"),
+              when(col("near_dup"), "near_dup").otherwise("quality")
+                .as("reason"),
+              col("n_failed_rules"), lit(batchId).as("batch_id"))
+            .write.mode("append").parquet(quarantineDir)
+          driftMonitor(verdicts.select("ts", "text"), baseline, driftThreshold)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$telemetryDir/drift")
+          if (nAdmitted > 0) {
+            // sidecar exists once anything was ever ingested
+            val cents = loadCentroids(batch.sparkSession, indexDir)
+            cellRouter(admitted.select("doc_id", "text"), cents)
+              .groupBy("cell").agg(count(lit(1)).as("n_docs"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(s"$telemetryDir/cells")
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Convenience: the frozen baseline histogram for [[driftMonitor]] —
     * rules-passed bucket counts over an accepted reference corpus. */
   def qualityBaseline(docs: DataFrame): Seq[(Int, Long)] = {

@@ -368,4 +368,76 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(4))).sorted
     assert(rows == Seq((1L, "alice"), (2L, "bo"), (3L, "unknown")))
   }
+
+  test("F20: admission job composes gate+screen+ingest+drift across micro-batches") {
+    // accepted corpus: 10 quality-passing docs with varied vocab (seed0's
+    // shingle set is what the near-dup batch must collide with)
+    def goodText(stem: String): String =
+      "the of the of the of " + (1 to 44).map(j => s"$stem$j").mkString(" ")
+    val seedDocs = (0L until 10L).map(i => (i, goodText(s"seed${i}w")))
+    val root = java.nio.file.Files.createTempDirectory("graft_adm").toString
+    val corpusDir = s"$root/corpus"
+    seedDocs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$corpusDir/documents.parquet")
+    val indexDir = s"$root/index"
+    graft.operators.VectorStore.ingest(
+      seedDocs.toDF("doc_id", "text"), indexDir)
+    def codebook() = spark.read.parquet(s"$indexDir/_graft_pq/codebook.parquet")
+      .collect().map(_.toString).sorted.toSeq
+    val cbBefore = codebook()
+    val bandIndex = graft.operators.Dedup.bandIndex(spark, corpusDir)
+    val baseline = Streams.qualityBaseline(seedDocs.toDF("doc_id", "text"))
+
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = Streams.admissionJob(input.toDF().toDF("doc_id", "ts", "text"),
+      bandIndex, indexDir, s"$root/quarantine", s"$root/telemetry",
+      s"$root/ckpt", baseline)
+    try {
+      // batch 1 (healthy): 12 novel quality-passing docs — all admitted,
+      // bucket distribution matches the baseline → no drift
+      input.addData((0 until 12).map(i =>
+        (100L + i, ts(i % 9), goodText(s"nova${i}x"))): _*)
+      q.processAllAvailable()
+      // batch 2 (drifted): 10 quality-failing docs in a later window
+      input.addData((0 until 10).map(i =>
+        (200L + i, ts(60 + i % 9), "the of short")): _*)
+      q.processAllAvailable()
+      // batch 3: a near-dup of seed0 (quality-passing — only the screen
+      // can reject it) + one more novel good doc
+      val nearDup = goodText("seed0w").replace("seed0w44", "changed")
+      input.addData((300L, ts(120), nearDup), (301L, ts(120), goodText("late")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val quarantine = spark.read.parquet(s"$root/quarantine")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(quarantine.size == 11, s"quarantine: $quarantine")
+    (200L until 210L).foreach(id => assert(quarantine(id) == "quality"))
+    assert(quarantine(300L) == "near_dup",
+      s"near-dup not screened: $quarantine")
+    // the store holds the seeds + every admitted doc, none of the rejects
+    val stored = spark.read.parquet(indexDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val admittedIds = (100L until 112L).toSet + 301L
+    assert(stored == (0L until 10L).toSet ++ admittedIds,
+      s"store contents diverged: $stored")
+    // the append path reused the frozen codebook — store stayed consistent
+    assert(codebook() == cbBefore, "admission appends rewrote the codebook")
+    // drift telemetry: the healthy window is quiet, the drifted one pages
+    val drift = spark.read.parquet(s"$root/telemetry/drift")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+        r.getDouble(2), r.getBoolean(3)))
+    val byWindow = drift.map(d => d._1.toString -> d._4).toMap
+    assert(byWindow("2024-01-01 00:00:00.0") == false,
+      s"healthy window flagged: ${drift.toSeq}")
+    assert(byWindow("2024-01-01 01:00:00.0") == true,
+      s"drifted window missed: ${drift.toSeq}")
+    // cell telemetry totals = admitted docs per batch (12, then 1 — the
+    // near-dup half of batch 3 went to quarantine)
+    val cellTotals = spark.read.parquet(s"$root/telemetry/cells")
+      .groupBy("batch_id").sum("n_docs")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(cellTotals == Seq(1L, 12L), s"cell telemetry: $cellTotals")
+  }
 }
