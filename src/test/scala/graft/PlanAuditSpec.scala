@@ -8,27 +8,65 @@ import org.scalatest.funsuite.AnyFunSuite
   * 1-row totals attaches compile to BroadcastNestedLoopJoin (bounded:
   * one row moves), which stays admissible. Dimension joins on the
   * TPC-H core must broadcast — a sort-merge exchange of a K-row dim
-  * against the fact table is a wasted full shuffle. */
+  * against the fact table is a wasted full shuffle. And `Exchange
+  * SinglePartition` — a global funnel — is admissible ONLY where the
+  * funneled set is bounded by construction; the allowlist below is
+  * asserted EXACTLY, so a new data-sized funnel cannot sneak in and a
+  * stale entry prompts shrinking the list. */
 class PlanAuditSpec extends AnyFunSuite {
   import TestSpark.{spark, sf}
 
-  test("no registered query plans a CartesianProduct") {
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
-      val df = SparkEntry.queries(q)(spark, sf)
-      df.collect() // finalize AQE
-      val plan = df.queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(q) else None
+  // every query executed once (finalizing AQE), plans shared by all audits
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (q, fn) =>
+      val df = fn(spark, sf)
+      df.collect()
+      q -> df.queryExecution.executedPlan.toString
     }
+
+  test("no registered query plans a CartesianProduct") {
+    val offenders = plans.collect {
+      case (q, plan) if plan.contains("CartesianProduct") => q }.toSeq.sorted
     assert(offenders.isEmpty,
       s"cartesian fan-out in: ${offenders.mkString(", ")}")
   }
 
   test("TPC-H core dimension joins broadcast (no sort-merge on K-row dims)") {
     for (q <- Seq("q3_revenue", "q5_region")) {
-      val df = SparkEntry.queries(q)(spark, sf)
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin"), s"$q: no broadcast join\n$plan")
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q: no broadcast join\n${plans(q)}")
     }
+  }
+
+  // Each allowed funnel is bounded by construction: 1-row totals attaches
+  // (q_attribution, text_collocations, text_source_weights), the 5-row
+  // priority window (q_top_movers), text_pack's bucket-count offset pass.
+  private val allowedSinglePartition = Set(
+    "q_attribution", "text_collocations", "text_source_weights",
+    "q_top_movers", "text_pack")
+
+  /** SinglePartition exchanges whose child is a partial bloom-filter
+    * aggregate are Spark's own runtime join-pruning build (one
+    * fixed-size bitmap per mapper merged on one task — bounded
+    * regardless of data size), not a data-sized funnel; skip them. */
+  private def dataFunnels(plan: String): Boolean = {
+    val lines = plan.linesIterator.toArray
+    lines.zipWithIndex.exists { case (l, ix) =>
+      l.contains("Exchange SinglePartition") &&
+        !lines.lift(ix + 1).exists(_.contains("partial_bloom_filter_agg"))
+    }
+  }
+
+  test("Exchange SinglePartition appears ONLY in the allowlisted bounded funnels") {
+    val observed = plans.collect {
+      case (q, plan) if dataFunnels(plan) => q }.toSet
+    val intruders = observed -- allowedSinglePartition
+    val stale = allowedSinglePartition -- observed
+    assert(intruders.isEmpty,
+      s"new global funnel(s): ${intruders.toSeq.sorted.mkString(", ")} — " +
+        "justify boundedness and extend the allowlist, or repartition the window")
+    assert(stale.isEmpty,
+      s"allowlist entries no longer funneling (shrink the list): " +
+        stale.toSeq.sorted.mkString(", "))
   }
 }
