@@ -299,8 +299,15 @@ object Dedup {
     * each micro-batch against. At 100 TB this is a bucketed table the
     * ingest pipeline writes once and appends to; here it is derived
     * on demand with the same fused kernels as C3. */
-  private[graft] def bandIndex(s: SparkSession, dir: String): DataFrame = {
-    val mins = Tables.documents(s, dir)
+  private[graft] def bandIndex(s: SparkSession, dir: String): DataFrame =
+    bandRows(Tables.documents(s, dir))
+
+  /** The band-index rows of an arbitrary (doc_id, text) batch — the unit
+    * an appendable band index is maintained in: the F20 admission job
+    * appends each micro-batch's admitted rows so later batches screen
+    * against earlier admissions, not just the frozen corpus. */
+  private[graft] def bandRows(docs: DataFrame): DataFrame = {
+    val mins = docs
       .select(col("doc_id"),
         call_function("graft_minhash_sig",
           call_function("graft_shingle_hashes", col("text")), lit(NumHashes)).as("sig"))

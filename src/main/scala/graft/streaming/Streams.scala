@@ -396,7 +396,7 @@ object Streams {
     * CorpusJob: every micro-batch of arriving documents flows through
     * the full admission pipeline built from the SAME operators the batch
     * side uses — [[qualityGate]] (F15, per-doc), [[nearDupScreen]] (F14,
-    * redundancy vs the accepted corpus's band index), admitted docs
+    * redundancy vs the band index at `bandDir`), admitted docs
     * appended to the G22 store through the one shared
     * `VectorStore.ingest` path (chunk → embed → bucket → cell, frozen
     * sidecars reused), rejects to a quarantine sink WITH their reason,
@@ -405,6 +405,15 @@ object Streams {
     * unchanged) to a drift-telemetry sink, and [[cellRouter]] (F16)
     * summarizing where the admitted docs landed (cell-skew telemetry).
     *
+    * F21 — the index is SELF-MAINTAINING: each batch's admitted docs
+    * have their MinHash band rows appended to `bandDir` after the
+    * screen resolves (the verdicts are eagerly materialized first, so a
+    * batch never screens against itself), which means later batches
+    * near-dup-screen against earlier ADMISSIONS, not just the frozen
+    * corpus — without it, a burst of identical novel docs across
+    * batches would all be admitted. Seed `bandDir` with the accepted
+    * corpus's rows (`Dedup.bandIndex(...).write.parquet(bandDir)`).
+    *
     * Scale shape: each stage is the operator's own documented shape
     * (narrow kernel maps, one stream-static band equi-join, the store's
     * append path); the batch is materialized ONCE and fanned to the
@@ -412,7 +421,7 @@ object Streams {
     * effectively-once per micro-batch. Input schema: (doc_id, ts, text).
     * Returns the started query; stop or `processAllAvailable()` in the
     * caller. */
-  def admissionJob(docs: DataFrame, bandIndex: DataFrame, indexDir: String,
+  def admissionJob(docs: DataFrame, bandDir: String, indexDir: String,
       quarantineDir: String, telemetryDir: String, checkpointDir: String,
       baseline: Seq[(Int, Long)], driftThreshold: Double = 0.2)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -421,9 +430,13 @@ object Streams {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
           // one materialization, five consumers (gate, screen, ingest,
           // quarantine, drift) — without it each re-runs the source scan
           val b = batch.localCheckpoint(true)
+          // fresh listing each batch: the previous batch appended rows
+          spark.catalog.refreshByPath(bandDir)
+          val bandIndex = spark.read.parquet(bandDir)
           val gate = qualityGate(b.select("doc_id", "text"))
           val dups = nearDupScreen(b.select("doc_id", "text"), bandIndex)
             .select("doc_id").distinct().withColumn("near_dup", lit(true))
@@ -437,6 +450,12 @@ object Streams {
           val admitted = verdicts.filter(col("keep") && !col("near_dup"))
           val nAdmitted = graft.operators.VectorStore.ingest(
             admitted.select("doc_id", "text"), indexDir, mode = "append")
+          // F21: admitted docs join the band index — the NEXT batch
+          // screens against them (verdicts are already materialized, so
+          // this append cannot affect the current batch's own screen)
+          if (nAdmitted > 0)
+            graft.operators.Dedup.bandRows(admitted.select("doc_id", "text"))
+              .write.mode("append").parquet(bandDir)
           verdicts.filter(!col("keep") || col("near_dup"))
             .select(col("doc_id"), col("ts"),
               when(col("near_dup"), "near_dup").otherwise("quality")

@@ -386,12 +386,13 @@ class StreamingSpec extends AnyFunSuite {
     def codebook() = spark.read.parquet(s"$indexDir/_graft_pq/codebook.parquet")
       .collect().map(_.toString).sorted.toSeq
     val cbBefore = codebook()
-    val bandIndex = graft.operators.Dedup.bandIndex(spark, corpusDir)
+    val bandDir = s"$root/bands"
+    graft.operators.Dedup.bandIndex(spark, corpusDir).write.parquet(bandDir)
     val baseline = Streams.qualityBaseline(seedDocs.toDF("doc_id", "text"))
 
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val q = Streams.admissionJob(input.toDF().toDF("doc_id", "ts", "text"),
-      bandIndex, indexDir, s"$root/quarantine", s"$root/telemetry",
+      bandDir, indexDir, s"$root/quarantine", s"$root/telemetry",
       s"$root/ckpt", baseline)
     try {
       // batch 1 (healthy): 12 novel quality-passing docs — all admitted,
@@ -408,14 +409,21 @@ class StreamingSpec extends AnyFunSuite {
       val nearDup = goodText("seed0w").replace("seed0w44", "changed")
       input.addData((300L, ts(120), nearDup), (301L, ts(120), goodText("late")))
       q.processAllAvailable()
+      // batch 4 (F21): a copy of batch 3's ADMITTED doc — only the
+      // self-maintained band index can reject it; the frozen corpus
+      // never saw doc 301
+      input.addData((400L, ts(130), goodText("late")))
+      q.processAllAvailable()
     } finally q.stop()
 
     val quarantine = spark.read.parquet(s"$root/quarantine")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
-    assert(quarantine.size == 11, s"quarantine: $quarantine")
+    assert(quarantine.size == 12, s"quarantine: $quarantine")
     (200L until 210L).foreach(id => assert(quarantine(id) == "quality"))
     assert(quarantine(300L) == "near_dup",
       s"near-dup not screened: $quarantine")
+    assert(quarantine(400L) == "near_dup",
+      s"cross-batch dup not screened by the self-maintained index: $quarantine")
     // the store holds the seeds + every admitted doc, none of the rejects
     val stored = spark.read.parquet(indexDir)
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
