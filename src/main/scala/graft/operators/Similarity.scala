@@ -1121,6 +1121,75 @@ object Similarity {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** B13: ANN recall evaluation — the serving-quality metric that turns
+    * the B3/B5/B9 approximation knobs into a measured table instead of a
+    * guess: for each ladder rung, per query, the fraction of the TRUE
+    * top-k (B2's exact scan) the rung actually returned. k is each
+    * method's own serving k (LSH serves 3, IVF and PQ-rerank 5), so the
+    * number is the recall a caller of that operator experiences. This is
+    * the eval every ANN deployment runs before picking nprobe / table
+    * count / shortlist size (FAISS's recall-vs-scan-fraction curves);
+    * the scaladoc recall claims on B3/B5 become reproducible output here.
+    *
+    * Scale shape: ground truth is one exact scan over the corpus per the
+    * (small, broadcast) query sample — recall eval is by construction a
+    * query-sample operation, never a corpus×corpus one; each rung's
+    * candidate math is the rung's own operator, reused verbatim, and the
+    * hit counting is a left-semi equi-join on (query_id, neighbor_id)
+    * against the k·|queries|-row truth table. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = annBrute(s, dir).select("query_id", "rank", "neighbor_id")
+    def recallOf(method: String, res: DataFrame, k: Int): DataFrame = {
+      val hits = res.select("query_id", "neighbor_id")
+        .join(truth.filter(col("rank") <= k), Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      queriesSet(s, dir).select("query_id")
+        .join(hits, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"), lit(k.toLong).as("k"))
+    }
+    recallOf("ann_ivf", annIvf(s, dir), 5)
+      .unionAll(recallOf("ann_lsh", annLsh(s, dir), 3))
+      .unionAll(recallOf("ann_pq_rerank", annPqRerank(s, dir), 5))
+      .withColumn("recall", col("hits").cast("double") / col("k"))
+      .orderBy("method", "query_id")
+  }
+
+  /** Oracle for B13: each rung's full oracle query embedded verbatim as a
+    * derived table (DuckDB allows WITH inside a subquery), so the recall
+    * oracle can never drift from the rung oracles it grades. */
+  val annRecallSql: String = s"""
+    WITH truth AS (
+      SELECT query_id, rank, neighbor_id FROM ($annBruteSql)),
+    q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+    retrieved AS (
+          SELECT 'ann_ivf' AS method, query_id, neighbor_id, 5 AS k
+          FROM ($annIvfSql)
+      UNION ALL
+          SELECT 'ann_lsh' AS method, query_id, neighbor_id, 3 AS k
+          FROM ($annLshSql)
+      UNION ALL
+          SELECT 'ann_pq_rerank' AS method, query_id, neighbor_id, 5 AS k
+          FROM ($annPqRerankSql)),
+    hits AS (
+      SELECT r.method, r.query_id, COUNT(t.neighbor_id) AS hits
+      FROM retrieved r
+      LEFT JOIN truth t ON t.query_id = r.query_id
+        AND t.neighbor_id = r.neighbor_id AND t.rank <= r.k
+      GROUP BY r.method, r.query_id),
+    base AS (
+      SELECT mm.method, q.query_id, mm.k
+      FROM q CROSS JOIN (VALUES ('ann_ivf', 5), ('ann_lsh', 3),
+        ('ann_pq_rerank', 5)) mm(method, k))
+    SELECT base.method, base.query_id,
+      CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+      CAST(base.k AS BIGINT) AS k,
+      CAST(COALESCE(h.hits, 0) AS DOUBLE) / base.k AS recall
+    FROM base LEFT JOIN hits h
+      ON h.method = base.method AND h.query_id = base.query_id
+    ORDER BY base.method, base.query_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
     "knn_vote"  -> (knnVote _),
@@ -1135,7 +1204,8 @@ object Similarity {
     "vec_pq"    -> (vecPq _),
     "ann_ivfpq" -> (annIvfPq _),
     "knn_vote_pq" -> (knnVotePq _),
-    "ann_pq_rerank" -> (annPqRerank _))
+    "ann_pq_rerank" -> (annPqRerank _),
+    "ann_recall" -> (annRecall _))
 
   val oracle: Map[String, String] = Map(
     "ann_brute" -> annBruteSql,
@@ -1151,5 +1221,6 @@ object Similarity {
     "vec_pq"    -> vecPqSql,
     "ann_ivfpq" -> annIvfPqSql,
     "knn_vote_pq" -> knnVotePqSql,
-    "ann_pq_rerank" -> annPqRerankSql)
+    "ann_pq_rerank" -> annPqRerankSql,
+    "ann_recall" -> annRecallSql)
 }
