@@ -1121,6 +1121,92 @@ object Similarity {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** B5k: IVF ANN over LEARNED cells — B5's serving read with the label
+    * stand-in replaced by B12's Lloyd assignment, i.e. the index a real
+    * deployment builds (FAISS trains the coarse quantizer with k-means;
+    * B5's scaladoc documents that the synthetic label cells carry no
+    * geometric signal, and IvfCellQualitySpec measures Lloyd cells
+    * clearing the scan fraction where labels can't). Same probe budget,
+    * same exact int64 centroid scoring and re-rank as B5 — only the cell
+    * map changes, so the recall delta visible in `ann_recall` is
+    * attributable to the index quality alone.
+    *
+    * Scale shape: identical to B5 (broadcast K-row centroid summary,
+    * probe top-nprobe, re-rank members of probed cells only) plus B12's
+    * bounded training cost; the assignment is computed once and reused
+    * across the centroid build and the member scan (at 100 TB it is an
+    * ingest-time column exactly like the label cell id). */
+  def annIvfKm(s: SparkSession, dir: String): DataFrame = {
+    val cells = vecKmeans(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("cluster")).persist()
+    val c = corpusSet(s, dir).join(cells, "neighbor_id")
+    val cent = c.select(col("cluster"), posexplode(transform(col("c"), x => q4(x))))
+      .groupBy("cluster", "pos").agg(sum("col").as("csum"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("csum")))),
+        e => e.getField("csum")).as("csum"))
+      .join(c.groupBy("cluster").agg(count(lit(1)).as("cnt")), "cluster")
+    val cellW = Window.partitionBy("query_id")
+      .orderBy(col("cell_score").desc, col("cluster"))
+    val probed = queriesSet(s, dir).join(broadcast(cent))
+      .select(col("query_id"), col("qq"), col("cluster"),
+        (dotExact(transform(col("q"), x => q4(x)), col("csum")).cast("double")
+          / col("cnt")).as("cell_score"))
+      .withColumn("crk", row_number().over(cellW))
+      .filter(col("crk") <= IvfProbes)
+      .select(col("query_id"), col("qq"), col("cluster"))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    c.join(broadcast(probed), Seq("cluster"))
+      .select(col("query_id"), col("neighbor_id"),
+        dotExact(col("qq"), col("cq")).as("dot"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle for B5k: B12's full oracle embedded as the cell map (so the
+    * assignment can never drift from `vec_kmeans`), then B5's probe and
+    * re-rank chain verbatim with label → learned cluster. */
+  val annIvfKmSql: String = s"""
+    WITH km AS (SELECT vec_id, cluster FROM ($vecKmeansSql)),
+    q4c AS (
+      SELECT vec_id, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings CROSS JOIN range(64) d),
+    cent AS (
+      SELECT km.cluster, q4c.d, CAST(SUM(q4c.qe) AS BIGINT) AS csum
+      FROM q4c JOIN km USING (vec_id) GROUP BY km.cluster, q4c.d),
+    cnt AS (SELECT cluster, COUNT(*) AS cnt FROM km GROUP BY cluster),
+    cellscore AS (
+      SELECT q.vec_id AS query_id, cent.cluster,
+        CAST(CAST(SUM(q.qe * cent.csum) AS BIGINT) AS DOUBLE) / MAX(cnt.cnt) AS cell_score
+      FROM q4c q JOIN cent ON q.d = cent.d JOIN cnt ON cnt.cluster = cent.cluster
+      WHERE q.vec_id < 10
+      GROUP BY q.vec_id, cent.cluster),
+    probed AS (
+      SELECT query_id, cluster FROM (
+        SELECT query_id, cluster,
+          row_number() OVER (PARTITION BY query_id ORDER BY cell_score DESC, cluster) AS crk
+        FROM cellscore) WHERE crk <= $IvfProbes),
+    scored AS (
+      SELECT p.query_id, km.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM probed p
+      JOIN km ON km.cluster = p.cluster
+      JOIN embeddings c ON c.vec_id = km.vec_id
+      JOIN embeddings q ON q.vec_id = p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, rank, neighbor_id, CAST(dot AS DOUBLE) / 1.0e16 AS score
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   /** B13: ANN recall evaluation — the serving-quality metric that turns
     * the B3/B5/B9 approximation knobs into a measured table instead of a
     * guess: for each ladder rung, per query, the fraction of the TRUE
@@ -1150,6 +1236,7 @@ object Similarity {
           coalesce(col("hits"), lit(0L)).as("hits"), lit(k.toLong).as("k"))
     }
     recallOf("ann_ivf", annIvf(s, dir), 5)
+      .unionAll(recallOf("ann_ivf_km", annIvfKm(s, dir), 5))
       .unionAll(recallOf("ann_lsh", annLsh(s, dir), 3))
       .unionAll(recallOf("ann_pq_rerank", annPqRerank(s, dir), 5))
       .withColumn("recall", col("hits").cast("double") / col("k"))
@@ -1167,6 +1254,9 @@ object Similarity {
           SELECT 'ann_ivf' AS method, query_id, neighbor_id, 5 AS k
           FROM ($annIvfSql)
       UNION ALL
+          SELECT 'ann_ivf_km' AS method, query_id, neighbor_id, 5 AS k
+          FROM ($annIvfKmSql)
+      UNION ALL
           SELECT 'ann_lsh' AS method, query_id, neighbor_id, 3 AS k
           FROM ($annLshSql)
       UNION ALL
@@ -1180,8 +1270,8 @@ object Similarity {
       GROUP BY r.method, r.query_id),
     base AS (
       SELECT mm.method, q.query_id, mm.k
-      FROM q CROSS JOIN (VALUES ('ann_ivf', 5), ('ann_lsh', 3),
-        ('ann_pq_rerank', 5)) mm(method, k))
+      FROM q CROSS JOIN (VALUES ('ann_ivf', 5), ('ann_ivf_km', 5),
+        ('ann_lsh', 3), ('ann_pq_rerank', 5)) mm(method, k))
     SELECT base.method, base.query_id,
       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
       CAST(base.k AS BIGINT) AS k,
@@ -1205,6 +1295,7 @@ object Similarity {
     "ann_ivfpq" -> (annIvfPq _),
     "knn_vote_pq" -> (knnVotePq _),
     "ann_pq_rerank" -> (annPqRerank _),
+    "ann_ivf_km" -> (annIvfKm _),
     "ann_recall" -> (annRecall _))
 
   val oracle: Map[String, String] = Map(
@@ -1222,5 +1313,6 @@ object Similarity {
     "ann_ivfpq" -> annIvfPqSql,
     "knn_vote_pq" -> knnVotePqSql,
     "ann_pq_rerank" -> annPqRerankSql,
+    "ann_ivf_km" -> annIvfKmSql,
     "ann_recall" -> annRecallSql)
 }

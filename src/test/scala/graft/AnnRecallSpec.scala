@@ -16,10 +16,10 @@ class AnnRecallSpec extends AnyFunSuite {
     .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getDouble(4)))
 
-  test("one row per (method, query): 3 methods x 10 queries") {
-    assert(rows.length === 30)
+  test("one row per (method, query): 4 methods x 10 queries") {
+    assert(rows.length === 40)
     assert(rows.map(_._1).distinct.sorted ===
-      Array("ann_ivf", "ann_lsh", "ann_pq_rerank"))
+      Array("ann_ivf", "ann_ivf_km", "ann_lsh", "ann_pq_rerank"))
     rows.groupBy(_._1).foreach { case (m, g) =>
       assert(g.map(_._2).distinct.length === 10, s"method $m query coverage")
     }
@@ -44,6 +44,7 @@ class AnnRecallSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     val expected: Map[(String, Long), Long] = Seq(
       ("ann_ivf", retrieved(Similarity.annIvf(spark, sf)), 5),
+      ("ann_ivf_km", retrieved(Similarity.annIvfKm(spark, sf)), 5),
       ("ann_lsh", retrieved(Similarity.annLsh(spark, sf)), 3),
       ("ann_pq_rerank", retrieved(Similarity.annPqRerank(spark, sf)), 5))
       .flatMap { case (m, got, k) =>
