@@ -1207,6 +1207,125 @@ object Similarity {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** B14: IVF tuning sweep — the recall-vs-scan-fraction curve a
+    * deployment reads before fixing its probe budget (FAISS's
+    * `nprobe` sweep), over BOTH cell maps (the synthetic label
+    * stand-in and B12's learned Lloyd cells), so one table answers the
+    * two ingest-time decisions: which cell map, and how many probes.
+    *
+    * No exact re-rank is needed for the recall column: the true top-k
+    * are the globally best dots, so any of them inside the candidate
+    * set survives candidate re-ranking — recall is pure set
+    * intersection |candidates ∩ truth@5|. Sums are exact integers with
+    * ONE final IEEE division (hits/50, scanned/(10·N)), so the doubles
+    * are bit-identical across engines.
+    *
+    * Scale shape: the whole nprobe sweep is a DIMENSION IN THE PLAN
+    * (explode over the probe budgets against the per-query cell
+    * ranking), not a driver loop — one pass builds both maps' centroid
+    * summaries (broadcastable K·dim rows), one bucket equi-join
+    * enumerates candidates for every (map, budget, query) cell, and
+    * two partial aggs reduce to the 8-row curve. */
+  def annTune(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusSet(s, dir)
+    val cellmap = corpus
+      .select(col("neighbor_id"), lit("label").as("cells"),
+        col("label").cast("long").as("cell"))
+      .unionAll(vecKmeans(s, dir).select(col("vec_id").as("neighbor_id"),
+        lit("kmeans").as("cells"), col("cluster").as("cell")))
+    val member = corpus.select(col("neighbor_id"), col("c")).join(cellmap, "neighbor_id")
+    val cent = member
+      .select(col("cells"), col("cell"), posexplode(transform(col("c"), x => q4(x))))
+      .groupBy("cells", "cell", "pos").agg(sum("col").as("csum"))
+      .groupBy("cells", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("csum")))),
+        e => e.getField("csum")).as("csum"))
+      .join(member.groupBy("cells", "cell").agg(count(lit(1)).as("cnt")),
+        Seq("cells", "cell"))
+    val cellW = Window.partitionBy("cells", "query_id")
+      .orderBy(col("cell_score").desc, col("cell"))
+    val rankedCells = queriesSet(s, dir).join(broadcast(cent))
+      .select(col("cells"), col("query_id"), col("cell"),
+        (dotExact(transform(col("q"), x => q4(x)), col("csum")).cast("double")
+          / col("cnt")).as("cell_score"))
+      .withColumn("crk", row_number().over(cellW))
+    val sweep = rankedCells
+      .select(col("cells"), col("query_id"), col("cell"), col("crk"),
+        explode(sequence(lit(1), lit(4))).as("nprobe"))
+      .filter(col("crk") <= col("nprobe"))
+    val cand = sweep.join(cellmap, Seq("cells", "cell"))
+      .select(col("cells"), col("nprobe").cast("long").as("nprobe"),
+        col("query_id"), col("neighbor_id"))
+    val truth = annBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = cand.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("cells", "nprobe").agg(count(lit(1)).as("hits"))
+    val scanned = cand.groupBy("cells", "nprobe").agg(count(lit(1)).as("scanned"))
+    val n = corpus.agg(count(lit(1)).as("n"))
+    scanned.join(hits, Seq("cells", "nprobe"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("cells"), col("nprobe"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("scanned"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / lit(50.0)).as("recall"),
+        (col("scanned").cast("double") / (lit(10L) * col("n")).cast("double"))
+          .as("scan_frac"))
+      .orderBy("cells", "nprobe")
+  }
+
+  /** Oracle for B14: both cell maps (B12's oracle embedded verbatim)
+    * through one shared centroid/probe chain, the nprobe sweep as a
+    * range cross join, hit counting against B2's embedded truth. */
+  val annTuneSql: String = s"""
+    WITH km AS (SELECT vec_id, cluster FROM ($vecKmeansSql)),
+    truth AS (SELECT query_id, neighbor_id FROM ($annBruteSql)),
+    cellmap AS (
+      SELECT 'label' AS cells, vec_id, CAST(label AS BIGINT) AS cell
+      FROM embeddings WHERE vec_id >= 10
+      UNION ALL
+      SELECT 'kmeans' AS cells, vec_id, cluster FROM km),
+    q4c AS (
+      SELECT vec_id, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings CROSS JOIN range(64) d),
+    cent AS (
+      SELECT m.cells, m.cell, q.d, CAST(SUM(q.qe) AS BIGINT) AS csum
+      FROM q4c q JOIN cellmap m USING (vec_id) GROUP BY m.cells, m.cell, q.d),
+    cnt AS (SELECT cells, cell, COUNT(*) AS cnt FROM cellmap GROUP BY cells, cell),
+    cellscore AS (
+      SELECT cent.cells, q.vec_id AS query_id, cent.cell,
+        CAST(CAST(SUM(q.qe * cent.csum) AS BIGINT) AS DOUBLE) / MAX(cnt.cnt) AS cell_score
+      FROM q4c q
+      JOIN cent ON q.d = cent.d
+      JOIN cnt ON cnt.cells = cent.cells AND cnt.cell = cent.cell
+      WHERE q.vec_id < 10
+      GROUP BY cent.cells, q.vec_id, cent.cell),
+    ranked_cells AS (
+      SELECT cells, query_id, cell,
+        row_number() OVER (PARTITION BY cells, query_id ORDER BY cell_score DESC, cell) AS crk
+      FROM cellscore),
+    sweep AS (
+      SELECT rc.cells, rc.query_id, rc.cell, CAST(np.range AS BIGINT) AS nprobe
+      FROM ranked_cells rc CROSS JOIN range(1, 5) np
+      WHERE rc.crk <= np.range),
+    cand AS (
+      SELECT s.cells, s.nprobe, s.query_id, m.vec_id AS neighbor_id
+      FROM sweep s JOIN cellmap m ON m.cells = s.cells AND m.cell = s.cell),
+    hits AS (
+      SELECT c.cells, c.nprobe, COUNT(*) AS hits
+      FROM cand c JOIN truth t
+        ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+      GROUP BY c.cells, c.nprobe),
+    scanned AS (
+      SELECT cells, nprobe, COUNT(*) AS scanned FROM cand GROUP BY cells, nprobe),
+    n AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id >= 10)
+    SELECT s.cells, s.nprobe,
+      CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, s.scanned,
+      CAST(COALESCE(h.hits, 0) AS DOUBLE) / 50.0 AS recall,
+      CAST(s.scanned AS DOUBLE) / CAST(10 * n.n AS DOUBLE) AS scan_frac
+    FROM scanned s
+    LEFT JOIN hits h ON h.cells = s.cells AND h.nprobe = s.nprobe
+    CROSS JOIN n
+    ORDER BY s.cells, s.nprobe"""
+
   /** B13: ANN recall evaluation — the serving-quality metric that turns
     * the B3/B5/B9 approximation knobs into a measured table instead of a
     * guess: for each ladder rung, per query, the fraction of the TRUE
@@ -1296,6 +1415,7 @@ object Similarity {
     "knn_vote_pq" -> (knnVotePq _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivf_km" -> (annIvfKm _),
+    "ann_tune" -> (annTune _),
     "ann_recall" -> (annRecall _))
 
   val oracle: Map[String, String] = Map(
@@ -1314,5 +1434,6 @@ object Similarity {
     "knn_vote_pq" -> knnVotePqSql,
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_ivf_km" -> annIvfKmSql,
+    "ann_tune" -> annTuneSql,
     "ann_recall" -> annRecallSql)
 }

@@ -32,6 +32,28 @@ class AnnRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_tune curve is structurally sound (monotone in nprobe, bounded)") {
+    val curve = Similarity.annTune(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(curve.length === 8) // 2 cell maps x 4 probe budgets
+    curve.groupBy(_._1).foreach { case (cells, rows) =>
+      val byProbe = rows.sortBy(_._2)
+      assert(byProbe.map(_._2) === Array(1L, 2L, 3L, 4L), s"$cells budgets")
+      // candidate sets grow with the budget, so hits and scanned are
+      // monotone nondecreasing by construction
+      assert(byProbe.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+        s"$cells hits not monotone")
+      assert(byProbe.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+        s"$cells scanned not monotone")
+      byProbe.foreach { case (_, np, hits, _, recall, frac) =>
+        assert(hits <= 50, s"$cells/$np hits cap")
+        assert(recall >= 0.0 && recall <= 1.0, s"$cells/$np recall bound")
+        assert(frac >= 0.0 && frac <= 1.0, s"$cells/$np scan_frac bound")
+      }
+    }
+  }
+
   test("hit counts match an independent intersection of the rung outputs") {
     def retrieved(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.select("query_id", "neighbor_id").collect()

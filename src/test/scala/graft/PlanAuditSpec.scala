@@ -39,11 +39,12 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   // Each allowed funnel is bounded by construction: 1-row totals attaches
-  // (q_attribution, text_collocations, text_source_weights), the 5-row
-  // priority window (q_top_movers), text_pack's bucket-count offset pass.
+  // (q_attribution, text_collocations, text_source_weights, ann_tune's
+  // corpus-count denominator), the 5-row priority window (q_top_movers),
+  // text_pack's bucket-count offset pass.
   private val allowedSinglePartition = Set(
     "q_attribution", "text_collocations", "text_source_weights",
-    "q_top_movers", "text_pack")
+    "q_top_movers", "text_pack", "ann_tune")
 
   /** SinglePartition exchanges whose child is a partial bloom-filter
     * aggregate are Spark's own runtime join-pruning build (one
