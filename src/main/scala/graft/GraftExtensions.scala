@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{AsOfJoinStrategy, FloatVecDot, HashEmbed, LongVecDot, LongVecSqDist, MinHashSig, SelfIntersectRule, ShingleHash60P, SimHash32, SortedLongIntersectCount}
+import graft.plans.{AsOfJoinStrategy, BandJoinRule, FloatVecDot, HashEmbed, LongVecDot, LongVecSqDist, MinHashSig, SelfIntersectRule, ShingleHash60P, SimHash32, SortedLongIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -158,5 +158,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(2).eval(null).asInstanceOf[Int])))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => SelfIntersectRule)
+    ext.injectOptimizerRule(_ => BandJoinRule)
   }
 }

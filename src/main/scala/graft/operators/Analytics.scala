@@ -396,6 +396,52 @@ object Analytics {
       .orderBy("user_id", "click_sid", "view_sid")
   }
 
+  /** E41: the SAME band-join workload as E17's family written NAIVELY —
+    * a plain inequality join, no hand binning — relying on the injected
+    * [[graft.plans.BandJoinRule]] (G28) to derive the lossless bin
+    * decomposition automatically: per signup, the same user's view
+    * activity within ±1 hour. The DataFrame below is what a user would
+    * write first; without the rule it plans as a hash join on user_id
+    * with the band as a per-key cross-product filter (and with no equi
+    * key at all it degenerates to BroadcastNestedLoopJoin). With the
+    * rule, the optimizer emits the exact E17 shape: both sides bucketed
+    * into 7200 s bins, the view side fanned to {bin, bin+1}, equi-join
+    * on (user_id, bin), exact band re-check — a bounded shuffle at any
+    * scale. BandJoinRuleSpec pins the plan upgrade and on/off equality;
+    * this oracle pins the arithmetic. */
+  def qBandJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_timestamp(col("ts").cast(TimestampType)).as("epoch"))
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("epoch").as("s_epoch"))
+    val vw = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("epoch").as("v_epoch"),
+        col("value"))
+    su.join(vw, col("user_id") === col("v_user") &&
+        col("v_epoch") >= col("s_epoch") - 3600L &&
+        col("v_epoch") <= col("s_epoch") + 3600L)
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_views"),
+        sum(dec(col("value"))).cast("double").as("view_value"))
+      .orderBy("signup_id")
+  }
+
+  val qBandJoinAutoSql: String = """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+      FROM events)
+    SELECT s.event_id AS signup_id, COUNT(*) AS n_views,
+      CAST(SUM(CAST(v.value AS DECIMAL(12,2))) AS DOUBLE) AS view_value
+    FROM ev s JOIN ev v
+      ON v.user_id = s.user_id AND v.event_type = 'view'
+      AND v.epoch >= s.epoch - 3600 AND v.epoch <= s.epoch + 3600
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id
+    ORDER BY s.event_id"""
+
   val qIntervalJoinSql: String = """
     WITH ev AS (
       SELECT event_id, user_id, event_type,
@@ -1008,6 +1054,7 @@ object Analytics {
     "q_anti_join"  -> (qAntiJoin _),
     "q_semi_join"  -> (qSemiJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_band_join_auto" -> (qBandJoinAuto _),
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
@@ -1037,6 +1084,7 @@ object Analytics {
     "q_anti_join"  -> qAntiJoinSql,
     "q_semi_join"  -> qSemiJoinSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_band_join_auto" -> qBandJoinAutoSql,
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,
