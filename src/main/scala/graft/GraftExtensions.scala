@@ -70,6 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Int])
         .toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[graft.plans.KmvSketch].getName, null,
+        "graft_kmv"),
+      (children: Seq[Expression]) => graft.plans.KmvSketch(children.head,
+        foldableNum(children(1), "graft_kmv", "k").toInt)
+        .toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hll_est"),
       new ExpressionInfo(classOf[graft.plans.HllEstimate].getName, null,
         "graft_hll_est"),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Hashing
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -313,7 +313,112 @@ object Sketches {
         col("q.p99_edge"), col("q.n_events"))
       .orderBy("event_type")
 
+  /** E42: cross-set overlap via the G29 KMV (theta-style) sketch — the
+    * distinct-intersection question HLL (E16/G18) cannot answer. Per
+    * event_type the `graft_kmv` aggregate retains the k = 128 minimum
+    * md5-60 user hashes (bounded mergeable state, map-side combined);
+    * every pair of types is then compared with pure ARRAY ARITHMETIC on
+    * the two sketches: union sketch = k smallest of the merged lists,
+    * θ = v_k / 2^60 its sampled fraction, per-set distinct estimates
+    * (k−1)·M/v_k, intersection estimate |union-sketch ∩ A ∩ B| / θ, and
+    * a Jaccard estimate from the same hits — the DataSketches
+    * theta-intersection algebra as Column expressions. Unsaturated
+    * sketches (m < k) hold the whole set, so estimates switch to exact
+    * counts. Exact integers until the final IEEE divisions, so DuckDB
+    * (relational restatement: row_number-ranked hashes instead of
+    * arrays) matches bit-for-bit. The 5×5 type-pair join is a bounded
+    * dimension cross, broadcast by construction; at 100 TB only the
+    * per-source 128-long sketches move. */
+  def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val M = 1152921504606846976L // 2^60, the h60 hash space
+    val sk = Tables.events(s, dir)
+      .select(col("event_type"),
+        Hashing.h60(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(call_function("graft_kmv", col("h"), lit(k)).as("kmv"))
+    def estSet(kmv: Column): Column =
+      when(size(kmv) < k, size(kmv).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(M.toDouble)
+          / element_at(kmv, k).cast("double"))
+    val a = sk.select(col("event_type").as("type_a"), col("kmv").as("kmv_a"))
+    val b = sk.select(col("event_type").as("type_b"), col("kmv").as("kmv_b"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("u", slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k))
+      .withColumn("mu", size(col("u")))
+      .withColumn("vku", element_at(col("u"), col("mu")))
+      .withColumn("c",
+        size(array_intersect(array_intersect(col("u"), col("kmv_a")), col("kmv_b"))))
+      .select(col("type_a"), col("type_b"),
+        estSet(col("kmv_a")).as("est_a"),
+        estSet(col("kmv_b")).as("est_b"),
+        when(col("mu") < k, col("mu").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(M.toDouble)
+            / col("vku").cast("double")).as("est_union"),
+        when(col("mu") < k, col("c").cast("double"))
+          .otherwise(col("c").cast("double") * lit(M.toDouble)
+            / col("vku").cast("double")).as("est_inter"),
+        (col("c").cast("double") / col("mu").cast("double")).as("kmv_jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val qKmvOverlapSql: String = s"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+        ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+      FROM events),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM h)
+      WHERE rk <= 128),
+    st AS (SELECT event_type, COUNT(*) AS m, MAX(h) AS vk
+           FROM sk GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, a.m AS ma, a.vk AS vka,
+             b.event_type AS type_b, b.m AS mb, b.vk AS vkb
+      FROM st a JOIN st b ON a.event_type < b.event_type),
+    uni0 AS (
+      SELECT p.type_a, p.type_b, s.h
+      FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY p.type_a, p.type_b, s.h),
+    uni AS (
+      SELECT type_a, type_b, h FROM (
+        SELECT type_a, type_b, h,
+          row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk
+        FROM uni0)
+      WHERE rk <= 128),
+    ust AS (SELECT type_a, type_b, COUNT(*) AS mu, MAX(h) AS vku
+            FROM uni GROUP BY type_a, type_b),
+    hits AS (
+      SELECT u.type_a, u.type_b, COUNT(*) AS c
+      FROM uni u
+      JOIN sk sa ON sa.event_type = u.type_a AND sa.h = u.h
+      JOIN sk sb ON sb.event_type = u.type_b AND sb.h = u.h
+      GROUP BY u.type_a, u.type_b)
+    SELECT p.type_a, p.type_b,
+      CASE WHEN p.ma < 128 THEN CAST(p.ma AS DOUBLE)
+           ELSE 127.0 * 1152921504606846976.0 / CAST(p.vka AS DOUBLE)
+      END AS est_a,
+      CASE WHEN p.mb < 128 THEN CAST(p.mb AS DOUBLE)
+           ELSE 127.0 * 1152921504606846976.0 / CAST(p.vkb AS DOUBLE)
+      END AS est_b,
+      CASE WHEN u.mu < 128 THEN CAST(u.mu AS DOUBLE)
+           ELSE 127.0 * 1152921504606846976.0 / CAST(u.vku AS DOUBLE)
+      END AS est_union,
+      CASE WHEN u.mu < 128 THEN CAST(COALESCE(ht.c, 0) AS DOUBLE)
+           ELSE CAST(COALESCE(ht.c, 0) AS DOUBLE) * 1152921504606846976.0
+                / CAST(u.vku AS DOUBLE)
+      END AS est_inter,
+      CAST(COALESCE(ht.c, 0) AS DOUBLE) / CAST(u.mu AS DOUBLE) AS kmv_jaccard
+    FROM pairs p
+    JOIN ust u ON u.type_a = p.type_a AND u.type_b = p.type_b
+    LEFT JOIN hits ht ON ht.type_a = p.type_a AND ht.type_b = p.type_b
+    ORDER BY p.type_a, p.type_b"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_overlap" -> (qKmvOverlap _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_hll_users"  -> (qHllUsers _),
     "q_cms_topk"   -> (qCmsTopk _),
@@ -323,6 +428,7 @@ object Sketches {
     "q_qhist_native" -> (qQhistNative _))
 
   val oracle: Map[String, String] = Map(
+    "q_kmv_overlap" -> qKmvOverlapSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_hll_users"  -> qHllUsersSql,
     "q_cms_topk"   -> qCmsTopkSql,
