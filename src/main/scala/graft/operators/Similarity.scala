@@ -681,6 +681,108 @@ object Similarity {
            CAST(aq % d AS BIGINT) AS residual
     FROM scaled ORDER BY vec_id, dim"""
 
+  /** B15: SQ8 flat search — the serving read over B6's int8-compressed
+    * corpus (FAISS `IndexScalarQuantizer(QT_8bit)` analog), completing
+    * the quantized-serving ladder: SQ8 here, PQ/ADC in B7–B9. The scan
+    * touches ONLY the codes column and the one per-vector scale long
+    * (~65 bytes/vector instead of 512 for raw float64 dims — the
+    * memory-tight deployment's first compression stop before PQ), ranks
+    * an approximate shortlist, then re-ranks the top-20 exactly from raw
+    * vectors (B9's refine discipline).
+    *
+    * Exactness: with B6's symmetric scheme the per-vector scale
+    * FACTORIZES out of the dot product — approx = d · Σ qq_i·code_i —
+    * so the approximate score is exact int64 (|Σ| ≤ 64·1e8·127 ≈ 8e11,
+    * ×d ≤ 8e5 → 6.4e17, int64-safe) and the oracle hash-matches
+    * bit-for-bit; one IEEE division per emitted row at the end.
+    *
+    * Scale shape: codes build = one narrow posexplode + per-vector
+    * window + collect (ingest-time artifact at 100 TB, exactly like the
+    * G20 PQ sidecar); serving = broadcast query set × codes scan, top-k
+    * per query, bounded re-rank join. */
+  def annSq8(s: SparkSession, dir: String): DataFrame = {
+    val wv = Window.partitionBy("vec_id")
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"), q8(col("col")).as("q"))
+    val scaled = e
+      .withColumn("m", max(abs(col("q"))).over(wv))
+      .withColumn("d",
+        greatest((col("m") - pmod(col("m"), lit(127L))) / 127L, lit(1L))
+          .cast("long"))
+      .withColumn("code", when(col("q") < 0, -1L).otherwise(1L) *
+        ((abs(col("q")) - pmod(abs(col("q")), col("d"))) / col("d")).cast("long"))
+    val codes = scaled.groupBy(col("vec_id").as("neighbor_id"), col("d"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("code")))),
+        f => f.getField("code")).as("codes"))
+    val wa = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val short = codes.join(broadcast(queriesSet(s, dir)))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotExact(col("qq"), col("codes")) * col("d")).as("adc"))
+      .withColumn("ark", row_number().over(wa))
+      .filter(col("ark") <= 20)
+    val wr = Window.partitionBy("query_id").orderBy(col("dot").desc, col("neighbor_id"))
+    short
+      .join(corpusSet(s, dir).select(col("neighbor_id"), col("cq")), "neighbor_id")
+      .join(broadcast(queriesSet(s, dir).select(col("query_id"), col("qq"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        dotExact(col("qq"), col("cq")).as("dot"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"),
+        (col("adc").cast("double") / lit(1.0e16)).as("sq8_score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annSq8Sql: String = """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100000000 + 0.5) AS BIGINT) AS q
+      FROM embeddings WHERE vec_id >= 10),
+    scaled AS (
+      SELECT vec_id, dim,
+        CASE WHEN q < 0 THEN -1 ELSE 1 END AS sgn, abs(q) AS aq,
+        GREATEST((MAX(abs(q)) OVER (PARTITION BY vec_id)
+                  - MAX(abs(q)) OVER (PARTITION BY vec_id) % 127) / 127,
+                 1) AS d
+      FROM e),
+    codes AS (
+      SELECT vec_id, dim, CAST(d AS BIGINT) AS d,
+        CAST(sgn * ((aq - aq % d) / d) AS BIGINT) AS code
+      FROM scaled),
+    qq AS (
+      SELECT vec_id AS query_id, generate_subscripts(embedding, 1) AS dim,
+        CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100000000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings WHERE vec_id < 10),
+    approx AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        CAST(SUM(q.qe * c.code) AS BIGINT) * MAX(c.d) AS adc
+      FROM qq q JOIN codes c ON c.dim = q.dim
+      GROUP BY q.query_id, c.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id, adc,
+        row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS ark
+      FROM approx),
+    resc AS (
+      SELECT s.query_id, s.neighbor_id, s.adc,
+        CAST(list_sum(list_transform(list_zip(qv.embedding, cv.embedding),
+          z -> CAST(floor(CAST(z[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(z[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM short s
+      JOIN embeddings qv ON qv.vec_id = s.query_id
+      JOIN embeddings cv ON cv.vec_id = s.neighbor_id
+      WHERE s.ark <= 20),
+    ranked AS (
+      SELECT query_id, neighbor_id, adc, dot,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      FROM resc)
+    SELECT query_id, rank, neighbor_id,
+      CAST(dot AS DOUBLE) / 1.0e16 AS score,
+      CAST(adc AS DOUBLE) / 1.0e16 AS sq8_score
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   // ---- B12: k-means (Lloyd) clustering -----------------------------------
 
   private val KmK = 8 // clusters
@@ -1358,6 +1460,7 @@ object Similarity {
       .unionAll(recallOf("ann_ivf_km", annIvfKm(s, dir), 5))
       .unionAll(recallOf("ann_lsh", annLsh(s, dir), 3))
       .unionAll(recallOf("ann_pq_rerank", annPqRerank(s, dir), 5))
+      .unionAll(recallOf("ann_sq8", annSq8(s, dir), 5))
       .withColumn("recall", col("hits").cast("double") / col("k"))
       .orderBy("method", "query_id")
   }
@@ -1380,7 +1483,10 @@ object Similarity {
           FROM ($annLshSql)
       UNION ALL
           SELECT 'ann_pq_rerank' AS method, query_id, neighbor_id, 5 AS k
-          FROM ($annPqRerankSql)),
+          FROM ($annPqRerankSql)
+      UNION ALL
+          SELECT 'ann_sq8' AS method, query_id, neighbor_id, 5 AS k
+          FROM ($annSq8Sql)),
     hits AS (
       SELECT r.method, r.query_id, COUNT(t.neighbor_id) AS hits
       FROM retrieved r
@@ -1390,7 +1496,7 @@ object Similarity {
     base AS (
       SELECT mm.method, q.query_id, mm.k
       FROM q CROSS JOIN (VALUES ('ann_ivf', 5), ('ann_ivf_km', 5),
-        ('ann_lsh', 3), ('ann_pq_rerank', 5)) mm(method, k))
+        ('ann_lsh', 3), ('ann_pq_rerank', 5), ('ann_sq8', 5)) mm(method, k))
     SELECT base.method, base.query_id,
       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
       CAST(base.k AS BIGINT) AS k,
@@ -1409,6 +1515,7 @@ object Similarity {
     "ann_lsh"   -> (annLsh _),
     "ann_ivf"   -> (annIvf _),
     "vec_quantize" -> (vecQuantize _),
+    "ann_sq8" -> (annSq8 _),
     "vec_kmeans" -> (vecKmeans _),
     "vec_pq"    -> (vecPq _),
     "ann_ivfpq" -> (annIvfPq _),
@@ -1428,6 +1535,7 @@ object Similarity {
     "ann_lsh"   -> annLshSql,
     "ann_ivf"   -> annIvfSql,
     "vec_quantize" -> vecQuantizeSql,
+    "ann_sq8" -> annSq8Sql,
     "vec_kmeans" -> vecKmeansSql,
     "vec_pq"    -> vecPqSql,
     "ann_ivfpq" -> annIvfPqSql,

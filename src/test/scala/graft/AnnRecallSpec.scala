@@ -16,10 +16,10 @@ class AnnRecallSpec extends AnyFunSuite {
     .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getDouble(4)))
 
-  test("one row per (method, query): 4 methods x 10 queries") {
-    assert(rows.length === 40)
+  test("one row per (method, query): 5 methods x 10 queries") {
+    assert(rows.length === 50)
     assert(rows.map(_._1).distinct.sorted ===
-      Array("ann_ivf", "ann_ivf_km", "ann_lsh", "ann_pq_rerank"))
+      Array("ann_ivf", "ann_ivf_km", "ann_lsh", "ann_pq_rerank", "ann_sq8"))
     rows.groupBy(_._1).foreach { case (m, g) =>
       assert(g.map(_._2).distinct.length === 10, s"method $m query coverage")
     }
@@ -68,7 +68,8 @@ class AnnRecallSpec extends AnyFunSuite {
       ("ann_ivf", retrieved(Similarity.annIvf(spark, sf)), 5),
       ("ann_ivf_km", retrieved(Similarity.annIvfKm(spark, sf)), 5),
       ("ann_lsh", retrieved(Similarity.annLsh(spark, sf)), 3),
-      ("ann_pq_rerank", retrieved(Similarity.annPqRerank(spark, sf)), 5))
+      ("ann_pq_rerank", retrieved(Similarity.annPqRerank(spark, sf)), 5),
+      ("ann_sq8", retrieved(Similarity.annSq8(spark, sf)), 5))
       .flatMap { case (m, got, k) =>
         truthAt(k).map { case (q, ts) =>
           (m, q) -> got.getOrElse(q, Set.empty).intersect(ts).size.toLong }
