@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -389,6 +389,53 @@ object Streams {
     }.reduce(_ + _)
     agg.select(col("window.start").as("window_start"), col("n_docs"),
       psi.as("psi"), (psi > lit(threshold)).as("drifted"))
+  }
+
+  /** F22: streaming funnel-overlap monitor — per tumbling window, KMV
+    * sketches (G29 `graft_kmv`) of the distinct CLICKING and PURCHASING
+    * user sets as two conditional aggregates in ONE watermarked windowed
+    * aggregation (the aggregate skips nulls, so the per-type pivot is a
+    * free `when`), then the E42 theta-intersection algebra as stateless
+    * column math over the two sketches: distinct estimates, the overlap
+    * estimate, and the conversion estimate — "what fraction of this
+    * window's distinct clickers also purchased". That set INTERSECTION is
+    * the funnel question F17's HLL monitor fundamentally cannot answer
+    * (HLL has no intersection algebra), and an exact distinct-join would
+    * hold every user id in state; here state per open window is ≤ 2k
+    * longs, mergeable and commutative, so micro-batch folding is
+    * bit-identical to batch. Unsaturated sketches give EXACT counts —
+    * the monitor degrades gracefully from exact to ±1/√k estimates as
+    * window volume grows. */
+  def overlapMonitor(events: DataFrame, k: Int = 128): DataFrame = {
+    val M = 1152921504606846976L // 2^60, the h60 hash space
+    val h = graft.functions.Hashing.h60(col("user_id").cast("string"))
+    def est(kmv: Column): Column =
+      when(size(kmv) < k, size(kmv).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(M.toDouble)
+          / element_at(kmv, k).cast("double"))
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(
+        call_function("graft_kmv",
+          when(col("event_type") === "click", h), lit(k)).as("kc"),
+        call_function("graft_kmv",
+          when(col("event_type") === "purchase", h), lit(k)).as("kp"))
+      .withColumn("u", slice(array_sort(array_union(col("kc"), col("kp"))), 1, k))
+      .withColumn("mu", size(col("u")))
+      .withColumn("c", size(array_intersect(array_intersect(col("u"), col("kc")),
+        col("kp"))))
+      .withColumn("est_both",
+        when(col("mu") < k, col("c").cast("double"))
+          .otherwise(col("c").cast("double") * lit(M.toDouble)
+            / element_at(col("u"), col("mu")).cast("double")))
+      .withColumn("est_clickers", est(col("kc")))
+      .select(col("window.start").as("window_start"),
+        col("est_clickers"), est(col("kp")).as("est_purchasers"),
+        col("est_both"),
+        when(col("est_clickers") > 0.0, col("est_both") / col("est_clickers"))
+          .as("conversion_est"))
   }
 
   /** F20: the streaming admission capstone — the composed job a corpus

@@ -289,6 +289,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(("2024-01-01 00:10:00.0", "view")) == (60L, 60L, 1L))
   }
 
+  test("F22: overlap monitor folds micro-batches, estimates exactly when unsaturated") {
+    // window 0: clickers {1..6}, purchasers {4..8} → overlap {4,5,6} = 3,
+    // conversion 3/6; split across two micro-batches so the sketch's
+    // merge path runs. window 1: clickers only → zero purchasers, null-
+    // safe conversion. views must be ignored entirely.
+    val b1 = (1 to 4).map(u => StreamEvent(u.toLong, ts(2), u.toLong, "click", 1.0)) ++
+      Seq(StreamEvent(10, ts(3), 4, "purchase", 9.0),
+        StreamEvent(11, ts(3), 7, "purchase", 9.0),
+        StreamEvent(12, ts(4), 999, "view", 0.0))
+    val b2 = (5 to 6).map(u => StreamEvent(20 + u.toLong, ts(5), u.toLong, "click", 1.0)) ++
+      Seq(StreamEvent(30, ts(6), 5, "purchase", 9.0),
+        StreamEvent(31, ts(6), 6, "purchase", 9.0),
+        StreamEvent(32, ts(7), 8, "purchase", 9.0),
+        StreamEvent(33, ts(14), 42, "click", 1.0))
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(b1: _*)
+    val q = Streams.overlapMonitor(input.toDF())
+      .writeStream.format("memory").queryName("ovl_mon")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ovl_mon").collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    // unsaturated sketches (6, 5 distinct « k=128) → estimates are EXACT
+    val (ec, ep, eb, conv) = rows("2024-01-01 00:00:00.0")
+    assert(ec == 6.0 && ep == 5.0 && eb == 3.0)
+    assert(math.abs(conv - 0.5) < 1e-12)
+    val (ec1, ep1, eb1, conv1) = rows("2024-01-01 00:10:00.0")
+    assert(ec1 == 1.0 && ep1 == 0.0 && eb1 == 0.0 && conv1 == 0.0)
+    // micro-batch fold == one-shot batch aggregation, bit-for-bit
+    val batch = Streams.overlapMonitor((b1 ++ b2).toDF()).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    assert(rows.keySet == batch.keySet)
+    rows.keys.foreach { k =>
+      assert(rows(k).toString == batch(k).toString, s"window $k drifted") }
+  }
+
   test("F18: drift monitor passes a baseline-like window, flags a junk window") {
     // baseline corpus: well-formed prose (stopwords present, sane word
     // lengths) mixed with some short fragments — a realistic accepted mix
