@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -35,8 +35,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * never widen the result. Floor division is exact for negatives via
   * `(a - pmod(a, w)) div w` — all integer arithmetic, no IEEE anywhere.
   *
+  * Join types: Inner, LeftOuter, LeftSemi and LeftAnti rewrite with the
+  * fan-out on the RIGHT side — the left is never duplicated, so
+  * unmatched-left semantics (outer padding, semi existence, anti
+  * absence) are preserved exactly: a true match is always bin-covered,
+  * and per (l, r) pair at most one replica matches. RightOuter mirrors:
+  * the band is reflected (y ∈ [x−hi, x−lo]) and the LEFT side fans out,
+  * keeping the null-padded right rows single. FullOuter cannot keep
+  * both sides un-duplicated and is never touched.
+  *
   * Scope guards (all conservative — when in doubt, leave the join alone):
-  *   - inner joins with deterministic conditions only;
+  *   - the join types above with deterministic conditions only;
   *   - both band operands integral (long/int), deterministic, non-foldable;
   *   - both a lower AND an upper bound on the same (x, y) pair — one-sided
   *     inequalities (as-of joins) and interval-overlap joins (bounds on
@@ -171,10 +180,16 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   private def enabled: Boolean =
     conf.getConfString("graft.bandjoin.rewrite", "true").toBoolean
 
+  /** Join types safe to rewrite with the fan-out on the right side (the
+    * left is never duplicated, so padding/existence/absence semantics
+    * survive); RightOuter mirrors with the fan-out on the left. */
+  private val fanRightTypes: Set[JoinType] = Set(Inner, LeftOuter, LeftSemi, LeftAnti)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), hint) if cond.deterministic =>
+      case j @ Join(left, right, jt, Some(cond), hint)
+          if (fanRightTypes(jt) || jt == RightOuter) && cond.deterministic =>
         rewrite(j, left, right, cond, hint).getOrElse(j)
     }
   }
@@ -223,17 +238,32 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       if (alreadyBinned) None
       else {
         val binW = math.max(hi - lo, 1L)
-        val xbin = floorDiv(toLong(x), binW)
-        val ybin0 = floorDiv(Add(toLong(y), Literal(lo)), binW)
-        val binL = Alias(xbin, "__graft_bin_l")()
         val binAttr = AttributeReference("__graft_bin", LongType)()
-        val projL = Project(left.output :+ binL, left)
-        val gen = Generate(
-          Explode(CreateArray(Seq(ybin0, Add(ybin0, Literal(1L))))),
-          unrequiredChildIndex = Nil, outer = false, qualifier = None,
-          generatorOutput = Seq(binAttr), child = right)
-        val newCond = And(EqualTo(binL.toAttribute, binAttr), cond)
-        Some(Project(j.output, Join(projL, gen, Inner, Some(newCond), hint)))
+        val newJoin = if (fanRightTypes(j.joinType)) {
+          // x (left) is the point, y (right) fans to {bin, bin+1}
+          val binL = Alias(floorDiv(toLong(x), binW), "__graft_bin_l")()
+          val ybin0 = floorDiv(Add(toLong(y), Literal(lo)), binW)
+          val projL = Project(left.output :+ binL, left)
+          val gen = Generate(
+            Explode(CreateArray(Seq(ybin0, Add(ybin0, Literal(1L))))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(binAttr), child = right)
+          val newCond = And(EqualTo(binL.toAttribute, binAttr), cond)
+          Join(projL, gen, j.joinType, Some(newCond), hint)
+        } else {
+          // RightOuter: reflect the band (y ∈ [x−hi, x−lo]) so the RIGHT
+          // side stays single (y is the point) and the LEFT fans out
+          val binR = Alias(floorDiv(toLong(y), binW), "__graft_bin_r")()
+          val xbin0 = floorDiv(Add(toLong(x), Literal(-hi)), binW)
+          val projR = Project(right.output :+ binR, right)
+          val gen = Generate(
+            Explode(CreateArray(Seq(xbin0, Add(xbin0, Literal(1L))))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(binAttr), child = left)
+          val newCond = And(EqualTo(binAttr, binR.toAttribute), cond)
+          Join(gen, projR, RightOuter, Some(newCond), hint)
+        }
+        Some(Project(j.output, newJoin))
       }
     }
   }

@@ -27,7 +27,7 @@ class BandJoinRuleSpec extends AnyFunSuite {
   private def generateCount(df: DataFrame): Int =
     df.queryExecution.optimizedPlan.collect { case g: Generate => g }.size
 
-  private val l = Seq((1L, 100L), (2L, 205L), (3L, -50L), (4L, 7L))
+  private val l = Seq((1L, 100L), (2L, 205L), (3L, -50L), (4L, 7L), (5L, 999L))
     .toDF("lid", "lx")
   private val r = Seq((10L, 95L), (11L, 101L), (12L, 160L), (13L, 200L),
     (14L, -45L), (15L, -300L), (16L, 7L)).toDF("rid", "ry")
@@ -76,6 +76,25 @@ class BandJoinRuleSpec extends AnyFunSuite {
       col("lx") >= col("ry") - 5L && col("lx") <= col("ry") + 5L)
     assert(sortedRows(build) == withRuleOff(sortedRows(build)))
     assert(sortedRows(build).size == 1)
+  }
+
+  test("outer, semi and anti band joins rewrite losslessly (unmatched rows kept)") {
+    // lid=5 (999) matches nothing → left_outer pads it, left_anti keeps it;
+    // rid=12 (160) and rid=15 (-300) match nothing → right_outer pads them
+    for (jt <- Seq("left_outer", "left_semi", "left_anti", "right_outer")) {
+      def build = l.join(r,
+        col("lx") >= col("ry") - 10L && col("lx") <= col("ry") + 20L, jt)
+      val phys = build.queryExecution.executedPlan.toString
+      assert(phys.contains("__graft_bin"), s"$jt not rewritten:\n$phys")
+      val got = sortedRows(build)
+      val want = withRuleOff(sortedRows(build))
+      assert(got == want && want.nonEmpty, s"$jt mismatch")
+    }
+    // full outer cannot keep both sides un-duplicated: never rewritten
+    val fo = l.join(r,
+      col("lx") >= col("ry") - 10L && col("lx") <= col("ry") + 20L, "full_outer")
+    assert(!fo.queryExecution.executedPlan.toString.contains("__graft_bin"))
+    assert(sortedRows(fo) == withRuleOff(sortedRows(fo)))
   }
 
   test("hand-binned q_range_join and q_interval_join are left alone") {
