@@ -330,26 +330,132 @@ object Sketches {
     * dimension cross, broadcast by construction; at 100 TB only the
     * per-source 128-long sketches move. */
   def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
-    val k = 128
-    val M = 1152921504606846976L // 2^60, the h60 hash space
     val sk = Tables.events(s, dir)
       .select(col("event_type"),
         Hashing.h60(col("user_id").cast("string")).as("h"))
       .groupBy("event_type")
+      .agg(call_function("graft_kmv", col("h"), lit(128)).as("kmv"))
+    kmvOverlap(sk, "event_type", 128)
+      .withColumnRenamed("key_a", "type_a")
+      .withColumnRenamed("key_b", "type_b")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** E43: KMV sketch rollup — the union-merge algebra of G29 at the
+    * query level, mirroring E31's HLL rollup: per (event_type, day) user
+    * sketches are merged up to event_type with pure array arithmetic
+    * (concat → distinct → sort → first k), and the merged estimate is
+    * emitted NEXT TO the directly-built whole-set sketch estimate. The
+    * two are provably identical — any of the k global minima is within
+    * its own day's k minima, so k-min-of-union-of-k-mins ≡ k-min of the
+    * whole set — and the oracle checks that equality row by row
+    * (`merge_lossless` must be true). This is what makes per-shard KMV
+    * sidecars a safe 100 TB artifact: daily/shard sketches roll up to
+    * any coarser grain after the fact with NO loss vs re-scanning, the
+    * same re-aggregatable-artifact contract as E31.
+    *
+    * Scale shape: one (type, day) aggregation with bounded state, one
+    * k-array merge per type over #days rows, one broadcastable 5-row
+    * join; the raw events are scanned twice only because the direct
+    * sketch is deliberately rebuilt as the proof's other side. */
+  def qKmvRollup(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val hashed = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        Hashing.h60(col("user_id").cast("string")).as("h"))
+    val daySk = hashed.groupBy("event_type", "day")
       .agg(call_function("graft_kmv", col("h"), lit(k)).as("kmv"))
+    val merged = daySk.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("kmv"))))),
+          1, k).as("kmv_merged"))
+    val direct = hashed.groupBy("event_type")
+      .agg(call_function("graft_kmv", col("h"), lit(k)).as("kmv_direct"))
+    def est(kmv: Column): Column =
+      when(size(kmv) < k, size(kmv).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L.toDouble)
+          / element_at(kmv, k).cast("double"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("n_days"),
+        est(col("kmv_merged")).as("est_merged"),
+        est(col("kmv_direct")).as("est_direct"),
+        (col("kmv_merged") === col("kmv_direct")).as("merge_lossless"))
+      .orderBy("event_type")
+  }
+
+  val qKmvRollupSql: String = s"""
+    WITH h AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+        ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+      FROM events),
+    day_sk AS (
+      SELECT event_type, day, h FROM (
+        SELECT event_type, day, h,
+          row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rk
+        FROM h)
+      WHERE rk <= 128),
+    days AS (SELECT event_type, COUNT(DISTINCT day) AS n_days
+             FROM day_sk GROUP BY event_type),
+    merged AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM (SELECT DISTINCT event_type, h FROM day_sk))
+      WHERE rk <= 128),
+    mst AS (SELECT event_type, COUNT(*) AS m, MAX(h) AS vk
+            FROM merged GROUP BY event_type),
+    direct AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h)  AS rk
+        FROM (SELECT DISTINCT event_type, h FROM h))
+      WHERE rk <= 128),
+    dst AS (SELECT event_type, COUNT(*) AS m, MAX(h) AS vk
+            FROM direct GROUP BY event_type),
+    eq AS (
+      SELECT m.event_type,
+        COUNT(d.h) = MAX(ms.m) AND MAX(ms.m) = MAX(ds.m) AS merge_lossless
+      FROM merged m
+      LEFT JOIN direct d ON d.event_type = m.event_type AND d.h = m.h
+      JOIN mst ms ON ms.event_type = m.event_type
+      JOIN dst ds ON ds.event_type = m.event_type
+      GROUP BY m.event_type)
+    SELECT days.event_type, days.n_days,
+      CASE WHEN ms.m < 128 THEN CAST(ms.m AS DOUBLE)
+           ELSE 127.0 * 1152921504606846976.0 / CAST(ms.vk AS DOUBLE)
+      END AS est_merged,
+      CASE WHEN ds.m < 128 THEN CAST(ds.m AS DOUBLE)
+           ELSE 127.0 * 1152921504606846976.0 / CAST(ds.vk AS DOUBLE)
+      END AS est_direct,
+      eq.merge_lossless
+    FROM days
+    JOIN mst ms ON ms.event_type = days.event_type
+    JOIN dst ds ON ds.event_type = days.event_type
+    JOIN eq ON eq.event_type = days.event_type
+    ORDER BY days.event_type"""
+
+  /** The E42 theta set-algebra over ANY (key, kmv) sketch table built
+    * with `graft_kmv(h, k)`: one row per unordered key pair with
+    * per-set, union, and intersection distinct estimates plus a Jaccard
+    * estimate. Pure array arithmetic — reusable wherever per-partition
+    * sketches already exist (q_kmv_overlap over event types, G19's
+    * per-source corpus-overlap audit). Unsaturated sketches (m < k)
+    * give exact counts. */
+  def kmvOverlap(sk: DataFrame, key: String, k: Int): DataFrame = {
+    val M = 1152921504606846976L // 2^60, the h60 hash space
     def estSet(kmv: Column): Column =
       when(size(kmv) < k, size(kmv).cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(M.toDouble)
           / element_at(kmv, k).cast("double"))
-    val a = sk.select(col("event_type").as("type_a"), col("kmv").as("kmv_a"))
-    val b = sk.select(col("event_type").as("type_b"), col("kmv").as("kmv_b"))
-    a.join(b, col("type_a") < col("type_b"))
+    val a = sk.select(col(key).as("key_a"), col("kmv").as("kmv_a"))
+    val b = sk.select(col(key).as("key_b"), col("kmv").as("kmv_b"))
+    a.join(b, col("key_a") < col("key_b"))
       .withColumn("u", slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k))
       .withColumn("mu", size(col("u")))
       .withColumn("vku", element_at(col("u"), col("mu")))
       .withColumn("c",
         size(array_intersect(array_intersect(col("u"), col("kmv_a")), col("kmv_b"))))
-      .select(col("type_a"), col("type_b"),
+      .select(col("key_a"), col("key_b"),
         estSet(col("kmv_a")).as("est_a"),
         estSet(col("kmv_b")).as("est_b"),
         when(col("mu") < k, col("mu").cast("double"))
@@ -359,7 +465,6 @@ object Sketches {
           .otherwise(col("c").cast("double") * lit(M.toDouble)
             / col("vku").cast("double")).as("est_inter"),
         (col("c").cast("double") / col("mu").cast("double")).as("kmv_jaccard"))
-      .orderBy("type_a", "type_b")
   }
 
   val qKmvOverlapSql: String = s"""
@@ -419,6 +524,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmv_overlap" -> (qKmvOverlap _),
+    "q_kmv_rollup" -> (qKmvRollup _),
     "q_salted_agg" -> (qSaltedAgg _),
     "q_hll_users"  -> (qHllUsers _),
     "q_cms_topk"   -> (qCmsTopk _),
@@ -429,6 +535,7 @@ object Sketches {
 
   val oracle: Map[String, String] = Map(
     "q_kmv_overlap" -> qKmvOverlapSql,
+    "q_kmv_rollup" -> qKmvRollupSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_hll_users"  -> qHllUsersSql,
     "q_cms_topk"   -> qCmsTopkSql,
