@@ -104,6 +104,24 @@ object CorpusJob {
         .write.mode("overwrite").parquet(s"$outDir/_graft_manifest")
     }
 
+    // G29 composed: per-source KMV content sketches → pairwise overlap
+    // estimates over the INPUT corpus (exact-content hashes, BEFORE any
+    // dedup ran) — the redundancy-budget audit a curation review reads
+    // next to the stage counts: how much identical content two sources
+    // share predicts what cross-source dedup will remove. Bounded work:
+    // one sketch aggregation (≤ k longs per source) + pair arithmetic
+    // over the sketch rows only. Fresh scan, not `docs` — an Observation
+    // node is tied to the job's single write action.
+    operators.Sketches.kmvOverlap(
+      Tables.documents(s, dir).select(col("source"), col("text"))
+        .groupBy("source")
+        .agg(call_function("graft_kmv",
+          graft.functions.Hashing.h60(md5(col("text"))), lit(128)).as("kmv")),
+      "source", 128)
+      .withColumnRenamed("key_a", "source_a")
+      .withColumnRenamed("key_b", "source_b")
+      .write.mode("overwrite").parquet(s"$outDir/_graft_overlap")
+
     // a zero-task action (fully-empty corpus) collects no observation
     // metrics at all — read absent as zero
     (obs.map { case (n, o) =>

@@ -47,6 +47,34 @@ class CorpusJobSpec extends AnyFunSuite {
     assert(m1 == m2 && m1.nonEmpty)
   }
 
+  test("the source-overlap audit matches exact set arithmetic when unsaturated") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_cjo").toString
+    audit(out)
+    val overlap = spark.read.parquet(s"$out/_graft_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    // every unordered source pair appears exactly once
+    val nSrc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().count().toInt
+    assert(overlap.size == nSrc * (nSrc - 1) / 2 && overlap.nonEmpty)
+    // sf0.001 sources are far below k=128 distinct texts, so the sketch
+    // holds the whole set and every estimate must be EXACT
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        graft.functions.Hashing.h60(md5(col("text"))).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    overlap.foreach { case ((a, b), (ea, eb, ei, jac)) =>
+      val (sa, sb) = (sets(a), sets(b))
+      assert(ea == sa.size.toDouble && eb == sb.size.toDouble, s"($a,$b) sizes")
+      assert(ei == sa.intersect(sb).size.toDouble, s"($a,$b) intersection")
+      assert(jac == sa.intersect(sb).size.toDouble / sa.union(sb).size,
+        s"($a,$b) jaccard")
+    }
+  }
+
   test("the shard manifest matches stats recomputed from the shards") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_cjm").toString
