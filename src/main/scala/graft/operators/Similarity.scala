@@ -1428,6 +1428,51 @@ object Similarity {
     CROSS JOIN n
     ORDER BY s.cells, s.nprobe"""
 
+  /** B16: cluster-balanced subsampling — the curation step the
+    * SemDeDup / DataComp line runs AFTER clustering (Abbas et al. 2023
+    * §3.3 sample per-cluster; cluster-capped mixes in DataComp's
+    * filtering tracks): cap each semantic cluster's contribution at Q
+    * vectors so an over-represented mode cannot dominate the training
+    * mix, with survivors chosen by a deterministic md5 draw (same
+    * engine-portable discipline as D6/D12's samplers — no RNG state,
+    * bit-identical across engines and reruns). Consumes B12's
+    * oracle-checked Lloyd assignment as the cluster map, exactly as a
+    * real pipeline consumes its precomputed clustering artifact.
+    *
+    * Scale shape: one narrow pass over the (vec_id, cluster) artifact,
+    * a per-cluster rank window (hash-partitioned by cluster — K
+    * partitions of corpus/K expected rows; a skewed giant cluster is
+    * the explicit signal this operator exists to cap), no joins. */
+  def vecClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val q = 32 // per-cluster cap
+    val w = Window.partitionBy("cluster").orderBy(col("draw"), col("vec_id"))
+    vecKmeans(s, dir)
+      .select(col("vec_id"), col("cluster"), col("cluster_size"))
+      .withColumn("draw",
+        graft.functions.Hashing.h60(concat(lit("cbs_"), col("vec_id").cast("string"))))
+      .withColumn("draw_rank", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cluster"), col("cluster_size"),
+        col("draw_rank"), (col("draw_rank") <= q).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle for B16: B12's full oracle embedded as the cluster map (so
+    * the sample can never drift from the clustering it grades), then the
+    * same md5 draw + per-cluster rank. */
+  val vecClusterSampleSql: String = s"""
+    WITH km AS (SELECT vec_id, cluster, cluster_size FROM ($vecKmeansSql)),
+    d AS (
+      SELECT vec_id, cluster, cluster_size,
+        ('0x'||substr(md5('cbs_' || CAST(vec_id AS VARCHAR)),1,15))::BIGINT AS draw
+      FROM km),
+    r AS (
+      SELECT vec_id, cluster, cluster_size,
+        row_number() OVER (PARTITION BY cluster ORDER BY draw, vec_id) AS draw_rank
+      FROM d)
+    SELECT vec_id, cluster, CAST(cluster_size AS BIGINT) AS cluster_size,
+      CAST(draw_rank AS BIGINT) AS draw_rank, draw_rank <= 32 AS keep
+    FROM r ORDER BY vec_id"""
+
   /** B13: ANN recall evaluation — the serving-quality metric that turns
     * the B3/B5/B9 approximation knobs into a measured table instead of a
     * guess: for each ladder rung, per query, the fraction of the TRUE
@@ -1516,6 +1561,7 @@ object Similarity {
     "ann_ivf"   -> (annIvf _),
     "vec_quantize" -> (vecQuantize _),
     "ann_sq8" -> (annSq8 _),
+    "vec_cluster_sample" -> (vecClusterSample _),
     "vec_kmeans" -> (vecKmeans _),
     "vec_pq"    -> (vecPq _),
     "ann_ivfpq" -> (annIvfPq _),
@@ -1536,6 +1582,7 @@ object Similarity {
     "ann_ivf"   -> annIvfSql,
     "vec_quantize" -> vecQuantizeSql,
     "ann_sq8" -> annSq8Sql,
+    "vec_cluster_sample" -> vecClusterSampleSql,
     "vec_kmeans" -> vecKmeansSql,
     "vec_pq"    -> vecPqSql,
     "ann_ivfpq" -> annIvfPqSql,

@@ -58,6 +58,36 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // Each allowed BroadcastNestedLoopJoin is bounded by construction: the
+  // ANN family's deliberate broadcast of the ≤10-row query set (or the
+  // K-row seed/centroid summaries) against the corpus scan — the
+  // standard vector-search shape where the nested-loop side is a
+  // handful of broadcast rows — and q_kmv_overlap's non-equi pairing of
+  // two SKETCH-sized relations (rows = #sources, never data-sized).
+  // Asserted exactly, like the SinglePartition audit: a new BNLJ over
+  // data-sized inputs cannot sneak in unnoticed.
+  // ...plus the 1-row totals attaches (crossJoin(broadcast) of a single
+  // aggregate row: ann_tune's corpus count, text_collocations' and
+  // text_source_weights' corpus totals).
+  private val allowedBnlj = Set(
+    "ann_brute", "ann_ivf", "ann_ivf_km", "ann_ivfpq", "ann_recall",
+    "ann_sq8", "knn_vote", "knn_vote_pq", "vec_cluster_sample",
+    "vec_kmeans", "q_kmv_overlap", "ann_tune", "text_collocations",
+    "text_source_weights")
+
+  test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
+    val observed = plans.collect {
+      case (q, plan) if plan.contains("BroadcastNestedLoopJoin") => q }.toSet
+    val intruders = observed -- allowedBnlj
+    val stale = allowedBnlj -- observed
+    assert(intruders.isEmpty,
+      s"new nested-loop join(s): ${intruders.toSeq.sorted.mkString(", ")} — " +
+        "justify boundedness and extend the allowlist, or give the join an equi key")
+    assert(stale.isEmpty,
+      s"BNLJ allowlist entries no longer present (shrink the list): " +
+        stale.toSeq.sorted.mkString(", "))
+  }
+
   test("Exchange SinglePartition appears ONLY in the allowlisted bounded funnels") {
     val observed = plans.collect {
       case (q, plan) if dataFunnels(plan) => q }.toSet
