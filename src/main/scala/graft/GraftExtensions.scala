@@ -73,9 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[graft.plans.KmvSketch].getName, null,
         "graft_kmv"),
-      (children: Seq[Expression]) => graft.plans.KmvSketch(children.head,
-        foldableNum(children(1), "graft_kmv", "k").toInt)
-        .toAggregateExpression()))
+      (children: Seq[Expression]) => {
+        val kd = foldableNum(children(1), "graft_kmv", "k")
+        require(kd == math.rint(kd) && kd >= 1 && kd <= Int.MaxValue,
+          s"graft_kmv: k must be a positive whole number, got $kd")
+        graft.plans.KmvSketch(children.head, kd.toInt)
+          .toAggregateExpression()
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hll_est"),
       new ExpressionInfo(classOf[graft.plans.HllEstimate].getName, null,

@@ -53,6 +53,16 @@ class KmvAggSpec extends AnyFunSuite {
     assert(got == Seq(2L, 7L))
   }
 
+  test("fractional or non-positive k fails loudly instead of truncating") {
+    val df = Seq(1L).toDF("h")
+    for (bad <- Seq(lit(2.5d), lit(0), lit(-3))) {
+      val e = intercept[Exception] {
+        df.agg(call_function("graft_kmv", col("h"), bad)).collect()
+      }
+      assert(e.getMessage.contains("positive whole number"), e.getMessage)
+    }
+  }
+
   test("plan shows map-side partial aggregation") {
     val df = Seq((1, 10L), (2, 20L)).toDF("g", "h")
     val plan = df.groupBy("g").agg(call_function("graft_kmv", col("h"), lit(8)))
