@@ -396,6 +396,122 @@ object Analytics {
       .orderBy("user_id", "click_sid", "view_sid")
   }
 
+  /** E44: changepoint detection — the first split of binary segmentation
+    * (Scott & Knott's step; the primitive CUSUM/PELT pipelines reduce
+    * to): per event_type, the time index where the value series' mean
+    * shifts most, scored with the standardized two-sample statistic
+    * |mean_L − mean_R|·√(i·(n−i)/n). E38's MAD gate flags POINT
+    * outliers; this flags LEVEL SHIFTS — the ops question "when did the
+    * metric move" rather than "which rows are weird".
+    *
+    * Exactness: prefix/total sums in DECIMAL (no float summation-order
+    * drift), ONE double conversion per candidate split, divisions and
+    * an IEEE-754 sqrt in identical expression shapes both engines —
+    * hash-exact oracle. Scale shape: two keyed windows over the
+    * per-type ordered series (cumulative sum + partition totals), a
+    * top-1 pick per type; nothing pairwise — the O(n) prefix-sum
+    * evaluation of all n−1 candidate splits IS the published
+    * binary-segmentation trick. */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("event_type").orderBy(col("epoch"), col("event_id"))
+    val part = Window.partitionBy("event_type")
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_timestamp(col("ts").cast(TimestampType)).as("epoch"),
+        dec(col("value")).as("v"))
+    val scored = ev
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("pre", sum("v").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(part))
+      .withColumn("tot", sum("v").over(part))
+      .filter(col("i") < col("n"))
+      .withColumn("mean_before", col("pre").cast("double") / col("i").cast("double"))
+      .withColumn("mean_after",
+        (col("tot") - col("pre")).cast("double") / (col("n") - col("i")).cast("double"))
+      .withColumn("score", abs(col("mean_before") - col("mean_after")) *
+        sqrt((col("i") * (col("n") - col("i"))).cast("double") / col("n").cast("double")))
+    val w = Window.partitionBy("event_type").orderBy(col("score").desc, col("i"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("event_type"), col("n").as("n_events"), col("i").as("split_ix"),
+        col("epoch").as("split_epoch"), col("mean_before"), col("mean_after"),
+        col("score"))
+      .orderBy("event_type")
+  }
+
+  val qChangepointSql: String = """
+    WITH ev AS (
+      SELECT event_type, event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch,
+        CAST(value AS DECIMAL(12,2)) AS v
+      FROM events),
+    s AS (
+      SELECT event_type, event_id, epoch,
+        CAST(row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch, event_id) AS BIGINT) AS i,
+        SUM(v) OVER (PARTITION BY event_type ORDER BY epoch, event_id
+                     ROWS UNBOUNDED PRECEDING) AS pre,
+        COUNT(*) OVER (PARTITION BY event_type) AS n,
+        SUM(v) OVER (PARTITION BY event_type) AS tot
+      FROM ev),
+    sc AS (
+      SELECT event_type, epoch, i, n,
+        CAST(pre AS DOUBLE) / CAST(i AS DOUBLE) AS mean_before,
+        CAST(tot - pre AS DOUBLE) / CAST(n - i AS DOUBLE) AS mean_after,
+        abs(CAST(pre AS DOUBLE) / CAST(i AS DOUBLE)
+            - CAST(tot - pre AS DOUBLE) / CAST(n - i AS DOUBLE))
+          * sqrt(CAST(i * (n - i) AS DOUBLE) / CAST(n AS DOUBLE)) AS score
+      FROM s WHERE i < n),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY score DESC, i) AS rk
+      FROM sc)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events, i AS split_ix,
+      epoch AS split_epoch, mean_before, mean_after, score
+    FROM r WHERE rk = 1 ORDER BY event_type"""
+
+  /** E45: behavior transition matrix — the first-order Markov-chain
+    * estimate over each user's event sequence: P(next event type |
+    * current event type), the model behind next-action prediction,
+    * funnel leak analysis, and session simulation. One `lead` window
+    * per user (keyed — the per-user series is the natural partition),
+    * one (from, to) count aggregation, probabilities normalized inside
+    * each `from` row-group with a keyed window; exact integer counts,
+    * one IEEE division per matrix cell. */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("epoch"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts").cast(TimestampType)).as("epoch"))
+      .withColumn("next_type", lead("event_type", 1).over(ord))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val qTransitionsSql: String = """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+      FROM events),
+    seq AS (
+      SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch, event_id) AS to_type
+      FROM ev),
+    c AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+      CAST(n AS DOUBLE)
+        / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM c ORDER BY from_type, to_type"""
+
   /** E41: the SAME band-join workload as E17's family written NAIVELY —
     * a plain inequality join, no hand binning — relying on the injected
     * [[graft.plans.BandJoinRule]] (G28) to derive the lossless bin
@@ -1055,6 +1171,8 @@ object Analytics {
     "q_semi_join"  -> (qSemiJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_band_join_auto" -> (qBandJoinAuto _),
+    "q_changepoint" -> (qChangepoint _),
+    "q_transitions" -> (qTransitions _),
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
@@ -1085,6 +1203,8 @@ object Analytics {
     "q_semi_join"  -> qSemiJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_band_join_auto" -> qBandJoinAutoSql,
+    "q_changepoint" -> qChangepointSql,
+    "q_transitions" -> qTransitionsSql,
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,
