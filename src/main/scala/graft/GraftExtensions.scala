@@ -81,6 +81,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[graft.plans.BloomSketch].getName, null,
+        "graft_bloom"),
+      (children: Seq[Expression]) => {
+        val m = foldableNum(children(1), "graft_bloom", "m")
+        val k = foldableNum(children(2), "graft_bloom", "k")
+        require(m == math.rint(m) && m >= 8 && m % 8 == 0,
+          s"graft_bloom: m must be a positive whole multiple of 8 bits, got $m")
+        require(k == math.rint(k) && k >= 1,
+          s"graft_bloom: k must be a positive whole number, got $k")
+        graft.plans.BloomSketch(children.head, m.toInt, k.toInt)
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[graft.plans.BloomContains].getName, null,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        val k = foldableNum(children(2), "graft_bloom_contains", "k")
+        require(k == math.rint(k) && k >= 1,
+          s"graft_bloom_contains: k must be a positive whole number, got $k")
+        graft.plans.BloomContains(children.head, children(1), k.toInt)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hll_est"),
       new ExpressionInfo(classOf[graft.plans.HllEstimate].getName, null,
         "graft_hll_est"),

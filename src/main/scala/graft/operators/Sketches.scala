@@ -522,7 +522,77 @@ object Sketches {
     LEFT JOIN hits ht ON ht.type_a = p.type_a AND ht.type_b = p.type_b
     ORDER BY p.type_a, p.type_b"""
 
+  // E46 (G30's oracle query): 4096-bit sketch, 3 double-hashed probes.
+  private val BloomBits = 4096
+  private val BloomK = 3
+
+  /** E46: native Bloom semi-join pre-filter — the G30 sketch doing E20's
+    * job without E20's exploded hash-row build. High-balance customers
+    * (the small dim-side predicate) are folded into ONE m-bit blob by the
+    * mergeable `graft_bloom` aggregate (bounded state, map-side combined);
+    * the orders fact scan is then filtered by the codegen'd
+    * `graft_bloom_contains` probe against the broadcast 1-row sketch — at
+    * 100 TB the fact side never shuffles and ships nothing but its
+    * survivors. The query reports, per order priority, how many orders
+    * the sketch admits next to how many an exact membership join admits:
+    * the gap IS the false-positive overhead, and `bloom_pass ≥
+    * exact_pass` row-by-row is the no-false-negative contract made
+    * visible. Oracle: the bit math restated relationally — a candidate
+    * passes iff all k of its double-hashed positions land in the DISTINCT
+    * position set of the member keys (same salted md5-60 hashes, same
+    * modulus), which is exactly the Bloom semantics without a bit array. */
+  def qBloomNative(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 7000).select(col("c_custkey"))
+    val sketch = members.agg(
+      call_function("graft_bloom", col("c_custkey").cast("string"),
+        lit(BloomBits), lit(BloomK)).as("bf"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority"))
+      .crossJoin(broadcast(sketch)) // 1-row sketch attach (bounded)
+      .withColumn("pass", call_function("graft_bloom_contains",
+        col("bf"), col("o_custkey").cast("string"), lit(BloomK)))
+      .join(broadcast(members), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("o_orderpriority")
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("bloom_pass"),
+        sum(when(col("c_custkey").isNotNull, 1L).otherwise(0L)).as("exact_pass"))
+      .orderBy("o_orderpriority")
+  }
+
+  val qBloomNativeSql: String = s"""
+    WITH members AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 7000),
+    ks AS (SELECT range AS i FROM range($BloomK)),
+    mh AS (
+      SELECT
+        ('0x'||substr(md5('b1|'||CAST(c_custkey AS VARCHAR)),1,15))::BIGINT AS h1,
+        ('0x'||substr(md5('b2|'||CAST(c_custkey AS VARCHAR)),1,15))::BIGINT AS h2
+      FROM members),
+    mbits AS (
+      SELECT DISTINCT (h1 + i * h2) % $BloomBits AS b FROM mh CROSS JOIN ks),
+    oh AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+        ('0x'||substr(md5('b1|'||CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h1,
+        ('0x'||substr(md5('b2|'||CAST(o_custkey AS VARCHAR)),1,15))::BIGINT AS h2
+      FROM orders),
+    obits AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+        (h1 + i * h2) % $BloomBits AS b
+      FROM oh CROSS JOIN ks),
+    per_order AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+        BOOL_AND(mb.b IS NOT NULL) AS pass
+      FROM obits LEFT JOIN mbits mb ON mb.b = obits.b
+      GROUP BY o_orderkey, o_custkey, o_orderpriority)
+    SELECT o_orderpriority,
+      CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass,
+      CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM members)
+               THEN 1 ELSE 0 END) AS BIGINT) AS exact_pass
+    FROM per_order
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_native" -> (qBloomNative _),
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_kmv_rollup" -> (qKmvRollup _),
     "q_salted_agg" -> (qSaltedAgg _),
@@ -534,6 +604,7 @@ object Sketches {
     "q_qhist_native" -> (qQhistNative _))
 
   val oracle: Map[String, String] = Map(
+    "q_bloom_native" -> qBloomNativeSql,
     "q_kmv_overlap" -> qKmvOverlapSql,
     "q_kmv_rollup" -> qKmvRollupSql,
     "q_salted_agg" -> qSaltedAggSql,
