@@ -512,6 +512,49 @@ object Analytics {
         / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
     FROM c ORDER BY from_type, to_type"""
 
+  /** E47: user path mining — the most common "first five actions"
+    * sequences across users (the entry-path / Sankey-source analysis
+    * next to E45's one-step transition matrix: E45 estimates P(next |
+    * current) pairwise, this surfaces whole opening SEQUENCES and how
+    * many users share each). Shape: one keyed window ranks each user's
+    * events (ts, then event_id as the total-order tie-break), the first
+    * five fold into a path string per user — `array_sort` over (rank,
+    * type) structs makes the fold order explicit rather than relying on
+    * `collect_list`'s nondeterministic arrival order — and a count-agg
+    * plus TakeOrderedAndProject yields the global top-20 (ties → path).
+    * Everything before the bounded 20-row head is hash-partitioned by
+    * user_id / path; no global sort of the data ever happens. */
+  def qEventPath(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("epoch"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts").cast(TimestampType)).as("epoch"))
+      .withColumn("rk", row_number().over(ord))
+      .filter(col("rk") <= 5)
+      .groupBy("user_id")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("rk"), col("event_type")))),
+        e => e.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(20)
+  }
+
+  val qEventPathSql: String = """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS epoch
+      FROM events),
+    ranked AS (
+      SELECT user_id, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY epoch, event_id) AS rk
+      FROM ev),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rk) AS path
+      FROM ranked WHERE rk <= 5 GROUP BY user_id)
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20"""
+
   /** E41: the SAME band-join workload as E17's family written NAIVELY —
     * a plain inequality join, no hand binning — relying on the injected
     * [[graft.plans.BandJoinRule]] (G28) to derive the lossless bin
@@ -1173,6 +1216,7 @@ object Analytics {
     "q_band_join_auto" -> (qBandJoinAuto _),
     "q_changepoint" -> (qChangepoint _),
     "q_transitions" -> (qTransitions _),
+    "q_event_path" -> (qEventPath _),
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
@@ -1205,6 +1249,7 @@ object Analytics {
     "q_band_join_auto" -> qBandJoinAutoSql,
     "q_changepoint" -> qChangepointSql,
     "q_transitions" -> qTransitionsSql,
+    "q_event_path" -> qEventPathSql,
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,

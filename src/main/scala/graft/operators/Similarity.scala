@@ -368,10 +368,10 @@ object Similarity {
       .orderBy("src_id", "rank")
   }
 
-  /** Oracle for B11: B3's plane/bucket CTEs over ALL vectors, bucket
-    * self-join, exact score, per-source rank. */
-  val annKnnGraphSql: String = s"""
-    WITH planes AS (
+  /** B11's CTE chain (planes → buckets → candidate edges → exact-scored
+    * `ranked`), shared verbatim by the B11 oracle and B17's graph-walk
+    * oracle so the searched graph can never drift from the graded one. */
+  private val knnGraphCtes: String = s"""planes AS (
       SELECT t.range AS t, p.range AS p, d.range AS d,
         (((('0x'||substr(md5(CAST(t.range AS VARCHAR) || '_' || CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)),1,15))::BIGINT) & 1) * 2 - 1) AS sign
       FROM range($LshTables) t CROSS JOIN range($LshPlanes) p CROSS JOIN range($VecDim) d),
@@ -402,10 +402,262 @@ object Similarity {
     ranked AS (
       SELECT src_id, nbr_id, dot,
         row_number() OVER (PARTITION BY src_id ORDER BY dot DESC, nbr_id) AS rank
-      FROM scored)
+      FROM scored)"""
+
+  /** Oracle for B11: B3's plane/bucket CTEs over ALL vectors, bucket
+    * self-join, exact score, per-source rank. */
+  val annKnnGraphSql: String = s"""
+    WITH $knnGraphCtes
     SELECT src_id, rank, nbr_id, CAST(dot AS DOUBLE) / 1.0e16 AS score
     FROM ranked WHERE rank <= 3
     ORDER BY src_id, rank"""
+
+  private val GraphEntries = 4 // deterministic md5-drawn start nodes
+  private val GraphBeam = 8    // per-query frontier width per hop
+  private val GraphHops = 3
+
+  /** B17: graph-navigating beam search over B11's k-NN graph — the
+    * DiskANN / HNSW serving shape (Malkov & Yashunin 2016; Subramanya et
+    * al. 2019) expressed relationally: start every query at the same
+    * [[GraphEntries]] md5-drawn entry nodes, then for a fixed number of
+    * hops expand the frontier through the graph's out-edges, score the
+    * grown candidate set exactly, and keep the best [[GraphBeam]] per
+    * query. Final answer = top-5 of the last beam.
+    *
+    * Why this rung exists next to the LSH/IVF/PQ ladder: at serving time a
+    * navigable graph answers a query by touching O(hops × beam × degree)
+    * vectors — independent of both corpus size and any partition layout —
+    * which is why the graph family dominates single-node ANN benchmarks.
+    * Spark shape: the graph is the B11 artifact (at 100 TB it is built at
+    * ingest and stored; here it is built in-query and persisted for the
+    * hop joins). Each hop is two keyed joins with the TINY frontier
+    * broadcast (≤ queries × beam rows): frontier⋈edges grows the
+    * candidate set, corpus⋈candidates attaches quantized vectors, and the
+    * per-query rank window prunes back to the beam. Unrolling
+    * [[GraphHops]] hops keeps the whole walk one declarative plan — no
+    * driver iteration, no state beyond the frontier itself. */
+  def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    val v = corpusSet(s, dir)
+      .select(col("neighbor_id").as("node"), col("cq").as("nq")).persist()
+    val edges = annKnnGraph(s, dir)
+      .filter(col("src_id") >= 10 && col("nbr_id") >= 10)
+      .select(col("src_id"), col("nbr_id")).persist()
+    val qs = queriesSet(s, dir).select(col("query_id"), col("qq"))
+    val entries = v.select(col("node"))
+      .withColumn("h", md5(col("node").cast("string")))
+      .orderBy(col("h"), col("node")).limit(GraphEntries)
+      .select(col("node"))
+    val start = qs.select(col("query_id")).crossJoin(broadcast(entries))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("node"))
+    def hop(f: DataFrame): DataFrame = {
+      val fc = f.select(col("query_id"), col("node"))
+      val grown = fc.union(
+        edges.join(broadcast(fc), col("node") === col("src_id"))
+          .select(col("query_id"), col("nbr_id").as("node"))).distinct()
+      v.join(broadcast(grown), "node")
+        .join(broadcast(qs), "query_id")
+        .withColumn("dot", dotExact(col("qq"), col("nq")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= GraphBeam)
+        .select(col("query_id"), col("node"), col("dot"))
+    }
+    val last = (1 to GraphHops).foldLeft(start)((f, _) => hop(f))
+    last
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** One oracle hop: expand `prev` through the graph, score exactly with
+    * the same 1e8-quantized int64 dot, prune to the beam. */
+  private def graphHopSql(prev: String, out: String): String = s"""
+    ${out}_grown AS (
+      SELECT query_id, node FROM $prev
+      UNION
+      SELECT f.query_id, g.nbr_id AS node
+      FROM $prev f JOIN graph g ON g.src_id = f.node),
+    ${out}_scored AS (
+      SELECT f.query_id, f.node,
+        CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM ${out}_grown f
+      JOIN embeddings q ON q.vec_id = f.query_id
+      JOIN embeddings c ON c.vec_id = f.node),
+    $out AS (
+      SELECT query_id, node, dot FROM (
+        SELECT query_id, node, dot,
+          row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, node) AS rk
+        FROM ${out}_scored) WHERE rk <= $GraphBeam)"""
+
+  /** Oracle for B17: B11's graph CTEs verbatim, the same md5-drawn entry
+    * nodes, and [[GraphHops]] unrolled expand-score-prune hops. */
+  val annGraphSearchSql: String = s"""
+    WITH $knnGraphCtes,
+    graph AS (
+      SELECT src_id, nbr_id FROM ranked
+      WHERE rank <= 3 AND src_id >= 10 AND nbr_id >= 10),
+    entries AS (
+      SELECT vec_id AS node FROM embeddings WHERE vec_id >= 10
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $GraphEntries),
+    hop0 AS (
+      SELECT q.vec_id AS query_id, e.node
+      FROM embeddings q CROSS JOIN entries e WHERE q.vec_id < 10),
+    ${graphHopSql("hop0", "hop1")},
+    ${graphHopSql("hop1", "hop2")},
+    ${graphHopSql("hop2", "hop3")}
+    SELECT query_id, rank, node AS neighbor_id,
+      CAST(dot AS DOUBLE) / 1.0e16 AS score
+    FROM (
+      SELECT query_id, node, dot,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, node) AS rank
+      FROM hop3) WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
+  private val HybridLegK = 20 // per-leg shortlist fused by RRF
+  private val RrfK = 60       // the standard reciprocal-rank damping
+
+  /** B18: hybrid retrieval — lexical + vector legs fused with reciprocal
+    * rank fusion (Cormack, Clarke & Buettcher 2009), the shape every
+    * production RAG stack serves (Elasticsearch/OpenSearch hybrid query,
+    * Vespa/Weaviate fusion; the reference's Weaviate store exposes the
+    * same `hybrid` operator — VectorDatabase/VectorDatabase.py:31-33's
+    * near-text search is the dense half). Query docs (doc_id < 5) are
+    * scored against the corpus twice:
+    *
+    *   - lexical: inverted-index equi-join on term. Per corpus doc,
+    *     score = Σ over shared terms of tf(term) · idf_ppm(term), where
+    *     idf_ppm = (1e6 · N) div df — exact-integer parts-per-million
+    *     idf (the D25 discipline), so leg ranking is int64-exact.
+    *   - dense: B1's hashing-trick embedder, UN-normalized — the raw
+    *     slot-weight vectors are int64, so the inner product is exact
+    *     via the codegen'd `graft_dot_l` kernel (slot-join in the
+    *     oracle). Normalization would buy nothing here: RRF consumes
+    *     only the RANKS.
+    *
+    * Each leg keeps its top-[[HybridLegK]] per query (rank window, ties
+    * → doc_id); fused score = Σ legs 1/([[RrfK]] + rank), missing leg
+    * contributes 0 — two IEEE divisions added in a fixed order, so the
+    * fusion is bit-deterministic in both engines. Scale shape: the query
+    * side of both joins is a handful of docs (broadcast); the corpus is
+    * touched once per leg through keyed joins (term / slot) — never
+    * all-pairs; the 1-row corpus-count attach is the allowlisted bounded
+    * funnel. */
+  def annHybrid(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("t")).filter(length(col("t")) > 0)
+    val corpusTf = tok.filter(col("doc_id") >= 5)
+      .groupBy(col("doc_id").as("c_doc"), col("t")).agg(count(lit(1)).as("tf"))
+    val df_ = corpusTf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.filter(col("doc_id") >= 5).agg(count(lit(1)).as("n_docs"))
+    val qTerms = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val legW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("c_doc"))
+    val lex = broadcast(qTerms)
+      .join(corpusTf, "t")
+      .join(df_.crossJoin(broadcast(n))
+        .select(col("t"), expr("(1000000 * n_docs) div df").as("idf_ppm")), "t")
+      .groupBy("query_id", "c_doc")
+      .agg(sum(col("tf") * col("idf_ppm")).as("score"))
+      .withColumn("lex_rank", row_number().over(legW).cast("long"))
+      .filter(col("lex_rank") <= HybridLegK)
+      .select(col("query_id"), col("c_doc"), col("lex_rank"))
+    val raw = docs.select(col("doc_id"),
+      call_function("graft_hash_embed", col("text"), lit(EmbedDim)).as("w"))
+    val dense = raw.filter(col("doc_id") >= 5)
+      .select(col("doc_id").as("c_doc"), col("w").as("cw"))
+      .join(broadcast(raw.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("w").as("qw"))))
+      .select(col("query_id"), col("c_doc"),
+        call_function("graft_dot_l", col("qw"), col("cw")).as("score"))
+      .withColumn("vec_rank", row_number().over(legW).cast("long"))
+      .filter(col("vec_rank") <= HybridLegK)
+      .select(col("query_id"), col("c_doc"), col("vec_rank"))
+    val fusedW = Window.partitionBy("query_id")
+      .orderBy(col("fused").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "c_doc"), "full_outer")
+      .select(col("query_id"), col("c_doc").as("doc_id"),
+        col("lex_rank"), col("vec_rank"),
+        (when(col("lex_rank").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("vec_rank").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("vec_rank"))).otherwise(lit(0.0)))
+          .as("fused"))
+      .withColumn("rank", row_number().over(fusedW).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("fused"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle for B18: both legs restated relationally — the lexical
+    * inverted index with the same ppm-integer idf, the dense leg as a
+    * slot-weight join (B1's slots CTE), identical RRF arithmetic. */
+  val annHybridSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE length(t) > 0),
+    ctf AS (
+      SELECT doc_id AS c_doc, t, COUNT(*) AS tf
+      FROM toks WHERE doc_id >= 5 GROUP BY doc_id, t),
+    dft AS (SELECT t, COUNT(*) AS df FROM ctf GROUP BY t),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id >= 5),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, t FROM toks WHERE doc_id < 5),
+    lexscore AS (
+      SELECT q.query_id, c.c_doc,
+        CAST(SUM(c.tf * ((1000000 * n.n_docs) // dft.df)) AS BIGINT) AS score
+      FROM qterms q
+      JOIN ctf c ON c.t = q.t
+      JOIN dft ON dft.t = q.t
+      CROSS JOIN n
+      GROUP BY q.query_id, c.c_doc),
+    lex AS (
+      SELECT query_id, c_doc, lex_rank FROM (
+        SELECT query_id, c_doc,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, c_doc) AS lex_rank
+        FROM lexscore) WHERE lex_rank <= $HybridLegK),
+    th AS (
+      SELECT doc_id,
+        CAST(('0x'||substr(md5(t),1,15))::BIGINT % $EmbedDim AS INT) AS slot,
+        ((('0x'||substr(md5(t),1,15))::BIGINT >> 5) & 1) * 2 - 1 AS sign
+      FROM toks),
+    slots AS (
+      SELECT doc_id, slot, CAST(SUM(sign) AS BIGINT) AS weight
+      FROM th GROUP BY doc_id, slot),
+    densescore AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS c_doc,
+        CAST(SUM(q.weight * c.weight) AS BIGINT) AS score
+      FROM slots q
+      JOIN slots c ON c.slot = q.slot AND c.doc_id >= 5
+      WHERE q.doc_id < 5
+      GROUP BY q.doc_id, c.doc_id),
+    dense AS (
+      SELECT query_id, c_doc, vec_rank FROM (
+        SELECT query_id, c_doc,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, c_doc) AS vec_rank
+        FROM densescore) WHERE vec_rank <= $HybridLegK),
+    fused AS (
+      SELECT COALESCE(lex.query_id, dense.query_id) AS query_id,
+        COALESCE(lex.c_doc, dense.c_doc) AS doc_id,
+        lex.lex_rank, dense.vec_rank,
+        (CASE WHEN lex.lex_rank IS NOT NULL
+              THEN 1.0 / ($RrfK + lex.lex_rank) ELSE 0.0 END +
+         CASE WHEN dense.vec_rank IS NOT NULL
+              THEN 1.0 / ($RrfK + dense.vec_rank) ELSE 0.0 END) AS fused
+      FROM lex
+      FULL OUTER JOIN dense
+        ON dense.query_id = lex.query_id AND dense.c_doc = lex.c_doc)
+    SELECT query_id, rank, doc_id, fused, lex_rank, vec_rank FROM (
+      SELECT query_id, doc_id, fused, lex_rank, vec_rank,
+        row_number() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id) AS rank
+      FROM fused) WHERE rank <= 5
+    ORDER BY query_id, rank"""
 
   // dot ≥ 0.25 at the exact 1e16 quantized scale — the radius for B10
   private val RangeThreshold = 2500000000000000L
@@ -1578,6 +1830,8 @@ object Similarity {
     "knn_vote_lsh" -> (knnVoteLsh _),
     "ann_range" -> (annRange _),
     "ann_knn_graph" -> (annKnnGraph _),
+    "ann_graph_search" -> (annGraphSearch _),
+    "ann_hybrid" -> (annHybrid _),
     "vec_embed" -> (vecEmbed _),
     "ann_lsh"   -> (annLsh _),
     "ann_ivf"   -> (annIvf _),
@@ -1599,6 +1853,8 @@ object Similarity {
     "knn_vote_lsh" -> knnVoteLshSql,
     "ann_range" -> annRangeSql,
     "ann_knn_graph" -> annKnnGraphSql,
+    "ann_graph_search" -> annGraphSearchSql,
+    "ann_hybrid" -> annHybridSql,
     "vec_embed" -> vecEmbedSql,
     "ann_lsh"   -> annLshSql,
     "ann_ivf"   -> annIvfSql,

@@ -40,21 +40,26 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // Each allowed funnel is bounded by construction: 1-row totals attaches
   // (q_attribution, text_collocations, text_source_weights, ann_tune's
-  // corpus-count denominator), the 5-row priority window (q_top_movers),
-  // text_pack's bucket-count offset pass.
+  // corpus-count denominator, ann_hybrid's idf N numerator), the 5-row
+  // priority window (q_top_movers), text_pack's bucket-count offset pass.
   private val allowedSinglePartition = Set(
     "q_attribution", "text_collocations", "text_source_weights",
-    "q_top_movers", "text_pack", "ann_tune")
+    "q_top_movers", "text_pack", "ann_tune", "ann_hybrid")
 
-  /** SinglePartition exchanges whose child is a partial bloom-filter
-    * aggregate are Spark's own runtime join-pruning build (one
-    * fixed-size bitmap per mapper merged on one task — bounded
-    * regardless of data size), not a data-sized funnel; skip them. */
+  /** SinglePartition exchanges whose child is a partial SKETCH aggregate
+    * are a bounded merge, not a data-sized funnel: each mapper emits one
+    * fixed-size state blob regardless of input volume. That covers
+    * Spark's own runtime join-pruning bloom build
+    * (partial_bloom_filter_agg, one bitmap per mapper) and graft's
+    * native sketch family (partial_graft_* — bounded mergeable state is
+    * the family's defining contract: G17 topk, G18 hll, G24 qhist, G29
+    * kmv, G30 bloom). Skip those; flag everything else. */
   private def dataFunnels(plan: String): Boolean = {
     val lines = plan.linesIterator.toArray
     lines.zipWithIndex.exists { case (l, ix) =>
       l.contains("Exchange SinglePartition") &&
-        !lines.lift(ix + 1).exists(_.contains("partial_bloom_filter_agg"))
+        !lines.lift(ix + 1).exists(n =>
+          n.contains("partial_bloom_filter_agg") || n.contains("partial_graft_"))
     }
   }
 
@@ -73,9 +78,9 @@ class PlanAuditSpec extends AnyFunSuite {
   // assignment, so their registered plans are artifact scans — the Lloyd
   // build's broadcast shape is audited in PlanShapeSpec instead.)
   private val allowedBnlj = Set(
-    "ann_brute", "ann_ivf", "ann_ivf_km", "ann_ivfpq", "ann_recall",
-    "ann_sq8", "knn_vote", "knn_vote_pq",
-    "q_kmv_overlap", "ann_tune", "text_collocations",
+    "ann_brute", "ann_graph_search", "ann_hybrid", "ann_ivf", "ann_ivf_km",
+    "ann_ivfpq", "ann_recall", "ann_sq8", "knn_vote", "knn_vote_pq",
+    "q_bloom_native", "q_kmv_overlap", "ann_tune", "text_collocations",
     "text_source_weights")
 
   test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
