@@ -113,8 +113,11 @@ object Bench {
     // write the COMPLETE artifact (all big-SF seconds, all small-SF
     // seconds, all ratios) to a repo file so round-over-round comparison
     // covers every query. SPARK_GRAFT_BENCH_OUT overrides; empty disables.
+    // A SPARK_GRAFT_ONLY subset run must NOT clobber the full artifact
+    // with a partial map — such runs skip the write unless an explicit
+    // out path asks for it.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "bench/full_latest.json")
+      if (only.isEmpty) "bench/full_latest.json" else "")
     if (outPath.nonEmpty) {
       val smallJson = scale.map { case (dir, small) =>
         s""""queries_small_sf":${jmap(small.toSeq.sortBy(_._1))},"""
