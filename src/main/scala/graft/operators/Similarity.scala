@@ -341,7 +341,11 @@ object Similarity {
     * (vec_id, tbl, bucket) ints; quantized vectors attach AFTER the
     * distinct, so the exact int64 kernel scores each candidate edge
     * once — the same fetch-after-distinct discipline as C2/C5. */
-  def annKnnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** B11's blocked-candidate machinery with a caller-chosen rank cut:
+    * bucket self-join → exact-scored per-source ranking → top-`degree`
+    * out-edges. Shared by B11 (degree 3) and B17's denser search graph. */
+  private def knnGraphRanked(s: SparkSession, dir: String, degree: Int)
+      : DataFrame = {
     def buckets(v: Column): Column =
       call_function("graft_lsh_buckets", v, lit(LshTables), lit(LshPlanes))
     val v = Tables.embeddings(s, dir)
@@ -362,11 +366,14 @@ object Similarity {
       .join(v.select(col("vec_id").as("nbr_id"), col("vq").as("nq")), "nbr_id")
       .withColumn("dot", dotExact(col("sq"), col("nq")))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= degree)
+  }
+
+  def annKnnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphRanked(s, dir, 3)
       .select(col("src_id"), col("rank"), col("nbr_id"),
         (col("dot").cast("double") / lit(1.0e16)).as("score"))
       .orderBy("src_id", "rank")
-  }
 
   /** B11's CTE chain (planes → buckets → candidate edges → exact-scored
     * `ranked`), shared verbatim by the B11 oracle and B17's graph-walk
@@ -412,13 +419,19 @@ object Similarity {
     FROM ranked WHERE rank <= 3
     ORDER BY src_id, rank"""
 
-  private val GraphEntries = 4 // deterministic md5-drawn start nodes
+  private val GraphEntries = 8 // deterministic md5-drawn start nodes
   private val GraphBeam = 8    // per-query frontier width per hop
-  private val GraphHops = 3
+  private val GraphHops = 4
+  // The SEARCH graph is denser than B11's 3-NN artifact: navigable-graph
+  // serving needs out-degree comparable to HNSW/DiskANN configs (8-64) —
+  // at degree 3 the walk starves (measured recall@5 0.04 vs 0.46 at
+  // degree 8 on sf0.01) while the touch bound stays O(hops·beam·degree).
+  private val GraphDegree = 8
 
-  /** B17: graph-navigating beam search over B11's k-NN graph — the
-    * DiskANN / HNSW serving shape (Malkov & Yashunin 2016; Subramanya et
-    * al. 2019) expressed relationally: start every query at the same
+  /** B17: graph-navigating beam search over a degree-[[GraphDegree]]
+    * k-NN graph (built with B11's blocked machinery, deeper rank cut) —
+    * the DiskANN / HNSW serving shape (Malkov & Yashunin 2016; Subramanya
+    * et al. 2019) expressed relationally: start every query at the same
     * [[GraphEntries]] md5-drawn entry nodes, then for a fixed number of
     * hops expand the frontier through the graph's out-edges, score the
     * grown candidate set exactly, and keep the best [[GraphBeam]] per
@@ -436,12 +449,27 @@ object Similarity {
     * per-query rank window prunes back to the beam. Unrolling
     * [[GraphHops]] hops keeps the whole walk one declarative plan — no
     * driver iteration, no state beyond the frontier itself. */
+  private val graphEdgesMemo = new graft.SessionMemo
+
+  /** The degree-[[GraphDegree]] corpus-subgraph edge list as a session
+    * artifact (the kmeansArtifact / pqCodes precedent): at 100 TB the
+    * navigable graph is built at ingest and stored; within a session
+    * every graph-consuming read (B17, the B13 recall rung) shares one
+    * build. */
+  private def knnGraphEdges(s: SparkSession, dir: String): DataFrame =
+    graphEdgesMemo.getOrElseUpdate(s, dir)(
+      knnGraphRanked(s, dir, GraphDegree)
+        .filter(col("src_id") >= 10 && col("nbr_id") >= 10)
+        .select(col("src_id"), col("nbr_id")).localCheckpoint(true))
+
+  /** Required after rewriting the parquet under a dir within one session —
+    * the memo cannot see filesystem rewrites (see [[graft.SessionMemo]]). */
+  def invalidateGraphArtifacts(): Unit = graphEdgesMemo.clear()
+
   def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
     val v = corpusSet(s, dir)
       .select(col("neighbor_id").as("node"), col("cq").as("nq")).persist()
-    val edges = annKnnGraph(s, dir)
-      .filter(col("src_id") >= 10 && col("nbr_id") >= 10)
-      .select(col("src_id"), col("nbr_id")).persist()
+    val edges = knnGraphEdges(s, dir)
     val qs = queriesSet(s, dir).select(col("query_id"), col("qq"))
     val entries = v.select(col("node"))
       .withColumn("h", md5(col("node").cast("string")))
@@ -498,28 +526,28 @@ object Similarity {
           row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, node) AS rk
         FROM ${out}_scored) WHERE rk <= $GraphBeam)"""
 
-  /** Oracle for B17: B11's graph CTEs verbatim, the same md5-drawn entry
-    * nodes, and [[GraphHops]] unrolled expand-score-prune hops. */
+  /** Oracle for B17: B11's graph CTEs verbatim (cut at [[GraphDegree]]
+    * instead of 3), the same md5-drawn entry nodes, and [[GraphHops]]
+    * unrolled expand-score-prune hops. */
   val annGraphSearchSql: String = s"""
     WITH $knnGraphCtes,
     graph AS (
       SELECT src_id, nbr_id FROM ranked
-      WHERE rank <= 3 AND src_id >= 10 AND nbr_id >= 10),
+      WHERE rank <= $GraphDegree AND src_id >= 10 AND nbr_id >= 10),
     entries AS (
       SELECT vec_id AS node FROM embeddings WHERE vec_id >= 10
       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $GraphEntries),
     hop0 AS (
       SELECT q.vec_id AS query_id, e.node
       FROM embeddings q CROSS JOIN entries e WHERE q.vec_id < 10),
-    ${graphHopSql("hop0", "hop1")},
-    ${graphHopSql("hop1", "hop2")},
-    ${graphHopSql("hop2", "hop3")}
+    ${(1 to GraphHops).map(h => graphHopSql(s"hop${h - 1}", s"hop$h"))
+      .mkString(",\n    ")}
     SELECT query_id, rank, node AS neighbor_id,
       CAST(dot AS DOUBLE) / 1.0e16 AS score
     FROM (
       SELECT query_id, node, dot,
         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, node) AS rank
-      FROM hop3) WHERE rank <= 5
+      FROM hop$GraphHops) WHERE rank <= 5
     ORDER BY query_id, rank"""
 
   private val HybridLegK = 20 // per-leg shortlist fused by RRF
@@ -1781,7 +1809,8 @@ object Similarity {
         .select(lit(method).as("method"), col("query_id"),
           coalesce(col("hits"), lit(0L)).as("hits"), lit(k.toLong).as("k"))
     }
-    recallOf("ann_ivf", annIvf(s, dir), 5)
+    recallOf("ann_graph_search", annGraphSearch(s, dir), 5)
+      .unionAll(recallOf("ann_ivf", annIvf(s, dir), 5))
       .unionAll(recallOf("ann_ivf_km", annIvfKm(s, dir), 5))
       .unionAll(recallOf("ann_lsh", annLsh(s, dir), 3))
       .unionAll(recallOf("ann_pq_rerank", annPqRerank(s, dir), 5))
@@ -1798,6 +1827,9 @@ object Similarity {
       SELECT query_id, rank, neighbor_id FROM ($annBruteSql)),
     q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
     retrieved AS (
+          SELECT 'ann_graph_search' AS method, query_id, neighbor_id, 5 AS k
+          FROM ($annGraphSearchSql)
+      UNION ALL
           SELECT 'ann_ivf' AS method, query_id, neighbor_id, 5 AS k
           FROM ($annIvfSql)
       UNION ALL
@@ -1820,8 +1852,9 @@ object Similarity {
       GROUP BY r.method, r.query_id),
     base AS (
       SELECT mm.method, q.query_id, mm.k
-      FROM q CROSS JOIN (VALUES ('ann_ivf', 5), ('ann_ivf_km', 5),
-        ('ann_lsh', 3), ('ann_pq_rerank', 5), ('ann_sq8', 5)) mm(method, k))
+      FROM q CROSS JOIN (VALUES ('ann_graph_search', 5), ('ann_ivf', 5),
+        ('ann_ivf_km', 5), ('ann_lsh', 3), ('ann_pq_rerank', 5),
+        ('ann_sq8', 5)) mm(method, k))
     SELECT base.method, base.query_id,
       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
       CAST(base.k AS BIGINT) AS k,

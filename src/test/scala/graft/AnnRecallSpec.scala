@@ -16,10 +16,11 @@ class AnnRecallSpec extends AnyFunSuite {
     .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getDouble(4)))
 
-  test("one row per (method, query): 5 methods x 10 queries") {
-    assert(rows.length === 50)
+  test("one row per (method, query): 6 methods x 10 queries") {
+    assert(rows.length === 60)
     assert(rows.map(_._1).distinct.sorted ===
-      Array("ann_ivf", "ann_ivf_km", "ann_lsh", "ann_pq_rerank", "ann_sq8"))
+      Array("ann_graph_search", "ann_ivf", "ann_ivf_km", "ann_lsh",
+        "ann_pq_rerank", "ann_sq8"))
     rows.groupBy(_._1).foreach { case (m, g) =>
       assert(g.map(_._2).distinct.length === 10, s"method $m query coverage")
     }
@@ -65,6 +66,7 @@ class AnnRecallSpec extends AnyFunSuite {
     def truthAt(k: Int): Map[Long, Set[Long]] = truth.filter(_._2 <= k)
       .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     val expected: Map[(String, Long), Long] = Seq(
+      ("ann_graph_search", retrieved(Similarity.annGraphSearch(spark, sf)), 5),
       ("ann_ivf", retrieved(Similarity.annIvf(spark, sf)), 5),
       ("ann_ivf_km", retrieved(Similarity.annIvfKm(spark, sf)), 5),
       ("ann_lsh", retrieved(Similarity.annLsh(spark, sf)), 3),

@@ -76,9 +76,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // text_source_weights' corpus totals).
   // (vec_kmeans and vec_cluster_sample serve the memoized checkpointed
   // assignment, so their registered plans are artifact scans — the Lloyd
-  // build's broadcast shape is audited in PlanShapeSpec instead.)
+  // build's broadcast shape is audited in PlanShapeSpec instead.
+  // ann_graph_search's queries x entries crossJoin likewise lives inside
+  // its eager frontier checkpoints, not the registered final plan.)
   private val allowedBnlj = Set(
-    "ann_brute", "ann_graph_search", "ann_hybrid", "ann_ivf", "ann_ivf_km",
+    "ann_brute", "ann_hybrid", "ann_ivf", "ann_ivf_km",
     "ann_ivfpq", "ann_recall", "ann_sq8", "knn_vote", "knn_vote_pq",
     "q_bloom_native", "q_kmv_overlap", "ann_tune", "text_collocations",
     "text_source_weights")
