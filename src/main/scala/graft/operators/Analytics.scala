@@ -555,6 +555,75 @@ object Analytics {
     FROM paths GROUP BY path
     ORDER BY n_users DESC, path LIMIT 20"""
 
+  private val SesWindow = 16 // trailing days folded into the forecast
+
+  /** E49: next-day demand forecast per event type by simple exponential
+    * smoothing (α = 1/2) over the trailing [[SesWindow]] daily value
+    * totals — the Holt-Winters level component, the first model a
+    * metrics pipeline reaches for. The naive spelling is a sequential
+    * recursion (S_k = αy_k + (1−α)S_{k−1}); unrolled at α = 1/2 it is a
+    * power-of-two-weighted sum, and scaling by 2^(m−1) makes every
+    * weight an exact INTEGER: S·2^(m−1) = y_1 + Σ_{k≥2} y_k·2^(k−2).
+    * So the whole forecast is one keyed window pass (day rank per type)
+    * + one exact-int64 weighted aggregation (daily cents × weight, max
+    * ~2^14·1e9 ≪ 2^63) + ONE final IEEE division — no recursion, no
+    * driver loop, engine-exact. The trailing-window cut is also what
+    * bounds the weights; beyond 16 days a 1/2-decay weight is < 3e-5
+    * of the newest day's. */
+  def qForecastSes(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(86400L)))
+          .divide(lit(86400L)).cast("long").as("day"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .groupBy("event_type", "day")
+      .agg((sum("v") * 100).cast("long").as("cents"))
+    val byDay = Window.partitionBy("event_type").orderBy(col("day"))
+    val all = Window.partitionBy("event_type")
+    val tail = daily
+      .withColumn("rk", row_number().over(byDay))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("m", least(col("n"), lit(SesWindow.toLong)))
+      .withColumn("j", col("rk") - greatest(col("n") - lit(SesWindow.toLong), lit(0L)))
+      .filter(col("j") >= 1)
+      .withColumn("w", when(col("j") === 1, lit(1L))
+        .otherwise(pow(lit(2.0d), col("j") - 2).cast("long")))
+    tail.groupBy("event_type")
+      .agg(max("m").as("n_days"),
+        sum(col("cents") * col("w")).cast("long").as("s_scaled"))
+      .select(col("event_type"), col("n_days"),
+        (col("s_scaled").cast("double") /
+          (lit(100.0d) * pow(lit(2.0d), col("n_days") - 1))).as("forecast"))
+      .orderBy("event_type")
+  }
+
+  val qForecastSesSql: String = s"""
+    WITH daily AS (
+      SELECT event_type,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+      FROM events GROUP BY event_type,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400),
+    ranked AS (
+      SELECT event_type, cents,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    tail AS (
+      SELECT event_type,
+        LEAST(n, $SesWindow) AS m,
+        rk - GREATEST(n - $SesWindow, 0) AS j,
+        cents
+      FROM ranked WHERE rk - GREATEST(n - $SesWindow, 0) >= 1),
+    weighted AS (
+      SELECT event_type, MAX(m) AS n_days,
+        CAST(SUM(cents * (CASE WHEN j = 1 THEN 1
+          ELSE CAST(pow(2.0, j - 2) AS BIGINT) END)) AS BIGINT) AS s_scaled
+      FROM tail GROUP BY event_type)
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+      CAST(s_scaled AS DOUBLE) / (100.0 * pow(2.0, n_days - 1)) AS forecast
+    FROM weighted ORDER BY event_type"""
+
   /** E41: the SAME band-join workload as E17's family written NAIVELY —
     * a plain inequality join, no hand binning — relying on the injected
     * [[graft.plans.BandJoinRule]] (G28) to derive the lossless bin
@@ -1217,6 +1286,7 @@ object Analytics {
     "q_changepoint" -> (qChangepoint _),
     "q_transitions" -> (qTransitions _),
     "q_event_path" -> (qEventPath _),
+    "q_forecast_ses" -> (qForecastSes _),
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
@@ -1250,6 +1320,7 @@ object Analytics {
     "q_changepoint" -> qChangepointSql,
     "q_transitions" -> qTransitionsSql,
     "q_event_path" -> qEventPathSql,
+    "q_forecast_ses" -> qForecastSesSql,
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,

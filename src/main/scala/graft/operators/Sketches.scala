@@ -591,7 +591,111 @@ object Sketches {
     FROM per_order
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** E48: RFM (recency / frequency / monetary) customer segmentation —
+    * the classic CRM cut, built the way 100 TB forces: the quartile
+    * boundaries come from the G24 `graft_qhist` mergeable histogram
+    * sketch (three sketches in ONE bounded-state pass over the per-user
+    * profile), never from an `ntile() OVER (ORDER BY ...)` global sort
+    * window — the textbook RFM spelling that funnels every user through
+    * one task. Scores compare each user's own bucket edge against the
+    * sketch's quartile edges (same quantized space both sides, so ties
+    * are bucket-exact and engine-independent); R is inverted so 4 =
+    * most recent across all three axes. Output is the ≤ 4³ segment
+    * histogram. Exact arithmetic end-to-end: day = epoch div 86400,
+    * monetary summed as DECIMAL then bucketed on an exactly-representable
+    * double. Oracle: the E35 composed histogram-quantile form, once per
+    * metric, over the same user profile. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(86400L)))
+          .divide(lit(86400L)).cast("long").as("day"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+    val users = ev.groupBy("user_id").agg(
+      max("day").as("last_day"), count(lit(1)).as("freq"), sum("v").as("mon"))
+    val gmax = users.agg(max("last_day").as("maxd"))
+    val u = users.crossJoin(broadcast(gmax))
+      .select(col("user_id"), (col("maxd") - col("last_day")).as("rec"),
+        col("freq"), col("mon").cast("double").as("mond"))
+    val edges = u.agg(
+      call_function("graft_qhist", col("rec"), lit(1.0d),
+        lit(0.25d), lit(0.5d), lit(0.75d)).as("re"),
+      call_function("graft_qhist", col("freq"), lit(1.0d),
+        lit(0.25d), lit(0.5d), lit(0.75d)).as("fe"),
+      call_function("graft_qhist", col("mond"), lit(100.0d),
+        lit(0.25d), lit(0.5d), lit(0.75d)).as("me"))
+    def above(vEdge: Column, q: String, e: String): Column =
+      (vEdge > col(s"$e.p${q}_edge")).cast("int")
+    def score(vEdge: Column, e: String): Column =
+      lit(1) + above(vEdge, "25", e) + above(vEdge, "50", e) +
+        above(vEdge, "75", e)
+    u.crossJoin(broadcast(edges))
+      .select(
+        (lit(5) - score(col("rec") + 1, "re")).as("r_score"),
+        score(col("freq") + 1, "fe").as("f_score"),
+        score((floor(col("mond") / 100) * 100 + 100).cast("long"), "me")
+          .as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val qRfmSql: String = """
+    WITH ev AS (
+      SELECT user_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        CAST(value AS DECIMAL(12,2)) AS v
+      FROM events),
+    users AS (
+      SELECT user_id, MAX(day) AS last_day, COUNT(*) AS freq, SUM(v) AS mon
+      FROM ev GROUP BY user_id),
+    gmax AS (SELECT MAX(last_day) AS maxd FROM users),
+    u AS (
+      SELECT user_id, (maxd - last_day) AS rec, freq,
+        CAST(mon AS DOUBLE) AS mond
+      FROM users CROSS JOIN gmax),
+    rhist AS (SELECT rec + 1 AS edge, COUNT(*) AS cnt FROM u GROUP BY rec + 1),
+    rcum AS (SELECT edge, SUM(cnt) OVER (ORDER BY edge) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM rhist),
+    redges AS (SELECT
+      MIN(CASE WHEN cum >= ceil(0.25 * n) THEN edge END) AS q1,
+      MIN(CASE WHEN cum >= ceil(0.5 * n) THEN edge END) AS q2,
+      MIN(CASE WHEN cum >= ceil(0.75 * n) THEN edge END) AS q3 FROM rcum),
+    fhist AS (SELECT freq + 1 AS edge, COUNT(*) AS cnt FROM u GROUP BY freq + 1),
+    fcum AS (SELECT edge, SUM(cnt) OVER (ORDER BY edge) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM fhist),
+    fedges AS (SELECT
+      MIN(CASE WHEN cum >= ceil(0.25 * n) THEN edge END) AS q1,
+      MIN(CASE WHEN cum >= ceil(0.5 * n) THEN edge END) AS q2,
+      MIN(CASE WHEN cum >= ceil(0.75 * n) THEN edge END) AS q3 FROM fcum),
+    mhist AS (
+      SELECT CAST(floor(mond / 100) AS BIGINT) * 100 + 100 AS edge,
+        COUNT(*) AS cnt
+      FROM u GROUP BY CAST(floor(mond / 100) AS BIGINT) * 100 + 100),
+    mcum AS (SELECT edge, SUM(cnt) OVER (ORDER BY edge) AS cum,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM mhist),
+    medges AS (SELECT
+      MIN(CASE WHEN cum >= ceil(0.25 * n) THEN edge END) AS q1,
+      MIN(CASE WHEN cum >= ceil(0.5 * n) THEN edge END) AS q2,
+      MIN(CASE WHEN cum >= ceil(0.75 * n) THEN edge END) AS q3 FROM mcum),
+    scored AS (
+      SELECT
+        5 - (1 + CASE WHEN rec + 1 > r.q1 THEN 1 ELSE 0 END
+               + CASE WHEN rec + 1 > r.q2 THEN 1 ELSE 0 END
+               + CASE WHEN rec + 1 > r.q3 THEN 1 ELSE 0 END) AS r_score,
+        1 + CASE WHEN freq + 1 > f.q1 THEN 1 ELSE 0 END
+          + CASE WHEN freq + 1 > f.q2 THEN 1 ELSE 0 END
+          + CASE WHEN freq + 1 > f.q3 THEN 1 ELSE 0 END AS f_score,
+        1 + CASE WHEN CAST(floor(mond / 100) AS BIGINT) * 100 + 100 > m.q1 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(floor(mond / 100) AS BIGINT) * 100 + 100 > m.q2 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(floor(mond / 100) AS BIGINT) * 100 + 100 > m.q3 THEN 1 ELSE 0 END AS m_score
+      FROM u CROSS JOIN redges r CROSS JOIN fedges f CROSS JOIN medges m)
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_users
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> (qRfm _),
     "q_bloom_native" -> (qBloomNative _),
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_kmv_rollup" -> (qKmvRollup _),
@@ -604,6 +708,7 @@ object Sketches {
     "q_qhist_native" -> (qQhistNative _))
 
   val oracle: Map[String, String] = Map(
+    "q_rfm" -> qRfmSql,
     "q_bloom_native" -> qBloomNativeSql,
     "q_kmv_overlap" -> qKmvOverlapSql,
     "q_kmv_rollup" -> qKmvRollupSql,
