@@ -555,6 +555,51 @@ object Analytics {
     FROM paths GROUP BY path
     ORDER BY n_users DESC, path LIMIT 20"""
 
+  private val MauWindow = 28 // trailing days in the monthly-active count
+
+  /** E50: DAU / MAU engagement with the stickiness ratio — the product
+    * metric every events pipeline serves daily. The naive MAU spelling
+    * is a sliding `COUNT(DISTINCT)` window — per-day re-scans of 28 days
+    * of raw events, and distinct state that grows with volume. Scale
+    * shape here: dedupe (user, day) ONCE (the only data-sized pass),
+    * then fan each active user-day to the [[MauWindow]] cover days it
+    * makes active — a bounded 28× explode of the already-deduped
+    * profile, re-deduped and counted per day. Exact integer counts;
+    * stickiness = dau/mau is the one IEEE division. Only days with
+    * activity are emitted (inner join), matching the DAU grain. */
+  def qDauMau(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(86400L)))
+          .divide(lit(86400L)).cast("long").as("day"))
+      .distinct()
+    val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = days
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(MauWindow - 1))).as("cover"))
+      .distinct()
+      .groupBy(col("cover").as("day")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy("day")
+  }
+
+  val qDauMauSql: String = s"""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+      FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM days GROUP BY day),
+    cover AS (
+      SELECT DISTINCT user_id, c.cover
+      FROM days, unnest(generate_series(day, day + ${MauWindow - 1})) AS c(cover)),
+    mau AS (SELECT cover AS day, COUNT(*) AS mau FROM cover GROUP BY cover)
+    SELECT dau.day, dau.dau, mau.mau,
+      CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+    FROM dau JOIN mau ON mau.day = dau.day
+    ORDER BY dau.day"""
+
   private val SesWindow = 16 // trailing days folded into the forecast
 
   /** E49: next-day demand forecast per event type by simple exponential
@@ -1287,6 +1332,7 @@ object Analytics {
     "q_transitions" -> (qTransitions _),
     "q_event_path" -> (qEventPath _),
     "q_forecast_ses" -> (qForecastSes _),
+    "q_dau_mau" -> (qDauMau _),
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
@@ -1321,6 +1367,7 @@ object Analytics {
     "q_transitions" -> qTransitionsSql,
     "q_event_path" -> qEventPathSql,
     "q_forecast_ses" -> qForecastSesSql,
+    "q_dau_mau" -> qDauMauSql,
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,

@@ -550,6 +550,49 @@ object Similarity {
       FROM hop$GraphHops) WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** B19: embedding outlier detection — the 20 vectors in the SPARSEST
+    * local neighborhoods, scored by the mean inner product of their top-3
+    * graph neighbors (low mean = isolated; the complement of SemDeDup's
+    * over-dense pruning: a curation pipeline drops both duplicates AND
+    * unrepresentative stragglers). Rides the same B11 ranked artifact
+    * every other graph consumer uses: one aggregation over the top-3
+    * edges, a left join back to the full corpus so bucket-isolated
+    * vectors (no LSH candidates at all — the strongest outliers) surface
+    * as NULL scores ranked first, then a bounded 20-row head. Exact
+    * int64 dot sums; ONE IEEE division per node. */
+  def vecOutliers(s: SparkSession, dir: String): DataFrame = {
+    val stats = knnGraphRanked(s, dir, 3)
+      .filter(col("src_id") >= 10 && col("nbr_id") >= 10)
+      .groupBy("src_id")
+      .agg(count(lit(1)).as("n_nbrs"), sum("dot").as("sd"))
+    Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"))
+      .join(stats.withColumnRenamed("src_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        (col("sd").cast("double") / col("n_nbrs").cast("double") / lit(1.0e16))
+          .as("mean_dot"))
+      .orderBy(col("mean_dot").asc_nulls_first, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Oracle for B19: the shared graph CTEs, per-source top-3 aggregation,
+    * corpus left join, NULLS FIRST ascending head (spelled explicitly —
+    * Spark and DuckDB default null ordering differ). */
+  val vecOutliersSql: String = s"""
+    WITH $knnGraphCtes,
+    stats AS (
+      SELECT src_id, COUNT(*) AS n_nbrs, CAST(SUM(dot) AS BIGINT) AS sd
+      FROM ranked
+      WHERE rank <= 3 AND src_id >= 10 AND nbr_id >= 10
+      GROUP BY src_id)
+    SELECT e.vec_id,
+      CAST(COALESCE(s.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+      CAST(s.sd AS DOUBLE) / CAST(s.n_nbrs AS DOUBLE) / 1.0e16 AS mean_dot
+    FROM embeddings e
+    LEFT JOIN stats s ON s.src_id = e.vec_id
+    WHERE e.vec_id >= 10
+    ORDER BY mean_dot ASC NULLS FIRST, e.vec_id LIMIT 20"""
+
   private val HybridLegK = 20 // per-leg shortlist fused by RRF
   private val RrfK = 60       // the standard reciprocal-rank damping
 
@@ -1871,6 +1914,7 @@ object Similarity {
     "ann_knn_graph" -> (annKnnGraph _),
     "ann_graph_search" -> (annGraphSearch _),
     "ann_hybrid" -> (annHybrid _),
+    "vec_outliers" -> (vecOutliers _),
     "vec_embed" -> (vecEmbed _),
     "ann_lsh"   -> (annLsh _),
     "ann_ivf"   -> (annIvf _),
@@ -1894,6 +1938,7 @@ object Similarity {
     "ann_knn_graph" -> annKnnGraphSql,
     "ann_graph_search" -> annGraphSearchSql,
     "ann_hybrid" -> annHybridSql,
+    "vec_outliers" -> vecOutliersSql,
     "vec_embed" -> vecEmbedSql,
     "ann_lsh"   -> annLshSql,
     "ann_ivf"   -> annIvfSql,
