@@ -553,6 +553,106 @@ object VectorStore {
     * replay is idempotent at every interruption point because each step
     * re-derives its work from the current on-disk state (victims already
     * gone ⇒ no rewrite; bucket dir already dropped ⇒ no-op delete). */
+  private val GraphDir = "_graft_graph"
+  private val GraphDegree = 8
+  private val GraphEntries = 8
+  private val GraphBeam = 8
+  private val GraphHops = 4
+
+  /** G31: DiskANN-style navigable-graph index sidecar. For every stored
+    * chunk, the top-[[GraphDegree]] same-bucket neighbors by exact int64
+    * inner product, written under `_graft_graph/` next to the PQ and
+    * cell sidecars. The candidate generator is the store's OWN bucket
+    * layout (the partition column — candidates are physically
+    * co-located, never all-pairs), and the B11 fetch-after-distinct
+    * discipline keeps the self-join carrying only keys: vectors attach
+    * after the pair set is fixed. Appends do NOT splice the graph
+    * (a real DiskANN ships a background merge); re-run [[buildGraph]]
+    * after appending — the spec pins that a rebuild covers appended
+    * chunks. Returns the edge count. */
+  def buildGraph(spark: SparkSession, indexDir: String,
+      degree: Int = GraphDegree): Long = {
+    spark.catalog.refreshByPath(indexDir)
+    val nodes = spark.read.parquet(indexDir)
+      .select(struct(col("doc_id"), col("chunk_ix")).as("nid"),
+        col("bucket"), col("raw"))
+    val slim = nodes.select(col("nid"), col("bucket"))
+    val cand = slim.alias("a")
+      .join(slim.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.nid").as("src"), col("b.nid").as("dst"))
+    val w = Window.partitionBy("src").orderBy(col("dot").desc,
+      col("dst.doc_id"), col("dst.chunk_ix"))
+    val edges = cand
+      .join(nodes.select(col("nid").as("src"), col("raw").as("sr")), "src")
+      .join(nodes.select(col("nid").as("dst"), col("raw").as("dr")), "dst")
+      .withColumn("dot", call_function("graft_dot_l", col("sr"), col("dr")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= degree)
+      .select(col("src.doc_id").as("src_doc"), col("src.chunk_ix").as("src_ix"),
+        col("dst.doc_id").as("dst_doc"), col("dst.chunk_ix").as("dst_ix"))
+    edges.write.mode("overwrite").parquet(s"$indexDir/$GraphDir/edges.parquet")
+    spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet").count()
+  }
+
+  /** G31 serving read: beam search over the [[buildGraph]] sidecar — the
+    * B17 walk shape against the store. Every query starts at the same
+    * [[GraphEntries]] md5-drawn stored chunks, expands [[GraphHops]]
+    * times through the edge sidecar keeping the best [[GraphBeam]] by
+    * cosine to the query, and answers with the final top-k. Per hop the
+    * walk touches O(beam · degree) stored vectors — independent of index
+    * size, the property that makes graph serving the low-latency read
+    * once an index outgrows exhaustive bucket probes. Each bounded
+    * frontier is eagerly checkpointed (the B17 lesson: the dual-consumer
+    * lineage otherwise re-executes ~2^hops times). Output schema =
+    * [[search]]. */
+  def searchGraph(spark: SparkSession, indexDir: String, query: String,
+      k: Int = 5): DataFrame = {
+    spark.catalog.refreshByPath(indexDir)
+    val nodes = spark.read.parquet(indexDir)
+      .select(struct(col("doc_id"), col("chunk_ix")).as("nid"),
+        col("chunk"), col("raw"))
+    val edges = spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet")
+      .select(struct(col("src_doc"), col("src_ix")).as("src"),
+        struct(col("dst_doc"), col("dst_ix")).as("dst"))
+    val q = { import spark.implicits._; Seq(query).toDF("qtext") }
+      .select(rawWeights(col("qtext")).as("qraw"))
+    val entries = nodes.select(col("nid"))
+      .withColumn("h", md5(concat_ws(":",
+        col("nid.doc_id").cast("string"), col("nid.chunk_ix").cast("string"))))
+      .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
+      .limit(GraphEntries).select(col("nid"))
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val byScore = Window.orderBy(col("score").desc,
+      col("nid.doc_id"), col("nid.chunk_ix"))
+    def hop(f: DataFrame): DataFrame = {
+      val fc = f.select(col("nid"))
+      val grown = fc.union(
+        edges.join(broadcast(fc), col("nid") === col("src"))
+          .select(col("dst").as("nid"))).distinct()
+      nodes.join(broadcast(grown), "nid")
+        .crossJoin(broadcast(q)) // 1-row query attach (bounded)
+        .select(col("nid"), score.as("score"))
+        .orderBy(col("score").desc, col("nid.doc_id"), col("nid.chunk_ix"))
+        .limit(GraphBeam)
+    }
+    val last = (1 to GraphHops)
+      .foldLeft(entries.localCheckpoint(true))((f, _) => hop(f).localCheckpoint(true))
+    last
+      .orderBy(col("score").desc, col("nid.doc_id"), col("nid.chunk_ix"))
+      .limit(k)
+      .withColumn("rank", row_number().over(byScore))
+      .join(nodes.select(col("nid"), col("chunk")), "nid")
+      .select(col("rank"), col("nid.doc_id").as("doc_id"),
+        col("nid.chunk_ix").as("chunk_ix"), col("chunk"), col("score"))
+      .orderBy("rank")
+  }
+
   def delete(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Long = {
     // drop any cached file listing for this path — a previous overwrite
     // (or a concurrent writer) invalidates it, and a stale listing makes
