@@ -467,13 +467,25 @@ object Similarity {
   def invalidateGraphArtifacts(): Unit = graphEdgesMemo.clear()
 
   def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    // Serving-time knobs (`graft.graph.{hops,beam,entries}` — the
+    // nprobe-style budget of the graph family); defaults pin the oracle.
+    // GraphDegree is deliberately NOT a knob: it is the INDEX build
+    // parameter baked into the session-memoized edge artifact.
+    def knob(key: String, default: Int): Int = {
+      val v = s.conf.getOption(s"graft.graph.$key").map(_.toInt).getOrElse(default)
+      require(v >= 1, s"graft.graph.$key must be >= 1, got $v")
+      v
+    }
+    val hops = knob("hops", GraphHops)
+    val beam = knob("beam", GraphBeam)
+    val nEntries = knob("entries", GraphEntries)
     val v = corpusSet(s, dir)
       .select(col("neighbor_id").as("node"), col("cq").as("nq")).persist()
     val edges = knnGraphEdges(s, dir)
     val qs = queriesSet(s, dir).select(col("query_id"), col("qq"))
     val entries = v.select(col("node"))
       .withColumn("h", md5(col("node").cast("string")))
-      .orderBy(col("h"), col("node")).limit(GraphEntries)
+      .orderBy(col("h"), col("node")).limit(nEntries)
       .select(col("node"))
     val start = qs.select(col("query_id")).crossJoin(broadcast(entries))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("node"))
@@ -486,7 +498,7 @@ object Similarity {
         .join(broadcast(qs), "query_id")
         .withColumn("dot", dotExact(col("qq"), col("nq")))
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= GraphBeam)
+        .filter(col("rk") <= beam)
         .select(col("query_id"), col("node"), col("dot"))
     }
     // Each hop's output feeds BOTH the next union branch and a broadcast
@@ -494,7 +506,7 @@ object Similarity {
     // (measured 6.3 s → 2.8 s at sf0.1). The frontier is ≤ queries ×
     // beam rows by construction, so an eager localCheckpoint is a
     // bounded, safe lineage cut — same discipline as the K-row sidecars.
-    val last = (1 to GraphHops).foldLeft(start.localCheckpoint(true))(
+    val last = (1 to hops).foldLeft(start.localCheckpoint(true))(
       (f, _) => hop(f).localCheckpoint(true))
     last
       .withColumn("rank", row_number().over(w).cast("long"))

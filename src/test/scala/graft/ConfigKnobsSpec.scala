@@ -59,4 +59,34 @@ class ConfigKnobsSpec extends AnyFunSuite {
     assert(moved.toSet != defaults.toSet,
       "moving the split changed nothing — knob has no effect")
   }
+
+  test("graph search: explicit defaults reproduce the default run") {
+    val default = operators.Similarity.annGraphSearch(s, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    val explicit = withConf("graft.graph.hops" -> "4",
+      "graft.graph.beam" -> "8", "graft.graph.entries" -> "8") {
+      operators.Similarity.annGraphSearch(s, TestSpark.sf)
+        .collect().map(_.toString).toSeq
+    }
+    assert(default.nonEmpty && default == explicit)
+  }
+
+  test("graph search: a starved budget changes the answer set") {
+    // one hop from a single entry explores only that entry's own
+    // out-neighborhood — the result must differ from the 4-hop default
+    val starved = withConf("graft.graph.hops" -> "1",
+      "graft.graph.beam" -> "2", "graft.graph.entries" -> "1") {
+      operators.Similarity.annGraphSearch(s, TestSpark.sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val default = operators.Similarity.annGraphSearch(s, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(starved != default, "budget knobs had no effect on the walk")
+    val bad = intercept[Exception] {
+      withConf("graft.graph.hops" -> "0") {
+        operators.Similarity.annGraphSearch(s, TestSpark.sf).collect()
+      }
+    }
+    assert(bad.getMessage.contains("graft.graph.hops"), bad.getMessage)
+  }
 }
