@@ -650,7 +650,58 @@ object AnalyticsExt {
       HAVING COUNT(*) > 0)
     SELECT * FROM att UNION ALL SELECT * FROM un ORDER BY channel"""
 
+  /** E51: ML feature-engineering snapshot — per (user, day), the lag and
+    * rolling features a training pipeline materializes before a model
+    * ever sees the events: yesterday's spend (CALENDAR lag via a
+    * single-point RANGE frame — `lag()` would silently return the
+    * previous OBSERVED day across gaps), the trailing-7-day spend and
+    * active-day count (RANGE frame on the day value, so calendar gaps
+    * shrink the window instead of stretching it), and the 7-day mean.
+    * One keyed aggregation + one window pass per user timeline, exact
+    * DECIMAL sums until the final double casts, one IEEE division for
+    * the mean — both engines spell the division identically. */
+  def qLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(86400L)))
+          .divide(lit(86400L)).cast("long").as("day"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .groupBy("user_id", "day").agg(sum("v").as("total"))
+    val w7 = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+    val w1 = Window.partitionBy("user_id").orderBy("day").rangeBetween(-1, -1)
+    daily.select(col("user_id"), col("day"),
+      col("total").cast("double").as("total"),
+      sum("total").over(w1).cast("double").as("lag1_total"),
+      sum("total").over(w7).cast("double").as("r7_sum"),
+      count(lit(1)).over(w7).as("r7_active_days"),
+      (sum("total").over(w7).cast("double") /
+        count(lit(1)).over(w7).cast("double")).as("r7_mean"))
+      .orderBy("user_id", "day")
+  }
+
+  val qLagFeaturesSql: String = """
+    WITH ev AS (
+      SELECT user_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        CAST(value AS DECIMAL(12,2)) AS v
+      FROM events),
+    daily AS (
+      SELECT user_id, day, SUM(v) AS total FROM ev GROUP BY user_id, day)
+    SELECT user_id, day,
+      CAST(total AS DOUBLE) AS total,
+      CAST(SUM(total) OVER (PARTITION BY user_id ORDER BY day
+        RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS lag1_total,
+      CAST(SUM(total) OVER w7 AS DOUBLE) AS r7_sum,
+      COUNT(*) OVER w7 AS r7_active_days,
+      CAST(SUM(total) OVER w7 AS DOUBLE)
+        / CAST(COUNT(*) OVER w7 AS DOUBLE) AS r7_mean
+    FROM daily
+    WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lag_features" -> (qLagFeatures _),
     "q_attribution" -> (qAttribution _),
     "q_window_range" -> (qWindowRange _),
     "q_gap_fill"    -> (qGapFill _),
@@ -668,6 +719,7 @@ object AnalyticsExt {
     "q_bloom_join"  -> (qBloomJoin _))
 
   val oracle: Map[String, String] = Map(
+    "q_lag_features" -> qLagFeaturesSql,
     "q_attribution" -> qAttributionSql,
     "q_window_range" -> qWindowRangeSql,
     "q_gap_fill"    -> qGapFillSql,
