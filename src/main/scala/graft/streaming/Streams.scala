@@ -468,6 +468,46 @@ object Streams {
     * effectively-once per micro-batch. Input schema: (doc_id, ts, text).
     * Returns the started query; stop or `processAllAvailable()` in the
     * caller. */
+  private val SeenBits = 1 << 16 // 8 KiB sidecar — the screen's TOTAL state
+  private val SeenK = 3
+  private val SeenDir = "_graft_seen"
+
+  /** F23: seen-ID sketch for exactly-once admission under at-least-once
+    * delivery — a G30 Bloom sidecar of every doc_id ever admitted,
+    * stored next to the index. Eight kilobytes of state regardless of
+    * corpus size; the exact-set alternative (a distinct join against all
+    * admitted ids) re-scans the whole admission history every batch.
+    * One-sided error in the SAFE direction for dedup: a re-delivered
+    * admitted id is ALWAYS caught (no false negatives); a novel doc is
+    * falsely quarantined with probability (set_bits/m)^k — ~1e-9 at
+    * test scale, and tunable by m. Re-folding the same ids is a no-op
+    * (bytewise OR), so a foreachBatch replay after a crash between
+    * ingest and sidecar rewrite converges instead of corrupting. */
+  def loadSeenSketch(spark: SparkSession, indexDir: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/$SeenDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      spark.catalog.refreshByPath(p.toString)
+      spark.read.parquet(p.toString).head().getAs[Array[Byte]](0)
+    } else new Array[Byte](SeenBits / 8)
+  }
+
+  /** Fold a batch's admitted doc_ids into the sketch and rewrite the
+    * sidecar. `prev` is already on the driver, so the overwrite never
+    * races its own read. */
+  def recordSeen(spark: SparkSession, indexDir: String,
+      admittedIds: DataFrame, prev: Array[Byte]): Array[Byte] = {
+    val add = admittedIds
+      .agg(call_function("graft_bloom", col("doc_id").cast("string"),
+        lit(SeenBits), lit(SeenK)))
+      .head().getAs[Array[Byte]](0)
+    val merged: Array[Byte] = prev.zip(add).map { case (a, b) => (a | b).toByte }
+    import spark.implicits._
+    Seq(merged).toDF("sketch").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/$SeenDir")
+    merged
+  }
+
   def admissionJob(docs: DataFrame, bandDir: String, indexDir: String,
       quarantineDir: String, telemetryDir: String, checkpointDir: String,
       baseline: Seq[(Int, Long)], driftThreshold: Double = 0.2)
@@ -487,25 +527,36 @@ object Streams {
           val gate = qualityGate(b.select("doc_id", "text"))
           val dups = nearDupScreen(b.select("doc_id", "text"), bandIndex)
             .select("doc_id").distinct().withColumn("near_dup", lit(true))
+          // F23: re-delivered ids are screened against the Bloom sidecar
+          // of everything ever admitted — checked FIRST (an id replay is
+          // a delivery artifact, not a content judgment)
+          val seenSketch = loadSeenSketch(spark, indexDir)
           val verdicts = b.select("doc_id", "ts", "text")
             .join(gate.select("doc_id", "keep", "n_failed_rules"), "doc_id")
             .join(dups, Seq("doc_id"), "left")
             .select(col("doc_id"), col("ts"), col("text"), col("keep"),
               col("n_failed_rules"),
-              coalesce(col("near_dup"), lit(false)).as("near_dup"))
+              coalesce(col("near_dup"), lit(false)).as("near_dup"),
+              call_function("graft_bloom_contains", lit(seenSketch),
+                col("doc_id").cast("string"), lit(SeenK)).as("seen_dup"))
             .localCheckpoint(true)
-          val admitted = verdicts.filter(col("keep") && !col("near_dup"))
+          val admitted = verdicts.filter(
+            col("keep") && !col("near_dup") && !col("seen_dup"))
           val nAdmitted = graft.operators.VectorStore.ingest(
             admitted.select("doc_id", "text"), indexDir, mode = "append")
           // F21: admitted docs join the band index — the NEXT batch
           // screens against them (verdicts are already materialized, so
           // this append cannot affect the current batch's own screen)
-          if (nAdmitted > 0)
+          if (nAdmitted > 0) {
             graft.operators.Dedup.bandRows(admitted.select("doc_id", "text"))
               .write.mode("append").parquet(bandDir)
-          verdicts.filter(!col("keep") || col("near_dup"))
+            recordSeen(spark, indexDir,
+              admitted.select("doc_id").distinct(), seenSketch)
+          }
+          verdicts.filter(!col("keep") || col("near_dup") || col("seen_dup"))
             .select(col("doc_id"), col("ts"),
-              when(col("near_dup"), "near_dup").otherwise("quality")
+              when(col("seen_dup"), "seen_id")
+                .when(col("near_dup"), "near_dup").otherwise("quality")
                 .as("reason"),
               col("n_failed_rules"), lit(batchId).as("batch_id"))
             .write.mode("append").parquet(quarantineDir)

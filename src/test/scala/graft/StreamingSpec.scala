@@ -491,4 +491,45 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).sorted.toSeq
     assert(cellTotals == Seq(1L, 12L), s"cell telemetry: $cellTotals")
   }
+
+  test("F23: a re-delivered admitted id quarantines as seen_id, store keeps one copy") {
+    def goodText(stem: String): String =
+      "the of the of the of " + (1 to 44).map(j => s"$stem$j").mkString(" ")
+    val root = java.nio.file.Files.createTempDirectory("graft_seen").toString
+    val seedDocs = (0L until 5L).map(i => (i, goodText(s"base${i}q")))
+    val corpusDir = s"$root/corpus"
+    seedDocs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$corpusDir/documents.parquet")
+    val indexDir = s"$root/index"
+    graft.operators.VectorStore.ingest(seedDocs.toDF("doc_id", "text"), indexDir)
+    val bandDir = s"$root/bands"
+    graft.operators.Dedup.bandIndex(spark, corpusDir).write.parquet(bandDir)
+    val baseline = Streams.qualityBaseline(seedDocs.toDF("doc_id", "text"))
+
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = Streams.admissionJob(input.toDF().toDF("doc_id", "ts", "text"),
+      bandDir, indexDir, s"$root/quarantine", s"$root/telemetry",
+      s"$root/ckpt", baseline)
+    try {
+      input.addData((500L, ts(0), goodText("freshAx")))
+      q.processAllAvailable()
+      // same doc_id, DIFFERENT content: the content screens (quality,
+      // near-dup) pass it — only the seen-ID bloom sidecar can reject a
+      // redelivery that drifted
+      input.addData((500L, ts(10), goodText("mutatedBz")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val quarantine = spark.read.parquet(s"$root/quarantine")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(quarantine.toSeq == Seq((500L, "seen_id")), s"quarantine: ${quarantine.toSeq}")
+    // the store holds only the FIRST delivery's chunks
+    val stored = spark.read.parquet(indexDir)
+      .filter(col("doc_id") === 500L).select("chunk")
+      .collect().map(_.getString(0))
+    assert(stored.nonEmpty && stored.forall(_.contains("freshAx")))
+    assert(!stored.exists(_.contains("mutatedBz")),
+      "second delivery reached the store")
+  }
 }
