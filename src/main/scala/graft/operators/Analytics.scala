@@ -555,6 +555,58 @@ object Analytics {
     FROM paths GROUP BY path
     ORDER BY n_users DESC, path LIMIT 20"""
 
+  /** E52: market-basket association rules — the top co-purchased part
+    * pairs with support, confidence and lift (the Apriori/FP-growth
+    * output for pair itemsets, mined exactly). Scale shape: the pair
+    * generator is a SELF-JOIN WITHIN THE ORDER — fan-out is C(order
+    * size, 2), bounded by the basket, never corpus-sized — with `a <
+    * b` halving the pairs; counts are exact integers and lift's single
+    * division is the only IEEE step ((pair_n · total_orders) stays an
+    * exact int64 numerator). A 1-row total-orders attach rides the
+    * broadcast (allowlisted funnel). */
+  def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val itemN = items.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val totals = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("total_orders"))
+    val pairs = items.alias("a")
+      .join(items.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+    pairs
+      .join(itemN.select(col("pk").as("part_a"), col("n").as("n_a")), "part_a")
+      .join(itemN.select(col("pk").as("part_b"), col("n").as("n_b")), "part_b")
+      .crossJoin(broadcast(totals))
+      .select(col("part_a"), col("part_b"), col("support"),
+        (col("support").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("support") * col("total_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  val qMarketBasketSql: String = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    item_n AS (SELECT pk, COUNT(*) AS n FROM items GROUP BY pk),
+    totals AS (SELECT COUNT(DISTINCT ok) AS total_orders FROM items),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
+      FROM items a JOIN items b ON b.ok = a.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk)
+    SELECT part_a, part_b, support,
+      CAST(support AS DOUBLE) / CAST(na.n AS DOUBLE) AS confidence,
+      CAST(support * total_orders AS DOUBLE)
+        / CAST(na.n * nb.n AS DOUBLE) AS lift
+    FROM pairs
+    JOIN item_n na ON na.pk = part_a
+    JOIN item_n nb ON nb.pk = part_b
+    CROSS JOIN totals
+    ORDER BY support DESC, part_a, part_b LIMIT 20"""
+
   private val MauWindow = 28 // trailing days in the monthly-active count
 
   /** E50: DAU / MAU engagement with the stickiness ratio — the product
@@ -1333,6 +1385,7 @@ object Analytics {
     "q_event_path" -> (qEventPath _),
     "q_forecast_ses" -> (qForecastSes _),
     "q_dau_mau" -> (qDauMau _),
+    "q_market_basket" -> (qMarketBasket _),
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
@@ -1368,6 +1421,7 @@ object Analytics {
     "q_event_path" -> qEventPathSql,
     "q_forecast_ses" -> qForecastSesSql,
     "q_dau_mau" -> qDauMauSql,
+    "q_market_basket" -> qMarketBasketSql,
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,
