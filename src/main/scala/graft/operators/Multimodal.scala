@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Decoded-media feature record. A fixed number of scalar feature
@@ -144,10 +145,37 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val CutThreshold = P / 2
+
+  /** F24: shot-boundary detection — the video-pipeline segmentation step
+    * (scene cuts, then per-shot sampling/captioning). A cut opens where
+    * the inter-frame distance jumps past the threshold; each video's
+    * frames then fold into a shot table (shot id = running cut count,
+    * frames per shot, first frame). With the stub decode the per-frame
+    * signal is the sampled frame hash and distance is |h − prev| over
+    * the mod-P space — a real implementation swaps in histogram or
+    * embedding distance and the plan shape (one keyed lag + one keyed
+    * running sum + one aggregation, all partitioned by video) is
+    * unchanged. */
+  def mmSceneCut(s: SparkSession, dir: String): DataFrame = {
+    val byFrame = Window.partitionBy("doc_id").orderBy("frame_ix")
+    val run = byFrame.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mmFrameSample(s, dir)
+      .withColumn("prev", lag("frame_hash", 1).over(byFrame))
+      .withColumn("cut", when(col("prev").isNull, lit(1))
+        .otherwise(when(abs(col("frame_hash") - col("prev")) > CutThreshold,
+          lit(1)).otherwise(lit(0))))
+      .withColumn("shot_id", sum("cut").over(run))
+      .groupBy("doc_id", "shot_id")
+      .agg(count(lit(1)).as("n_frames"), min("frame_ix").as("first_frame"))
+      .orderBy("doc_id", "shot_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pipeline" -> (mmPipeline _),
     "mm_framesample" -> (mmFrameSampleQ _),
     "mm_dedup" -> (mmDedup _),
+    "mm_scene_cut" -> (mmSceneCut _),
     "mm_frame_overlap" -> (mmFrameOverlap _))
 
   /** Oracles replicate the stub decode from the payload bytes. The test
@@ -188,9 +216,37 @@ object Multimodal {
       FROM offs
       ORDER BY doc_id, frame_ix"""
 
+  /** Oracle for F24: the framesample oracle as a CTE, then the same
+    * lag → cut flag → running-sum shot id → shot aggregation. */
+  private def mmSceneCutSql(frameSql: String): String = {
+    val inner = frameSql.replace("ORDER BY doc_id, frame_ix", "")
+    s"""
+    WITH lagd AS (
+      SELECT doc_id, frame_ix, frame_hash,
+        lag(frame_hash) OVER (PARTITION BY doc_id ORDER BY frame_ix) AS prev
+      FROM ($inner)),
+    cuts AS (
+      SELECT doc_id, frame_ix,
+        CASE WHEN prev IS NULL THEN 1
+             WHEN abs(frame_hash - prev) > $CutThreshold THEN 1
+             ELSE 0 END AS cut
+      FROM lagd),
+    shots AS (
+      SELECT doc_id, frame_ix,
+        CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_ix
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS shot_id
+      FROM cuts)
+    SELECT doc_id, shot_id, COUNT(*) AS n_frames,
+      MIN(frame_ix) AS first_frame
+    FROM shots GROUP BY doc_id, shot_id
+    ORDER BY doc_id, shot_id"""
+  }
+
   val oracle: Map[String, String] = Map(
     "mm_dedup" -> mmDedupSql,
     "mm_framesample" -> mmFrameSampleSql,
+    "mm_scene_cut" -> mmSceneCutSql(mmFrameSampleSql),
     "mm_frame_overlap" -> mmFrameOverlapSql(mmFrameSampleSql),
     "mm_pipeline" -> """
       WITH f AS (
