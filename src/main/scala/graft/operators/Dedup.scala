@@ -397,6 +397,119 @@ object Dedup {
     ORDER BY doc_a, doc_b"""
   }
 
+  private val TuneBandConfigs = Seq(2, 4, 8) // bands over the 16 hashes
+
+  /** C15: MinHash-LSH banding sweep — the S-curve tuning table
+    * (Leskovec-Rajaraman-Ullman ch.3) measured on the corpus instead of
+    * assumed: for bands b ∈ {2, 4, 8} over the SAME 16-hash signature
+    * (rows r = 16/b), the candidate volume, the verified detections
+    * (exact Jaccard ≥ 0.3, same threshold as C3), precision, and recall
+    * relative to the UNION of detections across configs (labeled
+    * rel_recall: absolute recall needs all-pairs truth, which no 100 TB
+    * pass can afford — the union reference is what a tuning run can
+    * actually observe). More bands with shorter rows → more candidates,
+    * higher recall, lower precision; the table quantifies that trade so
+    * the b/r choice is data-driven. One signature pass; each config is a
+    * plan dimension (the band explode carries a `bands` marker), so the
+    * sweep shuffles once per stage, not once per config. */
+  def dedupLshTune(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .persist()
+    val mins = sets.select(col("doc_id"),
+      call_function("graft_minhash_sig", col("shs"), lit(NumHashes)).as("sig"))
+    def bandRowsFor(b: Int): DataFrame = {
+      val rpb = NumHashes / b
+      val keys = (0 until b).map { bnd =>
+        concat_ws("_", (0 until rpb).map(r =>
+          element_at(col("sig"), bnd * rpb + r + 1)): _*)
+      }
+      mins.select(col("doc_id"), lit(b).as("bands"),
+        posexplode(array(keys: _*)))
+        .withColumnRenamed("pos", "band_ix").withColumnRenamed("col", "bkey")
+    }
+    val allBands = TuneBandConfigs.map(bandRowsFor).reduce(_ unionAll _)
+    val cand = allBands.alias("a")
+      .join(allBands.alias("b"),
+        col("a.bands") === col("b.bands") &&
+          col("a.band_ix") === col("b.band_ix") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.bands").as("bands"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val verified = withJaccard(cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b"))
+      .select(col("bands"), col("doc_a"), col("doc_b"),
+        (col("jaccard") >= 0.3).as("detected"))
+      .persist() // feeds the per-config table and the union reference
+    val union = verified.filter(col("detected"))
+      .select("doc_a", "doc_b").distinct()
+      .agg(count(lit(1)).as("n_union"))
+    verified.groupBy("bands")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("detected"), 1L).otherwise(0L)).as("n_detected"))
+      .crossJoin(broadcast(union))
+      .select(col("bands"),
+        (lit(NumHashes) / col("bands")).cast("long").as("rows_per_band"),
+        col("n_candidates"), col("n_detected"),
+        (col("n_detected").cast("double") / col("n_candidates").cast("double"))
+          .as("precision"),
+        (col("n_detected").cast("double") / col("n_union").cast("double"))
+          .as("rel_recall"))
+      .orderBy("bands")
+  }
+
+  val dedupLshTuneSql: String = {
+    val minExprs = (0 until NumHashes)
+      .map(i => s"MIN(${Hashing.permSql(i, "h")}) AS mh$i").mkString(",\n        ")
+    val bandSelects = TuneBandConfigs.flatMap { b =>
+      val rpb = NumHashes / b
+      (0 until b).map { bnd =>
+        val key = (0 until rpb).map(r => s"mh${bnd * rpb + r}")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS bands, $bnd AS band_ix, $key AS bkey FROM mh"
+      }
+    }.mkString("\n      UNION ALL ")
+    s"""
+    WITH $toksSqlCte,
+    $shingleSqlCte,
+    h AS (SELECT doc_id, ${Hashing.h60pSql("sh")} AS h FROM sh),
+    mh AS (SELECT doc_id,
+        $minExprs
+      FROM h GROUP BY doc_id),
+    bands AS (
+      $bandSelects),
+    cand AS (SELECT DISTINCT a.bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.bands = b.bands
+        AND a.band_ix = b.band_ix AND a.bkey = b.bkey
+        AND a.doc_id < b.doc_id),
+    sets AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS shs
+      FROM h GROUP BY doc_id),
+    verified AS (
+      SELECT bands, doc_a, doc_b,
+        (CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+          / (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+          >= 0.3) AS detected
+      FROM cand JOIN sets x ON doc_a = x.doc_id JOIN sets y ON doc_b = y.doc_id),
+    uni AS (
+      SELECT COUNT(*) AS n_union FROM (
+        SELECT DISTINCT doc_a, doc_b FROM verified WHERE detected))
+    SELECT bands, CAST($NumHashes / bands AS BIGINT) AS rows_per_band,
+      CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      CAST(SUM(CASE WHEN detected THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+      CAST(SUM(CASE WHEN detected THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS precision,
+      CAST(SUM(CASE WHEN detected THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(MAX(n_union) AS DOUBLE) AS rel_recall
+    FROM verified CROSS JOIN uni
+    GROUP BY bands ORDER BY bands"""
+  }
+
   /** C3e: MinHash-ESTIMATED Jaccard — the signature agreement fraction
     * |{i : sig_a[i] = sig_b[i]}| / 16 stands in for the exact set
     * intersection, so the verify stage touches only the 16-long
@@ -1350,6 +1463,7 @@ object Dedup {
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
+    "dedup_lsh_tune" -> (dedupLshTune _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embcos"  -> (dedupEmbcos _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -1368,6 +1482,7 @@ object Dedup {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
+    "dedup_lsh_tune" -> dedupLshTuneSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_embcos"  -> dedupEmbcosSql,
     "dedup_semantic" -> dedupSemanticSql,
