@@ -607,6 +607,93 @@ object Analytics {
     CROSS JOIN totals
     ORDER BY support DESC, part_a, part_b LIMIT 20"""
 
+  /** E53: A/B conversion test — the two-proportion z-score every
+    * experimentation platform computes, over a deterministic synthetic
+    * assignment (variant = user_id mod 2; a real pipeline joins an
+    * assignment table — the statistics are identical). One distinct-user
+    * pass, conditional count aggregation to a single row, then the
+    * pooled-proportion z: every double operation (divisions,
+    * subtraction, sqrt) is IEEE-exact given its operands and the
+    * expression SHAPES are spelled identically in both engines, so even
+    * the chained float math is hash-stable (the E44 discipline). */
+  def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    // "conversion" = any big-ticket purchase (value > 150 ≈ 45% of
+    // users on the test corpus — non-degenerate proportions, so the
+    // pooled variance is strictly positive and the z is defined)
+    val users = Tables.events(s, dir)
+      .select(col("user_id"),
+        (col("event_type") === "purchase" && col("value") > 150.0)
+          .cast("int").as("p"))
+      .groupBy("user_id").agg(max("p").as("converted"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    users.groupBy().agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0, col("converted").cast("long"))
+        .otherwise(0L)).as("conv_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1, col("converted").cast("long"))
+        .otherwise(0L)).as("conv_b"))
+      // every division is guarded: empty input (the global agg still
+      // emits its one row) and degenerate all/none-convert corpora yield
+      // NULL stats instead of an ANSI divide-by-zero
+      .withColumn("rate_a",
+        when(col("n_a") > 0, col("conv_a").cast("double") / na))
+      .withColumn("rate_b",
+        when(col("n_b") > 0, col("conv_b").cast("double") / nb))
+      .withColumn("pooled", when(col("n_a") + col("n_b") > 0,
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")))
+      .withColumn("z_score", when(
+        col("pooled") > 0 && col("pooled") < 1 &&
+          col("n_a") > 0 && col("n_b") > 0,
+        (col("rate_a") - col("rate_b")) /
+          sqrt(col("pooled") * (lit(1.0d) - col("pooled")) *
+            (lit(1.0d) / na + lit(1.0d) / nb))))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        col("rate_a"), col("rate_b"), col("z_score"),
+        (abs(col("z_score")) > 1.96).as("significant"))
+      // a global agg still emits its one row on EMPTY input; an
+      // experiment with zero subjects reports nothing, not a zero row
+      .filter(col("n_a") + col("n_b") > 0)
+  }
+
+  val qAbTestSql: String = """
+    WITH users AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'purchase' AND value > 150.0
+            THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    v AS (SELECT user_id % 2 AS variant, converted FROM users),
+    agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+      FROM v),
+    r AS (
+      SELECT n_a, conv_a, n_b, conv_b,
+        CASE WHEN n_a > 0
+          THEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+        CASE WHEN n_b > 0
+          THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+        CASE WHEN n_a + n_b > 0
+          THEN CAST(conv_a + conv_b AS DOUBLE)
+            / CAST(n_a + n_b AS DOUBLE) END AS pooled
+      FROM agg),
+    z AS (
+      SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+        CASE WHEN pooled > 0 AND pooled < 1 AND n_a > 0 AND n_b > 0
+          THEN (rate_a - rate_b) / sqrt(pooled * (1.0 - pooled)
+            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        END AS z_score
+      FROM r)
+    SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b, z_score,
+      abs(z_score) > 1.96 AS significant
+    FROM z WHERE n_a + n_b > 0"""
+
   private val MauWindow = 28 // trailing days in the monthly-active count
 
   /** E50: DAU / MAU engagement with the stickiness ratio — the product
@@ -1386,6 +1473,7 @@ object Analytics {
     "q_forecast_ses" -> (qForecastSes _),
     "q_dau_mau" -> (qDauMau _),
     "q_market_basket" -> (qMarketBasket _),
+    "q_ab_test" -> (qAbTest _),
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
@@ -1422,6 +1510,7 @@ object Analytics {
     "q_forecast_ses" -> qForecastSesSql,
     "q_dau_mau" -> qDauMauSql,
     "q_market_basket" -> qMarketBasketSql,
+    "q_ab_test" -> qAbTestSql,
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,

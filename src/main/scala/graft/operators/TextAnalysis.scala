@@ -1241,7 +1241,85 @@ object TextAnalysis {
     FROM w ORDER BY source"""
   }
 
+  /** D27: RAKE keyphrase extraction (Rose et al. 2010) — candidate
+    * phrases are the maximal stopword-free token runs; each word scores
+    * deg/freq over the whole corpus (deg = Σ length of every phrase the
+    * word occurs in — its co-occurrence degree — freq = its occurrence
+    * count), and a phrase scores the sum of its words' scores. Unlike
+    * A6/E14's per-document TF rankings this surfaces MULTI-WORD domain
+    * phrases corpus-wide — the other classic keyword algorithm, and the
+    * two disagree by design. Exactness: word score = (10⁶·deg) div freq
+    * (the exact-ppm integer discipline), phrase score = int64 sum —
+    * order-free, so the global top-20 is engine-exact. Shape: one
+    * keyed running-sum window segments phrases, two keyed aggregations
+    * build word stats and phrase scores, TakeOrderedAndProject heads
+    * the result; no all-pairs anything. */
+  def textRake(s: SparkSession, dir: String): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .withColumnRenamed("col", "t")
+      .withColumn("seg", sum(when(Text.isStopword(col("t")), 1L).otherwise(0L))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(!Text.isStopword(col("t")))
+    val phrases = toks.groupBy("doc_id", "seg")
+      .agg(count(lit(1)).as("plen"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          e => e.getField("t"))).as("phrase"))
+    val wordRows = toks.join(phrases, Seq("doc_id", "seg"))
+    val wstats = wordRows.groupBy("t")
+      .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
+      .select(col("t"), expr("(1000000 * deg) div freq").as("wscore_ppm"))
+    wordRows.join(wstats, "t")
+      .groupBy("doc_id", "seg", "phrase")
+      .agg(sum("wscore_ppm").as("score_ppm"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"), max("score_ppm").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("phrase"))
+      .limit(20)
+      .select("phrase", "n_occurrences", "score_ppm")
+  }
+
+  val textRakeSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, t, pos FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+            x -> len(x) > 0)) AS t,
+          CAST(unnest(range(len(list_filter(string_split(text, ' '),
+            x -> len(x) > 0)))) AS INT) AS pos
+        FROM documents)),
+    seg AS (
+      SELECT doc_id, t, pos,
+        SUM(CASE WHEN t IN ${Text.stopwordsSql} THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM toks),
+    words AS (
+      SELECT doc_id, seg, pos, t FROM seg
+      WHERE t NOT IN ${Text.stopwordsSql}),
+    phrases AS (
+      SELECT doc_id, seg, COUNT(*) AS plen,
+        string_agg(t, ' ' ORDER BY pos) AS phrase
+      FROM words GROUP BY doc_id, seg),
+    wordrows AS (
+      SELECT w.doc_id, w.seg, w.t, p.plen, p.phrase
+      FROM words w JOIN phrases p ON p.doc_id = w.doc_id AND p.seg = w.seg),
+    wstats AS (
+      SELECT t, (1000000 * CAST(SUM(plen) AS BIGINT)) // COUNT(*) AS wscore_ppm
+      FROM wordrows GROUP BY t),
+    pscore AS (
+      SELECT wr.doc_id, wr.seg, wr.phrase,
+        CAST(SUM(ws.wscore_ppm) AS BIGINT) AS score_ppm
+      FROM wordrows wr JOIN wstats ws ON ws.t = wr.t
+      GROUP BY wr.doc_id, wr.seg, wr.phrase)
+    SELECT phrase, COUNT(*) AS n_occurrences,
+      CAST(MAX(score_ppm) AS BIGINT) AS score_ppm
+    FROM pscore GROUP BY phrase
+    ORDER BY score_ppm DESC, phrase LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rake" -> (textRake _),
     "text_source_weights" -> (textSourceWeights _),
     "text_seed_classify" -> (textSeedClassify _),
     "text_oov"         -> (textOov _),
@@ -1272,6 +1350,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_rake" -> textRakeSql,
     "text_source_weights" -> textSourceWeightsSql,
     "text_seed_classify" -> textSeedClassifySql,
     "text_oov"         -> textOovSql,

@@ -46,7 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowedSinglePartition = Set(
     "q_attribution", "text_collocations", "text_source_weights",
     "q_top_movers", "text_pack", "ann_tune", "ann_hybrid", "q_rfm",
-    "q_market_basket", "dedup_lsh_tune")
+    "q_market_basket", "dedup_lsh_tune", "q_ab_test")
 
   /** SinglePartition exchanges whose child is a partial SKETCH aggregate
     * are a bounded merge, not a data-sized funnel: each mapper emits one
