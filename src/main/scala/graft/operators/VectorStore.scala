@@ -653,6 +653,62 @@ object VectorStore {
       .orderBy("rank")
   }
 
+  /** G31 batch twin (the G23/G26 shape for the graph path): many queries
+    * walk the edge sidecar through ONE plan. The frontier carries a
+    * `query_id`, each hop's beam prunes through a window PARTITIONED BY
+    * QUERY, and the bounded (queries × beam)-row frontier is eagerly
+    * checkpointed per hop exactly like the single-query walk. Output
+    * schema = [[searchBatch]]. */
+  def searchGraphBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5): DataFrame = {
+    spark.catalog.refreshByPath(indexDir)
+    val nodes = spark.read.parquet(indexDir)
+      .select(struct(col("doc_id"), col("chunk_ix")).as("nid"),
+        col("chunk"), col("raw"))
+    val edges = spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet")
+      .select(struct(col("src_doc"), col("src_ix")).as("src"),
+        struct(col("dst_doc"), col("dst_ix")).as("dst"))
+    val qdf = { import spark.implicits._
+      queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("query_id", "qtext") }
+      .select(col("query_id"), rawWeights(col("qtext")).as("qraw"))
+    val entries = nodes.select(col("nid"))
+      .withColumn("h", md5(concat_ws(":",
+        col("nid.doc_id").cast("string"), col("nid.chunk_ix").cast("string"))))
+      .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
+      .limit(GraphEntries).select(col("nid"))
+    val start = qdf.select(col("query_id")).crossJoin(broadcast(entries))
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("nid.doc_id"), col("nid.chunk_ix"))
+    def hop(f: DataFrame): DataFrame = {
+      val fc = f.select(col("query_id"), col("nid"))
+      val grown = fc.union(
+        edges.join(broadcast(fc), col("nid") === col("src"))
+          .select(col("query_id"), col("dst").as("nid"))).distinct()
+      nodes.join(broadcast(grown), "nid")
+        .join(broadcast(qdf), "query_id")
+        .select(col("query_id"), col("nid"), score.as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= GraphBeam)
+        .select(col("query_id"), col("nid"), col("score"))
+    }
+    val last = (1 to GraphHops)
+      .foldLeft(start.localCheckpoint(true))((f, _) => hop(f).localCheckpoint(true))
+    last
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(nodes.select(col("nid"), col("chunk")), "nid")
+      .select(col("query_id"), col("rank"), col("nid.doc_id").as("doc_id"),
+        col("nid.chunk_ix").as("chunk_ix"), col("chunk"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   def delete(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Long = {
     // drop any cached file listing for this path — a previous overwrite
     // (or a concurrent writer) invalidates it, and a stale listing makes

@@ -73,6 +73,28 @@ class StoreGraphSpec extends AnyFunSuite {
     assert(entries.length == 8)
   }
 
+  test("searchGraphBatch matches the single-query walk rank-for-rank") {
+    val samples = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(3).collect().map(_.getString(0)).distinct.toSeq
+    assert(samples.size >= 2)
+    val batch = VectorStore.searchGraphBatch(spark, indexDir, samples, k = 5)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id")).view
+      .mapValues(_.toSeq.sortBy(_.getAs[Int]("rank"))).toMap
+    samples.zipWithIndex.foreach { case (qt, i) =>
+      val single = VectorStore.searchGraph(spark, indexDir, qt, k = 5).collect()
+      val got = batch(i.toLong)
+      assert(got.length == single.length, s"query $i row count")
+      single.zip(got).foreach { case (s1, b1) =>
+        assert(s1.getAs[Long]("doc_id") == b1.getAs[Long]("doc_id") &&
+          s1.getAs[Int]("chunk_ix") == b1.getAs[Int]("chunk_ix") &&
+          s1.getAs[Double]("score") == b1.getAs[Double]("score"),
+          s"query $i diverged: single=$s1 batch=$b1")
+      }
+    }
+  }
+
   test("rebuild after append covers the appended chunks") {
     val dir = Files.createTempDirectory("graft_vsg2").toString + "/index"
     val first = Tables.documents(spark, sf).filter(col("doc_id") < 50)
