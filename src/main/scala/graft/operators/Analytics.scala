@@ -694,6 +694,62 @@ object Analytics {
       abs(z_score) > 1.96 AS significant
     FROM z WHERE n_a + n_b > 0"""
 
+  /** E54: triangle counting on the co-purchase graph — the clustering /
+    * community-density metric next to E40's PageRank and C6's connected
+    * components. Edges = part pairs co-purchased in ≥ 2 orders (the
+    * support prune production triangle counters apply before the wedge
+    * join); triangles close via two equi-joins with the a < b < c id
+    * ordering, so each triangle is generated exactly once — the
+    * id-ordering trick that kills the 3! duplication and bounds wedge
+    * fan-out to the "higher-id neighbors" lists. Output: the 10 most
+    * triangle-dense parts with the global count attached (1-row
+    * broadcast, allowlisted). Exact integers throughout. */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = items.alias("a")
+      .join(items.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("pa", "pb")
+      .persist() // three wedge/closure attaches read the pruned edge list
+    val tri = edges.alias("e1")
+      .join(edges.alias("e2"), col("e1.pb") === col("e2.pa"))
+      .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
+      .join(edges.alias("e3"),
+        col("a") === col("e3.pa") && col("c") === col("e3.pb"), "left_semi")
+    val total = tri.agg(count(lit(1)).as("total_triangles"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(broadcast(total))
+      .orderBy(col("n_triangles").desc, col("part")).limit(10)
+      .select("part", "n_triangles", "total_triangles")
+  }
+
+  val qTrianglesSql: String = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (
+      SELECT a.pk AS pa, b.pk AS pb
+      FROM items a JOIN items b ON b.ok = a.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.pa = e1.pb
+      WHERE EXISTS (SELECT 1 FROM edges e3
+        WHERE e3.pa = e1.pa AND e3.pb = e2.pb)),
+    total AS (SELECT COUNT(*) AS total_triangles FROM tri),
+    parts AS (
+      SELECT unnest([a, b, c]) AS part FROM tri)
+    SELECT part, COUNT(*) AS n_triangles,
+      CAST(MAX(total_triangles) AS BIGINT) AS total_triangles
+    FROM parts CROSS JOIN total
+    GROUP BY part
+    ORDER BY n_triangles DESC, part LIMIT 10"""
+
   private val MauWindow = 28 // trailing days in the monthly-active count
 
   /** E50: DAU / MAU engagement with the stickiness ratio — the product
@@ -1474,6 +1530,7 @@ object Analytics {
     "q_dau_mau" -> (qDauMau _),
     "q_market_basket" -> (qMarketBasket _),
     "q_ab_test" -> (qAbTest _),
+    "q_triangles" -> (qTriangles _),
     "q_cube"       -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot"      -> (qPivot _),
@@ -1511,6 +1568,7 @@ object Analytics {
     "q_dau_mau" -> qDauMauSql,
     "q_market_basket" -> qMarketBasketSql,
     "q_ab_test" -> qAbTestSql,
+    "q_triangles" -> qTrianglesSql,
     "q_cube"       -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot"      -> qPivotSql,

@@ -46,7 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowedSinglePartition = Set(
     "q_attribution", "text_collocations", "text_source_weights",
     "q_top_movers", "text_pack", "ann_tune", "ann_hybrid", "q_rfm",
-    "q_market_basket", "dedup_lsh_tune", "q_ab_test")
+    "q_market_basket", "dedup_lsh_tune", "q_ab_test", "q_triangles")
 
   /** SinglePartition exchanges whose child is a partial SKETCH aggregate
     * are a bounded merge, not a data-sized funnel: each mapper emits one
@@ -85,7 +85,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_brute", "ann_hybrid", "ann_ivf", "ann_ivf_km",
     "ann_ivfpq", "ann_recall", "ann_sq8", "knn_vote", "knn_vote_pq",
     "q_bloom_native", "q_kmv_overlap", "q_market_basket", "q_rfm",
-    "ann_tune", "dedup_lsh_tune", "text_collocations",
+    "ann_tune", "dedup_lsh_tune", "q_triangles", "text_collocations",
     "text_source_weights")
 
   test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
