@@ -89,8 +89,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val k = foldableNum(children(2), "graft_bloom", "k")
         require(m == math.rint(m) && m >= 8 && m % 8 == 0,
           s"graft_bloom: m must be a positive whole multiple of 8 bits, got $m")
-        require(k == math.rint(k) && k >= 1,
-          s"graft_bloom: k must be a positive whole number, got $k")
+        require(k == math.rint(k) && k >= 1 && k <= graft.plans.BloomOps.MaxK,
+          s"graft_bloom: k must be a whole number in [1, " +
+            s"${graft.plans.BloomOps.MaxK}], got $k")
         graft.plans.BloomSketch(children.head, m.toInt, k.toInt)
           .toAggregateExpression()
       }))
@@ -100,8 +101,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bloom_contains"),
       (children: Seq[Expression]) => {
         val k = foldableNum(children(2), "graft_bloom_contains", "k")
-        require(k == math.rint(k) && k >= 1,
-          s"graft_bloom_contains: k must be a positive whole number, got $k")
+        require(k == math.rint(k) && k >= 1 && k <= graft.plans.BloomOps.MaxK,
+          s"graft_bloom_contains: k must be a whole number in [1, " +
+            s"${graft.plans.BloomOps.MaxK}], got $k")
         graft.plans.BloomContains(children.head, children(1), k.toInt)
       }))
     ext.injectFunction((

@@ -629,11 +629,13 @@ object Similarity {
     * Each leg keeps its top-[[HybridLegK]] per query (rank window, ties
     * → doc_id); fused score = Σ legs 1/([[RrfK]] + rank), missing leg
     * contributes 0 — two IEEE divisions added in a fixed order, so the
-    * fusion is bit-deterministic in both engines. Scale shape: the query
-    * side of both joins is a handful of docs (broadcast); the corpus is
-    * touched once per leg through keyed joins (term / slot) — never
-    * all-pairs; the 1-row corpus-count attach is the allowlisted bounded
-    * funnel. */
+    * fusion is bit-deterministic in both engines. Scale shape: the
+    * lexical leg is a keyed inverted-index join; the dense leg scores
+    * the corpus against the broadcast QUERY-SIDE cross product (the
+    * ann_brute shape — bounded by the handful of queries, so every
+    * corpus doc holds a vec_rank even with zero slot overlap, which the
+    * oracle mirrors with a zero-filled left join); the 1-row
+    * corpus-count attach is the allowlisted bounded funnel. */
   def annHybrid(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tok = docs.select(col("doc_id"),
@@ -719,13 +721,23 @@ object Similarity {
     slots AS (
       SELECT doc_id, slot, CAST(SUM(sign) AS BIGINT) AS weight
       FROM th GROUP BY doc_id, slot),
-    densescore AS (
+    pairdots AS (
       SELECT q.doc_id AS query_id, c.doc_id AS c_doc,
-        CAST(SUM(q.weight * c.weight) AS BIGINT) AS score
+        CAST(SUM(q.weight * c.weight) AS BIGINT) AS dot
       FROM slots q
       JOIN slots c ON c.slot = q.slot AND c.doc_id >= 5
       WHERE q.doc_id < 5
       GROUP BY q.doc_id, c.doc_id),
+    densescore AS (
+      -- every (query, corpus) pair exists with dot 0 when no slot is
+      -- shared — the Spark side scores the full broadcast cross product,
+      -- so zero-overlap docs DO hold a vec_rank there too
+      SELECT q.doc_id AS query_id, c.doc_id AS c_doc,
+        COALESCE(p.dot, 0) AS score
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 5) q
+      CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id >= 5) c
+      LEFT JOIN pairdots p
+        ON p.query_id = q.doc_id AND p.c_doc = c.doc_id),
     dense AS (
       SELECT query_id, c_doc, vec_rank FROM (
         SELECT query_id, c_doc,

@@ -598,60 +598,19 @@ object VectorStore {
   /** G31 serving read: beam search over the [[buildGraph]] sidecar — the
     * B17 walk shape against the store. Every query starts at the same
     * [[GraphEntries]] md5-drawn stored chunks, expands [[GraphHops]]
-    * times through the edge sidecar keeping the best [[GraphBeam]] by
-    * cosine to the query, and answers with the final top-k. Per hop the
-    * walk touches O(beam · degree) stored vectors — independent of index
-    * size, the property that makes graph serving the low-latency read
-    * once an index outgrows exhaustive bucket probes. Each bounded
-    * frontier is eagerly checkpointed (the B17 lesson: the dual-consumer
-    * lineage otherwise re-executes ~2^hops times). Output schema =
+    * times through the edge sidecar keeping the best max([[GraphBeam]],
+    * k) by cosine to the query (the beam widens with k — a k above the
+    * beam would otherwise be silently capped by the last frontier), and
+    * answers with the final top-k. Per hop the walk touches
+    * O(beam · degree) stored vectors — independent of index size, the
+    * property that makes graph serving the low-latency read once an
+    * index outgrows exhaustive bucket probes. Delegates to the batch
+    * walk (one machinery, spec'd rank-for-rank equal). Output schema =
     * [[search]]. */
   def searchGraph(spark: SparkSession, indexDir: String, query: String,
-      k: Int = 5): DataFrame = {
-    spark.catalog.refreshByPath(indexDir)
-    val nodes = spark.read.parquet(indexDir)
-      .select(struct(col("doc_id"), col("chunk_ix")).as("nid"),
-        col("chunk"), col("raw"))
-    val edges = spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet")
-      .select(struct(col("src_doc"), col("src_ix")).as("src"),
-        struct(col("dst_doc"), col("dst_ix")).as("dst"))
-    val q = { import spark.implicits._; Seq(query).toDF("qtext") }
-      .select(rawWeights(col("qtext")).as("qraw"))
-    val entries = nodes.select(col("nid"))
-      .withColumn("h", md5(concat_ws(":",
-        col("nid.doc_id").cast("string"), col("nid.chunk_ix").cast("string"))))
-      .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
-      .limit(GraphEntries).select(col("nid"))
-    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
-    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
-    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
-    val score = when(ssC > 0 && ssQ > 0,
-      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
-      .otherwise(lit(0.0d))
-    val byScore = Window.orderBy(col("score").desc,
-      col("nid.doc_id"), col("nid.chunk_ix"))
-    def hop(f: DataFrame): DataFrame = {
-      val fc = f.select(col("nid"))
-      val grown = fc.union(
-        edges.join(broadcast(fc), col("nid") === col("src"))
-          .select(col("dst").as("nid"))).distinct()
-      nodes.join(broadcast(grown), "nid")
-        .crossJoin(broadcast(q)) // 1-row query attach (bounded)
-        .select(col("nid"), score.as("score"))
-        .orderBy(col("score").desc, col("nid.doc_id"), col("nid.chunk_ix"))
-        .limit(GraphBeam)
-    }
-    val last = (1 to GraphHops)
-      .foldLeft(entries.localCheckpoint(true))((f, _) => hop(f).localCheckpoint(true))
-    last
-      .orderBy(col("score").desc, col("nid.doc_id"), col("nid.chunk_ix"))
-      .limit(k)
-      .withColumn("rank", row_number().over(byScore))
-      .join(nodes.select(col("nid"), col("chunk")), "nid")
-      .select(col("rank"), col("nid.doc_id").as("doc_id"),
-        col("nid.chunk_ix").as("chunk_ix"), col("chunk"), col("score"))
-      .orderBy("rank")
-  }
+      k: Int = 5): DataFrame =
+    searchGraphBatch(spark, indexDir, Seq(query), k)
+      .drop("query_id")
 
   /** G31 batch twin (the G23/G26 shape for the graph path): many queries
     * walk the edge sidecar through ONE plan. The frontier carries a
@@ -661,6 +620,9 @@ object VectorStore {
     * schema = [[searchBatch]]. */
   def searchGraphBatch(spark: SparkSession, indexDir: String,
       queries: Seq[String], k: Int = 5): DataFrame = {
+    // the per-hop beam must cover the asked-for k: the final cut runs
+    // over the LAST frontier, which holds at most `beam` rows per query
+    val beam = math.max(GraphBeam, k)
     spark.catalog.refreshByPath(indexDir)
     val nodes = spark.read.parquet(indexDir)
       .select(struct(col("doc_id"), col("chunk_ix")).as("nid"),
@@ -695,7 +657,7 @@ object VectorStore {
         .join(broadcast(qdf), "query_id")
         .select(col("query_id"), col("nid"), score.as("score"))
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= GraphBeam)
+        .filter(col("rk") <= beam)
         .select(col("query_id"), col("nid"), col("score"))
     }
     val last = (1 to GraphHops)

@@ -23,6 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * lives at byte `b >>> 3`, mask `1 << (b & 7)`.
   */
 object BloomOps {
+  /** Hard cap on k: positions are h1 + i·h2 with h1, h2 < 2^60, so the
+    * largest index term is (k−1)·h2 — at k = 8 the sum stays below
+    * 2^63 − 8 (exact int64, and exact BIGINT in the DuckDB oracle,
+    * which ERRORS on overflow rather than wrapping); at k = 9 it wraps
+    * negative and the bit index corrupts. k ≤ 8 covers the optimal-k
+    * range for ≤ ~11 bits/key; beyond that, widen m instead. */
+  val MaxK = 8
+
   private val Salt1 = "b1|".getBytes("UTF-8")
   private val Salt2 = "b2|".getBytes("UTF-8")
 
@@ -93,7 +101,9 @@ case class BloomSketch(
   extends TypedImperativeAggregate[Array[Byte]] {
 
   require(m > 0 && m % 8 == 0, "graft_bloom: m must be a positive multiple of 8 bits")
-  require(k > 0, "graft_bloom: k must be positive")
+  require(k > 0 && k <= BloomOps.MaxK,
+    s"graft_bloom: k must be in [1, ${BloomOps.MaxK}] " +
+      "(position math h1 + i*h2 overflows int64 beyond that)")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -144,7 +154,9 @@ case class BloomSketch(
 case class BloomContains(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
 
-  require(k > 0, "graft_bloom_contains: k must be positive")
+  require(k > 0 && k <= BloomOps.MaxK,
+    s"graft_bloom_contains: k must be in [1, ${BloomOps.MaxK}] " +
+      "(position math h1 + i*h2 overflows int64 beyond that)")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

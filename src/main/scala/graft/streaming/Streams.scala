@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -488,7 +489,13 @@ object Streams {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
       spark.catalog.refreshByPath(p.toString)
-      spark.read.parquet(p.toString).head().getAs[Array[Byte]](0)
+      // a crash can interrupt the non-atomic overwrite and leave the dir
+      // present but without a committed file — that must degrade to the
+      // empty sketch (the replay refolds and converges), never poison
+      // every later batch with a read error
+      scala.util.Try(
+        spark.read.parquet(p.toString).head().getAs[Array[Byte]](0))
+        .getOrElse(new Array[Byte](SeenBits / 8))
     } else new Array[Byte](SeenBits / 8)
   }
 
@@ -520,16 +527,27 @@ object Streams {
           val spark = batch.sparkSession
           // one materialization, five consumers (gate, screen, ingest,
           // quarantine, drift) — without it each re-runs the source scan
-          val b = batch.localCheckpoint(true)
+          // F23 intra-batch leg: two copies of one id can arrive in the
+          // SAME micro-batch, both missing the batch-start sketch — and
+          // duplicate ids would also multiply through every per-doc_id
+          // screen join below. Rank copies per id FIRST (earliest ts
+          // wins, deterministic tie on content hash): only the first
+          // copy enters the pipeline, the rest quarantine as seen_id.
+          val wCopy = Window.partitionBy("doc_id")
+            .orderBy(col("ts"), md5(col("text")))
+          val ranked = batch.withColumn("copy_rk", row_number().over(wCopy))
+            .localCheckpoint(true)
+          val b = ranked.filter(col("copy_rk") === 1).drop("copy_rk")
           // fresh listing each batch: the previous batch appended rows
           spark.catalog.refreshByPath(bandDir)
           val bandIndex = spark.read.parquet(bandDir)
           val gate = qualityGate(b.select("doc_id", "text"))
           val dups = nearDupScreen(b.select("doc_id", "text"), bandIndex)
             .select("doc_id").distinct().withColumn("near_dup", lit(true))
-          // F23: re-delivered ids are screened against the Bloom sidecar
-          // of everything ever admitted — checked FIRST (an id replay is
-          // a delivery artifact, not a content judgment)
+          // F23 cross-batch leg: re-delivered ids are screened against
+          // the Bloom sidecar of everything ever admitted — checked
+          // FIRST (an id replay is a delivery artifact, not a content
+          // judgment)
           val seenSketch = loadSeenSketch(spark, indexDir)
           val verdicts = b.select("doc_id", "ts", "text")
             .join(gate.select("doc_id", "keep", "n_failed_rules"), "doc_id")
@@ -559,6 +577,10 @@ object Streams {
                 .when(col("near_dup"), "near_dup").otherwise("quality")
                 .as("reason"),
               col("n_failed_rules"), lit(batchId).as("batch_id"))
+            .unionByName(ranked.filter(col("copy_rk") > 1)
+              .select(col("doc_id"), col("ts"), lit("seen_id").as("reason"),
+                lit(null).cast("int").as("n_failed_rules"),
+                lit(batchId).as("batch_id")))
             .write.mode("append").parquet(quarantineDir)
           driftMonitor(verdicts.select("ts", "text"), baseline, driftThreshold)
             .withColumn("batch_id", lit(batchId))

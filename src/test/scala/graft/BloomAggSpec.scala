@@ -74,10 +74,21 @@ class BloomAggSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(bf, sketchOf(Seq("a", "b"), m = 256)))
   }
 
+  test("k = 8 (the int64-safe maximum) still has no false negatives") {
+    val keys = (0 until 200).map(i => s"k8_$i")
+    val bf = sketchOf(keys, m = 8192, k = 8)
+    val misses = keys.toDF("key")
+      .withColumn("hit", call_function("graft_bloom_contains",
+        lit(bf), col("key"), lit(8)))
+      .filter(!col("hit")).count()
+    assert(misses == 0L)
+  }
+
   test("bad m or k fails loudly") {
     val df = Seq("a").toDF("key")
     for ((m, k) <- Seq((lit(100), lit(3)), (lit(-8), lit(3)),
-        (lit(4096.5), lit(3)), (lit(4096), lit(0)), (lit(4096), lit(2.5)))) {
+        (lit(4096.5), lit(3)), (lit(4096), lit(0)), (lit(4096), lit(2.5)),
+        (lit(4096), lit(9)))) {
       val e = intercept[Exception] {
         df.agg(call_function("graft_bloom", col("key"), m, k)).collect()
       }

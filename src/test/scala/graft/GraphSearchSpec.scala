@@ -33,11 +33,14 @@ class GraphSearchSpec extends AnyFunSuite {
     // rank-1 of every query must score at least as well as the best entry
     // node does for that query — the beam keeps entries unless it finds
     // better, so a regression here means the expansion is broken.
+    // must mirror GraphEntries (8) — reconstructing fewer would weaken
+    // the bound this test enforces
     val entries = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
       .filter(col("vec_id") >= 10)
       .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy(col("h"), col("vec_id")).limit(4)
+      .orderBy(col("h"), col("vec_id")).limit(8)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(entries.size == 8)
     val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def dot(a: Array[Float], b: Array[Float]): Double =

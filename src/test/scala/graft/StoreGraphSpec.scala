@@ -50,27 +50,45 @@ class StoreGraphSpec extends AnyFunSuite {
   }
 
   test("the walk improves on its entry nodes") {
+    import org.apache.spark.sql.functions.{call_function, lit}
     val query = spark.read.parquet(indexDir)
       .filter(col("doc_id") === 7 && col("chunk_ix") === 1)
       .select("chunk").collect().head.getString(0)
-    val entries = spark.read.parquet(indexDir)
-      .select(col("doc_id"), col("chunk_ix"), col("chunk"))
+    // score every entry exactly the way the store does: cosine over the
+    // raw int64 hashing-trick weights — the beam keeps an entry unless
+    // it finds better, so rank-1 must be >= the best entry score
+    import spark.implicits._
+    val qraw = Seq(query).toDF("t")
+      .select(call_function("graft_hash_embed", col("t"),
+        lit(VectorStore.Dim)).as("qraw"))
+      .collect().head.getSeq[Long](0).toArray
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val sa = a.map(x => x * x).sum
+      val sb = b.map(x => x * x).sum
+      if (sa > 0 && sb > 0) dot.toDouble / (math.sqrt(sa.toDouble) * math.sqrt(sb.toDouble))
+      else 0.0
+    }
+    val entryScores = spark.read.parquet(indexDir)
+      .select(col("doc_id"), col("chunk_ix"), col("raw"))
       .withColumn("h", md5(concat_ws(":",
         col("doc_id").cast("string"), col("chunk_ix").cast("string"))))
       .orderBy(col("h"), col("doc_id"), col("chunk_ix")).limit(8)
-      .collect()
-    // score each entry exactly the way the store does: cosine over the
-    // raw int64 hashing-trick weights — reuse search() on a 1-chunk
-    // index? simpler: rank-1 of the walk must be >= the best score the
-    // walk itself assigns to any entry, which holds iff rank-1 is at
-    // least the entry that survives into the final beam. Weakest useful
-    // form: the top hit must beat the WORST entry (the walk prunes).
+      .collect().map(r => cos(qraw, r.getSeq[Long](2).toArray))
+    assert(entryScores.length == 8)
     val top = VectorStore.searchGraph(spark, indexDir, query, k = 1)
       .collect().head.getAs[Double]("score")
-    // the verbatim chunk itself scores 1.0 only if reachable; we assert
-    // the walk at least found something positive and structurally ranked
-    assert(top > 0.0, s"walk top score $top not positive")
-    assert(entries.length == 8)
+    assert(top >= entryScores.max - 1e-9,
+      s"walk top $top below best entry ${entryScores.max}")
+  }
+
+  test("k above the default beam widens the walk instead of silently capping") {
+    val query = spark.read.parquet(indexDir)
+      .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val hits = VectorStore.searchGraph(spark, indexDir, query, k = 12).collect()
+    assert(hits.length == 12, s"asked k=12, got ${hits.length}")
+    assert(hits.map(_.getAs[Int]("rank")).toSeq == (1 to 12))
   }
 
   test("searchGraphBatch matches the single-query walk rank-for-rank") {

@@ -519,17 +519,27 @@ class StreamingSpec extends AnyFunSuite {
       // redelivery that drifted
       input.addData((500L, ts(10), goodText("mutatedBz")))
       q.processAllAvailable()
+      // INTRA-batch redelivery: both copies of a NEW id arrive in one
+      // micro-batch, so neither is in the batch-start sketch — the
+      // per-id copy ranking must admit exactly the first (earlier ts)
+      input.addData((600L, ts(20), goodText("earlyCq")),
+        (600L, ts(21), goodText("lateDr")))
+      q.processAllAvailable()
     } finally q.stop()
 
     val quarantine = spark.read.parquet(s"$root/quarantine")
       .collect().map(r => (r.getLong(0), r.getString(2)))
-    assert(quarantine.toSeq == Seq((500L, "seen_id")), s"quarantine: ${quarantine.toSeq}")
-    // the store holds only the FIRST delivery's chunks
+    assert(quarantine.toSeq.sorted == Seq((500L, "seen_id"), (600L, "seen_id")),
+      s"quarantine: ${quarantine.toSeq}")
+    // the store holds only the FIRST delivery's chunks for both ids
     val stored = spark.read.parquet(indexDir)
-      .filter(col("doc_id") === 500L).select("chunk")
-      .collect().map(_.getString(0))
-    assert(stored.nonEmpty && stored.forall(_.contains("freshAx")))
+      .filter(col("doc_id") === 500L || col("doc_id") === 600L)
+      .select("chunk").collect().map(_.getString(0))
+    assert(stored.nonEmpty)
     assert(!stored.exists(_.contains("mutatedBz")),
-      "second delivery reached the store")
+      "second cross-batch delivery reached the store")
+    assert(stored.exists(_.contains("earlyCq")) &&
+      !stored.exists(_.contains("lateDr")),
+      "intra-batch duplicate handling admitted the wrong copy")
   }
 }
