@@ -750,6 +750,47 @@ object Analytics {
     GROUP BY part
     ORDER BY n_triangles DESC, part LIMIT 10"""
 
+  /** E55: new-vs-returning daily split — the acquisition/retention
+    * decomposition on every growth dashboard: per day, how many active
+    * users are seen for the first time vs returning. One (user, day)
+    * dedupe, a per-user min-day aggregation joined back (both keyed by
+    * user), one day rollup; exact integers, one IEEE ratio. */
+  def qNewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(86400L)))
+          .divide(lit(86400L)).cast("long").as("day"))
+      .distinct()
+    val first = days.groupBy("user_id").agg(min("day").as("first_day"))
+    days.join(first, "user_id")
+      .groupBy("day")
+      .agg(sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("new_users"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L))
+          .as("returning_users"))
+      .select(col("day"), col("new_users"), col("returning_users"),
+        (col("new_users").cast("double") /
+          (col("new_users") + col("returning_users")).cast("double"))
+          .as("new_share"))
+      .orderBy("day")
+  }
+
+  val qNewVsReturningSql: String = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+      FROM events),
+    first AS (SELECT user_id, MIN(day) AS first_day FROM days GROUP BY user_id)
+    SELECT day,
+      CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        AS new_users,
+      CAST(SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+        AS returning_users,
+      CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS new_share
+    FROM days JOIN first USING (user_id)
+    GROUP BY day ORDER BY day"""
+
   private val MauWindow = 28 // trailing days in the monthly-active count
 
   /** E50: DAU / MAU engagement with the stickiness ratio — the product
@@ -1528,6 +1569,7 @@ object Analytics {
     "q_event_path" -> (qEventPath _),
     "q_forecast_ses" -> (qForecastSes _),
     "q_dau_mau" -> (qDauMau _),
+    "q_new_vs_returning" -> (qNewVsReturning _),
     "q_market_basket" -> (qMarketBasket _),
     "q_ab_test" -> (qAbTest _),
     "q_triangles" -> (qTriangles _),
@@ -1566,6 +1608,7 @@ object Analytics {
     "q_event_path" -> qEventPathSql,
     "q_forecast_ses" -> qForecastSesSql,
     "q_dau_mau" -> qDauMauSql,
+    "q_new_vs_returning" -> qNewVsReturningSql,
     "q_market_basket" -> qMarketBasketSql,
     "q_ab_test" -> qAbTestSql,
     "q_triangles" -> qTrianglesSql,
