@@ -116,8 +116,9 @@ object CorpusJob {
       Tables.documents(s, dir).select(col("source"), col("text"))
         .groupBy("source")
         .agg(call_function("graft_kmv",
-          graft.functions.Hashing.h60(md5(col("text"))), lit(128)).as("kmv")),
-      "source", 128)
+          graft.functions.Hashing.h60(md5(col("text"))),
+          lit(operators.Sketches.KmvK)).as("kmv")),
+      "source", operators.Sketches.KmvK)
       .withColumnRenamed("key_a", "source_a")
       .withColumnRenamed("key_b", "source_b")
       .write.mode("overwrite").parquet(s"$outDir/_graft_overlap")

@@ -334,8 +334,8 @@ object Sketches {
       .select(col("event_type"),
         Hashing.h60(col("user_id").cast("string")).as("h"))
       .groupBy("event_type")
-      .agg(call_function("graft_kmv", col("h"), lit(128)).as("kmv"))
-    kmvOverlap(sk, "event_type", 128)
+      .agg(call_function("graft_kmv", col("h"), lit(KmvK)).as("kmv"))
+    kmvOverlap(sk, "event_type", KmvK)
       .withColumnRenamed("key_a", "type_a")
       .withColumnRenamed("key_b", "type_b")
       .orderBy("type_a", "type_b")
@@ -359,7 +359,7 @@ object Sketches {
     * join; the raw events are scanned twice only because the direct
     * sketch is deliberately rebuilt as the proof's other side. */
   def qKmvRollup(s: SparkSession, dir: String): DataFrame = {
-    val k = 128
+    val k = KmvK
     val hashed = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"),
         Hashing.h60(col("user_id").cast("string")).as("h"))
@@ -371,14 +371,10 @@ object Sketches {
           1, k).as("kmv_merged"))
     val direct = hashed.groupBy("event_type")
       .agg(call_function("graft_kmv", col("h"), lit(k)).as("kmv_direct"))
-    def est(kmv: Column): Column =
-      when(size(kmv) < k, size(kmv).cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976L.toDouble)
-          / element_at(kmv, k).cast("double"))
     merged.join(direct, "event_type")
       .select(col("event_type"), col("n_days"),
-        est(col("kmv_merged")).as("est_merged"),
-        est(col("kmv_direct")).as("est_direct"),
+        kmvEstimate(col("kmv_merged"), k).as("est_merged"),
+        kmvEstimate(col("kmv_direct"), k).as("est_direct"),
         (col("kmv_merged") === col("kmv_direct")).as("merge_lossless"))
       .orderBy("event_type")
   }
@@ -434,35 +430,61 @@ object Sketches {
     JOIN eq ON eq.event_type = days.event_type
     ORDER BY days.event_type"""
 
+  // ---- shared KMV estimator algebra (every G29 consumer) ---------------
+
+  /** 2^60 — the h60 hash space every KMV estimate divides by. */
+  private[graft] val KmvSpace = 1152921504606846976L
+
+  /** The k every G29 sketch in this library is built with. The estimator
+    * and the sketch MUST agree on k: estimating a k=64 sketch with
+    * k=128 makes every saturated sketch look "unsaturated" and reports
+    * the retained-hash count as the distinct count — plausible-looking
+    * and badly wrong. One shared constant instead of repeated literals. */
+  val KmvK = 128
+
+  /** KMV distinct estimate: exact retained count below saturation, else
+    * the (k−1)·M/v_k order-statistic estimator. */
+  private[graft] def kmvEstimate(kmv: Column, k: Int): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(KmvSpace.toDouble)
+        / element_at(kmv, k).cast("double"))
+
+  /** k-min union sketch of two sketches (theta-union). */
+  private[graft] def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Union-sketch hashes present in BOTH inputs — the uniform
+    * intersection sample within the union's θ-region. */
+  private[graft] def kmvHits(u: Column, a: Column, b: Column): Column =
+    size(array_intersect(array_intersect(u, a), b))
+
   /** The E42 theta set-algebra over ANY (key, kmv) sketch table built
     * with `graft_kmv(h, k)`: one row per unordered key pair with
     * per-set, union, and intersection distinct estimates plus a Jaccard
     * estimate. Pure array arithmetic — reusable wherever per-partition
     * sketches already exist (q_kmv_overlap over event types, G19's
     * per-source corpus-overlap audit). Unsaturated sketches (m < k)
-    * give exact counts. */
+    * give exact counts. `k` MUST be the k the sketches were built with
+    * (see [[KmvK]]). Pairs where BOTH sketches are empty are dropped —
+    * matching the relational oracle's inner join (and keeping v_k's
+    * element_at off the empty array, which would throw). */
   def kmvOverlap(sk: DataFrame, key: String, k: Int): DataFrame = {
-    val M = 1152921504606846976L // 2^60, the h60 hash space
-    def estSet(kmv: Column): Column =
-      when(size(kmv) < k, size(kmv).cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(M.toDouble)
-          / element_at(kmv, k).cast("double"))
     val a = sk.select(col(key).as("key_a"), col("kmv").as("kmv_a"))
     val b = sk.select(col(key).as("key_b"), col("kmv").as("kmv_b"))
     a.join(b, col("key_a") < col("key_b"))
-      .withColumn("u", slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k))
+      .withColumn("u", kmvUnion(col("kmv_a"), col("kmv_b"), k))
       .withColumn("mu", size(col("u")))
+      .filter(col("mu") > 0)
       .withColumn("vku", element_at(col("u"), col("mu")))
-      .withColumn("c",
-        size(array_intersect(array_intersect(col("u"), col("kmv_a")), col("kmv_b"))))
+      .withColumn("c", kmvHits(col("u"), col("kmv_a"), col("kmv_b")))
       .select(col("key_a"), col("key_b"),
-        estSet(col("kmv_a")).as("est_a"),
-        estSet(col("kmv_b")).as("est_b"),
+        kmvEstimate(col("kmv_a"), k).as("est_a"),
+        kmvEstimate(col("kmv_b"), k).as("est_b"),
         when(col("mu") < k, col("mu").cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(M.toDouble)
+          .otherwise(lit((k - 1).toDouble) * lit(KmvSpace.toDouble)
             / col("vku").cast("double")).as("est_union"),
         when(col("mu") < k, col("c").cast("double"))
-          .otherwise(col("c").cast("double") * lit(M.toDouble)
+          .otherwise(col("c").cast("double") * lit(KmvSpace.toDouble)
             / col("vku").cast("double")).as("est_inter"),
         (col("c").cast("double") / col("mu").cast("double")).as("kmv_jaccard"))
   }

@@ -178,7 +178,14 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (e.dataType == LongType) e else Cast(e, LongType)
 
   private def enabled: Boolean =
-    conf.getConfString("graft.bandjoin.rewrite", "true").toBoolean
+    // lenient parse: a malformed value must disable-or-enable cleanly,
+    // never throw inside the optimizer batch (which would fail EVERY
+    // query in the session, not just band joins)
+    conf.getConfString("graft.bandjoin.rewrite", "true")
+      .trim.toLowerCase match {
+      case "false" | "0" | "off" | "disabled" | "no" => false
+      case _ => true
+    }
 
   /** Join types safe to rewrite with the fan-out on the right side (the
     * left is never duplicated, so padding/existence/absence semantics
@@ -235,7 +242,14 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           }
         case _ => false
       }
-      if (alreadyBinned) None
+      // Overflow guard: binW = hi − lo and the bin offsets y+lo / x−hi
+      // use plain Long arithmetic. |lo|, |hi| ≤ 2^31 keeps the offsets
+      // exact for any operand up to ±2^62 (beyond which a "time-like"
+      // integral column is pathological), and hi − lo cannot wrap. A
+      // band wider than 2^31 stays on the naive plan — correct, just
+      // unrewritten — instead of risking silently dropped matches.
+      val offsetsSafe = math.abs(lo) <= (1L << 31) && math.abs(hi) <= (1L << 31)
+      if (alreadyBinned || !offsetsSafe) None
       else {
         val binW = math.max(hi - lo, 1L)
         val binAttr = AttributeReference("__graft_bin", LongType)()

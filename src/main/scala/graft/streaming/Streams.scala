@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.Sketches
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -407,13 +408,11 @@ object Streams {
     * bit-identical to batch. Unsaturated sketches give EXACT counts —
     * the monitor degrades gracefully from exact to ±1/√k estimates as
     * window volume grows. */
-  def overlapMonitor(events: DataFrame, k: Int = 128): DataFrame = {
-    val M = 1152921504606846976L // 2^60, the h60 hash space
+  def overlapMonitor(events: DataFrame, k: Int = Sketches.KmvK): DataFrame = {
+    // estimator + theta algebra shared with the batch side
+    // (Sketches.kmvEstimate/kmvUnion/kmvHits) — one implementation,
+    // batch operators and this monitor can never drift
     val h = graft.functions.Hashing.h60(col("user_id").cast("string"))
-    def est(kmv: Column): Column =
-      when(size(kmv) < k, size(kmv).cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(M.toDouble)
-          / element_at(kmv, k).cast("double"))
     events
       .filter(col("event_type").isin("click", "purchase"))
       .withWatermark("ts", "30 minutes")
@@ -423,17 +422,17 @@ object Streams {
           when(col("event_type") === "click", h), lit(k)).as("kc"),
         call_function("graft_kmv",
           when(col("event_type") === "purchase", h), lit(k)).as("kp"))
-      .withColumn("u", slice(array_sort(array_union(col("kc"), col("kp"))), 1, k))
+      .withColumn("u", Sketches.kmvUnion(col("kc"), col("kp"), k))
       .withColumn("mu", size(col("u")))
-      .withColumn("c", size(array_intersect(array_intersect(col("u"), col("kc")),
-        col("kp"))))
+      .withColumn("c", Sketches.kmvHits(col("u"), col("kc"), col("kp")))
       .withColumn("est_both",
         when(col("mu") < k, col("c").cast("double"))
-          .otherwise(col("c").cast("double") * lit(M.toDouble)
+          .otherwise(col("c").cast("double") * lit(Sketches.KmvSpace.toDouble)
             / element_at(col("u"), col("mu")).cast("double")))
-      .withColumn("est_clickers", est(col("kc")))
+      .withColumn("est_clickers", Sketches.kmvEstimate(col("kc"), k))
       .select(col("window.start").as("window_start"),
-        col("est_clickers"), est(col("kp")).as("est_purchasers"),
+        col("est_clickers"),
+        Sketches.kmvEstimate(col("kp"), k).as("est_purchasers"),
         col("est_both"),
         when(col("est_clickers") > 0.0, col("est_both") / col("est_clickers"))
           .as("conversion_est"))

@@ -97,6 +97,27 @@ class BandJoinRuleSpec extends AnyFunSuite {
     assert(sortedRows(fo) == withRuleOff(sortedRows(fo)))
   }
 
+  test("bands wider than 2^31 stay on the naive plan (overflow guard)") {
+    // hi - lo and the bin offsets would risk Long overflow; the rule
+    // must decline rather than rewrite into silently-dropped matches
+    val wide = 5000000000000000000L
+    val q = l.join(r,
+      col("lx") >= col("ry") - wide && col("lx") <= col("ry") + wide)
+    assert(generateCount(q) == 0, "overflow-prone band was rewritten")
+    // every pair matches inside the huge band — and none are dropped
+    assert(q.count() == l.count() * r.count())
+  }
+
+  test("malformed rewrite conf disables leniently instead of throwing") {
+    spark.conf.set("graft.bandjoin.rewrite", "off")
+    try {
+      val q = l.join(r,
+        col("lx") >= col("ry") - 10L && col("lx") <= col("ry") + 20L)
+      assert(generateCount(q) == 0, "conf 'off' did not disable the rule")
+      assert(q.count() > 0) // and queries still run
+    } finally spark.conf.unset("graft.bandjoin.rewrite")
+  }
+
   test("hand-binned q_range_join and q_interval_join are left alone") {
     for (key <- Seq("q_range_join", "q_interval_join")) {
       val plan = SparkEntry.queries(key)(spark, TestSpark.sf)

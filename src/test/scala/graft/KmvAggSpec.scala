@@ -63,6 +63,21 @@ class KmvAggSpec extends AnyFunSuite {
     }
   }
 
+  test("kmvOverlap drops pairs where both sketches are empty (no crash)") {
+    // all-null hash input yields an empty sketch; the pair's union is
+    // empty and v_k has no element — the pair must drop (matching the
+    // relational oracle's inner join), not throw on element_at(u, 0)
+    val sk = Seq(("a", Some(1L)), ("b", Option.empty[Long]),
+      ("c", Option.empty[Long])).toDF("src", "h")
+      .groupBy(col("src"))
+      .agg(call_function("graft_kmv", col("h"), lit(8)).as("kmv"))
+    val pairs = graft.operators.Sketches.kmvOverlap(sk, "src", 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // (b, c) is the both-empty pair and must be absent; pairs that
+    // include the non-empty sketch survive
+    assert(pairs == Set(("a", "b"), ("a", "c")), s"pairs: $pairs")
+  }
+
   test("plan shows map-side partial aggregation") {
     val df = Seq((1, 10L), (2, 20L)).toDF("g", "h")
     val plan = df.groupBy("g").agg(call_function("graft_kmv", col("h"), lit(8)))
