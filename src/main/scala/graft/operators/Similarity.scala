@@ -472,7 +472,13 @@ object Similarity {
     // GraphDegree is deliberately NOT a knob: it is the INDEX build
     // parameter baked into the session-memoized edge artifact.
     def knob(key: String, default: Int): Int = {
-      val v = s.conf.getOption(s"graft.graph.$key").map(_.toInt).getOrElse(default)
+      val v = s.conf.getOption(s"graft.graph.$key").map { raw =>
+        try raw.trim.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.graph.$key must be an integer, got '$raw'")
+        }
+      }.getOrElse(default)
       require(v >= 1, s"graft.graph.$key must be >= 1, got $v")
       v
     }

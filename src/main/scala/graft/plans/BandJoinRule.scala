@@ -184,7 +184,15 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     conf.getConfString("graft.bandjoin.rewrite", "true")
       .trim.toLowerCase match {
       case "false" | "0" | "off" | "disabled" | "no" => false
-      case _ => true
+      case "true" | "1" | "on" | "enabled" | "yes" | "" => true
+      case other =>
+        // unrecognized (a typo like 'flase' or 'disable') falls back to
+        // enabled — warn so the silent direction of the fallback is at
+        // least visible to a user who meant to disable
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft.bandjoin.rewrite='$other' is not a recognized " +
+            "true/false token; defaulting to ENABLED")
+        true
     }
 
   /** Join types safe to rewrite with the fan-out on the right side (the

@@ -468,8 +468,8 @@ object Streams {
     * effectively-once per micro-batch. Input schema: (doc_id, ts, text).
     * Returns the started query; stop or `processAllAvailable()` in the
     * caller. */
-  private val SeenBits = 1 << 16 // 8 KiB sidecar — the screen's TOTAL state
-  private val SeenK = 3
+  private[graft] val SeenBits = 1 << 16 // 8 KiB sidecar — the screen's TOTAL state
+  private[graft] val SeenK = 3
   private val SeenDir = "_graft_seen"
 
   /** F23: seen-ID sketch for exactly-once admission under at-least-once
@@ -489,12 +489,25 @@ object Streams {
     if (fs.exists(p)) {
       spark.catalog.refreshByPath(p.toString)
       // a crash can interrupt the non-atomic overwrite and leave the dir
-      // present but without a committed file — that must degrade to the
-      // empty sketch (the replay refolds and converges), never poison
-      // every later batch with a read error
-      scala.util.Try(
-        spark.read.parquet(p.toString).head().getAs[Array[Byte]](0))
-        .getOrElse(new Array[Byte](SeenBits / 8))
+      // present but without a committed data file — that case (and only
+      // that case) must degrade to the empty sketch: the replay refolds
+      // and converges. Genuine IO/permission/corruption errors must NOT
+      // silently disable cross-batch dedup, so the missing-file check is
+      // explicit and everything else propagates.
+      val hasCommittedFile = fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }
+      if (hasCommittedFile)
+        spark.read.parquet(p.toString).head().getAs[Array[Byte]](0)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft seen-ID sidecar at $p has no committed data file " +
+            "(interrupted overwrite?); falling back to the empty sketch " +
+            "— this batch will refold and converge")
+        new Array[Byte](SeenBits / 8)
+      }
     } else new Array[Byte](SeenBits / 8)
   }
 
@@ -507,6 +520,14 @@ object Streams {
       .agg(call_function("graft_bloom", col("doc_id").cast("string"),
         lit(SeenBits), lit(SeenK)))
       .head().getAs[Array[Byte]](0)
+    // zip would silently truncate to the shorter array on a length
+    // mismatch (e.g. a sidecar written under a different SeenBits),
+    // changing the implied m and breaking every later bit position —
+    // a silent loss of the exactly-once admission guarantee. Fail loud.
+    require(prev.length == add.length,
+      s"seen-ID sketch size mismatch: sidecar ${prev.length} B vs " +
+        s"current ${add.length} B (SeenBits=$SeenBits) — the sidecar " +
+        "was written under a different sketch size; delete or rebuild it")
     val merged: Array[Byte] = prev.zip(add).map { case (a, b) => (a | b).toByte }
     import spark.implicits._
     Seq(merged).toDF("sketch").coalesce(1)

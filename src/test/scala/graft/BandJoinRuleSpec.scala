@@ -118,6 +118,18 @@ class BandJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.bandjoin.rewrite")
   }
 
+  test("unrecognized rewrite conf token falls back to ENABLED (warned)") {
+    // a typo ('flase', 'disable') must not throw inside the optimizer;
+    // the documented fallback direction is enabled
+    spark.conf.set("graft.bandjoin.rewrite", "flase")
+    try {
+      val q = l.join(r,
+        col("lx") >= col("ry") - 10L && col("lx") <= col("ry") + 20L)
+      assert(generateCount(q) > 0,
+        "unrecognized token did not fall back to enabled")
+    } finally spark.conf.unset("graft.bandjoin.rewrite")
+  }
+
   test("hand-binned q_range_join and q_interval_join are left alone") {
     for (key <- Seq("q_range_join", "q_interval_join")) {
       val plan = SparkEntry.queries(key)(spark, TestSpark.sf)

@@ -88,5 +88,14 @@ class ConfigKnobsSpec extends AnyFunSuite {
       }
     }
     assert(bad.getMessage.contains("graft.graph.hops"), bad.getMessage)
+    // a NON-NUMERIC value must also name the offending key, not surface
+    // as a bare NumberFormatException("For input string: ...")
+    val nonNum = intercept[Exception] {
+      withConf("graft.graph.beam" -> "four") {
+        operators.Similarity.annGraphSearch(s, TestSpark.sf).collect()
+      }
+    }
+    assert(nonNum.getMessage.contains("graft.graph.beam") &&
+      nonNum.getMessage.contains("four"), nonNum.getMessage)
   }
 }

@@ -542,4 +542,38 @@ class StreamingSpec extends AnyFunSuite {
       !stored.exists(_.contains("lateDr")),
       "intra-batch duplicate handling admitted the wrong copy")
   }
+
+  test("seen-ID sketch: size mismatch fails loud, never zip-truncates") {
+    // a sidecar written under a different SeenBits would change the
+    // implied m of every later bit position; zip would silently truncate
+    val root = java.nio.file.Files.createTempDirectory("graft_seensz").toString
+    val ids = Seq(1L, 2L).toDF("doc_id")
+    val wrongSize = new Array[Byte](Streams.SeenBits / 8 + 16)
+    val ex = intercept[IllegalArgumentException] {
+      Streams.recordSeen(spark, root, ids, wrongSize)
+    }
+    assert(ex.getMessage.contains("size mismatch"), ex.getMessage)
+    // matched sizes still merge and round-trip
+    val prev = Streams.loadSeenSketch(spark, root)
+    val merged = Streams.recordSeen(spark, root, ids, prev)
+    assert(merged.length == Streams.SeenBits / 8 && merged.exists(_ != 0))
+    assert(Streams.loadSeenSketch(spark, root).toSeq == merged.toSeq)
+  }
+
+  test("seen-ID sketch: uncommitted dir degrades to empty; corrupt file throws") {
+    val root = java.nio.file.Files.createTempDirectory("graft_seenio").toString
+    val dir = new java.io.File(s"$root/_graft_seen")
+    // dir exists but holds no committed data file (interrupted overwrite):
+    // the documented degrade-to-empty case
+    dir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir.getPath, "_SUCCESS"), Array.empty[Byte])
+    assert(Streams.loadSeenSketch(spark, root).forall(_ == 0))
+    // a PRESENT but corrupt parquet file is a genuine IO error — it must
+    // propagate, not silently disable cross-batch dedup
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir.getPath, "part-0000.snappy.parquet"),
+      "not a parquet file".getBytes)
+    intercept[Exception] { Streams.loadSeenSketch(spark, root) }
+  }
 }
