@@ -18,6 +18,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v,k=v" — session confs for mitigation-knob
+    // rehearsals (e.g. graft.dedup.maxBucketFan for the skew bench)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     // warmup at the smallest SF: JIT + codegen cache + shuffle services,
     // so timed runs measure the plans, not JVM cold start
     // Materialize EVERY column through the no-op DSv2 sink. count() let

@@ -107,6 +107,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.plans.BloomContains(children.head, children(1), k.toInt)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_count"),
+      new ExpressionInfo(classOf[graft.plans.BloomCountContained].getName, null,
+        "graft_bloom_count"),
+      (children: Seq[Expression]) => {
+        val k = foldableNum(children(2), "graft_bloom_count", "k")
+        require(k == math.rint(k) && k >= 1 && k <= graft.plans.BloomOps.MaxK,
+          s"graft_bloom_count: k must be a whole number in [1, " +
+            s"${graft.plans.BloomOps.MaxK}], got $k")
+        graft.plans.BloomCountContained(children.head, children(1), k.toInt)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hll_est"),
       new ExpressionInfo(classOf[graft.plans.HllEstimate].getName, null,
         "graft_hll_est"),

@@ -698,10 +698,18 @@ object Analytics {
     * community-density metric next to E40's PageRank and C6's connected
     * components. Edges = part pairs co-purchased in ≥ 2 orders (the
     * support prune production triangle counters apply before the wedge
-    * join); triangles close via two equi-joins with the a < b < c id
-    * ordering, so each triangle is generated exactly once — the
-    * id-ordering trick that kills the 3! duplication and bounds wedge
-    * fan-out to the "higher-id neighbors" lists. Output: the 10 most
+    * join); each edge is then ORIENTED from its lower-(degree, id)
+    * endpoint to its higher one — the Chiba–Nishizeki degree ordering
+    * every serious triangle counter uses. Any total vertex order
+    * generates each triangle exactly once (killing the 3! duplication);
+    * degree order additionally bounds every out-neighbor list by
+    * O(√edges), so a HOT vertex (one bestseller part co-purchased with
+    * everything — the skew-rehearsal shape) gets a huge IN-list but a
+    * tiny OUT-list and the wedge fan C(out-degree, 2) never explodes.
+    * The id-ordered orientation this replaces put C(degree, 2) wedges
+    * on the hot part (measured: bench/skew_r8.json). The triangle SET
+    * is orientation-invariant, so the id-ordered DuckDB oracle is
+    * unchanged. Output: the 10 most
     * triangle-dense parts with the global count attached (1-row
     * broadcast, allowlisted). Exact integers throughout. */
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
@@ -714,12 +722,30 @@ object Analytics {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select("pa", "pb")
-      .persist() // three wedge/closure attaches read the pruned edge list
-    val tri = edges.alias("e1")
-      .join(edges.alias("e2"), col("e1.pb") === col("e2.pa"))
-      .select(col("e1.pa").as("a"), col("e1.pb").as("b"), col("e2.pb").as("c"))
-      .join(edges.alias("e3"),
-        col("a") === col("e3.pa") && col("c") === col("e3.pb"), "left_semi")
+    val deg = edges.select(explode(array(col("pa"), col("pb"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("pa") < col("pb"))
+    val oriented = edges
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), "pb")
+      .select(
+        when(lowFirst, col("pa")).otherwise(col("pb")).as("src"),
+        when(lowFirst, col("pb")).otherwise(col("pa")).as("dst"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("ddeg"))
+      .persist() // three wedge/closure attaches read the oriented list
+    // wedges at each vertex: ordered pairs of its out-neighbors
+    // (rank(b) < rank(c)); the oriented edge b→c closes the triangle
+    val wedges = oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    val tri = wedges.join(oriented.alias("e3"),
+      col("b") === col("e3.src") && col("c") === col("e3.dst"), "left_semi")
     val total = tri.agg(count(lit(1)).as("total_triangles"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_triangles"))

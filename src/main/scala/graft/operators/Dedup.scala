@@ -43,6 +43,70 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
 
+  // ---- saturated-bucket candidate cap (hot-key mitigation) --------------
+
+  /** Candidate pairs from an exploded blocking-bucket table, with an
+    * optional saturated-bucket cap (`graft.dedup.maxBucketFan`, default
+    * off — the oracle-pinned exact behavior).
+    *
+    * The all-pairs self-join inside one bucket is C(s,2): a corpus where
+    * one boilerplate family holds a constant FRACTION of documents grows
+    * its bucket quadratically with corpus size — the one shape that
+    * breaks blocked dedup's "candidates track duplicate density" scale
+    * argument (measured: bench/skew_r8.json). With the cap set, buckets
+    * larger than `cap` emit STAR edges to the bucket's min-id hub
+    * (s−1 rows) instead of all pairs:
+    *
+    *  - for clustering consumers (C6/C12 components) a saturated bucket
+    *    of true near-dups stays one connected component — hub edges
+    *    carry the same transitive closure the full clique would;
+    *  - for pair-emitting consumers the saturated bucket reports its
+    *    hub pairs only — the duplicate FAMILY is still fully identified
+    *    (every member appears), the exhaustive within-family pair list
+    *    (quadratic by contract) is not.
+    *
+    * `buckets` must carry `keys` (the blocking key), long `idCol`, and
+    * any `payload` columns to surface on both sides. Output columns:
+    * `id_a`, `id_b` (id_a < id_b) + `${p}_a`/`${p}_b` per payload,
+    * distinct across buckets. */
+  private[graft] def bucketCandidates(s: SparkSession, buckets: DataFrame,
+      keys: Seq[String], idCol: String, payload: Seq[String] = Nil): DataFrame = {
+    val cap = s.conf.getOption("graft.dedup.maxBucketFan").map { raw =>
+      try raw.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.dedup.maxBucketFan must be an integer, got '$raw'")
+      }
+    }.getOrElse(0L)
+    def cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+      col(s"a.$idCol") < col(s"b.$idCol")
+    def outCols = col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+      payload.flatMap(p => Seq(col(s"a.$p").as(s"${p}_a"),
+        col(s"b.$p").as(s"${p}_b")))
+    if (cap <= 0L)
+      buckets.alias("a").join(buckets.alias("b"), cond)
+        .select(outCols: _*).distinct()
+    else {
+      require(cap >= 2, s"graft.dedup.maxBucketFan must be >= 2, got $cap")
+      // per-bucket hub (min id, payload rides the struct min) + size;
+      // one extra keyed aggregation co-partitioned with the pair join
+      val stats = buckets.groupBy(keys.map(col): _*)
+        .agg(min(struct((idCol +: payload).map(col): _*)).as("hub"),
+          count(lit(1)).as("bsz"))
+      val joined = buckets.join(stats, keys)
+      val small = joined.filter(col("bsz") <= cap)
+      val pairs = small.alias("a").join(small.alias("b"), cond)
+        .select(outCols: _*)
+      val star = joined
+        .filter(col("bsz") > cap && col(idCol) =!= col("hub").getField(idCol))
+        .select(col("hub").getField(idCol).as("id_a") +:
+          col(idCol).as("id_b") +:
+          payload.flatMap(p => Seq(col("hub").getField(p).as(s"${p}_a"),
+            col(p).as(s"${p}_b"))): _*)
+      pairs.union(star).distinct()
+    }
+  }
+
   /** C1: exact content dedup — one hash-shuffle, keep-min-id. */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
@@ -354,11 +418,8 @@ object Dedup {
     }
     val bands = mins.select(col("doc_id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band_ix").withColumnRenamed("col", "bkey")
-    val cand = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band_ix") === col("b.band_ix") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val cand = bucketCandidates(s, bands, Seq("band_ix", "bkey"), "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     withJaccard(cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b"))
@@ -540,11 +601,8 @@ object Dedup {
     }
     val bands = mins.select(col("doc_id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band_ix").withColumnRenamed("col", "bkey")
-    val cand = bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band_ix") === col("b.band_ix") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val cand = bucketCandidates(s, bands, Seq("band_ix", "bkey"), "doc_id")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val agree = (0 until NumHashes).map(i =>
       when(element_at(col("siga"), i + 1) === element_at(col("sigb"), i + 1),
         1).otherwise(0)).reduce(_ + _)
@@ -680,13 +738,10 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))): _*)))
       .withColumnRenamed("pos", "block_ix").withColumnRenamed("col", "bval")
-    val cand = blocks.alias("a")
-      .join(blocks.alias("b"),
-        col("a.block_ix") === col("b.block_ix") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
-        col("b.doc_id").as("doc_b"), col("b.simhash").as("sim_b"))
-      .distinct()
+    val cand = bucketCandidates(s, blocks, Seq("block_ix", "bval"), "doc_id",
+        Seq("simhash"))
+      .select(col("id_a").as("doc_a"), col("simhash_a").as("sim_a"),
+        col("id_b").as("doc_b"), col("simhash_b").as("sim_b"))
     cand
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
@@ -771,6 +826,28 @@ object Dedup {
 
   /** C5's verified near-dup pair set (vec_a < vec_b, d2x = exact scaled
     * sq-dist ≤ threshold) — the edge source C12's clustering consumes. */
+  /** C5/C12 near-dup threshold as exact scaled-int sq-dist. The default
+    * (cos ≥ 0.4 ↔ d² ≤ 1.2 on unit vectors) is the deliberately-loose
+    * setting the synthetic corpus needs (it has no closer pairs) and is
+    * what the oracle pins. `graft.semantic.minCos` moves it: at a
+    * production near-dup threshold (cos ≥ 0.9) the SAME 16×6 LSH
+    * blocking collapses candidate volume because far pairs stop
+    * surviving the verify — the claim the C5 scaladoc's recall analysis
+    * makes, measured in bench/skew_r8.json's threshold sweep. */
+  private def d2xThreshold(s: SparkSession): Long = {
+    val minCos = s.conf.getOption("graft.semantic.minCos").map { raw =>
+      try raw.trim.toDouble
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.semantic.minCos must be a number, got '$raw'")
+      }
+    }.getOrElse(0.4)
+    require(minCos >= -1.0 && minCos <= 1.0,
+      s"graft.semantic.minCos must be in [-1, 1], got $minCos")
+    // d² = 2 − 2·cos for unit vectors, at quantizer scale (1e7)² = 1e14
+    math.round((2.0 - 2.0 * minCos) * 1.0e14)
+  }
+
   private[operators] def embcosPairs(s: SparkSession, dir: String): DataFrame = {
     val qe = quantizedEmb(s, dir)
     val buckets = qe
@@ -778,19 +855,15 @@ object Dedup {
         col("qe"), lit(EmbLshTables), lit(EmbLshBits))))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
     // a pair colliding in k tables must score once, not k times —
-    // distinct BEFORE the distance kernel
-    val cand = buckets.select(col("vec_id").as("vec_a"), col("tbl"), col("bucket"))
-      .join(buckets.select(col("vec_id").as("vec_b"), col("tbl").as("tbl_b"),
-          col("bucket").as("bucket_b")),
-        col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b")
-          && col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+    // distinct BEFORE the distance kernel (inside bucketCandidates)
+    val cand = bucketCandidates(s, buckets, Seq("tbl", "bucket"), "vec_id")
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
     val ea = qe.select(col("vec_id").as("vec_a"), col("qe").as("ea"))
     val eb = qe.select(col("vec_id").as("vec_b"), col("qe").as("eb"))
     cand.join(ea, "vec_a").join(eb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         sqDistExact(col("ea"), col("eb")).as("d2x"))
-      .filter(col("d2x") <= lit(120000000000000L)) // 1.2 at scale 1e14
+      .filter(col("d2x") <= lit(d2xThreshold(s))) // default 1.2 at scale 1e14
   }
 
   def dedupEmbcos(s: SparkSession, dir: String): DataFrame = {
@@ -1317,11 +1390,40 @@ object Dedup {
     val maxLiteral = s.conf.getOption("graft.contam.maxLiteralShingles")
       .map(_.toLong).getOrElse(1000000L)
     val totalShingles = union.length.toLong + benchSets.map(_._2.size.toLong).sum
+    // G30 composed: a Bloom pre-filter on shingle membership ahead of the
+    // exact intersect. The sketch is FIXED-SIZE (~32 bits/key here)
+    // however large the eval suite grows, and the probe cost per doc is
+    // O(shingles · k) independent of the union size — at a realistic
+    // 10⁵-doc eval suite the sorted-intersect against the union pays
+    // O(log|union|) per shingle on every training doc, the bloom probe
+    // doesn't. Zero false negatives (a member key ALWAYS passes), so a
+    // doc truly sharing ≥ k shingles keeps ≥ k admitted shingles and the
+    // final output is BYTE-IDENTICAL with the pre-filter on or off
+    // (false positives only add survivors the exact kernel then
+    // rejects) — spec-pinned in CorpusJobSpec. `graft.contam.
+    // bloomPrefilter=false` disables.
+    val bloomOn = s.conf.getOption("graft.contam.bloomPrefilter")
+      .forall(_.trim.equalsIgnoreCase("true"))
+    val bloomPre: Option[Column] = if (!bloomOn || union.isEmpty) None else {
+      val bloomK = 4
+      val mBits = math.max(1 << 13,
+        Integer.highestOneBit(math.max(1, union.length)) * 64)
+      val blob = new Array[Byte](mBits / 8)
+      union.foreach(h => graft.plans.BloomOps.add(blob,
+        org.apache.spark.unsafe.types.UTF8String.fromString(h.toString),
+        bloomK))
+      // native graft_bloom_count kernel, not size(filter(...)): HOFs are
+      // CodegenFallback, the kernel stays inside whole-stage codegen
+      Some(call_function("graft_bloom_count", lit(blob), col("shs"),
+        lit(bloomK)) >= ContamMinShared)
+    }
+    def withBloom(exact: Column): Column =
+      bloomPre.map(_ && exact).getOrElse(exact)
     if (totalShingles <= maxLiteral) {
       val survivors = docs
         .filter(col("doc_id") >= benchMax)
-        .filter(call_function("graft_intersect_count",
-          col("shs"), typedLit(union)) >= ContamMinShared)
+        .filter(withBloom(call_function("graft_intersect_count",
+          col("shs"), typedLit(union)) >= ContamMinShared))
       survivors
         .select(col("doc_id"), col("shs"),
           explode(typedLit(benchSets)).as("b"))
@@ -1336,8 +1438,8 @@ object Dedup {
       val survivors = docs
         .filter(col("doc_id") >= benchMax)
         .crossJoin(broadcast(unionDf)) // 1 row — union moves once per executor
-        .filter(call_function("graft_intersect_count",
-          col("shs"), col("bunion")) >= ContamMinShared)
+        .filter(withBloom(call_function("graft_intersect_count",
+          col("shs"), col("bunion")) >= ContamMinShared))
         .select(col("doc_id"), col("shs"))
       survivors
         .crossJoin(broadcast(benchDf)) // survivors only fan out ×bench

@@ -1870,8 +1870,28 @@ object Similarity {
     * candidate math is the rung's own operator, reused verbatim, and the
     * hit counting is a left-semi equi-join on (query_id, neighbor_id)
     * against the k·|queries|-row truth table. */
+  /** B13's rung-result memo: each rung's RESULT is bounded (queries × k
+    * rows), so the recall harness materializes it once per (session,
+    * corpus) and re-grades from the memo — the rung ARTIFACTS (Lloyd
+    * cells, PQ codes, graph edges) were already session-memoized, but
+    * the rung queries themselves re-executed on every recall run
+    * (measured 6.9 s at sf0.1: 2× the next-slowest registry query).
+    * Registered rung queries (`ann_ivf`, …) are untouched — their bench
+    * numbers stay cold-path; only the eval harness, whose job is to
+    * grade many rungs against one truth, serves from the memo. Same
+    * rebuild caveat as every memo: [[invalidateRungResults]] after
+    * rewriting a corpus dir in-session. */
+  private val rungResultMemo = new graft.SessionMemo
+  private def memoRung(s: SparkSession, dir: String, method: String)(
+      build: => DataFrame): DataFrame =
+    rungResultMemo.getOrElseUpdate(s, s"$dir#$method")(
+      build.localCheckpoint(true))
+
+  def invalidateRungResults(): Unit = rungResultMemo.clear()
+
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = annBrute(s, dir).select("query_id", "rank", "neighbor_id")
+    val truth = memoRung(s, dir, "truth")(
+      annBrute(s, dir).select("query_id", "rank", "neighbor_id"))
     def recallOf(method: String, res: DataFrame, k: Int): DataFrame = {
       val hits = res.select("query_id", "neighbor_id")
         .join(truth.filter(col("rank") <= k), Seq("query_id", "neighbor_id"),
@@ -1882,12 +1902,14 @@ object Similarity {
         .select(lit(method).as("method"), col("query_id"),
           coalesce(col("hits"), lit(0L)).as("hits"), lit(k.toLong).as("k"))
     }
-    recallOf("ann_graph_search", annGraphSearch(s, dir), 5)
-      .unionAll(recallOf("ann_ivf", annIvf(s, dir), 5))
-      .unionAll(recallOf("ann_ivf_km", annIvfKm(s, dir), 5))
-      .unionAll(recallOf("ann_lsh", annLsh(s, dir), 3))
-      .unionAll(recallOf("ann_pq_rerank", annPqRerank(s, dir), 5))
-      .unionAll(recallOf("ann_sq8", annSq8(s, dir), 5))
+    def rung(method: String, build: => DataFrame): DataFrame =
+      memoRung(s, dir, method)(build)
+    recallOf("ann_graph_search", rung("ann_graph_search", annGraphSearch(s, dir)), 5)
+      .unionAll(recallOf("ann_ivf", rung("ann_ivf", annIvf(s, dir)), 5))
+      .unionAll(recallOf("ann_ivf_km", rung("ann_ivf_km", annIvfKm(s, dir)), 5))
+      .unionAll(recallOf("ann_lsh", rung("ann_lsh", annLsh(s, dir)), 3))
+      .unionAll(recallOf("ann_pq_rerank", rung("ann_pq_rerank", annPqRerank(s, dir)), 5))
+      .unionAll(recallOf("ann_sq8", rung("ann_sq8", annSq8(s, dir)), 5))
       .withColumn("recall", col("hits").cast("double") / col("k"))
       .orderBy("method", "query_id")
   }

@@ -1318,7 +1318,218 @@ object TextAnalysis {
     FROM pscore GROUP BY phrase
     ORDER BY score_ppm DESC, phrase LIMIT 20"""
 
+  // ---- D18e BPE encode --------------------------------------------------
+
+  /** D18e: encode the corpus with D18's learned merge inventory — the
+    * missing half of the tokenizer-fit story (D18 scores merge
+    * candidates; this applies them and measures what they buy). Each
+    * token's characters are re-segmented by ONE greedy left-to-right
+    * pass over the top-20 merge table (maximal-munch encoding over a
+    * fixed symbol inventory — the fast-tokenizer shape — rather than
+    * rank-ordered recursive merges): position i starts a merged symbol
+    * iff its bigram is in the table and position i−1 did not already
+    * merge. Per doc: whitespace tokens, characters, emitted BPE symbols,
+    * the exact-ppm compression ratio, and an exact-integer checksum of
+    * the emitted symbol-id stream (h60 mod 1e6 per symbol, summed) —
+    * the checksum pins the actual segmentation, not just its count.
+    *
+    * Greedy-run arithmetic: within a maximal run of L consecutive
+    * mergeable bigram positions, the merge starts are the odd ranks —
+    * ⌈L/2⌉ merges — so runs decompose the recursion into two window
+    * row_numbers, keeping the whole encode relational (the E40/E49
+    * unrolled-iteration playbook, with the unroll closed-form).
+    *
+    * Scale shape: merge table is a 20-row broadcast; everything else is
+    * narrow per-token work + one (doc, token) window partitioned by a
+    * key that cannot be hot (token instances) + one per-doc aggregation. */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = textBpeMerge(s, dir).select(col("pair"))
+    val mod = lit(1000000L)
+    val toks = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .withColumnRenamed("pos", "tok_ix").withColumnRenamed("col", "tok")
+    // per-token length + all-singles checksum (no explode: one fold)
+    val charSum = aggregate(
+      transform(sequence(lit(1), length(col("tok"))),
+        i => pmod(Hashing.h60(col("tok").substr(i, lit(1))), mod)),
+      lit(0L), (acc, x) => acc + x)
+    val perTok = toks.select(col("doc_id"), col("tok_ix"),
+      length(col("tok")).cast("long").as("len"), charSum.as("csum"))
+    // mergeable bigram positions → greedy starts at odd in-run ranks
+    val bigs = toks.filter(length(col("tok")) >= 2)
+      .select(col("doc_id"), col("tok_ix"),
+        posexplode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))))
+      .withColumnRenamed("pos", "bpos").withColumnRenamed("col", "bg")
+    val wTok = Window.partitionBy("doc_id", "tok_ix").orderBy("bpos")
+    val wRun = Window.partitionBy("doc_id", "tok_ix", "run_id").orderBy("bpos")
+    val starts = bigs.join(broadcast(merges), col("bg") === col("pair"))
+      .withColumn("run_id", col("bpos") - row_number().over(wTok))
+      .withColumn("rk", row_number().over(wRun))
+      .filter(pmod(col("rk"), lit(2)) === 1)
+    // each merge replaces two single-char symbols with the pair symbol
+    val delta = pmod(Hashing.h60(col("bg")), mod) -
+      pmod(Hashing.h60(col("bg").substr(1, 1)), mod) -
+      pmod(Hashing.h60(col("bg").substr(2, 1)), mod)
+    val mergeAgg = starts.groupBy("doc_id", "tok_ix")
+      .agg(count(lit(1)).as("n_merges"), sum(delta).as("mdelta"))
+    perTok.join(mergeAgg, Seq("doc_id", "tok_ix"), "left")
+      .select(col("doc_id"), col("len"), col("csum"),
+        coalesce(col("n_merges"), lit(0L)).as("nm"),
+        coalesce(col("mdelta"), lit(0L)).as("md"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("len").as("n_chars"),
+        sum(col("len") - col("nm")).as("n_symbols"),
+        sum(col("csum") + col("md")).as("symsum"))
+      .withColumn("compression_ppm",
+        expr("n_symbols * 1000000 div n_chars"))
+      .select("doc_id", "n_tokens", "n_chars", "n_symbols",
+        "compression_ppm", "symsum")
+      .orderBy("doc_id")
+  }
+
+  val textBpeEncodeSql: String = {
+    val mergesSql = textBpeMergeSql
+    s"""
+    WITH m AS ($mergesSql),
+    toks AS (
+      SELECT doc_id, tok_ix, tok FROM (
+        SELECT doc_id,
+          generate_subscripts(list_filter(string_split(text,' '), x -> len(x) > 0), 1) - 1 AS tok_ix,
+          unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS tok
+        FROM documents)),
+    pertok AS (
+      SELECT doc_id, tok_ix, CAST(len(tok) AS BIGINT) AS len,
+        list_sum(list_transform(generate_series(1, len(tok)),
+          i -> ('0x'||substr(md5(substr(tok, CAST(i AS INT), 1)),1,15))::BIGINT % 1000000)) AS csum
+      FROM toks),
+    bigs AS (
+      SELECT doc_id, tok_ix,
+        generate_subscripts(list_transform(generate_series(1, len(tok) - 1),
+          i -> substr(tok, CAST(i AS INT), 2)), 1) - 1 AS bpos,
+        unnest(list_transform(generate_series(1, len(tok) - 1),
+          i -> substr(tok, CAST(i AS INT), 2))) AS bg
+      FROM toks WHERE len(tok) >= 2),
+    mpos AS (
+      SELECT doc_id, tok_ix, bpos, bg,
+        bpos - row_number() OVER (PARTITION BY doc_id, tok_ix ORDER BY bpos) AS run_id
+      FROM bigs JOIN m ON bigs.bg = m.pair),
+    starts AS (
+      SELECT doc_id, tok_ix, bg FROM (
+        SELECT doc_id, tok_ix, bg,
+          row_number() OVER (PARTITION BY doc_id, tok_ix, run_id ORDER BY bpos) AS rk
+        FROM mpos) WHERE rk % 2 = 1),
+    magg AS (
+      SELECT doc_id, tok_ix, COUNT(*) AS n_merges,
+        SUM(('0x'||substr(md5(bg),1,15))::BIGINT % 1000000
+          - ('0x'||substr(md5(substr(bg,1,1)),1,15))::BIGINT % 1000000
+          - ('0x'||substr(md5(substr(bg,2,1)),1,15))::BIGINT % 1000000) AS mdelta
+      FROM starts GROUP BY doc_id, tok_ix)
+    SELECT p.doc_id, COUNT(*) AS n_tokens,
+      CAST(SUM(p.len) AS BIGINT) AS n_chars,
+      CAST(SUM(p.len - COALESCE(a.n_merges, 0)) AS BIGINT) AS n_symbols,
+      CAST(SUM(p.len - COALESCE(a.n_merges, 0)) * 1000000 // SUM(p.len) AS BIGINT) AS compression_ppm,
+      CAST(SUM(p.csum + COALESCE(a.mdelta, 0)) AS BIGINT) AS symsum
+    FROM pertok p LEFT JOIN magg a ON a.doc_id = p.doc_id AND a.tok_ix = p.tok_ix
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id"""
+  }
+
+  // ---- D28 URL/domain curation ------------------------------------------
+
+  /** D28: domain-level source curation — the RefinedWeb/FineWeb stage
+    * before any per-document quality work: parse the registrable domain
+    * out of each document's URL, build per-domain statistics, and gate on
+    * a blocklist, a TLD denylist, and a domain-share cap (one domain
+    * dominating the corpus is a crawl artifact, not signal). Keep/drop
+    * reasons per doc, D9-style. The reference's channel whitelist
+    * (KnowledgeBot.py:80-96, target_channel_names) is the same shape of
+    * source-level admission.
+    *
+    * The corpus has no URL column, so a deterministic synthetic URL is
+    * derived per doc (md5-based, Zipf-shaped hosts: ~10% of docs land on
+    * the hottest domain) — the parsing, stats, and gating downstream of
+    * that derivation are the real operator and treat the URL as opaque.
+    *
+    * Scale shape: one narrow per-doc projection → one (domain)
+    * aggregation (bounded output: the domain universe) → broadcast the
+    * domain stats back across the corpus. No shuffle touches document
+    * text. */
+  def textDomainGate(s: SparkSession, dir: String): DataFrame = {
+    val h = Hashing.h60(concat(lit("url_"), col("doc_id").cast("string")))
+    val tlds = array(lit("com"), lit("org"), lit("net"), lit("info"), lit("biz"))
+    val urls = Tables.documents(s, dir)
+      .select(col("doc_id"), h.as("h"))
+      .select(col("doc_id"),
+        concat(lit("https://site"),
+          floor(sqrt(pmod(col("h"), lit(400)).cast("double"))).cast("long"),
+          lit("."), element_at(tlds, (pmod(expr("h div 400"), lit(5)) + 1).cast("int")),
+          lit("/p"), pmod(expr("h div 2048"), lit(1000))).as("url"))
+    val parsed = urls
+      .select(col("doc_id"), col("url"),
+        regexp_extract(col("url"), "^https?://([^/]+)", 1).as("domain"))
+      .withColumn("tld", regexp_extract(col("domain"), "\\.([a-z0-9]+)$", 1))
+    val stats = parsed.groupBy("domain")
+      .agg(count(lit(1)).as("n_domain_docs"))
+    val total = stats.agg(sum("n_domain_docs").as("n_total"))
+    val shares = stats.crossJoin(broadcast(total)) // 1-row total attach
+      .select(col("domain").as("sd"),
+        col("n_domain_docs"),
+        expr("n_domain_docs * 1000000 div n_total").as("share_ppm"))
+    val blocklist = Seq("site13.biz", "site7.info")
+    val reason = when(col("domain").isInCollection(blocklist), lit("blocked_domain"))
+      .when(col("tld").isInCollection(Seq("biz", "info")), lit("blocked_tld"))
+      .when(col("share_ppm") > 60000, lit("domain_cap"))
+      .otherwise(lit("ok"))
+    parsed.join(broadcast(shares), col("domain") === col("sd"))
+      .select(col("doc_id"), col("domain"), col("tld"),
+        col("n_domain_docs"), col("share_ppm"), reason.as("reason"))
+      .withColumn("keep", col("reason") === "ok")
+      .orderBy("doc_id")
+  }
+
+  val textDomainGateSql: String = s"""
+    WITH u AS (
+      SELECT doc_id,
+        ('0x'||substr(md5('url_'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+      FROM documents),
+    urls AS (
+      SELECT doc_id,
+        'https://site' || CAST(CAST(floor(sqrt(CAST(h % 400 AS DOUBLE))) AS BIGINT) AS VARCHAR)
+          || '.' || (['com','org','net','info','biz'])[CAST((h // 400) % 5 AS INT) + 1]
+          || '/p' || CAST((h // 2048) % 1000 AS VARCHAR) AS url
+      FROM u),
+    parsed AS (
+      SELECT doc_id, url,
+        regexp_extract(url, '^https?://([^/]+)', 1) AS domain
+      FROM urls),
+    withtld AS (
+      SELECT doc_id, domain,
+        regexp_extract(domain, '\\.([a-z0-9]+)$$', 1) AS tld
+      FROM parsed),
+    stats AS (
+      SELECT domain, COUNT(*) AS n_domain_docs FROM parsed GROUP BY domain),
+    shares AS (
+      SELECT domain AS sd, n_domain_docs,
+        CAST(n_domain_docs * 1000000
+          // (SELECT SUM(n_domain_docs) FROM stats) AS BIGINT) AS share_ppm
+      FROM stats)
+    SELECT w.doc_id, w.domain, w.tld, s.n_domain_docs, s.share_ppm,
+      CASE WHEN w.domain IN ('site13.biz', 'site7.info') THEN 'blocked_domain'
+           WHEN w.tld IN ('biz', 'info') THEN 'blocked_tld'
+           WHEN s.share_ppm > 60000 THEN 'domain_cap'
+           ELSE 'ok' END AS reason,
+      (CASE WHEN w.domain IN ('site13.biz', 'site7.info') THEN 'blocked_domain'
+           WHEN w.tld IN ('biz', 'info') THEN 'blocked_tld'
+           WHEN s.share_ppm > 60000 THEN 'domain_cap'
+           ELSE 'ok' END) = 'ok' AS keep
+    FROM withtld w JOIN shares s ON w.domain = s.sd
+    ORDER BY w.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_domain_gate" -> (textDomainGate _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "text_rake" -> (textRake _),
     "text_source_weights" -> (textSourceWeights _),
     "text_seed_classify" -> (textSeedClassify _),
@@ -1350,6 +1561,8 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_domain_gate" -> textDomainGateSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "text_rake" -> textRakeSql,
     "text_source_weights" -> textSourceWeightsSql,
     "text_seed_classify" -> textSeedClassifySql,

@@ -55,6 +55,23 @@ object BloomOps {
     }
   }
 
+  /** Count of `arr` elements (int64, probed as their decimal strings —
+    * exactly `graft_bloom_contains(sketch, cast(h AS string), k)`) the
+    * sketch admits. The per-doc probe loop for the C7 Bloom pre-filter;
+    * called from generated code. */
+  def countContainedLongs(bits: Array[Byte],
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int): Long = {
+    var i = 0; var c = 0L
+    val n = arr.numElements()
+    while (i < n) {
+      if (contains(bits,
+        UTF8String.fromString(java.lang.Long.toString(arr.getLong(i))), k))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
   /** True iff all k positions of `key` are set (no false negatives). */
   def contains(bits: Array[Byte], key: UTF8String, k: Int): Boolean = {
     val kb = key.getBytes
@@ -175,6 +192,46 @@ case class BloomContains(left: Expression, right: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (blob, key) =>
       s"${ev.value} = graft.plans.BloomOps.contains($blob, $key, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bloom_count(sketch, arr, k)` — how many elements of the int64
+  * array the sketch admits, each probed as its decimal string (so a
+  * per-element `graft_bloom_contains(sketch, cast(h AS string), k)`
+  * fold gives the identical count). One codegen'd static call per row —
+  * the shape the C7 Bloom pre-filter needs, where the HOF
+  * `size(filter(...))` spelling would fall out of whole-stage codegen
+  * (higher-order functions are CodegenFallback). */
+case class BloomCountContained(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  require(k > 0 && k <= BloomOps.MaxK,
+    s"graft_bloom_count: k must be in [1, ${BloomOps.MaxK}] " +
+      "(position math h1 + i*h2 overflows int64 beyond that)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary sketch, array<bigint>), " +
+          s"got ${l.sql} and ${r.sql}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_bloom_count"
+
+  override protected def nullSafeEval(blob: Any, arr: Any): Any =
+    BloomOps.countContainedLongs(blob.asInstanceOf[Array[Byte]],
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (blob, arr) =>
+      s"${ev.value} = graft.plans.BloomOps.countContainedLongs($blob, $arr, $k);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -60,6 +60,35 @@ class ConfigKnobsSpec extends AnyFunSuite {
       "moving the split changed nothing — knob has no effect")
   }
 
+  test("semantic threshold: explicit default reproduces the default run") {
+    val default = Dedup.dedupSemantic(s, TestSpark.sf).collect()
+      .map(_.toString).toSeq
+    val explicit = withConf("graft.semantic.minCos" -> "0.4") {
+      Dedup.dedupSemantic(s, TestSpark.sf).collect().map(_.toString).toSeq
+    }
+    assert(default.nonEmpty && default == explicit)
+  }
+
+  test("semantic threshold: a production threshold collapses the clusters") {
+    val default = Dedup.dedupSemantic(s, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val strict = withConf("graft.semantic.minCos" -> "0.9") {
+      Dedup.dedupSemantic(s, TestSpark.sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    assert(strict.keySet == default.keySet)
+    // the loose test corpus has no cos >= 0.9 pairs: everything singles out
+    assert(strict.values.forall(_ == 1L),
+      "cos >= 0.9 left multi-vector clusters on the synthetic corpus")
+    assert(default.values.exists(_ > 1L))
+    val bad = intercept[IllegalArgumentException] {
+      withConf("graft.semantic.minCos" -> "big") {
+        Dedup.dedupSemantic(s, TestSpark.sf).collect()
+      }
+    }
+    assert(bad.getMessage.contains("graft.semantic.minCos"), bad.getMessage)
+  }
+
   test("graph search: explicit defaults reproduce the default run") {
     val default = operators.Similarity.annGraphSearch(s, TestSpark.sf)
       .collect().map(_.toString).toSeq

@@ -96,4 +96,45 @@ class CorpusJobSpec extends AnyFunSuite {
       .toMap
     assert(manifest == recomputed && manifest.nonEmpty)
   }
+
+  test("bloom decontamination pre-filter: identical audit, codegen'd probe") {
+    import org.apache.spark.sql.functions.col
+    // zero false negatives: the G30 pre-filter may only ADD candidates
+    // the exact kernel then rejects, so the full audit (and the C7
+    // oracle) is byte-identical with the pre-filter on or off
+    val outOn = java.nio.file.Files.createTempDirectory("graft_cjb1").toString
+    val outOff = java.nio.file.Files.createTempDirectory("graft_cjb2").toString
+    val withBloom = audit(outOn)
+    spark.conf.set("graft.contam.bloomPrefilter", "false")
+    val without =
+      try audit(outOff)
+      finally spark.conf.unset("graft.contam.bloomPrefilter")
+    assert(withBloom == without && withBloom.nonEmpty)
+    val rowsOn = operators.Dedup.dedupContamination(spark, sf)
+      .collect().map(_.toString).toSeq
+    spark.conf.set("graft.contam.bloomPrefilter", "false")
+    val rowsOff =
+      try operators.Dedup.dedupContamination(spark, sf)
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset("graft.contam.bloomPrefilter")
+    assert(rowsOn == rowsOff)
+    // the probe must sit inside whole-stage codegen on the corpus scan —
+    // a filter, not a join or a fallback-interpreted expression
+    // the probe must be the native graft_bloom_count kernel, sitting in
+    // a codegen'd Filter over the corpus scan — not a join, not a
+    // CodegenFallback HOF
+    val df = operators.Dedup.dedupContamination(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stars print
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_count"),
+      s"bloom probe missing from the default plan:\n${plan.take(1500)}")
+    val wscgProbe = plan.linesIterator.exists(l =>
+      l.contains("graft_bloom_count") &&
+        (l.contains("Filter") || l.contains("DataFilters")))
+    assert(wscgProbe, s"probe not in the scan-side filter:\n${plan.take(3000)}")
+    val starredFilter = plan.linesIterator.exists(l =>
+      l.contains("graft_bloom_count") && l.trim.matches("""[+:\-\s]*\*\(\d+\).*"""))
+    assert(starredFilter,
+      s"bloom probe fell out of WholeStageCodegen:\n${plan.take(3000)}")
+  }
 }

@@ -41,12 +41,14 @@ class PlanAuditSpec extends AnyFunSuite {
   // Each allowed funnel is bounded by construction: 1-row totals attaches
   // (q_attribution, text_collocations, text_source_weights, ann_tune's
   // corpus-count denominator, ann_hybrid's idf N numerator, q_rfm's
-  // global max-day anchor), the 5-row priority window (q_top_movers),
-  // text_pack's bucket-count offset pass.
+  // global max-day anchor, text_domain_gate's corpus-total share
+  // denominator over the ≤domain-universe stats table), the 5-row
+  // priority window (q_top_movers), text_pack's bucket-count offset pass.
   private val allowedSinglePartition = Set(
     "q_attribution", "text_collocations", "text_source_weights",
     "q_top_movers", "text_pack", "ann_tune", "ann_hybrid", "q_rfm",
-    "q_market_basket", "dedup_lsh_tune", "q_ab_test", "q_triangles")
+    "q_market_basket", "dedup_lsh_tune", "q_ab_test", "q_triangles",
+    "text_domain_gate")
 
   /** SinglePartition exchanges whose child is a partial SKETCH aggregate
     * are a bounded merge, not a data-sized funnel: each mapper emits one
@@ -80,13 +82,18 @@ class PlanAuditSpec extends AnyFunSuite {
   // assignment, so their registered plans are artifact scans — the Lloyd
   // build's broadcast shape is audited in PlanShapeSpec instead.
   // ann_graph_search's queries x entries crossJoin likewise lives inside
-  // its eager frontier checkpoints, not the registered final plan.)
+  // its eager frontier checkpoints, not the registered final plan, and
+  // ann_recall's rung BNLJs moved inside its memoized rung-result
+  // checkpoints in r8 — the recall plan itself is joins over bounded
+  // checkpointed artifacts.)
+  // text_domain_gate: 1-row corpus-total attach (crossJoin(broadcast) of
+  // the single aggregate row over the bounded domain-stats table).
   private val allowedBnlj = Set(
     "ann_brute", "ann_hybrid", "ann_ivf", "ann_ivf_km",
-    "ann_ivfpq", "ann_recall", "ann_sq8", "knn_vote", "knn_vote_pq",
+    "ann_ivfpq", "ann_sq8", "knn_vote", "knn_vote_pq",
     "q_bloom_native", "q_kmv_overlap", "q_market_basket", "q_rfm",
     "ann_tune", "dedup_lsh_tune", "q_triangles", "text_collocations",
-    "text_source_weights")
+    "text_source_weights", "text_domain_gate")
 
   test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
     val observed = plans.collect {

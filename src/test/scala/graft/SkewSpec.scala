@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hot-key / saturated-bucket behavior: the `graft.dedup.maxBucketFan`
+  * star cap (bucketCandidates) and AQE's skew-join split — the two
+  * mitigations the skew rehearsal (SkewCorpus + bench/skew_r8.json)
+  * measures. */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withConf[T](kv: (String, String)*)(f: => T): T = {
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally kv.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  // one saturated bucket (20 ids in bucket 0) + two small buckets
+  private lazy val buckets = (
+    (1L to 20L).map(i => (i, 0, "hot")) ++
+      Seq((100L, 1, "s1"), (101L, 1, "s1"), (200L, 2, "s2"), (201L, 2, "s2"),
+        (202L, 2, "s2"))
+  ).toDF("doc_id", "band_ix", "bkey")
+
+  test("cap off: all in-bucket pairs, distinct, id_a < id_b") {
+    val out = Dedup.bucketCandidates(spark, buckets,
+      Seq("band_ix", "bkey"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 190 + 1 + 3) // C(20,2) + C(2,2) + C(3,2)
+    assert(out.forall { case (a, b) => a < b })
+    assert(out.distinct.length == out.length)
+  }
+
+  test("cap on: saturated bucket emits star edges to the hub only") {
+    val out = withConf("graft.dedup.maxBucketFan" -> "5") {
+      Dedup.bucketCandidates(spark, buckets, Seq("band_ix", "bkey"), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // hot bucket: 19 hub edges (1, i); small buckets: unchanged all-pairs
+    val expected = (2L to 20L).map(i => (1L, i)).toSet ++
+      Set((100L, 101L), (200L, 201L), (200L, 202L), (201L, 202L))
+    assert(out == expected)
+  }
+
+  test("cap on: every member still appears; components match uncapped") {
+    val edges = withConf("graft.dedup.maxBucketFan" -> "5") {
+      Dedup.bucketCandidates(spark, buckets, Seq("band_ix", "bkey"), "doc_id")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    }
+    val capped = Dedup.connectedComponents(spark, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.connectedComponents(spark,
+        Dedup.bucketCandidates(spark, buckets, Seq("band_ix", "bkey"), "doc_id")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped == full, "star edges changed the connected components")
+  }
+
+  test("payload columns ride both pair and star paths") {
+    val withSim = buckets.withColumn("simhash", col("doc_id") * 10)
+    val out = withConf("graft.dedup.maxBucketFan" -> "5") {
+      Dedup.bucketCandidates(spark, withSim, Seq("band_ix", "bkey"), "doc_id",
+          Seq("simhash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+    }
+    assert(out.contains((1L, 20L, 10L, 200L)), s"star payload wrong: $out")
+    assert(out.contains((200L, 201L, 2000L, 2010L)), s"pair payload wrong: $out")
+  }
+
+  test("a cap above every bucket size reproduces the uncapped output") {
+    val base = Dedup.bucketCandidates(spark, buckets,
+      Seq("band_ix", "bkey"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val high = withConf("graft.dedup.maxBucketFan" -> "1000") {
+      Dedup.bucketCandidates(spark, buckets, Seq("band_ix", "bkey"), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(base == high)
+  }
+
+  test("the three capped operators run end-to-end with the cap set") {
+    // cap high enough that the tiny sf0.001 corpus has no saturated
+    // bucket: results must be bit-identical to the default run
+    for (q <- Seq("dedup_minhash", "dedup_simhash", "dedup_embcos")) {
+      val default = SparkEntry.queries(q)(spark, TestSpark.sf)
+        .collect().map(_.toString).toSeq
+      val capped = withConf("graft.dedup.maxBucketFan" -> "100000") {
+        SparkEntry.queries(q)(spark, TestSpark.sf)
+          .collect().map(_.toString).toSeq
+      }
+      assert(default == capped, s"$q drifted under a non-binding cap")
+    }
+  }
+
+  test("knob hygiene: non-numeric names the key; cap < 2 rejected") {
+    val nonNum = intercept[IllegalArgumentException] {
+      withConf("graft.dedup.maxBucketFan" -> "lots") {
+        Dedup.bucketCandidates(spark, buckets, Seq("band_ix", "bkey"),
+          "doc_id").collect()
+      }
+    }
+    assert(nonNum.getMessage.contains("graft.dedup.maxBucketFan") &&
+      nonNum.getMessage.contains("lots"), nonNum.getMessage)
+    val tooSmall = intercept[IllegalArgumentException] {
+      withConf("graft.dedup.maxBucketFan" -> "1") {
+        Dedup.bucketCandidates(spark, buckets, Seq("band_ix", "bkey"),
+          "doc_id").collect()
+      }
+    }
+    assert(tooSmall.getMessage.contains("maxBucketFan"), tooSmall.getMessage)
+  }
+
+  test("AQE splits a skewed shuffle join when thresholds are crossed") {
+    // a hot key holding half the fact side, joined to a small-but-not-
+    // broadcast dim; thresholds lowered so local-scale data crosses them
+    // the way a 100 TB hot key crosses the defaults
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    withConf(conf: _*) {
+      val facts = spark.range(0, 200000)
+        .select(when(col("id") % 2 === 0, lit(7L)).otherwise(col("id"))
+          .as("k"), col("id").as("payload"))
+      val dim = spark.range(0, 5000)
+        .select(col("id").as("k"), (col("id") * 2).as("dval"))
+      val joined = facts.join(dim, "k")
+      // even ids (100k) all hit hot key 7; odd ids match iff id < 5000.
+      // execute THIS df — count() would plan a different query and leave
+      // the adaptive plan unfinalized
+      assert(joined.collect().length == 100000 + 2500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+    }
+  }
+}
