@@ -510,6 +510,43 @@ object AnalyticsExt {
                  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
     ORDER BY event_id"""
 
+  /** E29s: E29's trailing-hour RANGE window, HOT-KEY SAFE — the
+    * two-phase time-chunk decomposition. E29 partitions the window by
+    * user_id alone, so ONE viral account (the skew-rehearsal shape: 30%
+    * of events on one user) serializes 30% of the corpus into a single
+    * task — wall time is capped by the hottest key no matter how many
+    * executors exist. Because the frame is BOUNDED (one hour), each
+    * event's frame spans at most its own hour-chunk and the previous
+    * one: replicate every event into chunk c+1 as a frame CONTRIBUTOR,
+    * partition the window by (user_id, chunk), and keep each event's
+    * result only from its own chunk. 2× the rows, but the hot user now
+    * parallelizes across its time span (720 chunks on the 30-day test
+    * corpus) — the standard bounded-window decomposition for skewed
+    * stream keys. Identical results by construction; the oracle IS
+    * E29's global-window SQL. */
+  def qWindowRangePart(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .withColumn("c0", expr(s"ts_us div $hourUs"))
+    val contrib = base
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("v"),
+        col("c0").as("chunk"), lit(true).as("own"))
+      .unionByName(base.select(col("event_id"), col("user_id"), col("ts_us"),
+        col("v"), (col("c0") + 1).as("chunk"), lit(false).as("own")))
+    val w = Window.partitionBy("user_id", "chunk").orderBy(col("ts_us"))
+      .rangeBetween(-(hourUs - 1), Window.currentRow)
+    contrib
+      .select(col("event_id"), col("user_id"), col("own"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum("v").over(w).cast("double").as("value_last_hour"))
+      .filter(col("own"))
+      .select("event_id", "user_id", "n_last_hour", "value_last_hour")
+      .orderBy("event_id")
+  }
+
   /** E30: calendar gap-filling — densify each event_type's hourly series
     * over its own [min, max] hour span, zero-filling empty hours (the
     * step before any time-series model or rate alarm; gaps otherwise
@@ -704,6 +741,7 @@ object AnalyticsExt {
     "q_lag_features" -> (qLagFeatures _),
     "q_attribution" -> (qAttribution _),
     "q_window_range" -> (qWindowRange _),
+    "q_window_range_part" -> (qWindowRangePart _),
     "q_gap_fill"    -> (qGapFill _),
     "q_quantile_hist" -> (qQuantileHist _),
     "q_asof_join"   -> (qAsofJoin _),
@@ -722,6 +760,7 @@ object AnalyticsExt {
     "q_lag_features" -> qLagFeaturesSql,
     "q_attribution" -> qAttributionSql,
     "q_window_range" -> qWindowRangeSql,
+    "q_window_range_part" -> qWindowRangeSql, // identical results by construction
     "q_gap_fill"    -> qGapFillSql,
     "q_quantile_hist" -> qQuantileHistSql,
     "q_asof_join"   -> qAsofJoinSql,

@@ -824,16 +824,20 @@ object Dedup {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => q7(x)).as("qe"))
 
-  /** C5's verified near-dup pair set (vec_a < vec_b, d2x = exact scaled
-    * sq-dist ≤ threshold) — the edge source C12's clustering consumes. */
   /** C5/C12 near-dup threshold as exact scaled-int sq-dist. The default
     * (cos ≥ 0.4 ↔ d² ≤ 1.2 on unit vectors) is the deliberately-loose
     * setting the synthetic corpus needs (it has no closer pairs) and is
-    * what the oracle pins. `graft.semantic.minCos` moves it: at a
-    * production near-dup threshold (cos ≥ 0.9) the SAME 16×6 LSH
-    * blocking collapses candidate volume because far pairs stop
-    * surviving the verify — the claim the C5 scaladoc's recall analysis
-    * makes, measured in bench/skew_r8.json's threshold sweep. */
+    * what the oracle pins; `graft.semantic.minCos` moves it.
+    *
+    * What the r8 100×-span measurement established: the threshold alone
+    * does NOT collapse the slope (exponent 0.71 at cos ≥ 0.4 vs 0.74 at
+    * cos ≥ 0.9, bench/scale_r8.json) — candidate GENERATION is
+    * threshold-independent, so the LSH self-join + exact scoring floor
+    * stays. Production deployments pair the strict threshold with
+    * HARDER BLOCKING: `graft.semantic.lshBits` raises bits/table
+    * (random-pair collision halves per bit; at cos ≥ 0.9 with 12 bits,
+    * per-pair recall ≈ 0.93 over the 16 tables while random collisions
+    * drop ~250×). That combination is the measured scale path. */
   private def d2xThreshold(s: SparkSession): Long = {
     val minCos = s.conf.getOption("graft.semantic.minCos").map { raw =>
       try raw.trim.toDouble
@@ -848,11 +852,26 @@ object Dedup {
     math.round((2.0 - 2.0 * minCos) * 1.0e14)
   }
 
+  private def lshBitsKnob(s: SparkSession): Int = {
+    val bits = s.conf.getOption("graft.semantic.lshBits").map { raw =>
+      try raw.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft.semantic.lshBits must be an integer, got '$raw'")
+      }
+    }.getOrElse(EmbLshBits)
+    require(bits >= 1 && bits <= 30,
+      s"graft.semantic.lshBits must be in [1, 30], got $bits")
+    bits
+  }
+
+  /** C5's verified near-dup pair set (vec_a < vec_b, d2x = exact scaled
+    * sq-dist ≤ threshold) — the edge source C12's clustering consumes. */
   private[operators] def embcosPairs(s: SparkSession, dir: String): DataFrame = {
     val qe = quantizedEmb(s, dir)
     val buckets = qe
       .select(col("vec_id"), posexplode(call_function("graft_lsh_buckets",
-        col("qe"), lit(EmbLshTables), lit(EmbLshBits))))
+        col("qe"), lit(EmbLshTables), lit(lshBitsKnob(s)))))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
     // a pair colliding in k tables must score once, not k times —
     // distinct BEFORE the distance kernel (inside bucketCandidates)

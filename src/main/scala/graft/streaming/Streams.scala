@@ -562,8 +562,27 @@ object Streams {
           spark.catalog.refreshByPath(bandDir)
           val bandIndex = spark.read.parquet(bandDir)
           val gate = qualityGate(b.select("doc_id", "text"))
-          val dups = nearDupScreen(b.select("doc_id", "text"), bandIndex)
-            .select("doc_id").distinct().withColumn("near_dup", lit(true))
+          val dupsVsIndex = nearDupScreen(b.select("doc_id", "text"), bandIndex)
+            .select("doc_id")
+          // F20 intra-batch leg: a whole near-dup family can arrive in
+          // ONE micro-batch — none of it is in the band index yet, so the
+          // cross-index screen alone would admit every member (the
+          // hot-key rehearsal's skew shape). Self-screen the batch
+          // against its own band rows and reject any doc that collides
+          // with an EARLIER arrival ((ts, content-hash, id) order — the
+          // same rule the per-id copy ranking uses), keeping exactly the
+          // first member of each family. Batch-sized self-join, no state.
+          val arrival = b.select(col("doc_id"),
+            struct(col("ts"), md5(col("text")), col("doc_id")).as("arr"))
+          val dupsIntra = nearDupScreen(b.select("doc_id", "text"),
+              graft.operators.Dedup.bandRows(b.select("doc_id", "text")))
+            .join(arrival, "doc_id")
+            .join(arrival.select(col("doc_id").as("idx_id"),
+              col("arr").as("idx_arr")), "idx_id")
+            .filter(col("idx_arr") < col("arr"))
+            .select("doc_id")
+          val dups = dupsVsIndex.union(dupsIntra)
+            .distinct().withColumn("near_dup", lit(true))
           // F23 cross-batch leg: re-delivered ids are screened against
           // the Bloom sidecar of everything ever admitted — checked
           // FIRST (an id replay is a delivery artifact, not a content

@@ -89,6 +89,30 @@ class ConfigKnobsSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("graft.semantic.minCos"), bad.getMessage)
   }
 
+  test("semantic blocking: explicit default bits reproduce; harder bits contract candidates") {
+    val default = Dedup.dedupEmbcos(s, TestSpark.sf).collect().map(_.toString).toSeq
+    val explicit = withConf("graft.semantic.lshBits" -> "6") {
+      Dedup.dedupEmbcos(s, TestSpark.sf).collect().map(_.toString).toSeq
+    }
+    assert(default == explicit)
+    // harder blocking can only LOSE candidate collisions, never invent
+    // pairs: the 12-bit verified pair set is a subset of the 6-bit one
+    val hard = withConf("graft.semantic.lshBits" -> "12") {
+      Dedup.dedupEmbcos(s, TestSpark.sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val defaultPairs = Dedup.dedupEmbcos(s, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hard.subsetOf(defaultPairs),
+      s"12-bit blocking invented pairs: ${hard -- defaultPairs}")
+    val bad = intercept[IllegalArgumentException] {
+      withConf("graft.semantic.lshBits" -> "many") {
+        Dedup.dedupEmbcos(s, TestSpark.sf).collect()
+      }
+    }
+    assert(bad.getMessage.contains("graft.semantic.lshBits"), bad.getMessage)
+  }
+
   test("graph search: explicit defaults reproduce the default run") {
     val default = operators.Similarity.annGraphSearch(s, TestSpark.sf)
       .collect().map(_.toString).toSeq

@@ -113,6 +113,35 @@ class SkewSpec extends AnyFunSuite {
     assert(tooSmall.getMessage.contains("maxBucketFan"), tooSmall.getMessage)
   }
 
+  test("q_window_range_part: identical results, hot key split across time chunks") {
+    import graft.operators.AnalyticsExt
+    val plain = AnalyticsExt.qWindowRange(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    val part = AnalyticsExt.qWindowRangePart(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    assert(plain.nonEmpty && plain == part,
+      "chunked decomposition changed the window results")
+    // the decomposition's point: the widest window partition shrinks
+    // from the hottest USER to the hottest (user, hour-chunk) — the
+    // bound that keeps one viral account from serializing a task
+    val hourUs = 3600L * 1000000L
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val maxUser = ev.groupBy("user_id").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    val maxChunk = ev
+      .groupBy(col("user_id"), expr(s"ts_us div $hourUs").as("c"))
+      .count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxChunk * 2 < maxUser, // 2x: each chunk also holds replicas
+      s"chunking did not split the hot key: maxUser=$maxUser maxChunk=$maxChunk")
+    // and the executed window really is keyed by (user, chunk)
+    val plan = AnalyticsExt.qWindowRangePart(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    val winLine = plan.linesIterator.find(_.contains("Window")).get
+    assert(winLine.contains("user_id") && winLine.contains("chunk"),
+      s"window not partitioned by (user_id, chunk): $winLine")
+  }
+
   test("AQE splits a skewed shuffle join when thresholds are crossed") {
     // a hot key holding half the fact side, joined to a small-but-not-
     // broadcast dim; thresholds lowered so local-scale data crosses them

@@ -462,7 +462,12 @@ class StreamingSpec extends AnyFunSuite {
     val quarantine = spark.read.parquet(s"$root/quarantine")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(quarantine.size == 12, s"quarantine: $quarantine")
-    (200L until 210L).foreach(id => assert(quarantine(id) == "quality"))
+    // batch 2's junk docs share one text: the first arrival reports the
+    // quality verdict, the rest hit the r8 intra-batch family screen
+    // first (reason precedence: seen_id > near_dup > quality)
+    assert(quarantine(200L) == "quality", s"quarantine: $quarantine")
+    (201L until 210L).foreach(id => assert(quarantine(id) == "near_dup",
+      s"doc $id: ${quarantine(id)}"))
     assert(quarantine(300L) == "near_dup",
       s"near-dup not screened: $quarantine")
     assert(quarantine(400L) == "near_dup",
@@ -541,6 +546,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored.exists(_.contains("earlyCq")) &&
       !stored.exists(_.contains("lateDr")),
       "intra-batch duplicate handling admitted the wrong copy")
+  }
+
+  test("F20 under a hot-key batch: dup ids and a giant near-dup family stay bounded") {
+    // the adversarial micro-batch the skew rehearsal models: 50% of the
+    // batch re-delivers 5 doc_ids, and one near-dup family dominates the
+    // novel half — admission must keep exactly one copy per id, one
+    // member per family, and the screen state must stay fixed-size
+    def goodText(stem: String): String =
+      "the of the of the of " + (1 to 44).map(j => s"$stem$j").mkString(" ")
+    val seedDocs = (0L until 5L).map(i => (i, goodText(s"seed${i}w")))
+    val root = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    val corpusDir = s"$root/corpus"
+    seedDocs.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$corpusDir/documents.parquet")
+    val indexDir = s"$root/index"
+    graft.operators.VectorStore.ingest(seedDocs.toDF("doc_id", "text"), indexDir)
+    val bandDir = s"$root/bands"
+    graft.operators.Dedup.bandIndex(spark, corpusDir).write.parquet(bandDir)
+    val baseline = Streams.qualityBaseline(seedDocs.toDF("doc_id", "text"))
+
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = Streams.admissionJob(input.toDF().toDF("doc_id", "ts", "text"),
+      bandDir, indexDir, s"$root/quarantine", s"$root/telemetry",
+      s"$root/ckpt", baseline)
+    try {
+      // 20 duplicate rows over 5 hot ids (4 copies each, distinct
+      // content so only the id screen can catch them) + a 15-member
+      // near-dup family (template with one token swapped per member)
+      // + 5 clean novel docs — one 40-row batch
+      val family = goodText("famAq")
+      val hotRows = for (id <- 100L until 105L; c <- 0 until 4)
+        yield (id, ts((id - 100).toInt * 4 + c), goodText(s"hot${id}c$c"))
+      val famRows = (0 until 15).map(i =>
+        (200L + i, ts(40 + i), family.replace("famAq7", s"famMut$i")))
+      val cleanRows = (0 until 5).map(i =>
+        (300L + i, ts(60 + i), goodText(s"solo${i}z")))
+      input.addData(hotRows ++ famRows ++ cleanRows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val quarantine = spark.read.parquet(s"$root/quarantine")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val byReason = quarantine.groupBy(_._2).view.mapValues(_.length).toMap
+    // 3 extra copies per hot id quarantine as seen_id (the first copy
+    // per id is ranked in); 14 of 15 family members as near_dup
+    assert(byReason.getOrElse("seen_id", 0) == 15, s"quarantine: $byReason")
+    assert(byReason.getOrElse("near_dup", 0) == 14, s"quarantine: $byReason")
+    val stored = spark.read.parquet(indexDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val expected = (0L until 5L).toSet ++ (100L until 105L).toSet ++
+      (300L until 305L).toSet
+    assert(stored.intersect((200L until 215L).toSet).size == 1,
+      s"family kept more than one member: $stored")
+    assert(stored -- (200L until 215L).toSet == expected,
+      s"store contents diverged: $stored")
+    // state bounds under the hot batch: the seen sketch is one fixed
+    // blob, and the band index grew by exactly the admitted docs' rows
+    val sketch = Streams.loadSeenSketch(spark, indexDir)
+    assert(sketch.length == Streams.SeenBits / 8)
+    val bandDocs = spark.read.parquet(bandDir)
+      .select("idx_id").distinct().count()
+    assert(bandDocs == 5 + 11, // 5 seeds + 11 admitted
+      s"band index holds $bandDocs docs")
   }
 
   test("seen-ID sketch: size mismatch fails loud, never zip-truncates") {
