@@ -201,6 +201,61 @@ object Analytics {
       .orderBy("user_id", "session_id")
   }
 
+  /** E6s: E6's sessionization, HOT-KEY SAFE — the time-chunk
+    * decomposition generalized from E29s to a LAG-based operator. The
+    * per-user (lag → flag → running-sum) chain serializes one viral
+    * account into a single task at scale; but the gap rule is BOUNDED
+    * (1800 s), so an event's true predecessor matters only when it lies
+    * within the gap — always in the event's own hour-chunk or the one
+    * before. Replicating each event into chunk c+1 as a LAG CONTRIBUTOR
+    * makes the per-(user, chunk) lag agree exactly with the global lag
+    * whenever the gap is ≤ 1800 s, and both say "new session" when it
+    * is not (partition lag null ⟹ nearest predecessor is > 3600 s old
+    * ⟹ > gap). Session ids then need the per-user prefix sum of flags:
+    * the D13 two-phase cumsum — running sum within each (user, chunk)
+    * + per-user offsets over the CHUNK SUMMARIES (≤ calendar-bounded
+    * rows per user, never data-sized). Identical results by
+    * construction; the oracle IS E6's global-window SQL. */
+  def qSessionizePart(s: SparkSession, dir: String): DataFrame = {
+    val chunkS = 3600L // ≥ the 1800 s gap, so a predecessor within the
+                       // gap is always in chunk c or c-1
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_timestamp(col("ts").cast(TimestampType)).as("epoch"))
+      .withColumn("c0", expr(s"epoch div $chunkS"))
+    val cols = Seq(col("user_id"), col("event_id"), col("ts"), col("epoch"))
+    val contrib = base
+      .select(cols :+ col("c0").as("chunk") :+ lit(true).as("own"): _*)
+      .unionByName(base.select(
+        cols :+ (col("c0") + 1).as("chunk") :+ lit(false).as("own"): _*))
+    val byChunk = Window.partitionBy("user_id", "chunk")
+      .orderBy("ts", "event_id")
+    val flagged = contrib
+      .withColumn("prev_epoch", lag("epoch", 1).over(byChunk))
+      .withColumn("new_session",
+        when(col("prev_epoch").isNull ||
+          col("epoch") - col("prev_epoch") > 1800, 1).otherwise(0))
+      .filter(col("own"))
+    val runW = Window.partitionBy("user_id", "chunk")
+      .orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flaggedRun = flagged
+      .withColumn("run_in_chunk", sum("new_session").over(runW))
+    val offsetW = Window.partitionBy("user_id").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkOffsets = flagged.groupBy("user_id", "chunk")
+      .agg(sum("new_session").as("chunk_flags"))
+      .withColumn("offset",
+        coalesce(sum("chunk_flags").over(offsetW), lit(0L)))
+      .select("user_id", "chunk", "offset")
+    flaggedRun.join(chunkOffsets, Seq("user_id", "chunk"))
+      .withColumn("session_id", col("offset") + col("run_in_chunk"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("epoch") - min("epoch")).as("duration_s"))
+      .orderBy("user_id", "session_id")
+  }
+
   val qSessionizeSql: String = """
     WITH flagged AS (
       SELECT user_id, event_id, ts,
@@ -1039,6 +1094,47 @@ object Analytics {
     FROM events
     ORDER BY user_id, event_type, valid_from, event_id"""
 
+  /** E56: CDC upsert/delete compaction — the merge-on-read snapshot a
+    * lakehouse table format materializes from a change log. The event
+    * stream is read as a changelog keyed by user_id ('error' rows are
+    * tombstones, everything else upserts); the snapshot is each key's
+    * latest non-deleted state. The scale-correct shape is ONE
+    * max(struct(...)) aggregation: map-side partials collapse every scan
+    * partition to one candidate row per key before the single keyed
+    * shuffle — at 100 TB that moves O(keys × partitions) rows, not the
+    * O(changes) rows the oracle's window-sort spelling would shuffle AND
+    * sort. (us, event_id) is a unique total order, so the struct max is
+    * deterministic and the trailing payload fields never arbitrate;
+    * tombstones must win their max like any change (filtering them
+    * BEFORE the agg would resurrect the previous upsert — the classic
+    * compaction bug) and only the surviving snapshot filters them out. */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(max(struct(col("us"), col("event_id"), col("event_type"),
+          col("value"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.us").as("last_us"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"), col("n_changes"))
+      .orderBy("user_id")
+  }
+
+  val qCdcApplySql: String = """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events)
+    SELECT user_id, us AS last_us, event_type AS last_type,
+      value AS last_value, n_changes
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id"""
+
   /** E18: CUBE over orders (priority × status): all four grouping sets in
     * one pass — Spark expands the cube into a single shuffle with partial
     * aggregation per set. */
@@ -1593,6 +1689,8 @@ object Analytics {
     "q_rollup"     -> (qRollup _),
     "q_window"     -> (qWindow _),
     "q_sessionize" -> (qSessionize _),
+    "q_sessionize_part" -> (qSessionizePart _),
+    "q_cdc_apply"  -> (qCdcApply _),
     "q_json"       -> (qJson _),
     "q_event_dedup" -> (qEventDedup _),
     "q_topk_group" -> (qTopkGroup _),
@@ -1632,6 +1730,8 @@ object Analytics {
     "q_rollup"     -> qRollupSql,
     "q_window"     -> qWindowSql,
     "q_sessionize" -> qSessionizeSql,
+    "q_sessionize_part" -> qSessionizeSql, // identical results by construction
+    "q_cdc_apply"  -> qCdcApplySql,
     "q_json"       -> qJsonSql,
     "q_event_dedup" -> qEventDedupSql,
     "q_topk_group" -> qTopkGroupSql,

@@ -1436,6 +1436,73 @@ object TextAnalysis {
     ORDER BY p.doc_id"""
   }
 
+  // ---- D29 leakage-safe split -------------------------------------------
+
+  /** D29: leakage-safe train/val/test split. Assigning splits per
+    * DOCUMENT leaks near-duplicates across the train/eval boundary (a
+    * val doc whose twin trained the model is memorized, not measured —
+    * the contamination failure C7 quantifies). The fix is structural:
+    * hash a FAMILY key, not the doc id, so every member of a near-dup
+    * family lands in one split BY CONSTRUCTION — zero coordination and
+    * zero extra shuffle, because the family key is a pure function of
+    * the document text (md5 of the 60-char prefix here, the C9 blocking
+    * idea; at production scale the key column would be C6's cluster id —
+    * the rule only needs some per-row family key).
+    *
+    * Output is the per-split audit: doc/family counts plus the
+    * counterfactual `naive_leaky_families` — multi-doc families that a
+    * doc-id-hash split WOULD have scattered across the boundary (the
+    * families this operator exists to keep whole; the family rule itself
+    * cannot leak, which the spec pins).
+    *
+    * Scale shape: per-row key derivation in the scan (no shuffle touches
+    * text) → one keyed aggregation on the 60-bit family hash with
+    * map-side partials → a 3-row rollup. */
+  def textSplitSafe(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(h: Column): Column =
+      when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    val fam = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 60)).as("fam_key"))
+      .select(col("fam_key"),
+        splitOf(Hashing.h60p(col("fam_key")) % 100).as("split"),
+        splitOf(Hashing.h60p(col("doc_id").cast("string")) % 100)
+          .as("naive_split"))
+      .groupBy("fam_key", "split")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct("naive_split").as("n_naive_splits"))
+    fam.groupBy("split")
+      .agg(sum("n_copies").as("n_docs"),
+        count(lit(1)).as("n_families"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_families"),
+        sum(when(col("n_copies") > 1 && col("n_naive_splits") > 1, 1L)
+          .otherwise(0L)).as("naive_leaky_families"))
+      .orderBy("split")
+  }
+
+  val textSplitSafeSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, md5(substr(text, 1, 60)) AS fam_key FROM documents),
+    keyed AS (
+      SELECT fam_key,
+        CASE WHEN ${Hashing.h60pSql("fam_key")} % 100 < 80 THEN 'train'
+             WHEN ${Hashing.h60pSql("fam_key")} % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        CASE WHEN ${Hashing.h60pSql("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+             WHEN ${Hashing.h60pSql("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+             ELSE 'test' END AS naive_split
+      FROM d),
+    fam AS (
+      SELECT fam_key, split, COUNT(*) AS n_copies,
+        COUNT(DISTINCT naive_split) AS n_naive_splits
+      FROM keyed GROUP BY fam_key, split)
+    SELECT split, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+      COUNT(*) AS n_families,
+      CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_families,
+      CAST(SUM(CASE WHEN n_copies > 1 AND n_naive_splits > 1 THEN 1 ELSE 0 END)
+        AS BIGINT) AS naive_leaky_families
+    FROM fam GROUP BY split ORDER BY split"""
+
   // ---- D28 URL/domain curation ------------------------------------------
 
   /** D28: domain-level source curation — the RefinedWeb/FineWeb stage
@@ -1528,6 +1595,7 @@ object TextAnalysis {
     ORDER BY w.doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_split_safe" -> (textSplitSafe _),
     "text_domain_gate" -> (textDomainGate _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_rake" -> (textRake _),
@@ -1561,6 +1629,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_split_safe" -> textSplitSafeSql,
     "text_domain_gate" -> textDomainGateSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_rake" -> textRakeSql,

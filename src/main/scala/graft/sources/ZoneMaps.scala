@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G34: min/max zone-map data skipping — the file-pruning layer a table
+  * format keeps in its manifests (Delta/Iceberg per-file column stats),
+  * built here as a parquet sidecar so a plain-directory layout gets the
+  * same scan avoidance. Composes with the E37 layout story: stats only
+  * prune when the write CLUSTERED the column (range partition here, the
+  * 1-D analogue of Z-order; on a shuffled layout every file's [min, max]
+  * spans the domain and nothing prunes — the spec measures exactly that
+  * contrast).
+  *
+  * Scale shape: the sidecar is O(files), not O(rows) — pruning reads the
+  * sidecar (KiB) and hands the surviving file list to the parquet reader,
+  * so a selective range query on 100 TB touches only the overlapping
+  * files, before row-group-level parquet min/max statistics prune
+  * further WITHIN each file. The sidecar lives in a `_`-prefixed child
+  * dir (`_graft_zonemap`), which Spark's file index ignores on normal
+  * reads of the table path — same convention as the streaming seen-ID
+  * sketch sidecar (Streams.scala).
+  *
+  * Null discipline: min/max ignore nulls, so an all-null file carries a
+  * null zone and is always pruned — consistent, because the skipping
+  * reader only serves RANGE predicates and SQL comparison semantics
+  * exclude null rows from any range result.
+  */
+object ZoneMaps {
+  private def zonemapDir(path: String) = s"$path/_graft_zonemap"
+
+  /** Land `df` range-clustered on `byCol` (≤ `nFiles` contiguous files)
+    * and write the per-file (file, min, max, rows) sidecar. The sidecar
+    * is computed by re-scanning footer-cheap columns of the files just
+    * written — one narrow pass grouped on `input_file_name()`, output
+    * bounded by the file count. `clustered = false` lands the same data
+    * hash-shuffled instead — the control layout whose zones all span the
+    * domain (nothing prunes), for measuring what clustering buys. */
+  def writeClustered(spark: SparkSession, df: DataFrame, path: String,
+      byCol: String, nFiles: Int, clustered: Boolean = true): Unit = {
+    val laid =
+      if (clustered) df.repartitionByRange(nFiles, col(byCol))
+      else df.repartition(nFiles)
+    laid.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(byCol))
+      .groupBy("file")
+      .agg(min(byCol).as("zmin"), max(byCol).as("zmax"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(zonemapDir(path))
+  }
+
+  /** The files whose [zmin, zmax] zone intersects [lo, hi], plus the
+    * total file count — the pruning decision itself, exposed for specs
+    * and scan planning. O(files) work, no data read. */
+  def planFiles(spark: SparkSession, path: String,
+      lo: Long, hi: Long): (Seq[String], Int) = {
+    val zm = spark.read.parquet(zonemapDir(path))
+      .select("file", "zmin", "zmax").collect() // O(files) sidecar rows
+    val keep = zm.filter(r => !r.isNullAt(1) &&
+      r.getLong(2) >= lo && r.getLong(1) <= hi)
+    (keep.map(_.getString(0)).toSeq, zm.length)
+  }
+
+  /** Range scan served through the zone map: only overlapping files are
+    * handed to the parquet reader; the residual row filter still applies
+    * (zones admit whole files, rows inside still need the predicate). */
+  def readRange(spark: SparkSession, path: String, byCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (files, _) = planFiles(spark, path, lo, hi)
+    if (files.isEmpty) {
+      spark.read.parquet(path).filter(lit(false))
+    } else {
+      spark.read.parquet(files: _*)
+        .filter(col(byCol) >= lo && col(byCol) <= hi)
+    }
+  }
+}

@@ -227,4 +227,59 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(n == 1, s"intersect kernel appears $n times in join condition:\n$l")
     }
   }
+
+  test("cdc compaction is a partial-agg struct max, never a window sort") {
+    import graft.operators.Analytics
+    val df = Analytics.qCdcApply(spark, sf)
+    val plan = executedPlan(df)
+    assert(!plan.contains("Window"),
+      s"cdc snapshot fell back to a window sort:\n$plan")
+    // map-side partials collapse each scan partition to one row per key
+    // before the single keyed shuffle
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Aggregate") && l.contains("partial_max")),
+      s"no partial max(struct) before the shuffle:\n$plan")
+    // tombstones must flow THROUGH the agg (filter sits above it): a key
+    // whose latest change is a delete has no snapshot row, and its
+    // previous upsert must not resurrect
+    val rows = df.collect()
+    val latest = graft.sources.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) as us", "event_id")
+      .collect().groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> rs.maxBy(r => (r.getLong(2), r.getLong(3))).getString(1)
+      }
+    val deletedKeys = latest.filter(_._2 == "error").keySet
+    assert(deletedKeys.nonEmpty, "corpus has no tombstone-latest key; spec vacuous")
+    assert(rows.forall(r => !deletedKeys.contains(r.getLong(0))),
+      "a tombstoned key resurrected in the snapshot")
+    assert(rows.map(_.getLong(0)).toSet == latest.keySet -- deletedKeys,
+      "snapshot key set differs from latest-non-deleted keys")
+  }
+
+  test("leakage-safe split never splits a family; text never shuffles") {
+    import graft.operators.TextAnalysis
+    val df = TextAnalysis.textSplitSafe(spark, sf)
+    val plan = executedPlan(df)
+    // the family key is a pure per-row function: the only exchanges are
+    // the two aggregation shuffles (fam hash, 3-row split rollup); no
+    // join, no window
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"split plan grew a join/window:\n$plan")
+    // structural no-leak property: every doc of a family carries the
+    // family's split, so distinct splits per family == 1 — checked on
+    // the raw keyed rows, not the operator's own rollup
+    import org.apache.spark.sql.functions._
+    val perFam = graft.sources.Tables.documents(spark, sf)
+      .select(md5(substring(col("text"), 1, 60)).as("fam_key"),
+        when(graft.functions.Hashing.h60p(md5(substring(col("text"), 1, 60))) % 100 < 80, "train")
+          .when(graft.functions.Hashing.h60p(md5(substring(col("text"), 1, 60))) % 100 < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy("fam_key").agg(countDistinct("split").as("n_splits"))
+      .agg(max("n_splits")).collect()(0).getLong(0)
+    assert(perFam == 1L, s"a family spans $perFam splits")
+    // and the counterfactual audit is non-vacuous on this corpus: a
+    // doc-id split WOULD have leaked at least one multi-doc family
+    val leaky = df.agg(sum("naive_leaky_families")).collect()(0).getLong(0)
+    assert(leaky > 0, "no naive-leaky families at this SF; audit vacuous")
+  }
 }

@@ -142,6 +142,27 @@ class SkewSpec extends AnyFunSuite {
       s"window not partitioned by (user_id, chunk): $winLine")
   }
 
+  test("q_sessionize_part: identical sessions, lag decomposed over time chunks") {
+    import graft.operators.Analytics
+    val plain = Analytics.qSessionize(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    val part = Analytics.qSessionizePart(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    assert(plain.nonEmpty && plain == part,
+      "chunked sessionization changed the sessions")
+    // every per-event window in the decomposed plan is keyed by
+    // (user_id, chunk); the only per-user window runs over the bounded
+    // chunk summaries (the D13 two-phase cumsum offsets)
+    val plan = Analytics.qSessionizePart(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator.filter(l =>
+      l.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    val perUserOnly = winLines.filterNot(_.contains("chunk"))
+    assert(perUserOnly.isEmpty,
+      s"a data-sized window is keyed by user alone:\n${perUserOnly.mkString("\n")}")
+  }
+
   test("AQE splits a skewed shuffle join when thresholds are crossed") {
     // a hot key holding half the fact side, joined to a small-but-not-
     // broadcast dim; thresholds lowered so local-scale data crosses them

@@ -1,0 +1,64 @@
+package graft
+
+import graft.sources.{Tables, ZoneMaps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** G34: the zone-map sidecar prunes files on a range-clustered layout,
+  * prunes nothing on a hash-shuffled one (same data, same query), and the
+  * pruned scan returns exactly the full-scan answer. */
+class ZoneMapSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private lazy val docs =
+    Tables.documents(spark, sf).select("doc_id", "n_chars")
+
+  private lazy val base = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zonemap").toString
+    ZoneMaps.writeClustered(spark, docs, s"$dir/clustered", "n_chars", 8)
+    ZoneMaps.writeClustered(spark, docs, s"$dir/shuffled", "n_chars", 8,
+      clustered = false)
+    dir
+  }
+
+  // a narrow band around the median: ~central slice of the domain, so a
+  // range-clustered layout keeps only the middle file(s)
+  private lazy val (lo, hi) = {
+    val m = docs.stat.approxQuantile("n_chars", Array(0.45, 0.55), 0.0)
+    (m(0).toLong, m(1).toLong)
+  }
+
+  test("clustered layout: most files pruned, answer exact") {
+    val (files, total) = ZoneMaps.planFiles(spark, s"$base/clustered", lo, hi)
+    assert(total == 8, s"expected 8 files, sidecar lists $total")
+    assert(files.nonEmpty && files.size <= total / 2,
+      s"zone map kept ${files.size}/$total files for a ~10% band")
+    val got = ZoneMaps.readRange(spark, s"$base/clustered", "n_chars", lo, hi)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.filter(col("n_chars") >= lo && col("n_chars") <= hi)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && got == want,
+      s"pruned scan diverged: ${got.size} vs ${want.size} rows")
+  }
+
+  test("shuffled layout: every zone spans the band, nothing prunes") {
+    val (files, total) = ZoneMaps.planFiles(spark, s"$base/shuffled", lo, hi)
+    assert(files.size == total,
+      s"hash-shuffled files should all overlap the band: ${files.size}/$total")
+    // same exact answer — skipping is a layout optimization, not semantics
+    val got = ZoneMaps.readRange(spark, s"$base/shuffled", "n_chars", lo, hi)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.filter(col("n_chars") >= lo && col("n_chars") <= hi)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
+  test("empty band short-circuits to an empty scan with the table schema") {
+    val ceiling = docs.agg(max("n_chars")).collect()(0).getLong(0)
+    val df = ZoneMaps.readRange(spark, s"$base/clustered", "n_chars",
+      ceiling + 1, ceiling + 100)
+    assert(df.columns.toSeq == Seq("doc_id", "n_chars"))
+    assert(df.count() == 0)
+  }
+}
