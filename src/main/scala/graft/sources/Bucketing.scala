@@ -14,14 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
-  /** Land orders+lineitem bucketed by order key as catalog tables.
-    * Drops stale table metadata AND orphaned warehouse locations first —
-    * the catalog is per-session but managed-table dirs persist, and
-    * CREATE TABLE AS refuses to reuse an existing location. */
-  def writeBucketed(spark: SparkSession, dataDir: String, buckets: Int = 8): Unit = {
+  /** Drop stale table metadata AND orphaned warehouse locations — the
+    * catalog is per-session but managed-table dirs persist, and CREATE
+    * TABLE AS refuses to reuse an existing location. */
+  private def dropAndClean(spark: SparkSession, names: Seq[String]): Unit = {
     val warehouse = new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath
-    Seq("orders_bucketed", "lineitem_bucketed").foreach { t =>
+    names.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = java.nio.file.Paths.get(warehouse, t)
       if (java.nio.file.Files.exists(loc)) {
@@ -30,6 +29,11 @@ object Bucketing {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
+  }
+
+  /** Land orders+lineitem bucketed by order key as catalog tables. */
+  def writeBucketed(spark: SparkSession, dataDir: String, buckets: Int = 8): Unit = {
+    dropAndClean(spark, Seq("orders_bucketed", "lineitem_bucketed"))
     Tables.orders(spark, dataDir)
       .write.mode("overwrite")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
@@ -52,5 +56,52 @@ object Bucketing {
     o.join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_orderkey", "o_orderstatus")
       .agg(sum("rev").as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** G35: land the two as-of legs (purchases = the probe side, clicks =
+    * the quote/state side) bucketed on user_id. The AsOfJoin physical
+    * operator (plans/AsOfJoin.scala) requires only ClusteredDistribution
+    * on the key; two bucketed scans with the SAME bucket count already
+    * satisfy it compatibly, so the merge-scan plans with ZERO Exchange —
+    * the standing layout turns every as-of batch at 100 TB into a local
+    * per-bucket merge (the fintech trades⋈quotes serving pattern). The
+    * remaining SortExecs are per-bucket LOCAL sorts, not shuffles. */
+  def writeAsOfBucketed(spark: SparkSession, dataDir: String,
+      buckets: Int = 8): Unit = {
+    dropAndClean(spark, Seq("purchases_bucketed", "clicks_bucketed"))
+    val e = Tables.events(spark, dataDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("epoch"))
+    e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("epoch"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "user_id").sortBy("user_id", "epoch")
+      .format("parquet").saveAsTable("purchases_bucketed")
+    e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("epoch").as("c_epoch"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "c_user").sortBy("c_user", "c_epoch")
+      .format("parquet").saveAsTable("clicks_bucketed")
+  }
+
+  /** The E11 as-of (latest click at-or-before each purchase) against the
+    * bucketed layout — same merge operator, no shuffle in the plan
+    * (BucketingSpec pins it, and pins result equality with the
+    * shuffling E11n variant). */
+  def bucketedAsOf(spark: SparkSession): DataFrame = {
+    val purchases = spark.table("purchases_bucketed")
+    val clicks = spark.table("clicks_bucketed")
+    import org.apache.spark.sql.GraftBridge
+    val plan = graft.plans.AsOfJoin(
+      purchases.queryExecution.analyzed, clicks.queryExecution.analyzed,
+      GraftBridge.expr(purchases("user_id")), GraftBridge.expr(clicks("c_user")),
+      GraftBridge.expr(purchases("epoch")), GraftBridge.expr(clicks("c_epoch")),
+      GraftBridge.expr(clicks("click_id")), forward = false, tolerance = None)
+    GraftBridge.ofRows(spark, plan)
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (col("epoch") - col("c_epoch")).as("gap_s"))
+      .orderBy("user_id", "purchase_id")
   }
 }
