@@ -42,6 +42,10 @@ object ZoneMaps {
       if (clustered) df.repartitionByRange(nFiles, col(byCol))
       else df.repartition(nFiles)
     laid.write.mode("overwrite").parquet(path)
+    // an in-session overwrite of a previously-read path leaves a cached
+    // FileIndex serving the OLD file list — refresh before the sidecar
+    // scan (same discipline as the streaming seen-sketch sidecar)
+    spark.catalog.refreshByPath(path)
     spark.read.parquet(path)
       .select(input_file_name().as("file"), col(byCol))
       .groupBy("file")
@@ -56,6 +60,7 @@ object ZoneMaps {
     * and scan planning. O(files) work, no data read. */
   def planFiles(spark: SparkSession, path: String,
       lo: Long, hi: Long): (Seq[String], Int) = {
+    spark.catalog.refreshByPath(zonemapDir(path)) // sidecar may be rewritten
     val zm = spark.read.parquet(zonemapDir(path))
       .select("file", "zmin", "zmax").collect() // O(files) sidecar rows
     val keep = zm.filter(r => !r.isNullAt(1) &&

@@ -54,6 +54,24 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("in-session rewrite refreshes both table and sidecar file indexes") {
+    val p = s"$base/rewrite"
+    ZoneMaps.writeClustered(spark, docs, p, "n_chars", 4)
+    val (_, t1) = ZoneMaps.planFiles(spark, p, lo, hi)
+    assert(t1 == 4)
+    // overwrite the SAME path with half the data in 2 files — a stale
+    // cached FileIndex would still list 4 files / serve old rows
+    val half = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    ZoneMaps.writeClustered(spark, half, p, "n_chars", 2)
+    val (_, t2) = ZoneMaps.planFiles(spark, p, lo, hi)
+    assert(t2 == 2, s"sidecar served a stale file list: $t2 files")
+    val got = ZoneMaps.readRange(spark, p, "n_chars", lo, hi)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = half.filter(col("n_chars") >= lo && col("n_chars") <= hi)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, "rewritten table served stale rows")
+  }
+
   test("empty band short-circuits to an empty scan with the table schema") {
     val ceiling = docs.agg(max("n_chars")).collect()(0).getLong(0)
     val df = ZoneMaps.readRange(spark, s"$base/clustered", "n_chars",
