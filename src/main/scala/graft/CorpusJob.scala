@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *
   *   quality gate (D9) → exact dedup (C1) → near-dup keep-best (C6+C10)
   *   → benchmark decontamination (C7) → perplexity tail drop (D17)
-  *   → mixture sampling (D15's exact recipe) → chunking (A10 semantics)
-  *   → source-partitioned parquet shards
+  *   → mixture sampling (D15's exact recipe) → leakage-safe
+  *   train/val/test assignment (D29's family rule) → chunking (A10
+  *   semantics) → source-partitioned parquet shards
   *
   * Stage decisions are computed corpus-wide (the artifacts the
   * oracle-checked queries emit) and applied as doc_id joins/anti-joins —
@@ -73,11 +74,21 @@ object CorpusJob {
     // D15: per-source mixture rates, the exact audited recipe
     val afterMix = observed(afterPpl.filter(TextAnalysis.mixKeep), 6)
 
+    // D29 composed: leakage-safe train/val/test assignment rides the
+    // shards. The family key is a pure per-row function of the text, so
+    // this stage adds ZERO shuffle — and near-dup family members land in
+    // one split by construction, closing the leak the C7 stage doesn't
+    // cover: train→eval contamination through the split boundary itself.
+    val famH = graft.functions.Hashing.h60p(
+      md5(substring(col("text"), 1, 60))) % 100
+    val withSplit = afterMix.withColumn("split",
+      when(famH < 80, "train").when(famH < 90, "val").otherwise("test"))
+
     // A10 chunking semantics -> source-partitioned shards
-    val chunks = afterMix
-      .select(col("doc_id"), col("source"),
+    val chunks = withSplit
+      .select(col("doc_id"), col("source"), col("split"),
         posexplode(Text.chunks(col("text"), chunkSize, overlap)))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("split"),
         (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))
     chunks.write.mode("overwrite").partitionBy("source").parquet(outDir)
     // a fully-filtered corpus writes no part files, and parquet schema
@@ -123,11 +134,23 @@ object CorpusJob {
       .withColumnRenamed("key_b", "source_b")
       .write.mode("overwrite").parquet(s"$outDir/_graft_overlap")
 
+    // split audit rows from the written shards (fresh scan — bounded:
+    // one 3-group aggregate); absent splits read as zero
+    val splitCounts: Seq[(String, Long)] =
+      if (nChunks == 0) Nil
+      else {
+        val got = s.read.parquet(outDir).groupBy("split")
+          .agg(countDistinct("doc_id").as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        Seq("train", "val", "test").map(sp =>
+          s"8_${sp}_docs" -> got.getOrElse(sp, 0L))
+      }
+
     // a zero-task action (fully-empty corpus) collects no observation
     // metrics at all — read absent as zero
     (obs.map { case (n, o) =>
-      (n, o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)) } :+
-      ("7_chunks_written", nChunks))
+      (n, o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)) } ++
+      (("7_chunks_written", nChunks) +: splitCounts))
       .toDF("stage", "n")
   }
 

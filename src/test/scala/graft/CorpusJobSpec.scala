@@ -23,11 +23,28 @@ class CorpusJobSpec extends AnyFunSuite {
       "pipeline dropped nothing — gates not applied")
     assert(byStage("7_chunks_written") >= byStage("6_mixture"),
       "every kept doc must contribute at least one chunk")
+    // the D29 split stage: every mixture survivor lands in exactly one
+    // split, and assignment is by FAMILY key — a doc's split never
+    // depends on which other docs survived, so counts reconcile exactly
+    assert(byStage("8_train_docs") + byStage("8_val_docs") +
+      byStage("8_test_docs") == byStage("6_mixture"),
+      s"split docs don't sum to mixture survivors: $a")
+    assert(byStage("8_train_docs") > 0, "empty train split")
     // shards are source-partitioned and re-readable
     val shards = spark.read.parquet(out)
     assert(shards.columns.sorted.toSeq ==
-      Seq("chunk", "chunk_ix", "doc_id", "source"))
+      Seq("chunk", "chunk_ix", "doc_id", "source", "split"))
     assert(shards.select("source").distinct().count() >= 1)
+    // leakage-safety: recompute the family key from the source corpus
+    // for every sharded doc — no family may span two splits
+    import org.apache.spark.sql.functions._
+    val fam = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 60)).as("fk"))
+    val spanning = shards.select("doc_id", "split").distinct()
+      .join(fam, "doc_id")
+      .groupBy("fk").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(spanning == 0, s"$spanning families span a split boundary")
   }
 
   test("a rerun is bit-identical (deterministic pipeline)") {
@@ -85,7 +102,7 @@ class CorpusJobSpec extends AnyFunSuite {
     // the underscore dir must be invisible to plain shard reads
     val shards = spark.read.parquet(out)
     assert(shards.columns.sorted.toSeq ==
-      Seq("chunk", "chunk_ix", "doc_id", "source"))
+      Seq("chunk", "chunk_ix", "doc_id", "source", "split"))
     val recomputed = shards
       .groupBy("source")
       .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("d"),
