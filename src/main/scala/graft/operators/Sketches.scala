@@ -716,7 +716,103 @@ object Sketches {
     FROM scored GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score"""
 
+  /** E57: model lift / gains table — the decile report every
+    * propensity-targeting evaluation starts with: rank users by an
+    * engagement score, cut into 10 deciles, report per-decile and
+    * cumulative conversion against the base rate. The scale-critical
+    * choice: deciles come from the G24 histogram sketch's exact edges
+    * (one mergeable aggregation + a broadcast 1-row attach, the q_rfm
+    * discipline) — NOT from `NTILE(10) OVER (ORDER BY score)`, whose
+    * global sort serializes every user through one partition at 100 TB.
+    * Decile 1 = highest engagement (above the p90 edge). All exact
+    * arithmetic: integer cents, ppm floors, decimal(38) cross-products
+    * ahead of the single integer division; the cumulative windows run
+    * on the 10-row decile table (allowlisted bounded SinglePartition).
+    * Score = view/click engagement cents; label = any purchase. */
+  def qDecileLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+    val users = ev.groupBy("user_id").agg(
+      sum(when(col("event_type").isin("view", "click"), col("cents"))
+        .otherwise(0L)).as("score"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("buyer"))
+    val qs = (1 to 9).map(i => lit(i / 10.0d))
+    val edges = users.agg(call_function("graft_qhist",
+      (col("score") +: lit(1.0d) +: qs): _*).as("e"))
+    // #edges strictly below score+1 = #deciles the user clears; 9 cleared
+    // edges → decile 1 (top). Same (v+1 > edge) convention as q_rfm.
+    val decile = lit(10) - (1 to 9).map(i =>
+      (col("score") + 1 > col(s"e.p${i * 10}_edge")).cast("int"))
+      .reduce(_ + _)
+    val byDec = users.crossJoin(broadcast(edges)) // 1-row edge attach
+      .select(decile.as("decile"), col("buyer"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("buyer").as("n_buyers"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+    byDec
+      .withColumn("cum_users", sum("n_users").over(wCum))
+      .withColumn("cum_buyers", sum("n_buyers").over(wCum))
+      .withColumn("tot_users", sum("n_users").over(wTot))
+      .withColumn("tot_buyers", sum("n_buyers").over(wTot))
+      .select(col("decile"), col("n_users"), col("n_buyers"),
+        expr("n_buyers * 1000000 div n_users").as("conv_ppm"),
+        expr("""CAST((CAST(cum_buyers AS DECIMAL(38,0)) * tot_users * 1000000)
+                div (CAST(cum_users AS DECIMAL(38,0)) * tot_buyers) AS BIGINT)""")
+          .as("cum_lift_ppm"))
+      .orderBy("decile")
+  }
+
+  val qDecileLiftSql: String = {
+    val edgeDefs = (1 to 9).map(i =>
+      s"MIN(CASE WHEN cum >= ceil(0.$i * n) THEN edge END) AS e$i")
+      .mkString(",\n      ")
+    val cleared = (1 to 9).map(i =>
+      s"(CASE WHEN score + 1 > e$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    users AS (
+      SELECT user_id,
+        SUM(CASE WHEN event_type IN ('view', 'click') THEN cents
+            ELSE 0 END) AS score,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS buyer
+      FROM ev GROUP BY user_id),
+    hist AS (SELECT score + 1 AS edge, COUNT(*) AS cnt FROM users
+             GROUP BY score + 1),
+    cum AS (SELECT edge, SUM(cnt) OVER (ORDER BY edge) AS cum,
+            CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM hist),
+    edges AS (SELECT
+      $edgeDefs
+      FROM cum),
+    dec AS (
+      SELECT 10 - ($cleared) AS decile, buyer
+      FROM users CROSS JOIN edges),
+    byd AS (
+      SELECT decile, COUNT(*) AS n_users,
+        CAST(SUM(buyer) AS BIGINT) AS n_buyers
+      FROM dec GROUP BY decile),
+    c AS (
+      SELECT decile, n_users, n_buyers,
+        SUM(n_users) OVER (ORDER BY decile) AS cum_users,
+        SUM(n_buyers) OVER (ORDER BY decile) AS cum_buyers,
+        SUM(n_users) OVER () AS tot_users,
+        SUM(n_buyers) OVER () AS tot_buyers
+      FROM byd)
+    SELECT decile, n_users, n_buyers,
+      CAST(n_buyers * 1000000 // n_users AS BIGINT) AS conv_ppm,
+      CAST((cum_buyers * tot_users * 1000000)
+        // (cum_users * tot_buyers) AS BIGINT) AS cum_lift_ppm
+    FROM c ORDER BY decile"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decile_lift" -> (qDecileLift _),
     "q_rfm" -> (qRfm _),
     "q_bloom_native" -> (qBloomNative _),
     "q_kmv_overlap" -> (qKmvOverlap _),
@@ -730,6 +826,7 @@ object Sketches {
     "q_qhist_native" -> (qQhistNative _))
 
   val oracle: Map[String, String] = Map(
+    "q_decile_lift" -> qDecileLiftSql,
     "q_rfm" -> qRfmSql,
     "q_bloom_native" -> qBloomNativeSql,
     "q_kmv_overlap" -> qKmvOverlapSql,

@@ -43,12 +43,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // corpus-count denominator, ann_hybrid's idf N numerator, q_rfm's
   // global max-day anchor, text_domain_gate's corpus-total share
   // denominator over the ≤domain-universe stats table), the 5-row
-  // priority window (q_top_movers), text_pack's bucket-count offset pass.
+  // priority window (q_top_movers), text_pack's bucket-count offset pass,
+  // q_decile_lift's cumulative windows over its 10-row decile table.
   private val allowedSinglePartition = Set(
     "q_attribution", "text_collocations", "text_source_weights",
     "q_top_movers", "text_pack", "ann_tune", "ann_hybrid", "q_rfm",
     "q_market_basket", "dedup_lsh_tune", "q_ab_test", "q_triangles",
-    "text_domain_gate")
+    "text_domain_gate", "q_decile_lift")
 
   /** SinglePartition exchanges whose child is a partial SKETCH aggregate
     * are a bounded merge, not a data-sized funnel: each mapper emits one
@@ -88,12 +89,14 @@ class PlanAuditSpec extends AnyFunSuite {
   // checkpointed artifacts.)
   // text_domain_gate: 1-row corpus-total attach (crossJoin(broadcast) of
   // the single aggregate row over the bounded domain-stats table).
+  // q_decile_lift: 1-row qhist decile-edge attach (crossJoin(broadcast)
+  // of the single sketch row), the q_rfm shape.
   private val allowedBnlj = Set(
     "ann_brute", "ann_hybrid", "ann_ivf", "ann_ivf_km",
     "ann_ivfpq", "ann_sq8", "knn_vote", "knn_vote_pq",
     "q_bloom_native", "q_kmv_overlap", "q_market_basket", "q_rfm",
     "ann_tune", "dedup_lsh_tune", "q_triangles", "text_collocations",
-    "text_source_weights", "text_domain_gate")
+    "text_source_weights", "text_domain_gate", "q_decile_lift")
 
   test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
     val observed = plans.collect {
