@@ -171,7 +171,76 @@ object Multimodal {
       .orderBy("doc_id", "shot_id")
   }
 
+  private val PhashBits = 30 // frame hashes are mod-P (P < 2^30)
+  private val PhashHammingMax = 3
+
+  /** F25: perceptual-hash near-dup media — the pHash step between F11's
+    * exact byte-hash pass and F12's shared-frame join: one 30-bit
+    * signature per payload, bit b = MAJORITY vote of bit b across the
+    * payload's sampled frame hashes (a SimHash over frames — a re-encode
+    * or trim shifts a few frames, the majorities barely move), banded
+    * into 4 blocks. Candidates are a block equi-join (never all-pairs;
+    * G32's saturated-bucket cap applies to this join like every blocked
+    * pair source), survivors keep Hamming ≤ 3 — the pigeonhole radius 4
+    * blocks make EXACT (3 flipped bits cannot touch all 4 blocks, so no
+    * in-radius pair is lost). Frame hashing is the committed stub
+    * decode; a real pHash (DCT low-frequency signs) swaps the per-frame
+    * hash only — signature, banding, join, and radius are unchanged.
+    * Scale shape: one per-doc aggregation (30 map-side-partial bit
+    * sums), block equi-join on ≤ 8-bit keys, no payload bytes past the
+    * frame sampler. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    val frames = mmFrameSample(s, dir).select(col("doc_id"), col("frame_hash"))
+    val sums = (0 until PhashBits).map(b =>
+      sum(shiftright(col("frame_hash"), b).bitwiseAND(lit(1L))).as(s"s$b"))
+    val votes = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("nf"), sums: _*)
+    val phash = (0 until PhashBits).map(b =>
+      when(col(s"s$b") * 2 > col("nf"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = votes.select(col("doc_id"), phash.as("phash"))
+    val blocks = sigs.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("phash"), 8 * i).bitwiseAND(lit(255L))): _*)))
+      .withColumnRenamed("pos", "block_ix").withColumnRenamed("col", "bval")
+    Dedup.bucketCandidates(s, blocks, Seq("block_ix", "bval"),
+        "doc_id", Seq("phash"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        bit_count(col("phash_a").bitwiseXOR(col("phash_b")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def mmPhashSql(frameSql: String): String = {
+    val sumExprs = (0 until PhashBits)
+      .map(b => s"SUM((frame_hash >> $b) & 1) AS s$b").mkString(",\n        ")
+    val phashExpr = (0 until PhashBits)
+      .map(b => s"CASE WHEN s$b * 2 > nf THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
+      .mkString("\n        + ")
+    s"""
+    WITH votes AS (
+      SELECT doc_id, COUNT(*) AS nf,
+        $sumExprs
+      FROM ($frameSql) GROUP BY doc_id),
+    sigs AS (SELECT doc_id, $phashExpr AS phash FROM votes),
+    blocks AS (
+      SELECT doc_id, phash, 0 AS block_ix, (phash >> 0) & 255 AS bval FROM sigs
+      UNION ALL SELECT doc_id, phash, 1, (phash >> 8) & 255 FROM sigs
+      UNION ALL SELECT doc_id, phash, 2, (phash >> 16) & 255 FROM sigs
+      UNION ALL SELECT doc_id, phash, 3, (phash >> 24) & 255 FROM sigs),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
+        b.doc_id AS doc_b, b.phash AS ph_b
+      FROM blocks a JOIN blocks b ON a.block_ix = b.block_ix
+        AND a.bval = b.bval AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= $PhashHammingMax
+    ORDER BY doc_a, doc_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash" -> (mmPhash _),
     "mm_pipeline" -> (mmPipeline _),
     "mm_framesample" -> (mmFrameSampleQ _),
     "mm_dedup" -> (mmDedup _),
@@ -244,6 +313,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "mm_phash" -> mmPhashSql(mmFrameSampleSql),
     "mm_dedup" -> mmDedupSql,
     "mm_framesample" -> mmFrameSampleSql,
     "mm_scene_cut" -> mmSceneCutSql(mmFrameSampleSql),
