@@ -119,6 +119,83 @@ object Dedup {
     SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
     FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""
 
+  /** C16: URL canonicalization dedup — the crawl-frontier stage BEFORE
+    * any content is fetched: the same page surfaces under scheme / host-
+    * case / www / tracking-param / trailing-slash variants, and deduping
+    * on the canonical URL collapses them without touching document
+    * bytes (RefinedWeb runs exactly this ahead of content dedup).
+    * The corpus has no URL column, so deterministic messy variants are
+    * synthesized per doc (the D28 Zipf-shaped host/path plus a
+    * doc_id-keyed decoration); the CANONICALIZATION CHAIN is the
+    * operator — lowercase, scheme fold, www-strip, utm-param strip,
+    * trailing-slash strip — and is what a real crawl table reuses.
+    * Scale shape: pure per-row string rewrite in the scan, one keyed
+    * aggregation on the canonical URL. */
+  def dedupUrl(s: SparkSession, dir: String): DataFrame = {
+    val tlds = array(lit("com"), lit("org"), lit("net"), lit("info"), lit("biz"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Hashing.h60(concat(lit("url_"), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"),
+        concat(lit("site"),
+          floor(sqrt(pmod(col("h"), lit(400)).cast("double"))).cast("long"),
+          lit("."),
+          element_at(tlds, (pmod(expr("h div 400"), lit(5)) + 1).cast("int")))
+          .as("host"),
+        concat(lit("/p"), pmod(expr("h div 2048"), lit(1000))).as("path"))
+    val v = pmod(col("doc_id"), lit(4))
+    val url = when(v === 0, concat(lit("https://"), col("host"), col("path")))
+      .when(v === 1,
+        concat(lit("HTTP://"), upper(col("host")), col("path"), lit("/")))
+      .when(v === 2, concat(lit("https://"), col("host"), col("path"),
+        lit("?utm_source=feed&utm_campaign=x")))
+      .otherwise(concat(lit("http://www."), col("host"), col("path")))
+    val canonical =
+      regexp_replace( // 4: trailing slash
+        regexp_replace( // 3: tracking params
+          regexp_replace( // 2: scheme + www fold (post-lowercase)
+            lower(url), "^https?://(www\\.)?", ""), // 1: case fold
+          "\\?utm_[^#]*$", ""),
+        "/$", "")
+    base.select(col("doc_id"), url.as("url"), canonical.as("canonical"))
+      .groupBy("canonical")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_variants"),
+        countDistinct("url").as("n_distinct_raw"))
+      .orderBy("keep_doc_id")
+  }
+
+  val dedupUrlSql: String = """
+    WITH u AS (
+      SELECT doc_id,
+        ('0x'||substr(md5('url_'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS h
+      FROM documents),
+    hp AS (
+      SELECT doc_id,
+        'site' || CAST(CAST(floor(sqrt(CAST(h % 400 AS DOUBLE))) AS BIGINT) AS VARCHAR)
+          || '.' || (['com','org','net','info','biz'])[CAST((h // 400) % 5 AS INT) + 1]
+          AS host,
+        '/p' || CAST((h // 2048) % 1000 AS VARCHAR) AS path
+      FROM u),
+    urls AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://' || host || path
+          WHEN 1 THEN 'HTTP://' || upper(host) || path || '/'
+          WHEN 2 THEN 'https://' || host || path || '?utm_source=feed&utm_campaign=x'
+          ELSE 'http://www.' || host || path END AS url
+      FROM hp),
+    canon AS (
+      SELECT doc_id, url,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), '^https?://(www\.)?', ''),
+            '\?utm_[^#]*$', ''),
+          '/$', '') AS canonical
+      FROM urls)
+    SELECT canonical, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_variants,
+      COUNT(DISTINCT url) AS n_distinct_raw
+    FROM canon GROUP BY canonical ORDER BY keep_doc_id"""
+
   /** C2: n-gram Jaccard near-dup pairs with length-bucket blocking.
     * Each doc emits buckets {⌊n/10⌋, ⌊n/10⌋+1}; an equi-join on the bucket
     * key covers same + adjacent buckets (near-dups have near-equal
@@ -1579,6 +1656,7 @@ object Dedup {
     "dedup_contamination" -> (dedupContamination _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact"   -> (dedupExact _),
+    "dedup_url"     -> (dedupUrl _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_prefix"  -> (dedupPrefix _),
     "dedup_containment" -> (dedupContainment _),
@@ -1598,6 +1676,7 @@ object Dedup {
     "dedup_contamination" -> dedupContaminationSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact"   -> dedupExactSql,
+    "dedup_url"     -> dedupUrlSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_prefix"  -> dedupPrefixSql,
     "dedup_containment" -> dedupContainmentSql,
