@@ -1889,6 +1889,80 @@ object Similarity {
 
   def invalidateRungResults(): Unit = rungResultMemo.clear()
 
+  /** B20: Matryoshka truncation eval — MRL-trained embeddings put the
+    * most information in the leading dimensions, so serving can score
+    * with a PREFIX of each vector (memory and dot cost scale with the
+    * kept dims) and re-rank survivors at full width. This operator
+    * measures what each truncation budget costs: exact int64 top-5 over
+    * the first d ∈ {8, 16, 32, 64} dims of the same (query, corpus)
+    * pairs, graded as recall@5 against the full-width truth — the
+    * ann_recall discipline applied to the dim axis instead of the index
+    * ladder. One broadcast pair scan computes all four budgets
+    * (posexplode over four sliced-dot columns — the corpus is read
+    * ONCE, not once per budget); ranking is a (dims, query) keyed
+    * window. */
+  def vecMrlRecall(s: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val scored = corpusSet(s, dir).join(broadcast(queriesSet(s, dir)))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(array(dims.map(d =>
+          dotExact(slice(col("qq"), 1, d), slice(col("cq"), 1, d))): _*)))
+      .select(col("query_id"), col("neighbor_id"),
+        element_at(array(dims.map(d => lit(d.toLong)): _*),
+          col("pos").cast("int") + 1).as("dims"),
+        col("col").as("dot"))
+    val w = Window.partitionBy("dims", "query_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    val top = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("dims", "query_id", "neighbor_id")
+    val truth = top.filter(col("dims") === 64)
+      .select("query_id", "neighbor_id")
+    val hits = top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("dims", "query_id").agg(count(lit(1)).as("hits"))
+    top.select("dims", "query_id").distinct()
+      .join(hits, Seq("dims", "query_id"), "left")
+      .select(col("dims"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), lit(5L).as("k"))
+      .withColumn("recall", col("hits").cast("double") / col("k"))
+      .orderBy("dims", "query_id")
+  }
+
+  val vecMrlRecallSql: String = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c FROM embeddings
+          WHERE vec_id >= 10),
+    d AS (SELECT unnest([CAST(8 AS BIGINT), 16, 32, 64]) AS dims),
+    scored AS (
+      SELECT dims, query_id, neighbor_id,
+        CAST(list_sum(list_transform(
+          list_zip(list_slice(q.q, 1, CAST(dims AS INT)),
+                   list_slice(c.c, 1, CAST(dims AS INT))),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)))
+          AS BIGINT) AS dot
+      FROM q CROSS JOIN c CROSS JOIN d),
+    ranked AS (
+      SELECT dims, query_id, neighbor_id,
+        row_number() OVER (PARTITION BY dims, query_id
+                           ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored),
+    top AS (SELECT dims, query_id, neighbor_id FROM ranked WHERE rank <= 5),
+    truth AS (SELECT query_id, neighbor_id FROM top WHERE dims = 64),
+    hits AS (
+      SELECT t.dims, t.query_id, COUNT(*) AS hits
+      FROM top t JOIN truth u
+        ON t.query_id = u.query_id AND t.neighbor_id = u.neighbor_id
+      GROUP BY t.dims, t.query_id),
+    grid AS (SELECT DISTINCT dims, query_id FROM top)
+    SELECT g.dims, g.query_id,
+      CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, CAST(5 AS BIGINT) AS k,
+      CAST(COALESCE(h.hits, 0) AS DOUBLE) / 5 AS recall
+    FROM grid g LEFT JOIN hits h
+      ON g.dims = h.dims AND g.query_id = h.query_id
+    ORDER BY g.dims, g.query_id"""
+
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val truth = memoRung(s, dir, "truth")(
       annBrute(s, dir).select("query_id", "rank", "neighbor_id"))
@@ -1980,6 +2054,7 @@ object Similarity {
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivf_km" -> (annIvfKm _),
     "ann_tune" -> (annTune _),
+    "vec_mrl_recall" -> (vecMrlRecall _),
     "ann_recall" -> (annRecall _))
 
   val oracle: Map[String, String] = Map(
@@ -2004,5 +2079,6 @@ object Similarity {
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_ivf_km" -> annIvfKmSql,
     "ann_tune" -> annTuneSql,
+    "vec_mrl_recall" -> vecMrlRecallSql,
     "ann_recall" -> annRecallSql)
 }

@@ -96,7 +96,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_ivfpq", "ann_sq8", "knn_vote", "knn_vote_pq",
     "q_bloom_native", "q_kmv_overlap", "q_market_basket", "q_rfm",
     "ann_tune", "dedup_lsh_tune", "q_triangles", "text_collocations",
-    "text_source_weights", "text_domain_gate", "q_decile_lift")
+    "text_source_weights", "text_domain_gate", "q_decile_lift",
+    "vec_mrl_recall") // B20: same broadcast <=10-row query-set scan as ann_brute
 
   test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
     val observed = plans.collect {
