@@ -90,7 +90,19 @@ object CorpusJob {
         posexplode(Text.chunks(col("text"), chunkSize, overlap)))
       .select(col("doc_id"), col("source"), col("split"),
         (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))
-    chunks.write.mode("overwrite").partitionBy("source").parquet(outDir)
+    // doc-contiguous file layout (range partition on doc_id) so the G34
+    // zone-map sidecar written below prunes files for doc-range reads —
+    // the incremental-consumer pattern: re-reading one delivery window's
+    // docs touches only its files, not the whole shard tree.
+    // The eager localCheckpoint is LOAD-BEARING for the audit: a range
+    // partitioner first runs a boundary-SAMPLING job over its child, and
+    // Observation metrics latch onto whichever action completes first —
+    // the sample pass would report sampled (wrong) stage counts. The
+    // checkpoint is a full-data action (exact counts) and freezes the
+    // lineage, so the sampling below re-reads blocks, not the pipeline.
+    val chunksStable = chunks.localCheckpoint(true)
+    chunksStable.repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").partitionBy("source").parquet(outDir)
     // a fully-filtered corpus writes no part files, and parquet schema
     // inference on an empty directory throws — count from the plan then
     val nChunks =
@@ -133,6 +145,13 @@ object CorpusJob {
       .withColumnRenamed("key_a", "source_a")
       .withColumnRenamed("key_b", "source_b")
       .write.mode("overwrite").parquet(s"$outDir/_graft_overlap")
+
+    // G34 composed: the doc_id zone-map sidecar over the range-clustered
+    // shards — ZoneMaps.planFiles/readRange then serve doc-range reads
+    // touching only overlapping files (underscore dir: invisible to
+    // plain shard reads, like the manifest)
+    if (nChunks > 0)
+      graft.sources.ZoneMaps.writeSidecar(s, outDir, "doc_id")
 
     // split audit rows from the written shards (fresh scan — bounded:
     // one 3-group aggregate); absent splits read as zero

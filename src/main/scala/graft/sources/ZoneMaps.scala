@@ -42,6 +42,14 @@ object ZoneMaps {
       if (clustered) df.repartitionByRange(nFiles, col(byCol))
       else df.repartition(nFiles)
     laid.write.mode("overwrite").parquet(path)
+    writeSidecar(spark, path, byCol)
+  }
+
+  /** The sidecar alone, over an ALREADY-WRITTEN parquet tree at `path`
+    * (flat or partitioned — `input_file_name()` keys each physical file
+    * either way). Lets a job that controls its own write (e.g. the
+    * CorpusJob shards) add file-skipping without rewriting data. */
+  def writeSidecar(spark: SparkSession, path: String, byCol: String): Unit = {
     // an in-session overwrite of a previously-read path leaves a cached
     // FileIndex serving the OLD file list — refresh before the sidecar
     // scan (same discipline as the streaming seen-sketch sidecar)
@@ -77,7 +85,9 @@ object ZoneMaps {
     if (files.isEmpty) {
       spark.read.parquet(path).filter(lit(false))
     } else {
-      spark.read.parquet(files: _*)
+      // basePath keeps directory-partition columns (e.g. source=…) in
+      // the schema when individual files are handed to the reader
+      spark.read.option("basePath", path).parquet(files: _*)
         .filter(col(byCol) >= lo && col(byCol) <= hi)
     }
   }

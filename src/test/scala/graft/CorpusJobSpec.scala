@@ -47,6 +47,33 @@ class CorpusJobSpec extends AnyFunSuite {
     assert(spanning == 0, s"$spanning families span a split boundary")
   }
 
+  test("doc-range reads serve through the zone-map sidecar") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ZoneMaps
+    val out = java.nio.file.Files.createTempDirectory("graft_cjz").toString
+    // sf0.1: the funnel keeps ONE doc at sf0.001 (one shard file — a
+    // vacuous pruning test) and ZERO at sf0.01 (that corpus's ppl tail
+    // swallows the mixture); the 5000-doc corpus keeps enough docs to
+    // spread across the 8 range partitions
+    CorpusJob.run(spark, "/root/testdata/sf0.1", out).collect()
+    val docs = spark.read.parquet(out).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (lo, hi) = (docs(docs.length / 4), docs(docs.length / 2))
+    val (files, total) = ZoneMaps.planFiles(spark, out, lo, hi)
+    assert(total > 1 && files.nonEmpty && files.size < total,
+      s"doc-range pruning kept ${files.size}/$total shard files")
+    val pruned = ZoneMaps.readRange(spark, out, "doc_id", lo, hi)
+    // the source partition column survives the file-list read (basePath)
+    assert(pruned.columns.contains("source"), pruned.columns.mkString(","))
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(concat_ws(":", col("doc_id"), col("chunk_ix"), col("source")))
+      .collect().map(_.getString(0)).toSet
+    val want = spark.read.parquet(out)
+      .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+    assert(key(pruned) == key(want) && key(want).nonEmpty,
+      "pruned doc-range read diverged from the full-scan filter")
+  }
+
   test("a rerun is bit-identical (deterministic pipeline)") {
     val out1 = java.nio.file.Files.createTempDirectory("graft_cj1").toString
     val out2 = java.nio.file.Files.createTempDirectory("graft_cj2").toString
