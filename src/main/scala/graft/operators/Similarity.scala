@@ -1889,6 +1889,97 @@ object Similarity {
 
   def invalidateRungResults(): Unit = rungResultMemo.clear()
 
+  /** B21: filtered ANN — vector search under a metadata predicate
+    * (neighbors must carry the query's label), the serving problem every
+    * production vector store hits the week after launch. Strategy is
+    * PRE-filter: the predicate is one more equi-condition on the LSH
+    * bucket join, so it lands BEFORE any exact scoring and the dot
+    * budget is selectivity × candidates — the post-filter alternative
+    * over-fetches k′ ≫ k and still under-fills whenever the predicate
+    * is selective (the classic filtered-ANN failure). The label rides
+    * the corpus index rows next to the bucket key — exactly how
+    * VectorStore materializes metadata — so at 100 TB the filter
+    * evaluates in the bucket join's build side, never against raw
+    * vectors. Same B3 routing (8 tables, Hamming-1 multi-probe),
+    * top-3 per query. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    def buckets(v: Column): Column =
+      call_function("graft_lsh_buckets", v, lit(LshTables), lit(LshPlanes))
+    val q0 = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => q8(x)).as("qq"),
+        col("label").as("qlabel"))
+    val q = q0
+      .select(col("query_id"), col("qq"), col("qlabel"),
+        posexplode(buckets(col("qq"))))
+      .withColumnRenamed("pos", "qtbl")
+      .select(col("query_id"), col("qq"), col("qlabel"), col("qtbl"),
+        explode(array(col("col") +: (0 until LshPlanes).map(p =>
+          col("col").bitwiseXOR(lit(1 << p))): _*)).as("probe"))
+    val c = corpusSet(s, dir)
+      .select(col("neighbor_id"), col("cq"), col("label"),
+        posexplode(buckets(col("cq"))))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket_c")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    c.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bucket_c") === col("probe") &&
+          col("label") === col("qlabel")) // the pre-filter, inside the join
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        dotExact(col("qq"), col("cq")).as("dot"))
+      .distinct() // k-table collisions score once
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("label"), col("rank"), col("neighbor_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annFilteredSql: String = s"""
+    WITH planes AS (
+      SELECT t.range AS t, p.range AS p, d.range AS d,
+        (((('0x'||substr(md5(CAST(t.range AS VARCHAR) || '_' || CAST(p.range AS VARCHAR) || '_' || CAST(d.range AS VARCHAR)),1,15))::BIGINT) & 1) * 2 - 1) AS sign
+      FROM range($LshTables) t CROSS JOIN range($LshPlanes) p CROSS JOIN range($VecDim) d),
+    vq AS (
+      SELECT vec_id, d.range AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT) AS qe
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    pd AS (
+      SELECT vq.vec_id, planes.t, planes.p, SUM(planes.sign * vq.qe) AS pdot
+      FROM vq JOIN planes ON vq.d = planes.d
+      GROUP BY vq.vec_id, planes.t, planes.p),
+    buckets AS (
+      SELECT vec_id, t,
+        CAST(SUM(CASE WHEN pdot > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+      FROM pd GROUP BY vec_id, t),
+    probes AS (
+      SELECT b.vec_id AS query_id, b.t,
+        CASE WHEN r.range = 0 THEN b.bucket
+             ELSE xor(b.bucket, (1 << (CAST(r.range AS INT) - 1))) END AS probe
+      FROM buckets b CROSS JOIN range(${LshPlanes + 1}) r
+      WHERE b.vec_id < 10),
+    cand AS (
+      SELECT DISTINCT p.query_id, ql.label, cb.vec_id AS neighbor_id
+      FROM probes p
+      JOIN embeddings ql ON ql.vec_id = p.query_id
+      JOIN buckets cb ON cb.t = p.t AND cb.bucket = p.probe AND cb.vec_id >= 10
+      JOIN embeddings cl ON cl.vec_id = cb.vec_id AND cl.label = ql.label),
+    scored AS (
+      SELECT cand.query_id, cand.label, cand.neighbor_id,
+        CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          s -> CAST(floor(CAST(s[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(s[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM cand
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id
+      JOIN embeddings q ON q.vec_id = cand.query_id),
+    ranked AS (
+      SELECT query_id, label, neighbor_id, dot,
+        row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, label, rank, neighbor_id, CAST(dot AS DOUBLE) / 1.0e16 AS score
+    FROM ranked WHERE rank <= 3
+    ORDER BY query_id, rank"""
+
   /** B20: Matryoshka truncation eval — MRL-trained embeddings put the
     * most information in the leading dimensions, so serving can score
     * with a PREFIX of each vector (memory and dot cost scale with the
@@ -2055,6 +2146,7 @@ object Similarity {
     "ann_ivf_km" -> (annIvfKm _),
     "ann_tune" -> (annTune _),
     "vec_mrl_recall" -> (vecMrlRecall _),
+    "ann_filtered" -> (annFiltered _),
     "ann_recall" -> (annRecall _))
 
   val oracle: Map[String, String] = Map(
@@ -2080,5 +2172,6 @@ object Similarity {
     "ann_ivf_km" -> annIvfKmSql,
     "ann_tune" -> annTuneSql,
     "vec_mrl_recall" -> vecMrlRecallSql,
+    "ann_filtered" -> annFilteredSql,
     "ann_recall" -> annRecallSql)
 }
