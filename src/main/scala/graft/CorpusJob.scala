@@ -100,6 +100,11 @@ object CorpusJob {
     // the sample pass would report sampled (wrong) stage counts. The
     // checkpoint is a full-data action (exact counts) and freezes the
     // lineage, so the sampling below re-reads blocks, not the pipeline.
+    // It does materialize the chunk set once in executor storage; the
+    // 100 TB spelling of the same contract is write-once + out-of-band
+    // clustering compaction (a table format's OPTIMIZE ZORDER), with the
+    // audit counts riding the first write — one materialization either
+    // way, this one keeps the job single-pass and self-contained.
     val chunksStable = chunks.localCheckpoint(true)
     chunksStable.repartitionByRange(8, col("doc_id"))
       .write.mode("overwrite").partitionBy("source").parquet(outDir)
