@@ -404,6 +404,58 @@ object Analytics {
     GROUP BY p.event_id
     ORDER BY p.event_id"""
 
+  /** E58: interval-union coverage — the sweep-line "total covered time"
+    * statistic (ad exposure seconds, machine uptime, session coverage)
+    * computed WITHOUT materializing the union: each event opens a
+    * 300-second exposure interval; per user, a running max of interval
+    * ends over the (start, event_id) order gives the sweep's peak, and
+    * each interval contributes `max(0, end − max(start, peak))` new
+    * seconds — overlapping intervals never double-count, exact int64
+    * throughout. `n_blocks` counts the merged runs (a block opens where
+    * start clears the previous peak). One keyed window + one keyed
+    * aggregation; a hot user serializes its window like E6, and the
+    * E6s/E29s time-chunk decomposition applies verbatim if that key
+    * dominates. */
+  def qIntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val span = 300L
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("start"))
+      .withColumn("end", col("start") + span)
+    val w = Window.partitionBy("user_id").orderBy("start", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("peak", max("end").over(w))
+      .select(col("user_id"),
+        greatest(lit(0L), col("end") -
+          greatest(col("start"), coalesce(col("peak"), col("start"))))
+          .as("covered"),
+        when(col("peak").isNull || col("start") > col("peak"), 1L)
+          .otherwise(0L).as("block_start"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("covered").as("covered_s"),
+        sum("block_start").as("n_blocks"))
+      .orderBy("user_id")
+  }
+
+  val qIntervalUnionSql: String = """
+    WITH iv AS (
+      SELECT user_id, event_id,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) + 300 AS e
+      FROM events),
+    swept AS (
+      SELECT user_id, s, e,
+        MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS peak
+      FROM iv)
+    SELECT user_id, COUNT(*) AS n_intervals,
+      CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(peak, s)))) AS BIGINT)
+        AS covered_s,
+      CAST(SUM(CASE WHEN peak IS NULL OR s > peak THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_blocks
+    FROM swept GROUP BY user_id ORDER BY user_id"""
+
   /** E17i: interval-overlap join — the range×range sibling of E17's
     * point-in-range join: per-user click activity sessions overlapped
     * against view sessions, reporting the exact shared seconds. The
@@ -1691,6 +1743,7 @@ object Analytics {
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_part" -> (qSessionizePart _),
     "q_cdc_apply"  -> (qCdcApply _),
+    "q_interval_union" -> (qIntervalUnion _),
     "q_json"       -> (qJson _),
     "q_event_dedup" -> (qEventDedup _),
     "q_topk_group" -> (qTopkGroup _),
@@ -1732,6 +1785,7 @@ object Analytics {
     "q_sessionize" -> qSessionizeSql,
     "q_sessionize_part" -> qSessionizeSql, // identical results by construction
     "q_cdc_apply"  -> qCdcApplySql,
+    "q_interval_union" -> qIntervalUnionSql,
     "q_json"       -> qJsonSql,
     "q_event_dedup" -> qEventDedupSql,
     "q_topk_group" -> qTopkGroupSql,

@@ -716,6 +716,55 @@ object Sketches {
     FROM scored GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score"""
 
+  /** E59: time-decayed engagement score — the feature-store staple
+    * (recency-weighted activity) made ENGINE-REPRODUCIBLE: a weekly
+    * half-life means weight 2^−w for an event w whole weeks before the
+    * corpus's last day, so scoring in fixed-point units of 2^−20
+    * (weights capped at 20 weeks — beyond that the weight is below one
+    * unit anyway) keeps every sum an exact int64: units =
+    * cents · 2^(20−min(w,20)). The only float op is ONE final division
+    * of an exact long < 2^53 by the constant 2^20 — correctly rounded
+    * identically in both engines, unlike the textbook exp(−λΔt) sum
+    * whose answer depends on the engine's reduction order. The max-day
+    * anchor is a 1-row broadcast attach (the q_rfm shape, allowlisted);
+    * everything else is one keyed aggregation with map-side partials. */
+  def qDecayScore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"),
+        expr("unix_timestamp(ts) div 86400").as("day"))
+    val anchor = ev.agg(max("day").as("max_day"))
+    ev.crossJoin(broadcast(anchor)) // 1-row anchor attach
+      .withColumn("w", least(expr("(max_day - day) div 7"), lit(20L)))
+      .select(col("user_id"),
+        (col("cents") *
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - w AS INT))")).as("u"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("u").as("score_units"))
+      .withColumn("decay_score",
+        col("score_units").cast("double") / lit(1048576.0d))
+      .select("user_id", "n_events", "score_units", "decay_score")
+      .orderBy("user_id")
+  }
+
+  val qDecayScoreSql: String = """
+    WITH ev AS (
+      SELECT user_id,
+        CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+      FROM events),
+    anchor AS (SELECT MAX(day) AS max_day FROM ev),
+    u AS (
+      SELECT user_id,
+        cents * (CAST(1 AS BIGINT) <<
+          (20 - LEAST((max_day - day) // 7, 20))) AS u
+      FROM ev CROSS JOIN anchor)
+    SELECT user_id, COUNT(*) AS n_events,
+      CAST(SUM(u) AS BIGINT) AS score_units,
+      CAST(CAST(SUM(u) AS BIGINT) AS DOUBLE) / 1048576.0 AS decay_score
+    FROM u GROUP BY user_id ORDER BY user_id"""
+
   /** E57: model lift / gains table — the decile report every
     * propensity-targeting evaluation starts with: rank users by an
     * engagement score, cut into 10 deciles, report per-decile and
@@ -812,6 +861,7 @@ object Sketches {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decay_score" -> (qDecayScore _),
     "q_decile_lift" -> (qDecileLift _),
     "q_rfm" -> (qRfm _),
     "q_bloom_native" -> (qBloomNative _),
@@ -826,6 +876,7 @@ object Sketches {
     "q_qhist_native" -> (qQhistNative _))
 
   val oracle: Map[String, String] = Map(
+    "q_decay_score" -> qDecayScoreSql,
     "q_decile_lift" -> qDecileLiftSql,
     "q_rfm" -> qRfmSql,
     "q_bloom_native" -> qBloomNativeSql,

@@ -49,7 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_attribution", "text_collocations", "text_source_weights",
     "q_top_movers", "text_pack", "ann_tune", "ann_hybrid", "q_rfm",
     "q_market_basket", "dedup_lsh_tune", "q_ab_test", "q_triangles",
-    "text_domain_gate", "q_decile_lift")
+    "text_domain_gate", "q_decile_lift", "q_decay_score")
 
   /** SinglePartition exchanges whose child is a partial SKETCH aggregate
     * are a bounded merge, not a data-sized funnel: each mapper emits one
@@ -97,7 +97,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_bloom_native", "q_kmv_overlap", "q_market_basket", "q_rfm",
     "ann_tune", "dedup_lsh_tune", "q_triangles", "text_collocations",
     "text_source_weights", "text_domain_gate", "q_decile_lift",
-    "vec_mrl_recall") // B20: same broadcast <=10-row query-set scan as ann_brute
+    "vec_mrl_recall", // B20: same broadcast <=10-row query-set scan as ann_brute
+    "q_decay_score")  // E59: 1-row max-day anchor attach, the q_rfm shape
 
   test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
     val observed = plans.collect {
