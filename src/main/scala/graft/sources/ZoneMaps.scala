@@ -69,8 +69,15 @@ object ZoneMaps {
   def planFiles(spark: SparkSession, path: String,
       lo: Long, hi: Long): (Seq[String], Int) = {
     spark.catalog.refreshByPath(zonemapDir(path)) // sidecar may be rewritten
-    val zm = spark.read.parquet(zonemapDir(path))
-      .select("file", "zmin", "zmax").collect() // O(files) sidecar rows
+    val zmDf = spark.read.parquet(zonemapDir(path))
+      .select("file", "zmin", "zmax")
+    // the long-range API needs long zones — a sidecar built on another
+    // type would otherwise surface as a bare ClassCastException per row
+    require(zmDf.schema("zmin").dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"zone map at $path is keyed by ${zmDf.schema("zmin").dataType.sql}, " +
+        "not BIGINT — planFiles/readRange serve long ranges only")
+    val zm = zmDf.collect() // O(files) sidecar rows
     val keep = zm.filter(r => !r.isNullAt(1) &&
       r.getLong(2) >= lo && r.getLong(1) <= hi)
     (keep.map(_.getString(0)).toSeq, zm.length)

@@ -80,4 +80,32 @@ class AnnRecallSpec extends AnyFunSuite {
       assert(hits === expected((m, q)), s"$m/$q")
     }
   }
+
+  test("ann_filtered honors the predicate and its ranking invariants") {
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val res = Similarity.annFiltered(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(res.nonEmpty)
+    // the predicate HOLDS: every neighbor carries the query's label,
+    // cross-checked against the source table (not the operator's own
+    // label column)
+    res.foreach { case (q, lbl, _, n, _) =>
+      assert(labels(q) == lbl && labels(n) == lbl,
+        s"query $q (label ${labels(q)}) got neighbor $n (label ${labels(n)})")
+    }
+    // per query: ranks contiguous from 1, scores non-increasing, ≤ 3 rows
+    res.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks not contiguous")
+      assert(sorted.length <= 3, s"query $q returned ${sorted.length} rows")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._5 >= b._5; case _ => true },
+        s"query $q scores not non-increasing")
+    }
+  }
 }
