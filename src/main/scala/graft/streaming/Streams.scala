@@ -21,6 +21,11 @@ private case class SessionState(start: Long, last: Long, n: Long)
 case class LatestOut(user_id: Long, event_type: String, event_id: Long,
   epoch: Long)
 
+/** CDC snapshot change record: `live = false` means the key's newest
+  * change is a tombstone — an Update-mode consumer applies a DELETE. */
+case class CdcOut(user_id: Long, event_id: Long, epoch: Long,
+  event_type: String, live: Boolean)
+
 /** Structured Streaming operators (SURVEY §2 F1–F3).
   *
   * The reference bot polls Slack incrementally with a persisted
@@ -121,6 +126,43 @@ object Streams {
               .maxBy(l => (l.epoch, l.event_id))
             state.update(newest)
             // timeout must be strictly beyond the current watermark
+            val base = math.max(newest.epoch * 1000,
+              state.getCurrentWatermarkMs())
+            state.setTimeoutTimestamp(base + retentionMs)
+            Iterator.single(newest)
+          }
+        })
+  }
+
+  /** F26: streaming CDC upsert/tombstone compaction — E56's
+    * merge-on-read snapshot maintained incrementally. Per key the newest
+    * change wins under the (epoch, event_id) total order; 'error' rows
+    * are tombstones. Exactly as in the batch operator, tombstones flow
+    * THROUGH the max — a tombstone must be able to WIN its key (dropping
+    * deletes before the compare would resurrect the previous upsert, the
+    * classic compaction bug; the spec drives a late out-of-order upsert
+    * to pin it). The emitted row carries `live = false` when the newest
+    * change is a delete, which an Update-mode sink applies as a DELETE.
+    * State = one row per key, reclaimed by event-time timeout once the
+    * watermark passes `retentionMs` of idleness (no older change can
+    * then arrive, so eviction never alters the snapshot). */
+  def cdcCompact(events: Dataset[StreamEvent],
+      retentionMs: Long = 3600 * 1000L): Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
+        (key: Long, batch: Iterator[StreamEvent], state: GroupState[CdcOut]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val newest = (state.getOption.iterator ++ batch.map(e =>
+              CdcOut(key, e.event_id, e.ts.getTime / 1000, e.event_type,
+                e.event_type != "error")))
+              .maxBy(c => (c.epoch, c.event_id))
+            state.update(newest)
             val base = math.max(newest.epoch * 1000,
               state.getCurrentWatermarkMs())
             state.setTimeoutTimestamp(base + retentionMs)

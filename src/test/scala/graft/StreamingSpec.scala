@@ -176,6 +176,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, "click", 5L)))
   }
 
+  test("F26: streaming CDC compaction — tombstones win, late upserts cannot resurrect") {
+    val input = MemoryStream[StreamEvent](spark)
+    val q = Streams.cdcCompact(input.toDS())
+      .writeStream.format("memory").queryName("cdc_sink")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // batch 1: two live upserts
+      input.addData(
+        StreamEvent(1, ts(1), 1, "click", 1.0),
+        StreamEvent(2, ts(1), 2, "purchase", 2.0))
+      q.processAllAvailable()
+      // batch 2: user 1 is tombstoned at t=5
+      input.addData(StreamEvent(3, ts(5), 1, "error", 0.0))
+      q.processAllAvailable()
+      // batch 3: a LATE out-of-order upsert for user 1 at t=3 — older
+      // than the tombstone, must NOT resurrect the key
+      input.addData(StreamEvent(4, ts(3), 1, "view", 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cdc_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4)))
+    // Update mode re-emits the key's current snapshot row each batch it
+    // appears in; the LAST emission per key is the final state
+    val finalByKey = rows.groupBy(_._1).view
+      .mapValues(_.maxBy(c => (c._3, c._2))).toMap
+    assert(finalByKey(2L) == ((2L, 2L, 1704067260L, "purchase", true)))
+    // user 1's newest change stays the tombstone (event 3 at t=5),
+    // live = false, even after the late event-4 upsert arrived
+    assert(finalByKey(1L) == ((1L, 3L, 1704067500L, "error", false)),
+      s"tombstone lost: ${finalByKey(1L)}")
+    // and the late upsert emitted the UNCHANGED snapshot (still the
+    // tombstone), never a live row newer than it
+    val user1Lives = rows.filter(r => r._1 == 1L && r._5)
+    assert(user1Lives.forall(_._2 == 1L),
+      s"a late upsert resurrected user 1: ${user1Lives.toSeq}")
+  }
+
   test("F8: native session_window groups events by inactivity gap") {
     val input = MemoryStream[StreamEvent](spark)
     // user 1: events at minutes 0 and 10 (one session), then minute 50
