@@ -1321,6 +1321,72 @@ object Dedup {
     ORDER BY doc_id"""
   }
 
+  /** D29c: leakage-safe split keyed by the C6 CLUSTER — the production
+    * variant of D29's prefix-family rule. D29 hashes a text-derived
+    * family key (zero shuffle, catches prefix-sharing near-dups); this
+    * one hashes the connected-component representative from the C6
+    * artifact, so ANY pair the near-dup pipeline would link — different
+    * prefixes included — lands in one split. Docs outside every cluster
+    * have no near-dup (by C6's own definition) and split independently
+    * on their id hash; leakage is structurally impossible for exactly
+    * the docs where it is possible at all. Audit output per split:
+    * docs, clustered docs, clusters.
+    *
+    * Scale shape: the cluster artifact is the session-shared C6
+    * checkpoint (near-dup docs only — a sliver of the corpus, the same
+    * keep-list a production pipeline materializes); one broadcast-sized
+    * left join attaches it, one 3-row rollup follows. */
+  def textSplitCluster(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(h: Column): Column =
+      when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    val clusters = clusterArtifact(s, dir).select("doc_id", "cluster_rep")
+    val key = when(col("cluster_rep").isNotNull,
+        Hashing.h60p(col("cluster_rep").cast("string")))
+      .otherwise(Hashing.h60p(col("doc_id").cast("string")))
+    Tables.documents(s, dir).select("doc_id")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_rep"),
+        splitOf(key % 100).as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_rep").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered_docs"),
+        countDistinct("cluster_rep").as("n_clusters"))
+      .orderBy("split")
+  }
+
+  val textSplitClusterSql: String = {
+    val pairSql = dedupSimhashSql.replace("ORDER BY doc_a, doc_b", "")
+    s"""
+    WITH pairs AS ($pairSql),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    verts AS (SELECT DISTINCT src AS v FROM edges)
+    , reach AS (
+      WITH RECURSIVE r(v, u) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.v, e.dst FROM r JOIN edges e ON e.src = r.u)
+      SELECT v, MIN(u) AS cluster_rep FROM r GROUP BY v),
+    keyed AS (
+      SELECT d.doc_id, r.cluster_rep,
+        CASE WHEN (CASE WHEN r.cluster_rep IS NOT NULL
+              THEN ${Hashing.h60pSql("CAST(r.cluster_rep AS VARCHAR)")}
+              ELSE ${Hashing.h60pSql("CAST(d.doc_id AS VARCHAR)")} END) % 100 < 80
+             THEN 'train'
+             WHEN (CASE WHEN r.cluster_rep IS NOT NULL
+              THEN ${Hashing.h60pSql("CAST(r.cluster_rep AS VARCHAR)")}
+              ELSE ${Hashing.h60pSql("CAST(d.doc_id AS VARCHAR)")} END) % 100 < 90
+             THEN 'val' ELSE 'test' END AS split
+      FROM documents d LEFT JOIN reach r ON r.v = d.doc_id)
+    SELECT split, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN cluster_rep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_clustered_docs,
+      COUNT(DISTINCT cluster_rep) AS n_clusters
+    FROM keyed GROUP BY split ORDER BY split"""
+  }
+
   /** Session-shared C6 artifact: the tiny (doc_id, cluster_rep,
     * cluster_size) assignment, computed once per (session, dir) and
     * eagerly localCheckpointed. C10 keep-best, C11 soft-dedup and the
@@ -1657,6 +1723,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact"   -> (dedupExact _),
     "dedup_url"     -> (dedupUrl _),
+    "text_split_cluster" -> (textSplitCluster _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_prefix"  -> (dedupPrefix _),
     "dedup_containment" -> (dedupContainment _),
@@ -1677,6 +1744,7 @@ object Dedup {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact"   -> dedupExactSql,
     "dedup_url"     -> dedupUrlSql,
+    "text_split_cluster" -> textSplitClusterSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_prefix"  -> dedupPrefixSql,
     "dedup_containment" -> dedupContainmentSql,
