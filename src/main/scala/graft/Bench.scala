@@ -19,11 +19,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k=v,k=v" — session confs for mitigation-knob
-    // rehearsals (e.g. graft.dedup.maxBucketFan for the skew bench)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+    // rehearsals (e.g. graft.dedup.maxBucketFan for the skew bench).
+    // Values may not contain ',' (the token separator); a token without
+    // '=' fails fast, naming the token — not with a bare MatchError.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF token '$kv' is not of the form key=value " +
+              "(values containing ',' are not expressible)")
+        }
       })
     // warmup at the smallest SF: JIT + codegen cache + shuffle services,
     // so timed runs measure the plans, not JVM cold start

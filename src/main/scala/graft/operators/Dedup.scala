@@ -58,8 +58,17 @@ object Dedup {
     * (s−1 rows) instead of all pairs:
     *
     *  - for clustering consumers (C6/C12 components) a saturated bucket
-    *    of true near-dups stays one connected component — hub edges
-    *    carry the same transitive closure the full clique would;
+    *    stays one connected component IN THE CANDIDATE GRAPH — hub edges
+    *    carry the same transitive closure the full clique would. That
+    *    guarantee is pre-verification only: consumers that re-check each
+    *    candidate edge exactly (hamming/jaccard/cosine) keep only hub
+    *    edges whose hub really is near the member, so if a chance block
+    *    collision lands a non-dup as the bucket's min-id hub, its edges
+    *    fail verification and the family can split into several
+    *    components. The cap trades that (duplicate-family members are
+    *    near ANY member, so the hub usually verifies) for the quadratic
+    *    pair fan; callers needing post-verification connectivity must
+    *    leave the cap off;
     *  - for pair-emitting consumers the saturated bucket reports its
     *    hub pairs only — the duplicate FAMILY is still fully identified
     *    (every member appears), the exhaustive within-family pair list

@@ -1880,12 +1880,19 @@ object Similarity {
     * numbers stay cold-path; only the eval harness, whose job is to
     * grade many rungs against one truth, serves from the memo. Same
     * rebuild caveat as every memo: [[invalidateRungResults]] after
-    * rewriting a corpus dir in-session. */
+    * rewriting a corpus dir in-session. Rung results also depend on the
+    * session's `graft.*` knobs (graph beam/hops, semantic thresholds…),
+    * so the memo key carries a fingerprint of every set `graft.` conf —
+    * changing a knob and re-grading in one session rebuilds the rung
+    * instead of silently serving the stale pre-knob result. */
   private val rungResultMemo = new graft.SessionMemo
   private def memoRung(s: SparkSession, dir: String, method: String)(
-      build: => DataFrame): DataFrame =
-    rungResultMemo.getOrElseUpdate(s, s"$dir#$method")(
+      build: => DataFrame): DataFrame = {
+    val knobs = s.conf.getAll.filter(_._1.startsWith("graft."))
+      .toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+    rungResultMemo.getOrElseUpdate(s, s"$dir#$method#$knobs")(
       build.localCheckpoint(true))
+  }
 
   def invalidateRungResults(): Unit = rungResultMemo.clear()
 

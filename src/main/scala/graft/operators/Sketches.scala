@@ -809,8 +809,13 @@ object Sketches {
       .withColumn("tot_buyers", sum("n_buyers").over(wTot))
       .select(col("decile"), col("n_users"), col("n_buyers"),
         expr("n_buyers * 1000000 div n_users").as("conv_ppm"),
-        expr("""CAST((CAST(cum_buyers AS DECIMAL(38,0)) * tot_users * 1000000)
-                div (CAST(cum_users AS DECIMAL(38,0)) * tot_buyers) AS BIGINT)""")
+        // explicit NULL when the corpus has zero buyers: Spark's non-ANSI
+        // div yields NULL on /0 but DuckDB's // raises — the CASE makes
+        // the degenerate-input behavior engine-independent
+        expr("""CASE WHEN tot_buyers = 0 THEN NULL ELSE
+                CAST((CAST(cum_buyers AS DECIMAL(38,0)) * tot_users * 1000000)
+                div (CAST(cum_users AS DECIMAL(38,0)) * tot_buyers) AS BIGINT)
+                END""")
           .as("cum_lift_ppm"))
       .orderBy("decile")
   }
@@ -855,8 +860,9 @@ object Sketches {
       FROM byd)
     SELECT decile, n_users, n_buyers,
       CAST(n_buyers * 1000000 // n_users AS BIGINT) AS conv_ppm,
-      CAST((cum_buyers * tot_users * 1000000)
-        // (cum_users * tot_buyers) AS BIGINT) AS cum_lift_ppm
+      CASE WHEN tot_buyers = 0 THEN NULL ELSE
+        CAST((cum_buyers * tot_users * 1000000)
+          // (cum_users * tot_buyers) AS BIGINT) END AS cum_lift_ppm
     FROM c ORDER BY decile"""
   }
 
