@@ -78,15 +78,23 @@ object Dedup {
     * any `payload` columns to surface on both sides. Output columns:
     * `id_a`, `id_b` (id_a < id_b) + `${p}_a`/`${p}_b` per payload,
     * distinct across buckets. */
-  private[graft] def bucketCandidates(s: SparkSession, buckets: DataFrame,
-      keys: Seq[String], idCol: String, payload: Seq[String] = Nil): DataFrame = {
-    val cap = s.conf.getOption("graft.dedup.maxBucketFan").map { raw =>
+  /** Parse a star-cap knob: 0 = off, ≥2 = cap; anything else rejected
+    * with the key and raw value in the message. */
+  private def fanCap(s: SparkSession, key: String): Long = {
+    val cap = s.conf.getOption(key).map { raw =>
       try raw.trim.toLong
       catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graft.dedup.maxBucketFan must be an integer, got '$raw'")
+          s"$key must be an integer, got '$raw'")
       }
     }.getOrElse(0L)
+    require(cap <= 0L || cap >= 2L, s"$key must be >= 2, got $cap")
+    cap
+  }
+
+  private[graft] def bucketCandidates(s: SparkSession, buckets: DataFrame,
+      keys: Seq[String], idCol: String, payload: Seq[String] = Nil): DataFrame = {
+    val cap = fanCap(s, "graft.dedup.maxBucketFan")
     def cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
       col(s"a.$idCol") < col(s"b.$idCol")
     def outCols = col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
@@ -96,7 +104,6 @@ object Dedup {
       buckets.alias("a").join(buckets.alias("b"), cond)
         .select(outCols: _*).distinct()
     else {
-      require(cap >= 2, s"graft.dedup.maxBucketFan must be >= 2, got $cap")
       // per-bucket hub (min id, payload rides the struct min) + size;
       // one extra keyed aggregation co-partitioned with the pair join
       val stats = buckets.groupBy(keys.map(col): _*)
@@ -313,7 +320,15 @@ object Dedup {
     * |y| ≤ 2·|x|) and PPJoin's positional upper bound
     * (1 + min(|x|−px, |y|−py) ≥ ⌈(|x|+|y|)/3⌉) — all in pure int64 math,
     * so the pruning itself never misfires across engines. Only surviving
-    * distinct pairs pay the sorted-intersect verify kernel. */
+    * distinct pairs pay the sorted-intersect verify kernel.
+    *
+    * Hot-family residual: losslessness makes a duplicate family holding a
+    * constant corpus FRACTION quadratic by contract (its members share
+    * prefix tokens, so one posting holds the whole family — measured 8.0×
+    * wall at 10× data on the skew corpus, bench/skew_r8.json). The
+    * `graft.dedup.maxPostingFan` knob (default off = the lossless
+    * oracle-pinned behavior) is the G32 star-cap semantics applied to the
+    * prefix inverted index: see [[prefixCandidates]]. */
   def dedupPrefix(s: SparkSession, dir: String): DataFrame = {
     val sets = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -321,25 +336,7 @@ object Dedup {
         call_function("graft_shingle_hashes", col("text")).as("shs"))
       .filter(size(col("shs")) > 0)
       .persist() // feeds prefix explode + both verify attaches
-    // prefix length for τ=1/2: n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1; the ascending
-    // hash order of graft_shingle_hashes IS the shared global token order
-    val pref = sets
-      .select(col("doc_id"), size(col("shs")).as("n"),
-        posexplode(slice(col("shs"), lit(1),
-          (floor(size(col("shs")).cast("long") / 2) + 1).cast("int"))))
-      .withColumnRenamed("col", "tok") // `pos` is 0-based
-    val a = pref.select(col("doc_id").as("doc_a"), col("n").as("na"),
-      col("pos").as("pa"), col("tok"))
-    val b = pref.select(col("doc_id").as("doc_b"), col("n").as("nb"),
-      col("pos").as("pb"), col("tok"))
-    // positional bound 1+min(na−pa−1, nb−pb−1) ≥ ⌈(na+nb)/3⌉, restated
-    // division-free: ⌈x/3⌉ ≤ y ⟺ x ≤ 3y
-    val cand = a.join(b,
-        a("tok") === b("tok") && col("doc_a") < col("doc_b") &&
-          lit(2) * col("nb") >= col("na") && col("nb") <= lit(2) * col("na") &&
-          lit(3) * (lit(1) + least(col("na") - col("pa") - 1,
-            col("nb") - col("pb") - 1)) >= col("na") + col("nb"))
-      .select("doc_a", "doc_b").distinct()
+    val cand = prefixCandidates(s, sets)
     // exact verify: J ≥ 1/2 ⟺ 3·i ≥ |a|+|b| (single kernel occurrence,
     // same single-substitution shape as C2)
     withJaccard(cand
@@ -349,6 +346,72 @@ object Dedup {
         >= size(col("sa")) + size(col("sb"))))
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** C9's candidate stage over (doc_id, shs) sorted-distinct hashed
+    * shingle sets — distinct (doc_a, doc_b) with doc_a < doc_b.
+    *
+    * With `graft.dedup.maxPostingFan` unset (the default, oracle-pinned)
+    * the prefix inverted index is lossless: every pair with J ≥ 1/2
+    * shares a prefix token and survives the length + positional prunes.
+    * With the cap set, a posting larger than the cap — the signature of
+    * ONE boilerplate family holding a constant corpus fraction — stops
+    * fanning into C(p,2) pairs and instead emits STAR edges from the
+    * posting's min-id doc (the hub) to each other member, s−1 rows. The
+    * same contract and caveat as G32 ([[bucketCandidates]]): every member
+    * of the saturated family still appears in a candidate edge, the
+    * exhaustive within-family pair list (quadratic by contract) does not;
+    * hub edges still pass through the exact Jaccard verify, so a hub that
+    * chance-shares only the hot token with a member is dropped there, and
+    * the reported pair set is a verified SUBSET of the lossless output.
+    * Postings at or under the cap keep the exact AllPairs behavior, so
+    * uniform corpora are bit-identical with the cap on or off. */
+  private[graft] def prefixCandidates(s: SparkSession, sets: DataFrame): DataFrame = {
+    val cap = fanCap(s, "graft.dedup.maxPostingFan")
+    // prefix length for τ=1/2: n − ⌈n/2⌉ + 1 = ⌊n/2⌋ + 1; the ascending
+    // hash order of graft_shingle_hashes IS the shared global token order
+    val pref = sets
+      .select(col("doc_id"), size(col("shs")).as("n"),
+        posexplode(slice(col("shs"), lit(1),
+          (floor(size(col("shs")).cast("long") / 2) + 1).cast("int"))))
+      .withColumnRenamed("col", "tok") // `pos` is 0-based
+    // positional bound 1+min(na−pa−1, nb−pb−1) ≥ ⌈(na+nb)/3⌉, restated
+    // division-free: ⌈x/3⌉ ≤ y ⟺ x ≤ 3y — shared by the pair join's
+    // condition and the star path's filter (valid per shared-token
+    // occurrence either way)
+    def prunes: Column =
+      lit(2) * col("nb") >= col("na") && col("nb") <= lit(2) * col("na") &&
+        lit(3) * (lit(1) + least(col("na") - col("pa") - 1,
+          col("nb") - col("pb") - 1)) >= col("na") + col("nb")
+    def pairJoin(idx: DataFrame): DataFrame = {
+      val a = idx.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("pos").as("pa"), col("tok"))
+      val b = idx.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("pos").as("pb"), col("tok"))
+      a.join(b, a("tok") === b("tok") && col("doc_a") < col("doc_b") && prunes)
+        .select("doc_a", "doc_b")
+    }
+    if (cap <= 0L) pairJoin(pref).distinct()
+    else {
+      // per-posting hub (min doc_id; n/pos ride the struct min) + size —
+      // one keyed aggregation co-partitioned with the posting join
+      val stats = pref.groupBy("tok")
+        .agg(min(struct(col("doc_id"), col("n"), col("pos"))).as("hub"),
+          count(lit(1)).as("psz"))
+      val joined = pref.join(stats, "tok")
+      val pairs = pairJoin(joined.filter(col("psz") <= cap)
+        .select("doc_id", "n", "pos", "tok"))
+      val star = joined
+        .filter(col("psz") > cap &&
+          col("doc_id") =!= col("hub").getField("doc_id"))
+        .select(col("hub").getField("doc_id").as("doc_a"),
+          col("hub").getField("n").as("na"),
+          col("hub").getField("pos").as("pa"),
+          col("doc_id").as("doc_b"), col("n").as("nb"), col("pos").as("pb"))
+        .filter(prunes)
+        .select("doc_a", "doc_b")
+      pairs.union(star).distinct()
+    }
   }
 
   /** Oracle: brute-force all-pairs — deliberately prefix-free, so it

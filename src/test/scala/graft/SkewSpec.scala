@@ -95,6 +95,72 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  // ---- C9 prefix-index posting cap (graft.dedup.maxPostingFan) ----------
+
+  // one saturated posting family: 20 docs sharing shingles 1..10, each
+  // with one doc-unique high shingle (so the sorted 6-token prefix is
+  // [1..6] for every member — postings of size 20); plus two small docs
+  // sharing a 2-element prefix
+  private lazy val prefixSets = (
+    (1L to 20L).map(i => (i, (1L to 10L) :+ (1000L + i))) ++
+      Seq((100L, Seq(50L, 51L, 52L)), (101L, Seq(50L, 51L, 52L, 53L)))
+  ).toDF("doc_id", "shs")
+
+  private def prefixPairs(conf: (String, String)*): Set[(Long, Long)] =
+    withConf(conf: _*) {
+      Dedup.prefixCandidates(spark, prefixSets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+
+  test("posting cap off: lossless AllPairs candidates — the full family clique") {
+    val out = prefixPairs()
+    val family = (for (a <- 1L to 20L; b <- (a + 1) to 20L) yield (a, b)).toSet
+    assert(out == family + ((100L, 101L)))
+  }
+
+  test("posting cap on: saturated posting emits star edges to its min-id hub") {
+    val out = prefixPairs("graft.dedup.maxPostingFan" -> "5")
+    assert(out == (2L to 20L).map(i => (1L, i)).toSet + ((100L, 101L)))
+  }
+
+  test("posting cap: every family member still appears in a candidate edge") {
+    val out = prefixPairs("graft.dedup.maxPostingFan" -> "5")
+    val covered = out.flatMap { case (a, b) => Seq(a, b) }
+    assert((1L to 20L).forall(covered.contains),
+      s"a saturated-family member vanished from the candidates: $covered")
+  }
+
+  test("a posting cap above every posting size reproduces the lossless output") {
+    assert(prefixPairs() == prefixPairs("graft.dedup.maxPostingFan" -> "1000"))
+  }
+
+  test("dedup_prefix end-to-end: non-binding posting cap is bit-identical") {
+    val default = SparkEntry.queries("dedup_prefix")(spark, TestSpark.sf)
+      .collect().map(_.toString).toSeq
+    val capped = withConf("graft.dedup.maxPostingFan" -> "100000") {
+      SparkEntry.queries("dedup_prefix")(spark, TestSpark.sf)
+        .collect().map(_.toString).toSeq
+    }
+    assert(default.nonEmpty && default == capped,
+      "dedup_prefix drifted under a non-binding posting cap")
+  }
+
+  test("posting-cap knob hygiene: non-numeric names the key; cap < 2 rejected") {
+    val nonNum = intercept[IllegalArgumentException] {
+      withConf("graft.dedup.maxPostingFan" -> "many") {
+        Dedup.prefixCandidates(spark, prefixSets).collect()
+      }
+    }
+    assert(nonNum.getMessage.contains("graft.dedup.maxPostingFan") &&
+      nonNum.getMessage.contains("many"), nonNum.getMessage)
+    val tooSmall = intercept[IllegalArgumentException] {
+      withConf("graft.dedup.maxPostingFan" -> "1") {
+        Dedup.prefixCandidates(spark, prefixSets).collect()
+      }
+    }
+    assert(tooSmall.getMessage.contains("maxPostingFan"), tooSmall.getMessage)
+  }
+
   test("knob hygiene: non-numeric names the key; cap < 2 rejected") {
     val nonNum = intercept[IllegalArgumentException] {
       withConf("graft.dedup.maxBucketFan" -> "lots") {
