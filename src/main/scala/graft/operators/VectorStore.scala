@@ -446,6 +446,84 @@ object VectorStore {
       .orderBy("query_id", "rank")
   }
 
+  /** B20 serving path: Matryoshka truncated-dimension search. The eval
+    * (`vec_mrl_recall`, Similarity.scala) measures the recall-vs-cost
+    * trade of scoring on a PREFIX of the vector; this serves it: the
+    * probed candidates are shortlisted by exact int64 dots over the
+    * first `dims` components only — per-candidate cost shrinks by
+    * Dim/dims, the whole point of MRL serving — and the ≤`shortlist`
+    * survivors are re-ranked at FULL width (the B9 re-rank discipline,
+    * same as [[searchCompressed]]'s ADC→exact tail). `dims = Dim`
+    * degenerates to the exact ranking, spec-pinned rank-for-rank equal
+    * to [[search]]. Delegates to the batch twin (one machinery). Output
+    * schema = [[search]]. */
+  def searchTruncated(spark: SparkSession, indexDir: String, query: String,
+      k: Int = 5, dims: Int = 16, shortlist: Int = 50): DataFrame =
+    searchTruncatedBatch(spark, indexDir, Seq(query), k, dims, shortlist)
+      .drop("query_id")
+
+  /** Batch twin of [[searchTruncated]] (the G23/G26/G31 shape): many
+    * queries through ONE truncated-then-exact plan — the truncated
+    * shortlist and the full-width re-rank both window BY QUERY. Output
+    * schema = [[searchBatch]]. */
+  def searchTruncatedBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5, dims: Int = 16,
+      shortlist: Int = 50): DataFrame = {
+    require(dims >= 1 && dims <= Dim, s"dims must be in [1, $Dim], got $dims")
+    val index = spark.read.parquet(indexDir)
+    val qdf = { import spark.implicits._
+      queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("query_id", "qtext") }
+      .withColumn("qraw", rawWeights(col("qtext")))
+      .withColumn("qbucket", bucketOf(col("qraw")))
+    val probes = qdf.select(col("query_id"), col("qraw"), explode(array(
+      col("qbucket") +: (0 until Planes).map(p =>
+        col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
+    // phase 1: truncated scoring — prefix slices on both sides, exact
+    // int64 dot, cosine over the TRUNCATED norms (the score a dims-wide
+    // store would compute; ranking on it is what vec_mrl_recall grades)
+    val rawT = slice(col("raw"), 1, dims)
+    val qrawT = slice(col("qraw"), 1, dims)
+    val dotT = call_function("graft_dot_l", rawT, qrawT)
+    val ssCT = call_function("graft_dot_l", rawT, rawT)
+    val ssQT = call_function("graft_dot_l", qrawT, qrawT)
+    val scoreT = when(ssCT > 0 && ssQT > 0,
+      dotT.cast("double") / (sqrt(ssCT.cast("double")) * sqrt(ssQT.cast("double"))))
+      .otherwise(lit(0.0d))
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("tscore").desc, col("doc_id"), col("chunk_ix"))
+    val short = index
+      .join(broadcast(probes), "bucket")
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"),
+        scoreT.as("tscore"))
+      // no distinct: a chunk lives in exactly one bucket partition and a
+      // query's 9 probe values are pairwise distinct, so each (query,
+      // chunk) scores once (same invariant as searchBatch)
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= shortlist)
+      .select("query_id", "doc_id", "chunk_ix")
+    // phase 2: full-width exact re-rank of the ≤ nq·shortlist survivors,
+    // fetched from the probed partitions only
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    index
+      .join(broadcast(probes.select("bucket").distinct()), "bucket")
+      .join(broadcast(short), Seq("doc_id", "chunk_ix"))
+      .join(broadcast(qdf.select("query_id", "qraw")), "query_id")
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), col("chunk"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "chunk_ix", "chunk", "score")
+      .orderBy("query_id", "rank")
+  }
+
   /** Learned-cell IVF serving path: probe the query's top-`nprobe`
     * k-means cells (by exact centroid score, the B5 probing rule) and
     * exact-rank ONLY inside those cells' directories — `cell` is a

@@ -86,6 +86,64 @@ object Bucketing {
       .format("parquet").saveAsTable("clicks_bucketed")
   }
 
+  /** Close the CDC → lakehouse loop: land E56's merge-on-read snapshot
+    * (qCdcApply — latest non-tombstoned state per user) as a lakehouse
+    * table serving BOTH production axes at once:
+    *
+    *  - day-partitioned on the snapshot's change time (`last_day` dirs)
+    *    and bucketed+sorted on `user_id` within each day — the standard
+    *    date×key layout, so every keyed serve (equi/as-of join on
+    *    user_id against a same-bucket-count probe) plans with ZERO
+    *    Exchange on the snapshot side;
+    *  - a G34 zone-map sidecar on `last_us` over the table's files: the
+    *    day dirs make each file's [zmin, zmax] a day-bounded slice, so
+    *    "which keys changed in [t1, t2]" prunes to the overlapping files
+    *    before the parquet reader ever opens one.
+    *
+    * Returns the table's filesystem location (the handle [[ZoneMaps]]
+    * pruning reads take). At 100 TB the snapshot rewrite itself is the
+    * compaction job; incremental sidecar upkeep across appends is
+    * [[ZoneMaps.appendSidecar]]. */
+  def writeCdcSnapshot(spark: SparkSession, dataDir: String,
+      buckets: Int = 8): String = {
+    dropAndClean(spark, Seq("cdc_snapshot_bucketed"))
+    graft.operators.Analytics.qCdcApply(spark, dataDir)
+      .withColumn("last_day", expr("last_us div 86400000000"))
+      .write.mode("overwrite")
+      .partitionBy("last_day")
+      .bucketBy(buckets, "user_id").sortBy("user_id")
+      .format("parquet").saveAsTable("cdc_snapshot_bucketed")
+    val loc = java.nio.file.Paths.get(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      "cdc_snapshot_bucketed").toString
+    ZoneMaps.writeSidecar(spark, loc, "last_us")
+    loc
+  }
+
+  /** The snapshot as-of read: each purchase joined to the user's latest
+    * CDC state at-or-before it — the merge-on-read serving pattern,
+    * against [[writeCdcSnapshot]]'s layout. Both sides are bucketed on
+    * the key with the same count, so the AsOfJoin merge plans with zero
+    * Exchange (spec-pinned); the snapshot's day dirs don't disturb the
+    * bucket-scan partitioning. */
+  def cdcSnapshotAsOf(spark: SparkSession): DataFrame = {
+    val purchases = spark.table("purchases_bucketed")
+    val state = spark.table("cdc_snapshot_bucketed")
+      .select(col("user_id").as("s_user"),
+        expr("last_us div 1000000").as("s_epoch"),
+        col("last_type"), col("last_value"))
+    import org.apache.spark.sql.GraftBridge
+    val plan = graft.plans.AsOfJoin(
+      purchases.queryExecution.analyzed, state.queryExecution.analyzed,
+      GraftBridge.expr(purchases("user_id")), GraftBridge.expr(state("s_user")),
+      GraftBridge.expr(purchases("epoch")), GraftBridge.expr(state("s_epoch")),
+      GraftBridge.expr(state("s_epoch")), forward = false, tolerance = None)
+    GraftBridge.ofRows(spark, plan)
+      .select(col("user_id"), col("purchase_id"), col("epoch"),
+        col("s_epoch"), col("last_type"), col("last_value"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   /** The E11 as-of (latest click at-or-before each purchase) against the
     * bucketed layout — same merge operator, no shuffle in the plan
     * (BucketingSpec pins it, and pins result equality with the

@@ -63,6 +63,62 @@ object ZoneMaps {
       .write.mode("overwrite").parquet(zonemapDir(path))
   }
 
+  /** Incrementally refresh the sidecar after files were APPENDED to (or
+    * removed from — compaction, deletes) an already-mapped table: stats
+    * are computed for the files NOT yet in the sidecar only, so the scan
+    * cost is O(new files' rows), not O(table) — the difference between a
+    * streaming/CDC append cadence (F26, F10) being able to keep zone maps
+    * fresh and the sidecar rotting after the first append. Sidecar rows
+    * for files that disappeared are dropped, so the refreshed sidecar
+    * always equals what a full [[writeSidecar]] rebuild would produce on
+    * the current tree (spec-pinned). Returns (files scanned, files
+    * dropped); (0, 0) means the sidecar was already current and nothing
+    * was rewritten. A table never mapped before degenerates to the full
+    * build (every file is new). */
+  def appendSidecar(spark: SparkSession, path: String, byCol: String): (Int, Int) = {
+    // `inputFiles` and `input_file_name()` render the same file with
+    // different URI spellings (file:/ vs file:///) — compare on paths
+    def norm(f: String): String =
+      try new java.net.URI(f).getPath catch { case _: Exception => f }
+    spark.catalog.refreshByPath(path)
+    val current = spark.read.parquet(path).inputFiles.toSeq
+    val currentNorm = current.map(norm).toSet
+    val zdir = zonemapDir(path)
+    // the old sidecar is O(files) rows — small enough to hold on the
+    // driver, which also sidesteps overwrite-while-reading on zdir
+    val (oldSchema, old) =
+      try {
+        spark.catalog.refreshByPath(zdir)
+        val df = spark.read.parquet(zdir).select("file", "zmin", "zmax", "n_rows")
+        (Some(df.schema), df.collect())
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          (None, Array.empty[org.apache.spark.sql.Row])
+      }
+    val oldNorm = old.map(r => norm(r.getString(0))).toSet
+    val newFiles = current.filterNot(f => oldNorm.contains(norm(f))).sorted
+    val kept = old.filter(r => currentNorm.contains(norm(r.getString(0))))
+    val dropped = old.length - kept.length
+    if (newFiles.isEmpty && dropped == 0) return (0, 0)
+    val newStats =
+      if (newFiles.isEmpty) None
+      else Some(spark.read.option("basePath", path).parquet(newFiles: _*)
+        .select(input_file_name().as("file"), col(byCol))
+        .groupBy("file")
+        .agg(min(byCol).as("zmin"), max(byCol).as("zmax"),
+          count(lit(1)).as("n_rows")))
+    val keptDf = oldSchema.map(sc => spark.createDataFrame(
+      java.util.Arrays.asList(kept: _*), sc))
+    val merged = (newStats, keptDf) match {
+      case (Some(n), Some(k)) => n.unionByName(k)
+      case (Some(n), None) => n
+      case (None, Some(k)) => k
+      case (None, None) => return (0, 0) // unreachable: guarded above
+    }
+    merged.coalesce(1).write.mode("overwrite").parquet(zdir)
+    (newFiles.size, dropped)
+  }
+
   /** The files whose [zmin, zmax] zone intersects [lo, hi], plus the
     * total file count — the pruning decision itself, exposed for specs
     * and scan planning. O(files) work, no data read. */

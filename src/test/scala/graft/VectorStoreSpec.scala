@@ -102,6 +102,78 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(diverse.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("truncated search at full width is rank-for-rank equal to search()") {
+    val samples = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(3).collect().map(_.getString(0)).distinct.toSeq
+    samples.foreach { qt =>
+      val exact = VectorStore.search(spark, indexDir, qt, k = 5)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("chunk_ix")))
+      val trunc = VectorStore.searchTruncated(spark, indexDir, qt, k = 5,
+        dims = VectorStore.Dim).collect()
+        .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("chunk_ix")))
+      assert(exact.nonEmpty && exact.toSeq == trunc.toSeq,
+        s"dims=Dim truncated serving diverged from exact search for '$qt'")
+    }
+  }
+
+  test("truncated search: self-hit rank 1 at dims=8; shortlist recall at dims=16") {
+    val sample = spark.read.parquet(indexDir)
+      .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val hits = VectorStore.searchTruncated(spark, indexDir, sample,
+      k = 3, dims = 8).collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 3L &&
+      hits.head.getAs[Int]("chunk_ix") == 1,
+      s"verbatim self-hit lost under prefix scoring: ${hits.head}")
+    assert(hits.head.getAs[Double]("score") > 0.999) // full-width re-rank score
+    // recall@5 of the dims=16 serve vs the exact path, over a handful of
+    // real chunk queries — the serving-side pin of vec_mrl_recall's
+    // measured trade (prefix ranking keeps most of the true top-k when
+    // the shortlist is 10x k)
+    val queries = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(5).collect().map(_.getString(0)).distinct.toSeq
+    val got = queries.map { qt =>
+      val want = VectorStore.search(spark, indexDir, qt, k = 5).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_ix"))).toSet
+      val t = VectorStore.searchTruncated(spark, indexDir, qt, k = 5,
+        dims = 16).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_ix"))).toSet
+      (want intersect t).size.toDouble / want.size
+    }
+    val recall = got.sum / got.size
+    assert(recall >= 0.6, f"dims=16 serving recall@5 = $recall%.2f < 0.6")
+  }
+
+  test("searchTruncatedBatch matches per-query searchTruncated, windows by query") {
+    val samples = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(3).collect().map(_.getString(0)).distinct.toSeq
+    assert(samples.size >= 2)
+    val batchDf = VectorStore.searchTruncatedBatch(spark, indexDir, samples,
+      k = 3, dims = 16)
+    val batch = batchDf.collect()
+      .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.toSeq.sortBy(
+        _.getAs[Int]("rank"))).toMap
+    samples.zipWithIndex.foreach { case (qt, i) =>
+      val single = VectorStore.searchTruncated(spark, indexDir, qt,
+        k = 3, dims = 16).collect()
+      val got = batch(i.toLong)
+      assert(got.size == single.length, s"query $i: row count diverged")
+      single.zip(got).foreach { case (s, b) =>
+        assert(s.getAs[Long]("doc_id") == b.getAs[Long]("doc_id") &&
+          s.getAs[Int]("chunk_ix") == b.getAs[Int]("chunk_ix") &&
+          s.getAs[Int]("rank") == b.getAs[Int]("rank"),
+          s"query $i diverged: single=$s batch=$b")
+      }
+    }
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("query_id"), s"batch rank lost its query key:\n$plan")
+  }
+
   test("compressed search: verbatim query self-hit ranks #1 after re-rank") {
     val sample = spark.read.parquet(indexDir)
       .filter(col("doc_id") === 3 && col("chunk_ix") === 1)

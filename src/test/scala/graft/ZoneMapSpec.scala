@@ -72,6 +72,60 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(got == want, "rewritten table served stale rows")
   }
 
+  test("appendSidecar: an append scans only the new files; result equals a full rebuild") {
+    val p = s"$base/append"
+    val older = docs.filter(col("doc_id") % 2 === 0)
+    val newer = docs.filter(col("doc_id") % 2 =!= 0)
+    ZoneMaps.writeClustered(spark, older, p, "n_chars", 4)
+    // the append cadence: new files land, the sidecar is stale
+    newer.repartitionByRange(2, col("n_chars"))
+      .write.mode("append").parquet(p)
+    val (scanned, dropped) = ZoneMaps.appendSidecar(spark, p, "n_chars")
+    assert(scanned == 2 && dropped == 0,
+      s"expected to scan exactly the 2 appended files: ($scanned, $dropped)")
+    val (keptInc, totalInc) = ZoneMaps.planFiles(spark, p, lo, hi)
+    assert(totalInc == 6, s"sidecar lists $totalInc files after append")
+    // the incrementally-maintained sidecar must equal a full rebuild
+    val incRows = spark.read.parquet(s"$p/_graft_zonemap")
+      .collect().map(_.toString).sorted.toSeq
+    ZoneMaps.writeSidecar(spark, p, "n_chars")
+    val fullRows = spark.read.parquet(s"$p/_graft_zonemap")
+      .collect().map(_.toString).sorted.toSeq
+    assert(incRows == fullRows,
+      "incremental sidecar diverged from a full rebuild")
+    val (keptFull, totalFull) = ZoneMaps.planFiles(spark, p, lo, hi)
+    assert((keptInc.sorted, totalInc) == (keptFull.sorted, totalFull))
+    // pruned scan still exact across the mixed old+new file set
+    val got = ZoneMaps.readRange(spark, p, "n_chars", lo, hi)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.filter(col("n_chars") >= lo && col("n_chars") <= hi)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
+  test("appendSidecar: no-op when current; drops rows for compacted-away files") {
+    val p = s"$base/compact"
+    ZoneMaps.writeClustered(spark, docs, p, "n_chars", 4)
+    assert(ZoneMaps.appendSidecar(spark, p, "n_chars") == ((0, 0)),
+      "a current sidecar should not be rewritten")
+    // compaction/delete: one data file disappears out-of-band
+    val victim = spark.read.parquet(p).inputFiles.sorted.head
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(victim).getPath))
+    spark.catalog.refreshByPath(p)
+    val (scanned, dropped) = ZoneMaps.appendSidecar(spark, p, "n_chars")
+    assert(scanned == 0 && dropped == 1, s"($scanned, $dropped)")
+    val (_, total) = ZoneMaps.planFiles(spark, p, lo, hi)
+    assert(total == 3, s"sidecar still lists $total files")
+    // and the maintained sidecar equals a rebuild on the shrunken tree
+    val incRows = spark.read.parquet(s"$p/_graft_zonemap")
+      .collect().map(_.toString).sorted.toSeq
+    ZoneMaps.writeSidecar(spark, p, "n_chars")
+    val fullRows = spark.read.parquet(s"$p/_graft_zonemap")
+      .collect().map(_.toString).sorted.toSeq
+    assert(incRows == fullRows)
+  }
+
   test("empty band short-circuits to an empty scan with the table schema") {
     val ceiling = docs.agg(max("n_chars")).collect()(0).getLong(0)
     val df = ZoneMaps.readRange(spark, s"$base/clustered", "n_chars",
