@@ -43,6 +43,46 @@ object VectorStore {
     transform(sequence(lit(0), lit(PqM - 1)),
       m => slice(v, m * lit(PqSubDim) + 1, lit(PqSubDim)))
 
+  /** B22 for the store: OPQ-style energy-balancing permutation ahead of
+    * the PQ subspace split, trained on the CREATION batch (per-dim exact
+    * int64 energy n·Σx²−(Σx)², snake deal — the Similarity.vecOpq rule)
+    * and frozen in a `_graft_pq/perm.parquet` sidecar exactly like the
+    * codebook: appends reuse it, because codes cut along two different
+    * permutations don't compare. Permutations preserve dot products, so
+    * the exact re-rank tail of [[searchCompressed]] is untouched — only
+    * the ADC approximation sees the balanced subspaces. A store written
+    * before this sidecar existed serves with the identity permutation. */
+  private val PermFile = "perm.parquet"
+
+  private def trainPerm(batch: DataFrame): Seq[Int] = {
+    val stats = batch.select(posexplode(col("raw")))
+      .groupBy(col("pos").as("d"))
+      .agg((count(lit(1)) * sum(col("col") * col("col"))
+        - sum("col") * sum("col")).as("energy"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val dimOfRank = stats.sortBy { case (d, e) => (-e, d) }.map(_._1)
+    (0 until Dim).map { p =>
+      val m = p / PqSubDim // target subspace
+      val g = p % PqSubDim // slot within the subspace = snake round
+      val i = if (g % 2 == 0) m else PqM - 1 - m
+      dimOfRank(g * PqM + i)
+    }
+  }
+
+  private def readPerm(spark: SparkSession, indexDir: String): Option[Seq[Int]] = {
+    val p = s"$indexDir/$PqDir/$PermFile"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+      Some(spark.read.parquet(p).orderBy("p")
+        .collect().map(_.getInt(1)).toSeq)
+    else None
+  }
+
+  /** Gather `v` along the frozen permutation — literal indices, codegen. */
+  private def permuteRaw(v: Column, perm: Seq[Int]): Column =
+    array(perm.map(d => element_at(v, d + 1)): _*)
+
   /** Raw int64 hashing-trick weights of a chunk — one pass of the fused
     * graft_hash_embed kernel (the O(dim·tokens) per-slot filter/aggregate
     * HOF chain it replaced was the store's dominant ingest cost). */
@@ -92,8 +132,17 @@ object VectorStore {
       // indexDir, sidecar included.
       val spark = embedded.sparkSession
       val cbPath = s"$indexDir/$PqDir/codebook.parquet"
+      val permPath = s"$indexDir/$PqDir/$PermFile"
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
+      // the OPQ permutation freezes FIRST: the codebook's subspaces are
+      // defined over the permuted layout, so perm reuse gates like the
+      // codebook's (append → frozen; creation → trained on this batch)
+      val reusePerm = mode == "append" &&
+        fs.exists(new org.apache.hadoop.fs.Path(permPath))
+      val perm: Seq[Int] =
+        if (reusePerm) readPerm(spark, indexDir).get
+        else trainPerm(embedded)
       val reuse = mode == "append" &&
         fs.exists(new org.apache.hadoop.fs.Path(cbPath))
       val codebook = if (reuse) {
@@ -104,7 +153,7 @@ object VectorStore {
         embedded.select("doc_id", "chunk_ix", "raw")
           .orderBy("doc_id", "chunk_ix").limit(PqK)
           .withColumn("j", row_number().over(wj) - 1)
-          .select(col("j"), posexplode(subvecs(col("raw"))))
+          .select(col("j"), posexplode(subvecs(permuteRaw(col("raw"), perm))))
           .select(col("j"), col("pos").as("m"), col("col").as("cent"))
           .localCheckpoint(true)
       }
@@ -140,11 +189,16 @@ object VectorStore {
           .localCheckpoint(true)
       }
       val indexed = embedded
-        .join(pqEncode(codebook, embedded), Seq("doc_id", "chunk_ix"))
+        .join(pqEncode(codebook, embedded, perm), Seq("doc_id", "chunk_ix"))
         .join(cellAssign(centroids, embedded), Seq("doc_id", "chunk_ix"))
       indexed.write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)
       if (!reuse)
         codebook.coalesce(1).write.mode("overwrite").parquet(cbPath)
+      if (!reusePerm) {
+        import spark.implicits._
+        perm.zipWithIndex.map { case (src, p) => (p, src) }.toDF("p", "src")
+          .coalesce(1).write.mode("overwrite").parquet(permPath)
+      }
       if (!reuseCells)
         centroids.coalesce(1).write.mode("overwrite").parquet(cellPath)
     }
@@ -175,10 +229,12 @@ object VectorStore {
     * `codes(m)` = nearest centroid id in subspace m (exact int64 sqdist,
     * ties to the smaller id — deterministic). Broadcast codebook join +
     * per-(chunk, subspace) argmin: the B7 encoding shape. */
-  private def pqEncode(codebook: DataFrame, batch: DataFrame): DataFrame = {
+  private def pqEncode(codebook: DataFrame, batch: DataFrame,
+      perm: Seq[Int]): DataFrame = {
     val wMin = Window.partitionBy("doc_id", "chunk_ix", "m")
       .orderBy(col("dist"), col("j"))
-    batch.select(col("doc_id"), col("chunk_ix"), posexplode(subvecs(col("raw"))))
+    batch.select(col("doc_id"), col("chunk_ix"),
+        posexplode(subvecs(permuteRaw(col("raw"), perm))))
       .select(col("doc_id"), col("chunk_ix"), col("pos").as("m"), col("col").as("sub"))
       .join(broadcast(codebook), "m")
       .withColumn("dist", call_function("graft_sqdist_l", col("sub"), col("cent")))
@@ -340,9 +396,11 @@ object VectorStore {
     val probes = q.select(col("qraw"), explode(array(
       col("qbucket") +: (0 until Planes).map(p =>
         col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
-    // ADC table: exact int64 subspace distances query ↔ every centroid
+    // ADC table: exact int64 subspace distances query ↔ every centroid,
+    // over the store's frozen OPQ layout (identity for pre-perm stores)
+    val perm = readPerm(spark, indexDir).getOrElse(0 until Dim)
     val dtab = q
-      .select(posexplode(subvecs(col("qraw"))))
+      .select(posexplode(subvecs(permuteRaw(col("qraw"), perm))))
       .select(col("pos").as("m"), col("col").as("qsub"))
       .join(broadcast(codebook), "m")
       .select(col("m").as("dm"), col("j").as("dj"),
@@ -402,9 +460,11 @@ object VectorStore {
     val probes = qdf.select(col("query_id"), explode(array(
       col("qbucket") +: (0 until Planes).map(p =>
         col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
-    // per-query ADC tables, one broadcast relation keyed by query_id
+    // per-query ADC tables, one broadcast relation keyed by query_id,
+    // over the store's frozen OPQ layout (identity for pre-perm stores)
+    val perm = readPerm(spark, indexDir).getOrElse(0 until Dim)
     val dtab = qdf
-      .select(col("query_id"), posexplode(subvecs(col("qraw"))))
+      .select(col("query_id"), posexplode(subvecs(permuteRaw(col("qraw"), perm))))
       .select(col("query_id"), col("pos").as("m"), col("col").as("qsub"))
       .join(broadcast(codebook), "m")
       .select(col("query_id").as("dq"), col("m").as("dm"), col("j").as("dj"),

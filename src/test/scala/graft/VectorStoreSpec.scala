@@ -289,6 +289,38 @@ class VectorStoreSpec extends AnyFunSuite {
       hits.head.getAs[Int]("chunk_ix") == 1, s"top hit was ${hits.headOption}")
   }
 
+  test("OPQ perm sidecar: trained at creation, frozen across append, codes comparable") {
+    val dir = Files.createTempDirectory("graft_vs_opq").toString + "/index"
+    val first = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+    assert(VectorStore.ingest(first, dir) > 0)
+    def permRows = spark.read.parquet(s"$dir/_graft_pq/perm.parquet")
+      .orderBy("p").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val perm1 = permRows
+    assert(perm1.map(_._1) == (0 until VectorStore.Dim),
+      "perm sidecar slots are not 0..Dim-1")
+    assert(perm1.map(_._2).sorted == (0 until VectorStore.Dim),
+      s"perm sidecar is not a permutation of the dims: $perm1")
+    val second = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 40 && col("doc_id") < 60)
+      .select("doc_id", "text")
+    assert(VectorStore.ingest(second, dir, mode = "append") > 0)
+    assert(permRows == perm1, "append retrained the frozen permutation")
+    // codes from the two batches compare: a verbatim chunk from the
+    // APPENDED batch self-hits at rank 1 through the compressed path
+    // (ADC shortlist under the shared perm + codebook, exact re-rank)
+    val row = spark.read.parquet(dir)
+      .filter(col("doc_id") >= 40)
+      .orderBy("doc_id", "chunk_ix")
+      .select("doc_id", "chunk_ix", "chunk").limit(1).collect().head
+    val hits = VectorStore.searchCompressed(spark, dir,
+      row.getString(2), k = 3).collect()
+    assert(hits.nonEmpty &&
+      hits.head.getAs[Long]("doc_id") == row.getLong(0) &&
+      hits.head.getAs[Int]("chunk_ix") == row.getInt(1),
+      s"appended chunk lost under the frozen perm: ${hits.head}")
+  }
+
   test("cell layout: second-level cell=N dirs exist; searchCells self-hits at rank 1") {
     val bucketDirs = new java.io.File(indexDir).listFiles()
       .filter(_.getName.startsWith("bucket="))
