@@ -107,9 +107,19 @@ object VectorStore {
   /** Ingest: documents(doc_id, text, …) → chunk → embed → bucket →
     * parquet index partitioned by bucket. `mode` "append" adds an
     * incremental batch to an existing index. Returns the batch's chunk
-    * count (an empty batch writes nothing and returns 0). */
+    * count (an empty batch writes nothing and returns 0).
+    *
+    * `batchTag` (r9): the store's TIME AXIS — every row of this batch is
+    * stamped with it (an epoch, a CDC sequence number, an ingest round),
+    * and a G34 zone-map sidecar on the tag is maintained INCREMENTALLY
+    * after each write ([[graft.sources.ZoneMaps.appendSidecar]] — only
+    * the batch's own files are scanned). Files written by one batch
+    * carry one constant tag, so their zones are single points and a
+    * time-windowed serving read ([[searchTagRange]]) prunes to exactly
+    * the matching batches' files before any bucket probe runs. */
   def ingest(docs: DataFrame, indexDir: String,
-      chunkSize: Int = 20, overlap: Int = 5, mode: String = "overwrite"): Long = {
+      chunkSize: Int = 20, overlap: Int = 5, mode: String = "overwrite",
+      batchTag: Long = 0L): Long = {
     val chunks = docs
       .select(col("doc_id"),
         posexplode(Text.chunks(col("text"), chunkSize, overlap)))
@@ -191,7 +201,12 @@ object VectorStore {
       val indexed = embedded
         .join(pqEncode(codebook, embedded, perm), Seq("doc_id", "chunk_ix"))
         .join(cellAssign(centroids, embedded), Seq("doc_id", "chunk_ix"))
+        .withColumn("batch_tag", lit(batchTag))
       indexed.write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)
+      // time-axis zone maps: incremental upkeep scans this batch's files
+      // only (an overwrite-mode write wiped the old sidecar with the rest
+      // of the dir, so it degenerates to a fresh full build there)
+      graft.sources.ZoneMaps.appendSidecar(spark, indexDir, "batch_tag")
       if (!reuse)
         codebook.coalesce(1).write.mode("overwrite").parquet(cbPath)
       if (!reusePerm) {
@@ -253,8 +268,24 @@ object VectorStore {
     * division per candidate — instead of an interpreted per-element
     * double fold (higher-order functions are CodegenFallback). */
   def search(spark: SparkSession, indexDir: String, query: String, k: Int = 5)
-      : DataFrame = {
-    val index = spark.read.parquet(indexDir)
+      : DataFrame =
+    searchIn(spark, spark.read.parquet(indexDir), query, k)
+
+  /** Time-windowed serving read (r9): [[search]] restricted to ingest
+    * batches whose `batch_tag` lies in [lo, hi]. The file list comes
+    * from the G34 sidecar the ingest maintains ([[ingest]]'s `batchTag`)
+    * — an O(files) pruning decision with no data read — so a "recent
+    * batches only" query at 100 TB opens exactly the matching batches'
+    * files, and the LSH bucket probe prunes further within them. The
+    * residual row filter inside readRange keeps exactness. */
+  def searchTagRange(spark: SparkSession, indexDir: String, query: String,
+      lo: Long, hi: Long, k: Int = 5): DataFrame =
+    searchIn(spark,
+      graft.sources.ZoneMaps.readRange(spark, indexDir, "batch_tag", lo, hi),
+      query, k)
+
+  private def searchIn(spark: SparkSession, index: DataFrame, query: String,
+      k: Int): DataFrame = {
     val qvec = { import spark.implicits._; Seq(query).toDF("qtext") }
     val q = qvec
       .withColumn("qraw", rawWeights(col("qtext")))
@@ -921,6 +952,12 @@ object VectorStore {
         }
     }
     spark.catalog.refreshByPath(indexDir)
+    // the rewrite replaced the victims' files with fresh survivor files:
+    // bring the time-axis sidecar back in sync (incremental — scans only
+    // the rewritten buckets' new files, drops the vanished rows; replay-
+    // safe because appendSidecar is a no-op when already current)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/_graft_zonemap")))
+      graft.sources.ZoneMaps.appendSidecar(spark, indexDir, "batch_tag")
     removed
   }
 }

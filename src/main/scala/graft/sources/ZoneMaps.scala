@@ -81,7 +81,12 @@ object ZoneMaps {
     def norm(f: String): String =
       try new java.net.URI(f).getPath catch { case _: Exception => f }
     spark.catalog.refreshByPath(path)
-    val current = spark.read.parquet(path).inputFiles.toSeq
+    // a table whose every file was deleted (full compaction, delete-all)
+    // no longer infers a schema — treat it as zero current files and let
+    // the merge drop every stale sidecar row
+    val current =
+      try spark.read.parquet(path).inputFiles.toSeq
+      catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty[String] }
     val currentNorm = current.map(norm).toSet
     val zdir = zonemapDir(path)
     // the old sidecar is O(files) rows — small enough to hold on the

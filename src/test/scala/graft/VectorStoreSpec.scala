@@ -321,6 +321,50 @@ class VectorStoreSpec extends AnyFunSuite {
       s"appended chunk lost under the frozen perm: ${hits.head}")
   }
 
+  test("time-axis zone maps: tag-range serve prunes to the matching batches' files") {
+    import graft.sources.ZoneMaps
+    val dir = Files.createTempDirectory("graft_vs_tag").toString + "/index"
+    val a = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .select("doc_id", "text")
+    val b = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 40 && col("doc_id") < 60).select("doc_id", "text")
+    assert(VectorStore.ingest(a, dir, batchTag = 1L) > 0)
+    assert(VectorStore.ingest(b, dir, mode = "append", batchTag = 2L) > 0)
+    // the pruning decision: a tag-2 window keeps strictly fewer than all
+    // files (batch files carry single-point zones)
+    val (kept, total) = ZoneMaps.planFiles(spark, dir, 2L, 2L)
+    assert(kept.nonEmpty && kept.size < total,
+      s"tag window did not prune: ${kept.size}/$total files")
+    // a verbatim chunk from batch 2 self-hits at rank 1 inside its window
+    val row = spark.read.parquet(dir).filter(col("batch_tag") === 2L)
+      .orderBy("doc_id", "chunk_ix")
+      .select("doc_id", "chunk_ix", "chunk").limit(1).collect().head
+    val hits = VectorStore.searchTagRange(spark, dir, row.getString(2),
+      lo = 2L, hi = 2L, k = 3).collect()
+    assert(hits.nonEmpty &&
+      hits.head.getAs[Long]("doc_id") == row.getLong(0) &&
+      hits.head.getAs[Int]("chunk_ix") == row.getInt(1), s"${hits.headOption}")
+    // the same query windowed to batch 1 must surface NO batch-2 rows
+    val tag2docs = spark.read.parquet(dir).filter(col("batch_tag") === 2L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val old = VectorStore.searchTagRange(spark, dir, row.getString(2),
+      lo = 1L, hi = 1L, k = 3).collect()
+    assert(old.forall(r => !tag2docs.contains(r.getAs[Long]("doc_id"))),
+      "a batch-2 chunk leaked into the batch-1 window")
+    // the full window is semantics-free pruning: equals the plain search
+    val full = VectorStore.searchTagRange(spark, dir, row.getString(2),
+      lo = 1L, hi = 2L, k = 3).collect().map(_.toString).toSeq
+    val plain = VectorStore.search(spark, dir, row.getString(2), k = 3)
+      .collect().map(_.toString).toSeq
+    assert(full == plain, "tag-range over the full window diverged from search()")
+    // delete rewrites buckets; the sidecar must track the new tree
+    assert(VectorStore.delete(spark, dir, Seq(row.getLong(0))) > 0)
+    val (_, t2) = ZoneMaps.planFiles(spark, dir, 1L, 2L)
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    assert(t2 == nFiles,
+      s"sidecar lists $t2 files after delete, tree has $nFiles")
+  }
+
   test("cell layout: second-level cell=N dirs exist; searchCells self-hits at rank 1") {
     val bucketDirs = new java.io.File(indexDir).listFiles()
       .filter(_.getName.startsWith("bucket="))
