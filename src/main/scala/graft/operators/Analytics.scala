@@ -1650,6 +1650,58 @@ object Analytics {
     FROM d JOIN md USING (event_type)
     GROUP BY d.event_type ORDER BY d.event_type"""
 
+  /** E60: Benford first-digit audit — the forensic data-quality screen
+    * for any monetary/measure column: natural multiplicative data's
+    * leading significant digit follows P(d) = log10(1+1/d); fabricated,
+    * truncated, or unit-mixed feeds drift from it, and at 100 TB this
+    * scan-and-count is the cheapest corpus-level anomaly tripwire a
+    * pipeline can keep running. Per digit: observed count, observed ppm,
+    * Benford-expected ppm, signed deviation — ALL integer (the expected
+    * ppm constants are computed once in Scala and embedded as literals
+    * into BOTH engines' plans, so no cross-libm log10 is ever evaluated
+    * at query time; the single div per row is integer).
+    *
+    * Scale shape: one narrow scan (leading digit of the exact cents via
+    * one substring — no float math), a 9-group keyed aggregation with
+    * map-side partials, and the total attach is a window over the 9-row
+    * digit table (bounded SinglePartition, allowlisted). */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val expPpm = (1 to 9).map(d =>
+      math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong)
+    val cents = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
+      .cast("long")
+    Tables.lineitem(s, dir)
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_rows"))
+      .withColumn("total", sum("n_rows").over(Window.partitionBy()))
+      .select(col("digit"), col("n_rows"),
+        expr("n_rows * 1000000 div total").as("obs_ppm"),
+        element_at(array(expPpm.map(lit): _*), col("digit").cast("int"))
+          .as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy("digit")
+  }
+
+  val qBenfordSql: String = {
+    val expRows = (1 to 9).map(d =>
+      s"($d, ${math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong})")
+      .mkString(", ")
+    s"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem),
+    g AS (SELECT digit, COUNT(*) AS n_rows FROM d GROUP BY digit),
+    t AS (SELECT digit, n_rows, SUM(n_rows) OVER () AS total FROM g),
+    e AS (SELECT * FROM (VALUES $expRows) e(digit, exp_ppm))
+    SELECT t.digit, CAST(t.n_rows AS BIGINT) AS n_rows,
+      CAST(t.n_rows * 1000000 // t.total AS BIGINT) AS obs_ppm,
+      CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+      CAST(t.n_rows * 1000000 // t.total - e.exp_ppm AS BIGINT) AS dev_ppm
+    FROM t JOIN e ON e.digit = t.digit
+    ORDER BY t.digit"""
+  }
+
   /** E40: PageRank — 3 power iterations over the customer↔supplier
     * graph (distinct trading pairs from orders⋈lineitem, both
     * directions so the walk has no dangling sinks), damping 0.85. The
@@ -1731,6 +1783,7 @@ object Analytics {
     "q_pagerank"   -> (qPagerank _),
     "q_zorder"     -> (qZorder _),
     "q_anomaly_mad" -> (qAnomalyMad _),
+    "q_benford" -> (qBenford _),
     "q_set_ops"    -> (qSetOps _),
     "q_full_outer" -> (qFullOuter _),
     "q_recursive"  -> (qRecursive _),
@@ -1773,6 +1826,7 @@ object Analytics {
     "q_pagerank"   -> qPagerankSql,
     "q_zorder"     -> qZorderSql,
     "q_anomaly_mad" -> qAnomalyMadSql,
+    "q_benford" -> qBenfordSql,
     "q_set_ops"    -> qSetOpsSql,
     "q_full_outer" -> qFullOuterSql,
     "q_recursive"  -> qRecursiveSql,

@@ -239,7 +239,97 @@ object Multimodal {
     ORDER BY doc_a, doc_b"""
   }
 
+  private val FpBands = 256
+  private val FpFanout = 3
+  private val FpMaxDf = 100
+  private val FpMinAligned = 4
+
+  /** F27: audio-fingerprint constellation matching — the Shazam family
+    * (Wang 2003): per track, spectrogram PEAKS pair into landmark
+    * fingerprints hash(anchor freq, target freq, Δt) within a bounded
+    * fan-out window; a true match (re-encode, clip, sample) is not "many
+    * shared hashes" but many shared hashes AGREEING ON ONE TIME OFFSET —
+    * the offset-coherence vote that kills chance collisions. With the
+    * committed stub decode the "peaks" are the sampled frame hashes
+    * folded to [[FpBands]] bands and time is the frame index; a real
+    * front-end swaps in STFT peak picking and every downstream shape —
+    * landmark pairing, hash join, offset histogram, per-pair argmax —
+    * is unchanged.
+    *
+    * Scale shape: landmark pairing is an equi-join on (track, time+Δt)
+    * (the fan-out is a ≤[[FpFanout]]-row explode, never a range join);
+    * candidate matching is an equi-join on the fingerprint hash behind a
+    * df ≤ [[FpMaxDf]] stop-hash cap (the F12 discipline — silence/intro
+    * landmarks would otherwise be the hot keys); the offset vote is one
+    * keyed aggregation plus a per-pair window. No payload bytes travel
+    * past the frame sampler. */
+  def mmAudioFp(s: SparkSession, dir: String): DataFrame = {
+    val frames = mmFrameSample(s, dir)
+      .select(col("doc_id"), col("frame_ix"),
+        pmod(col("frame_hash"), lit(FpBands.toLong)).as("freq"))
+    val anchors = frames
+      .select(col("doc_id"), col("frame_ix").as("ta"), col("freq").as("fa"),
+        explode(array((1 to FpFanout).map(d => lit(d)): _*)).as("dt"))
+      .withColumn("tb", col("ta") + col("dt"))
+    val targets = frames
+      .select(col("doc_id"), col("frame_ix").as("tb"), col("freq").as("fb"))
+    val fps = anchors.join(targets, Seq("doc_id", "tb"))
+      .select(col("doc_id"),
+        ((col("fa") * FpBands + col("fb")) * (FpFanout + 1) + col("dt"))
+          .as("fp"),
+        col("ta"))
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FpMaxDf).select("fp")
+    val k = fps.join(keep, "fp")
+    val a = k.select(col("fp"), col("doc_id").as("doc_a"), col("ta").as("t_a"))
+    val b = k.select(col("fp"), col("doc_id").as("doc_b"), col("ta").as("t_b"))
+    val aligned = a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("t_a") - col("t_b")).as("offset"))
+      .agg(count(lit(1)).as("n_aligned"))
+    val w = Window.partitionBy("doc_a", "doc_b")
+      .orderBy(col("n_aligned").desc, col("offset"))
+    aligned.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("n_aligned") >= FpMinAligned)
+      .select(col("doc_a"), col("doc_b"), col("offset").cast("long").as("offset"),
+        col("n_aligned"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle for F27: frame oracle as a CTE, then the same landmark →
+    * stop-hash cap → offset vote → per-pair argmax, all integer. */
+  private def mmAudioFpSql(frameSql: String): String = {
+    val inner = frameSql.replace("ORDER BY doc_id, frame_ix", "")
+    s"""
+    WITH fr AS (
+      SELECT doc_id, frame_ix, frame_hash % $FpBands AS freq FROM ($inner)),
+    fp AS (
+      SELECT a.doc_id,
+        (a.freq * $FpBands + b.freq) * ${FpFanout + 1}
+          + (b.frame_ix - a.frame_ix) AS fp,
+        a.frame_ix AS ta
+      FROM fr a JOIN fr b ON a.doc_id = b.doc_id
+        AND b.frame_ix - a.frame_ix BETWEEN 1 AND $FpFanout),
+    keep AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= $FpMaxDf),
+    k AS (SELECT fp.* FROM fp JOIN keep USING (fp)),
+    al AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ta - b.ta AS off,
+        COUNT(*) AS n_aligned
+      FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3),
+    r AS (
+      SELECT doc_a, doc_b, off, n_aligned,
+        row_number() OVER (PARTITION BY doc_a, doc_b
+                           ORDER BY n_aligned DESC, off) AS rk
+      FROM al)
+    SELECT doc_a, doc_b, CAST(off AS BIGINT) AS offset,
+      CAST(n_aligned AS BIGINT) AS n_aligned
+    FROM r WHERE rk = 1 AND n_aligned >= $FpMinAligned
+    ORDER BY doc_a, doc_b"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_fp" -> (mmAudioFp _),
     "mm_phash" -> (mmPhash _),
     "mm_pipeline" -> (mmPipeline _),
     "mm_framesample" -> (mmFrameSampleQ _),
@@ -313,6 +403,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "mm_audio_fp" -> mmAudioFpSql(mmFrameSampleSql),
     "mm_phash" -> mmPhashSql(mmFrameSampleSql),
     "mm_dedup" -> mmDedupSql,
     "mm_framesample" -> mmFrameSampleSql,

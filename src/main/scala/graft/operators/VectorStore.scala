@@ -735,10 +735,11 @@ object VectorStore {
     * layout (the partition column — candidates are physically
     * co-located, never all-pairs), and the B11 fetch-after-distinct
     * discipline keeps the self-join carrying only keys: vectors attach
-    * after the pair set is fixed. Appends do NOT splice the graph
-    * (a real DiskANN ships a background merge); re-run [[buildGraph]]
-    * after appending — the spec pins that a rebuild covers appended
-    * chunks. Returns the edge count. */
+    * after the pair set is fixed. Appends splice through
+    * [[spliceGraph]] (r9 — the background merge a real DiskANN ships,
+    * re-solving only the touched buckets and pinned bit-equal to a
+    * rebuild); the full rebuild remains the contract for deletes.
+    * Returns the edge count. */
   def buildGraph(spark: SparkSession, indexDir: String,
       degree: Int = GraphDegree): Long = {
     spark.catalog.refreshByPath(indexDir)
@@ -750,18 +751,101 @@ object VectorStore {
       .join(slim.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.nid") =!= col("b.nid"))
       .select(col("a.nid").as("src"), col("b.nid").as("dst"))
+    // edge rows land PARTITIONED BY the src's bucket: [[spliceGraph]]
+    // then refreshes only the buckets an append touched (dynamic
+    // partition overwrite), never the whole sidecar
+    val edges = topEdges(spark, nodes, cand, degree)
+    edges.write.mode("overwrite").partitionBy("sbucket")
+      .parquet(s"$indexDir/$GraphDir/edges.parquet")
+    spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet").count()
+  }
+
+  /** Shared scoring tail of [[buildGraph]] and [[spliceGraph]]: attach
+    * raw vectors to the candidate pair set, keep each src's top-`degree`
+    * by exact int64 dot (ties: dst id — fully deterministic, so a splice
+    * and a rebuild agree bit-for-bit). */
+  private def topEdges(spark: SparkSession, nodes: DataFrame,
+      cand: DataFrame, degree: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("dot").desc,
       col("dst.doc_id"), col("dst.chunk_ix"))
-    val edges = cand
-      .join(nodes.select(col("nid").as("src"), col("raw").as("sr")), "src")
+    cand
+      .join(nodes.select(col("nid").as("src"), col("bucket").as("sbucket"),
+        col("raw").as("sr")), "src")
       .join(nodes.select(col("nid").as("dst"), col("raw").as("dr")), "dst")
       .withColumn("dot", call_function("graft_dot_l", col("sr"), col("dr")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= degree)
       .select(col("src.doc_id").as("src_doc"), col("src.chunk_ix").as("src_ix"),
-        col("dst.doc_id").as("dst_doc"), col("dst.chunk_ix").as("dst_ix"))
-    edges.write.mode("overwrite").parquet(s"$indexDir/$GraphDir/edges.parquet")
-    spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet").count()
+        col("dst.doc_id").as("dst_doc"), col("dst.chunk_ix").as("dst_ix"),
+        col("sbucket"))
+  }
+
+  /** G31b: bulk INSERT splice — the background-merge step a real DiskANN
+    * ships, replacing the rebuild-after-append contract for the common
+    * case. For an appended batch (`docIds`), only the LSH buckets the
+    * batch landed in are re-solved:
+    *
+    *  - new→{old,new} edges come from the batch's same-bucket candidate
+    *    pairs (the store's own blocking, exactly buildGraph's generator);
+    *  - affected OLD nodes merge their STORED top-`degree` list with the
+    *    new-endpoint candidates and re-rank: top-d(old ∪ new) =
+    *    top-d(top-d(old) ∪ new) — any old peer outside the stored top-d
+    *    is already beaten by d stored peers, so the merge reproduces the
+    *    full rebuild EXACTLY (spec-pinned bit-for-bit);
+    *  - untouched buckets' edge partitions are not read, not rescored,
+    *    and not rewritten (the sidecar is partitioned by src bucket and
+    *    the write is a dynamic partition overwrite).
+    *
+    * Cost tracks the appended batch's bucket footprint, not the index
+    * size. Deletes keep the rebuild contract ([[buildGraph]]) — a
+    * removed node invalidates stored lists in a way no local merge can
+    * repair losslessly. Returns the number of edges written (the
+    * touched region's new edge count). */
+  def spliceGraph(spark: SparkSession, indexDir: String, docIds: Seq[Long],
+      degree: Int = GraphDegree): Long = {
+    val edgePath = s"$indexDir/$GraphDir/edges.parquet"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(edgePath)),
+      s"spliceGraph needs an existing buildGraph sidecar at $edgePath")
+    spark.catalog.refreshByPath(indexDir)
+    val nodes = spark.read.parquet(indexDir)
+      .select(struct(col("doc_id"), col("chunk_ix")).as("nid"),
+        col("bucket"), col("raw"))
+    val touched = nodes.filter(col("nid.doc_id").isInCollection(docIds))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return 0L
+    val region = nodes.filter(col("bucket").isInCollection(touched))
+      .withColumn("is_new", col("nid.doc_id").isInCollection(docIds))
+    val slim = region.select(col("nid"), col("bucket"), col("is_new"))
+    val cand = slim.alias("a")
+      .join(slim.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.nid") =!= col("b.nid") &&
+          (col("a.is_new") || col("b.is_new")))
+      .select(col("a.nid").as("src"), col("b.nid").as("dst"))
+    spark.catalog.refreshByPath(edgePath)
+    val storedPairs = spark.read.parquet(edgePath)
+      .select(struct(col("src_doc").as("doc_id"), col("src_ix").as("chunk_ix"))
+        .as("src"),
+        struct(col("dst_doc").as("doc_id"), col("dst_ix").as("chunk_ix"))
+          .as("dst"))
+      .join(region.select(col("nid").as("src")), Seq("src"), "left_semi")
+    val merged = cand.union(storedPairs).distinct()
+    val newRegion = topEdges(spark, nodes, merged, degree)
+      // materialize BEFORE the overwrite truncates its own input
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try newRegion.write.mode("overwrite").partitionBy("sbucket")
+      .parquet(edgePath)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.catalog.refreshByPath(edgePath)
+    newRegion.count()
   }
 
   /** G31 serving read: beam search over the [[buildGraph]] sidecar — the

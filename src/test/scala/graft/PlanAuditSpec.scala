@@ -44,12 +44,13 @@ class PlanAuditSpec extends AnyFunSuite {
   // global max-day anchor, text_domain_gate's corpus-total share
   // denominator over the ≤domain-universe stats table), the 5-row
   // priority window (q_top_movers), text_pack's bucket-count offset pass,
-  // q_decile_lift's cumulative windows over its 10-row decile table.
+  // q_decile_lift's cumulative windows over its 10-row decile table,
+  // q_benford's total attach over its 9-row digit table.
   private val allowedSinglePartition = Set(
     "q_attribution", "text_collocations", "text_source_weights",
     "q_top_movers", "text_pack", "ann_tune", "ann_hybrid", "q_rfm",
     "q_market_basket", "dedup_lsh_tune", "q_ab_test", "q_triangles",
-    "text_domain_gate", "q_decile_lift", "q_decay_score")
+    "text_domain_gate", "q_decile_lift", "q_decay_score", "q_benford")
 
   /** SinglePartition exchanges whose child is a partial SKETCH aggregate
     * are a bounded merge, not a data-sized funnel: each mapper emits one

@@ -113,6 +113,46 @@ class StoreGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("spliceGraph equals a full rebuild and rewrites only the touched buckets") {
+    val dir = Files.createTempDirectory("graft_vsg3").toString + "/index"
+    val first = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select("doc_id", "text")
+    assert(VectorStore.ingest(first, dir) > 0)
+    assert(VectorStore.buildGraph(spark, dir) > 0)
+    val more = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 50 && col("doc_id") < 80)
+      .select("doc_id", "text")
+    assert(VectorStore.ingest(more, dir, mode = "append") > 0)
+    // which sbucket partitions the append touches, from the index itself
+    val touched = spark.read.parquet(dir).filter(col("doc_id") >= 50)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    val edgeDir = new java.io.File(s"$dir/_graft_graph/edges.parquet")
+    val untouchedMtimes = edgeDir.listFiles()
+      .filter(f => f.getName.startsWith("sbucket=") &&
+        !touched.contains(f.getName.stripPrefix("sbucket=").toInt))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(untouchedMtimes.nonEmpty, "append touched every bucket — widen the corpus")
+
+    val n = VectorStore.spliceGraph(spark, dir, (50L until 80L).toSeq)
+    assert(n > 0)
+    def edgeRows = spark.read.parquet(s"$dir/_graft_graph/edges.parquet")
+      .select("src_doc", "src_ix", "dst_doc", "dst_ix")
+      .collect().map(_.toString).sorted.toSeq
+    val spliced = edgeRows
+    // untouched bucket partitions were not rewritten
+    untouchedMtimes.foreach { case (name, mtime) =>
+      val f = new java.io.File(s"$dir/_graft_graph/edges.parquet/$name")
+      assert(f.exists && f.lastModified == mtime,
+        s"untouched edge partition $name was rewritten")
+    }
+    // appended chunks are wired in (src side)
+    assert(spark.read.parquet(s"$dir/_graft_graph/edges.parquet")
+      .filter(col("src_doc") >= 50).count() > 0)
+    // and the splice reproduces the full rebuild bit-for-bit
+    assert(VectorStore.buildGraph(spark, dir) > 0)
+    assert(edgeRows == spliced, "splice diverged from a full rebuild")
+  }
+
   test("rebuild after append covers the appended chunks") {
     val dir = Files.createTempDirectory("graft_vsg2").toString + "/index"
     val first = Tables.documents(spark, sf).filter(col("doc_id") < 50)
