@@ -1424,6 +1424,9 @@ object Similarity {
       .agg((count(lit(1)) * sum(col("col") * col("col"))
         - sum("col") * sum("col")).as("energy"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // an empty (or degenerate) corpus trains nothing: identity layout,
+    // so the empty-input contract (empty result, no crash) holds
+    if (stats.length < VecDim) return 0 until VecDim
     val dimOfRank = stats.sortBy { case (d, e) => (-e, d) }.map(_._1)
     (0 until VecDim).map { p =>
       val m = p / PqSub // target subspace
