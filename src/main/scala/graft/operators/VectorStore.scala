@@ -322,8 +322,19 @@ object VectorStore {
     * paths stay on TakeOrderedAndProject. Output schema = [[search]]
     * plus a leading `query_id`. */
   def searchBatch(spark: SparkSession, indexDir: String,
-      queries: Seq[String], k: Int = 5): DataFrame = {
-    val index = spark.read.parquet(indexDir)
+      queries: Seq[String], k: Int = 5): DataFrame =
+    searchInBatch(spark, spark.read.parquet(indexDir), queries, k)
+
+  /** Batch twin of [[searchTagRange]] (the G23/G26 pattern): many
+    * queries against one time window, one zone-map-pruned plan. */
+  def searchTagRangeBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], lo: Long, hi: Long, k: Int = 5): DataFrame =
+    searchInBatch(spark,
+      graft.sources.ZoneMaps.readRange(spark, indexDir, "batch_tag", lo, hi),
+      queries, k)
+
+  private def searchInBatch(spark: SparkSession, index: DataFrame,
+      queries: Seq[String], k: Int): DataFrame = {
     val qdf = { import spark.implicits._
       queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("query_id", "qtext") }

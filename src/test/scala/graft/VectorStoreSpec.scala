@@ -357,6 +357,17 @@ class VectorStoreSpec extends AnyFunSuite {
     val plain = VectorStore.search(spark, dir, row.getString(2), k = 3)
       .collect().map(_.toString).toSeq
     assert(full == plain, "tag-range over the full window diverged from search()")
+    // the batch twin matches the single-query tag-range serve
+    val qs = Seq(row.getString(2))
+    val batch = VectorStore.searchTagRangeBatch(spark, dir, qs,
+      lo = 2L, hi = 2L, k = 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_ix"))).toSeq
+    val single = VectorStore.searchTagRange(spark, dir, row.getString(2),
+      lo = 2L, hi = 2L, k = 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_ix"))).toSeq
+    assert(batch == single, "tag-range batch twin diverged from single")
     // delete rewrites buckets; the sidecar must track the new tree
     assert(VectorStore.delete(spark, dir, Seq(row.getLong(0))) > 0)
     val (_, t2) = ZoneMaps.planFiles(spark, dir, 1L, 2L)
