@@ -117,16 +117,19 @@ object CorpusJob {
     // Per-shard manifest — (source, n_chunks, n_docs, content_hash): the
     // integrity artifact an incremental consumer checks before trusting a
     // shard. content_hash is an order-independent exact-int64 SUM of
-    // per-row hashes, so it is invariant to partitioning and task order,
-    // and a rerun of this deterministic job reproduces it bit-for-bit
-    // (spec-checked). Written under an underscore dir, which Spark's
-    // parquet reader ignores — shard reads stay untouched.
+    // per-row MOD-P hashes (h60p, ≤ ~1e9 each — a raw h60 sum would
+    // overflow Spark 4's ANSI-checked long addition once a source holds
+    // a few dozen chunks; the r9 append spec caught exactly that), so it
+    // is invariant to partitioning and task order, and a rerun of this
+    // deterministic job reproduces it bit-for-bit (spec-checked).
+    // Written under an underscore dir, which Spark's parquet reader
+    // ignores — shard reads stay untouched.
     if (nChunks > 0) {
       s.read.parquet(outDir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_chunks"),
           countDistinct("doc_id").as("n_docs"),
-          sum(graft.functions.Hashing.h60(concat_ws("\u0001",
+          sum(graft.functions.Hashing.h60p(concat_ws("\u0001",
             col("doc_id"), col("chunk_ix"), md5(col("chunk")))))
             .as("content_hash"))
         .write.mode("overwrite").parquet(s"$outDir/_graft_manifest")
@@ -158,6 +161,42 @@ object CorpusJob {
     if (nChunks > 0)
       graft.sources.ZoneMaps.writeSidecar(s, outDir, "doc_id")
 
+    // Standing-state sidecars for the INCREMENTAL path ([[append]]): the
+    // artifacts a production pipeline freezes so later batches face the
+    // same gates without rescanning the corpus. All live under a `_` dir
+    // (invisible to shard reads):
+    //  - seen content hashes of EVERY input doc (exact dedup across
+    //    batches — a new copy of a previously-dropped dup must drop too);
+    //  - MinHash band rows of the ADMITTED docs (the F21 convention: the
+    //    near-dup screen side grows with admissions);
+    //  - the corpus bigram-count LM and the per-language avg_freq floor
+    //    the D17 tail gate implied (batches score against the FROZEN LM —
+    //    thresholds don't drift batch-to-batch).
+    val stateDir = s"$outDir/_graft_state"
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(md5(col("text")).as("content_hash")).distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/seen.parquet")
+    // admitted ids come from the WRITTEN shards, not `withSplit` — the
+    // funnel plan carries Observation nodes that already latched onto
+    // the shard write, and re-running it would both redo the clustering
+    // work and touch observed subtrees with a second action
+    if (nChunks > 0) {
+      val admittedIds = s.read.parquet(outDir).select("doc_id").distinct()
+      Dedup.bandRows(Tables.documents(s, dir).join(admittedIds, "doc_id")
+          .select("doc_id", "text"))
+        .write.mode("overwrite").parquet(s"$stateDir/bands.parquet")
+    }
+    val lmCounts = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(call_function("graft_word_bigrams", col("text")))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    lmCounts.write.mode("overwrite").parquet(s"$stateDir/lm.parquet")
+    TextAnalysis.textPplBucket(s, dir)
+      .filter(col("bucket") =!= "tail")
+      .groupBy("lang").agg(min("avg_freq").as("min_keep_freq"))
+      .write.mode("overwrite").parquet(s"$stateDir/ppl.parquet")
+
     // split audit rows from the written shards (fresh scan — bounded:
     // one 3-group aggregate); absent splits read as zero
     val splitCounts: Seq[(String, Long)] =
@@ -175,6 +214,170 @@ object CorpusJob {
     (obs.map { case (n, o) =>
       (n, o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)) } ++
       (("7_chunks_written", nChunks) +: splitCounts))
+      .toDF("stage", "n")
+  }
+
+  /** G40: incremental corpus append — curate ONE new batch of documents
+    * against the STANDING corpus state (the sidecars [[run]] froze) and
+    * extend the shards, without rescanning the standing corpus:
+    *
+    *   D9 gate (same verdict expressions) → exact dedup vs the seen-hash
+    *   state + intra-batch min-id → near-dup screen vs the standing band
+    *   index (standing corpus wins) + intra-batch first-id screen (the
+    *   F20 arrival rule) → decontamination vs the same eval suite →
+    *   FROZEN-LM perplexity floor (batches score against run()'s bigram
+    *   counts and per-language thresholds — gates don't drift
+    *   batch-to-batch) → the identical mixture recipe and leakage-safe
+    *   split (pure per-row functions) → chunk → shards APPEND.
+    *
+    * After the write: the G34 zone-map sidecar refreshes incrementally
+    * (only the batch's files are scanned), the manifest recomputes
+    * exactly, the seen-hash state gains EVERY batch input's hash (a
+    * future copy of a doc this batch dropped must drop too), and the
+    * band index gains the ADMITTED docs' rows (F21: later batches screen
+    * against earlier admissions). Each batch is one bounded job whose
+    * cost tracks the batch, not the corpus — the lakehouse-ingest
+    * spelling of the F14–F23 streaming admission stack.
+    *
+    * Returns the same (stage, n) audit shape as [[run]]; counts here are
+    * plain counts over checkpointed batch-sized steps (the Observation
+    * trick exists to avoid re-running a CORPUS-sized funnel — a batch
+    * re-count is cheap and exact). */
+  def append(s: SparkSession, dir: String, batch: DataFrame, outDir: String,
+      chunkSize: Int = 64, overlap: Int = 8): DataFrame = {
+    import graft.streaming.Streams
+    import s.implicits._
+    val stateDir = s"$outDir/_graft_state"
+    def state(name: String) = s"$stateDir/$name"
+    require(new java.io.File(state("seen.parquet")).isDirectory,
+      s"append needs the standing state run() writes under $stateDir")
+
+    val b0 = batch.select("doc_id", "text", "lang", "source")
+      .localCheckpoint(true)
+
+    // D9 — the exact gate the standing corpus was built with
+    val qualityKeep = TextAnalysis.filterVerdict(b0)
+      .filter(col("keep")).select("doc_id")
+    val afterQuality = b0.join(qualityKeep, "doc_id").localCheckpoint(true)
+
+    // exact dedup: cross-batch vs the seen-hash state, then intra-batch
+    // min-id per hash (the C1 rule applied batch-locally)
+    val seen = s.read.parquet(state("seen.parquet"))
+    val hashed = afterQuality.withColumn("content_hash", md5(col("text")))
+    val crossNew = hashed.join(seen, Seq("content_hash"), "left_anti")
+    val intraKeep = crossNew.groupBy("content_hash")
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val afterExact = crossNew.join(intraKeep, Seq("doc_id"))
+      .drop("content_hash").localCheckpoint(true)
+
+    // near-dup: standing corpus wins; within the batch the first id wins
+    // (the F20 arrival rule — cross-batch "keep best" would need the
+    // standing docs rescored, exactly what an append must not do)
+    val asDocs = afterExact.select("doc_id", "text")
+    val bandsExist = new java.io.File(state("bands.parquet")).isDirectory
+    val dupsVsState =
+      if (!bandsExist) asDocs.select("doc_id").limit(0)
+      else Streams.nearDupScreen(asDocs, s.read.parquet(state("bands.parquet")))
+        .select("doc_id")
+    val dupsIntra = Streams.nearDupScreen(asDocs, Dedup.bandRows(asDocs))
+      .filter(col("idx_id") < col("doc_id"))
+      .select("doc_id")
+    val afterNearDup = afterExact.join(
+      dupsVsState.union(dupsIntra).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // C7 vs the same standing eval suite (built from `dir`, as run())
+    val probe = afterNearDup.select(col("doc_id"),
+      call_function("graft_shingle_hashes", col("text")).as("shs"))
+    val contaminated = Dedup.contaminationPairs(s, dir, probe)
+      .select("doc_id").distinct()
+    val afterDecontam = afterNearDup
+      .join(contaminated, Seq("doc_id"), "left_anti").localCheckpoint(true)
+
+    // frozen-LM perplexity floor: batch bigrams score against run()'s
+    // counts (unseen bigram = count 0, the OOV-is-rare convention); a
+    // language with no standing floor passes (nothing to compare to)
+    val lm = s.read.parquet(state("lm.parquet"))
+    val scores = afterDecontam
+      .select(col("doc_id"),
+        explode(call_function("graft_word_bigrams", col("text"))).as("bigram"))
+      .join(lm, Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg((sum(coalesce(col("cnt"), lit(0L))).cast("double")
+        / count(lit(1))).as("avg_freq"))
+    val pplDrops = afterDecontam.select("doc_id", "lang")
+      .join(scores, "doc_id")
+      .join(s.read.parquet(state("ppl.parquet")), Seq("lang"))
+      .filter(col("avg_freq") < col("min_keep_freq"))
+      .select("doc_id")
+    val afterPpl = afterDecontam.join(pplDrops, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // identical mixture recipe + leakage-safe split (pure per-row)
+    val famH = graft.functions.Hashing.h60p(
+      md5(substring(col("text"), 1, 60))) % 100
+    val withSplit = afterPpl.filter(TextAnalysis.mixKeep)
+      .withColumn("split",
+        when(famH < 80, "train").when(famH < 90, "val").otherwise("test"))
+      .localCheckpoint(true)
+
+    val chunks = withSplit
+      .select(col("doc_id"), col("source"), col("split"),
+        posexplode(Text.chunks(col("text"), chunkSize, overlap)))
+      .select(col("doc_id"), col("source"), col("split"),
+        (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))
+      .localCheckpoint(true)
+    val nChunks = chunks.count()
+    if (nChunks > 0) {
+      // batch-local doc-range clustering: the appended files stay
+      // doc-contiguous, so the incremental sidecar refresh below keeps
+      // doc-range reads prunable across the whole grown shard tree
+      chunks.repartitionByRange(2, col("doc_id"))
+        .write.mode("append").partitionBy("source").parquet(outDir)
+      graft.sources.ZoneMaps.appendSidecar(s, outDir, "doc_id")
+      // manifest: exact recompute over the grown shards (O(shards) scan,
+      // same arithmetic as run() — order-independent, rerun-stable)
+      s.catalog.refreshByPath(outDir)
+      s.read.parquet(outDir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct("doc_id").as("n_docs"),
+          sum(graft.functions.Hashing.h60p(concat_ws("\u0001",
+            col("doc_id"), col("chunk_ix"), md5(col("chunk")))))
+            .as("content_hash"))
+        .write.mode("overwrite").parquet(s"$outDir/_graft_manifest")
+    }
+    // state: EVERY batch input's hash joins `seen` (dropped docs too);
+    // the delta is checkpointed so the append never races its own read
+    val seenDelta = b0.filter(col("text").isNotNull)
+      .select(md5(col("text")).as("content_hash")).distinct()
+      .join(seen, Seq("content_hash"), "left_anti")
+      .localCheckpoint(true)
+    if (!seenDelta.isEmpty)
+      seenDelta.write.mode("append").parquet(state("seen.parquet"))
+    // band index grows by the ADMITTED docs (F21)
+    if (nChunks > 0)
+      Dedup.bandRows(withSplit.select("doc_id", "text"))
+        .write.mode("append").parquet(state("bands.parquet"))
+
+    val splitCounts: Seq[(String, Long)] =
+      if (nChunks == 0) Seq("train", "val", "test").map(sp => s"8_${sp}_docs" -> 0L)
+      else {
+        val got = chunks.groupBy("split")
+          .agg(countDistinct("doc_id").as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        Seq("train", "val", "test").map(sp =>
+          s"8_${sp}_docs" -> got.getOrElse(sp, 0L))
+      }
+    (Seq(
+      "0_load" -> b0.count(),
+      "1_quality" -> afterQuality.count(),
+      "2_exact_dedup" -> afterExact.count(),
+      "3_near_dedup" -> afterNearDup.count(),
+      "4_decontam" -> afterDecontam.count(),
+      "5_ppl_gate" -> afterPpl.count(),
+      "6_mixture" -> withSplit.count(),
+      "7_chunks_written" -> nChunks) ++ splitCounts)
       .toDF("stage", "n")
   }
 

@@ -1602,10 +1602,27 @@ object Dedup {
     * torrent broadcast) and the per-bench sets as a broadcast hash-join
     * relation — actual broadcast variables, not plan literals. */
   def dedupContamination(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     // bench/train split: docs below the gate play the benchmark suite a
     // real pipeline would load from its eval sets — `graft.contam.
     // benchMaxDocId` overrides the demo default (oracle pins 20)
+    val benchMax = s.conf.getOption("graft.contam.benchMaxDocId")
+      .map(_.toLong).getOrElse(20L)
+    val probe = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text")).as("shs"))
+      .filter(col("doc_id") >= benchMax)
+    contaminationPairs(s, dir, probe)
+  }
+
+  /** C7's pair stage against an ARBITRARY probe batch (doc_id, shs) —
+    * the benchmark side (sets, union, Bloom pre-filter) is built from
+    * `dir` exactly as [[dedupContamination]] does; shared with
+    * [[graft.CorpusJob]]'s incremental append, which decontaminates each
+    * new batch against the same standing eval suite. */
+  private[graft] def contaminationPairs(s: SparkSession, dir: String,
+      probe: DataFrame): DataFrame = {
+    import s.implicits._
     val benchMax = s.conf.getOption("graft.contam.benchMaxDocId")
       .map(_.toLong).getOrElse(20L)
     val docs = Tables.documents(s, dir)
@@ -1654,8 +1671,7 @@ object Dedup {
     def withBloom(exact: Column): Column =
       bloomPre.map(_ && exact).getOrElse(exact)
     if (totalShingles <= maxLiteral) {
-      val survivors = docs
-        .filter(col("doc_id") >= benchMax)
+      val survivors = probe
         .filter(withBloom(call_function("graft_intersect_count",
           col("shs"), typedLit(union)) >= ContamMinShared))
       survivors
@@ -1669,8 +1685,7 @@ object Dedup {
     } else {
       val unionDf = Seq(Tuple1(union.toSeq)).toDF("bunion")
       val benchDf = benchSets.toDF("bench_id", "bshs")
-      val survivors = docs
-        .filter(col("doc_id") >= benchMax)
+      val survivors = probe
         .crossJoin(broadcast(unionDf)) // 1 row — union moves once per executor
         .filter(withBloom(call_function("graft_intersect_count",
           col("shs"), col("bunion")) >= ContamMinShared))

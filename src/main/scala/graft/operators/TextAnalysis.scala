@@ -243,7 +243,15 @@ object TextAnalysis {
     * integer comparisons (counts vs count·threshold products), so the
     * verdict is engine-portable with no float-boundary risk. Narrow
     * per-row expressions; at 100 TB this is a shuffle-free scan. */
-  def textFilter(s: SparkSession, dir: String): DataFrame = {
+  def textFilter(s: SparkSession, dir: String): DataFrame =
+    filterVerdict(Tables.documents(s, dir)).orderBy("doc_id")
+
+  /** The D9 verdict over an arbitrary (doc_id, text) batch — the same
+    * rules, thresholds and reason ordering as [[textFilter]] (which is
+    * this applied to the corpus dir), shared with [[graft.CorpusJob]]'s
+    * incremental append so a batch faces the exact gate the standing
+    * corpus was built with. */
+  private[graft] def filterVerdict(docs: DataFrame): DataFrame = {
     val nTok = regexp_count(col("text"), lit("[^ ]+"))
     val nChars = length(col("text"))
     val nSym = regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))
@@ -262,13 +270,12 @@ object TextAnalysis {
       .when(nSym * 5 > nChars, lit("symbols"))
       .when((nTri - nUniq) * 2 > nTri, lit("repetition"))
       .otherwise(lit("ok"))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("text"),
         call_function("graft_word_tri_stats", col("text")).as("ts"))
       .select(col("doc_id"), nTok.cast("long").as("n_tokens"),
         reason.as("reason"))
       .withColumn("keep", col("reason") === "ok")
-      .orderBy("doc_id")
   }
 
   val textFilterSql: String = """

@@ -47,6 +47,103 @@ class CorpusJobSpec extends AnyFunSuite {
     assert(spanning == 0, s"$spanning families span a split boundary")
   }
 
+  test("incremental append: a batch curates against the standing state") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{Tables, ZoneMaps}
+    import spark.implicits._
+    // sf0.1: the only test corpus whose funnel keeps survivors (the
+    // sf0.01 ppl tail keeps zero — standing state would be empty)
+    val dir = "/root/testdata/sf0.1"
+    val out = java.nio.file.Files.createTempDirectory("graft_cj_app").toString
+    CorpusJob.run(spark, dir, out).collect()
+    val beforeChunks = spark.read.parquet(out).count()
+
+    // batch = 10 exact re-sends of standing docs under NEW ids (must die
+    // at the exact stage: their hashes live in the seen state whether or
+    // not the original was admitted) + 20 novel-vocab docs (unique alnum
+    // words → pass quality, share zero shingles with the corpus and the
+    // eval suite, unseen lang → no frozen ppl floor applies)
+    val resent = Tables.documents(spark, dir)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 110 &&
+        col("text").isNotNull)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"))
+    val nResent = resent.count()
+    assert(nResent > 0)
+    val fresh = (0 until 20).map { i =>
+      (2000000L + i, (0 until 60).map(j => s"zq${i}x$j").mkString(" "),
+        "xx", "srcX")
+    }.toDF("doc_id", "text", "lang", "source")
+    val batch1 = resent.unionByName(fresh)
+
+    val a1 = CorpusJob.append(spark, dir, batch1, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a1("0_load") == nResent + 20, s"$a1")
+    // every re-send dies no later than the exact stage; every fresh doc
+    // survives through ppl (novel vocab, floorless lang), so the funnel
+    // narrows exactly at mixture
+    assert(a1("2_exact_dedup") == 20, s"$a1")
+    assert(a1("5_ppl_gate") == 20, s"$a1")
+    val expectedMix = fresh
+      .filter(graft.operators.TextAnalysis.mixKeep).count()
+    assert(expectedMix > 0 && a1("6_mixture") == expectedMix, s"$a1")
+    assert(spark.read.parquet(out)
+      .filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L)
+      .count() == 0, "a re-sent duplicate reached the shards")
+    val afterChunks = spark.read.parquet(out).count()
+    assert(a1("7_chunks_written") > 0 &&
+      afterChunks == beforeChunks + a1("7_chunks_written"))
+
+    // the appended docs serve through the INCREMENTALLY refreshed
+    // sidecar: an id-range read over the fresh band prunes files and
+    // returns exactly the admitted ids
+    val (kept, total) = ZoneMaps.planFiles(spark, out, 2000000L, 2000019L)
+    assert(kept.nonEmpty && kept.size < total,
+      s"append's zone rows did not prune: ${kept.size}/$total")
+    val served = ZoneMaps.readRange(spark, out, "doc_id", 2000000L, 2000019L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val admitted = spark.read.parquet(out)
+      .filter(col("doc_id") >= 2000000L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(admitted.nonEmpty && served == admitted)
+    // manifest equals an exact recompute over the grown shards
+    val manifest = spark.read.parquet(s"$out/_graft_manifest")
+      .collect().map(_.toString).sorted.toSeq
+    val recomputed = spark.read.parquet(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct("doc_id").as("n_docs"),
+        sum(graft.functions.Hashing.h60p(concat_ws("\u0001",
+          col("doc_id"), col("chunk_ix"), md5(col("chunk")))))
+          .as("content_hash"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(manifest == recomputed, "append left a stale manifest")
+
+    // idempotence: the SAME batch again is all seen-hash duplicates
+    val a2 = CorpusJob.append(spark, dir, batch1, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a2("2_exact_dedup") == 0 && a2("7_chunks_written") == 0, s"$a2")
+    assert(spark.read.parquet(out).count() == afterChunks,
+      "an idempotent re-append changed the shards")
+
+    // F21 cross-batch screen: near-variants of the ADMITTED fresh docs
+    // (new hashes — they pass exact) are caught by the band rows the
+    // FIRST append wrote
+    val variants = admitted.toSeq.sorted.map { id =>
+      val i = (id - 2000000L).toInt
+      // only the LAST word mutates: one changed shingle, J ≈ 58/60 —
+      // high enough that every 4-hash band agreeing somewhere is the
+      // overwhelmingly likely (and, being md5-derived, fixed) outcome
+      val words = (0 until 59).map(j => s"zq${i}x$j") :+ s"mut$i"
+      (id + 1000000L, words.mkString(" "), "xx", "srcX")
+    }.toDF("doc_id", "text", "lang", "source")
+    val a3 = CorpusJob.append(spark, dir, variants, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a3("2_exact_dedup") == admitted.size, s"$a3")
+    assert(a3("3_near_dedup") == 0,
+      s"near-dup variants slipped past the standing band index: $a3")
+  }
+
   test("doc-range reads serve through the zone-map sidecar") {
     import org.apache.spark.sql.functions._
     import graft.sources.ZoneMaps
@@ -133,7 +230,7 @@ class CorpusJobSpec extends AnyFunSuite {
     val recomputed = shards
       .groupBy("source")
       .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("d"),
-        sum(graft.functions.Hashing.h60(concat_ws("\u0001",
+        sum(graft.functions.Hashing.h60p(concat_ws("\u0001",
           col("doc_id"), col("chunk_ix"), md5(col("chunk"))))).as("h"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
