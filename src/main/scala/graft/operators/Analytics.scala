@@ -1702,6 +1702,70 @@ object Analytics {
     ORDER BY t.digit"""
   }
 
+  /** E61: single-pass column profiling — the Deequ/Great-Expectations
+    * "profile first" audit every 100 TB ingest runs before trusting a
+    * feed: per column, row count, null count, exact distinct count, and
+    * (for integral columns) min/max. ONE scan computes every statistic:
+    * the non-distinct aggregates ride map-side partials; the exact
+    * multi-column distincts plan through Spark's expand (one input row
+    * fans to one row per distinct-aggregate column, each keyed partial
+    * pre-aggregates before the shuffle), so the pass stays
+    * O(rows × columns) with no per-column rescans. min/max stay BIGINT
+    * (the double column reports counts only — float min/max formatting
+    * is the classic cross-engine parity trap, and a profile's range
+    * check on money belongs on exact cents anyway). */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols: Seq[(String, Boolean)] = Seq(
+      "event_id" -> true, "user_id" -> true, "ts_us" -> true,
+      "event_type" -> false, "value" -> false)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap {
+      case (nm, integral) =>
+        Seq(count(col(nm)).as(s"nn_$nm"),
+          countDistinct(col(nm)).as(s"nd_$nm")) ++
+          (if (integral)
+            Seq(min(col(nm)).cast("long").as(s"mn_$nm"),
+              max(col(nm)).cast("long").as(s"mx_$nm"))
+          else Nil)
+    }
+    ev.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { case (nm, integral) =>
+        struct(lit(nm).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$nm")).as("n_nulls"),
+          col(s"nd_$nm").as("n_distinct"),
+          (if (integral) col(s"mn_$nm") else lit(null).cast("long"))
+            .as("min_long"),
+          (if (integral) col(s"mx_$nm") else lit(null).cast("long"))
+            .as("max_long"))
+      }: _*)).as("p"))
+      .select("p.*")
+      // a zero-row table's profile carries no information — emit nothing,
+      // honoring the registry-wide empty-input contract (count == 0)
+      .filter(col("n_rows") > 0)
+      .orderBy("col_name")
+  }
+
+  val qProfileSql: String = {
+    def leg(nm: String, integral: Boolean): String = {
+      val mn = if (integral) s"CAST(MIN($nm) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      val mx = if (integral) s"CAST(MAX($nm) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      s"""SELECT '$nm' AS col_name, COUNT(*) AS n_rows,
+        COUNT(*) - COUNT($nm) AS n_nulls,
+        CAST(COUNT(DISTINCT $nm) AS BIGINT) AS n_distinct,
+        $mn AS min_long, $mx AS max_long FROM ev HAVING COUNT(*) > 0"""
+    }
+    s"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM events)
+    ${Seq("event_id" -> true, "user_id" -> true, "ts_us" -> true,
+      "event_type" -> false, "value" -> false)
+      .map { case (nm, i) => leg(nm, i) }.mkString("\n    UNION ALL\n    ")}
+    ORDER BY col_name"""
+  }
+
   /** E40: PageRank — 3 power iterations over the customer↔supplier
     * graph (distinct trading pairs from orders⋈lineitem, both
     * directions so the walk has no dangling sinks), damping 0.85. The
@@ -1784,6 +1848,7 @@ object Analytics {
     "q_zorder"     -> (qZorder _),
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_benford" -> (qBenford _),
+    "q_profile" -> (qProfile _),
     "q_set_ops"    -> (qSetOps _),
     "q_full_outer" -> (qFullOuter _),
     "q_recursive"  -> (qRecursive _),
@@ -1827,6 +1892,7 @@ object Analytics {
     "q_zorder"     -> qZorderSql,
     "q_anomaly_mad" -> qAnomalyMadSql,
     "q_benford" -> qBenfordSql,
+    "q_profile" -> qProfileSql,
     "q_set_ops"    -> qSetOpsSql,
     "q_full_outer" -> qFullOuterSql,
     "q_recursive"  -> qRecursiveSql,

@@ -45,12 +45,17 @@ class PlanAuditSpec extends AnyFunSuite {
   // denominator over the ≤domain-universe stats table), the 5-row
   // priority window (q_top_movers), text_pack's bucket-count offset pass,
   // q_decile_lift's cumulative windows over its 10-row decile table,
-  // q_benford's total attach over its 9-row digit table.
+  // q_benford's total attach over its 9-row digit table, q_profile's
+  // global-aggregate merge (each task emits ONE partial row — and the
+  // exact-distinct columns pre-aggregate per key through Spark's expand
+  // before the final merge — so the funnel input is O(tasks), never
+  // data-sized).
   private val allowedSinglePartition = Set(
     "q_attribution", "text_collocations", "text_source_weights",
     "q_top_movers", "text_pack", "ann_tune", "ann_hybrid", "q_rfm",
     "q_market_basket", "dedup_lsh_tune", "q_ab_test", "q_triangles",
-    "text_domain_gate", "q_decile_lift", "q_decay_score", "q_benford")
+    "text_domain_gate", "q_decile_lift", "q_decay_score", "q_benford",
+    "q_profile")
 
   /** SinglePartition exchanges whose child is a partial SKETCH aggregate
     * are a bounded merge, not a data-sized funnel: each mapper emits one
