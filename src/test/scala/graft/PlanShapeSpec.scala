@@ -98,6 +98,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("graft_dot_l"), s"exact re-rank kernel missing:\n$plan")
   }
 
+  test("q_profile computes every statistic from ONE events scan") {
+    // the profile's whole point is no per-column rescans: the plain
+    // aggregates and the multi-column exact distincts (Spark's Expand)
+    // must all hang off a single parquet scan
+    val plan = executedPlan(SparkEntry.queries("q_profile")(spark, sf))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"q_profile reads the table $scans times:\n$plan")
+    assert(finalSection.contains("Expand"),
+      s"multi-distinct lost its expand plan:\n$plan")
+  }
+
   test("grouping sets expands into a single exchange") {
     val plan = executedPlan(SparkEntry.queries("q_grouping_sets")(spark, sf))
       .split("== Initial Plan ==")(0) // count the AQE final plan only
