@@ -435,6 +435,43 @@ object Streams {
       psi.as("psi"), (psi > lit(threshold)).as("drifted"))
   }
 
+  /** F28: streaming Benford monitor — E60's first-digit forensic audit
+    * as a live tripwire on a money/measure stream: per tumbling window,
+    * the leading-digit histogram of the exact cents against the Benford
+    * expectation, flagged when any digit's |observed − expected| ppm
+    * clears the threshold. The fraud/feed-corruption pager: a partner
+    * feed that starts fabricating, truncating, or unit-mixing amounts
+    * bends the first-digit law long before totals look wrong.
+    *
+    * Same legality shape as F18: ONE watermarked windowed aggregation
+    * whose state is ten longs per open window (9 digit counts + a
+    * total) regardless of stream volume; the expected-ppm constants are
+    * the SAME Scala-computed literals E60 plants in both engines (no
+    * runtime log10); deviations are stateless integer column math over
+    * the aggregate. */
+  def benfordMonitor(events: DataFrame,
+      thresholdPpm: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val expPpm = (1 to 9).map(d =>
+      math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong)
+    val cents = (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val digitCounts = (1 to 9).map(d =>
+      sum(when(col("digit") === d, 1L).otherwise(0L)).as(s"n_$d"))
+    val agg = events
+      .select(col("ts"), digit.as("digit"))
+      .filter(col("digit").isNotNull) // null amounts carry no digit
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(digitCounts.head,
+        digitCounts.tail :+ count(lit(1)).as("n_rows"): _*)
+    val maxDev = greatest((1 to 9).map(d =>
+      abs(expr(s"n_$d * 1000000 div n_rows") - lit(expPpm(d - 1)))): _*)
+    agg.select(col("window.start").as("window_start"), col("n_rows"),
+      maxDev.as("max_dev_ppm"),
+      (maxDev > lit(thresholdPpm)).as("flagged"))
+  }
+
   /** F22: streaming funnel-overlap monitor — per tumbling window, KMV
     * sketches (G29 `graft_kmv`) of the distinct CLICKING and PURCHASING
     * user sets as two conditional aggregates in ONE watermarked windowed

@@ -403,6 +403,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(psiJ > 10 * psiS, s"separation too weak: $psiS vs $psiJ")
   }
 
+  test("F28: Benford monitor passes a conforming window, flags a fabricated one") {
+    // window 0: 100 amounts whose leading digits follow Benford's law
+    // (30/18/12/10/8/7/6/5/4) — hand-computed max deviation 5757 ppm
+    // (digit 9: 40000 observed vs 45757 expected); window 1: twenty
+    // amounts all leading-digit 5, the fabricated-feed shape — digit 5
+    // reads 1e6 ppm vs 79181 expected, deviation 920819
+    val benford = Seq(30, 18, 12, 10, 8, 7, 6, 5, 4)
+    val wGood = benford.zipWithIndex.flatMap { case (n, ix) =>
+      (0 until n).map(k =>
+        StreamEvent((ix * 100 + k).toLong, ts(2), 1L, "purchase",
+          (ix + 1).toDouble))
+    }
+    val wBad = (1 to 20).map(i =>
+      StreamEvent(1000L + i, ts(12), 1L, "purchase", 5.0))
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(wGood ++ wBad: _*)
+    val rows = runToCompletion(
+      Streams.benfordMonitor(input.toDF()), OutputMode.Complete)
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val (nG, devG, flagG) = rows("2024-01-01 00:00:00.0")
+    val (nB, devB, flagB) = rows("2024-01-01 00:10:00.0")
+    assert(nG == 100L && nB == 20L)
+    assert(devG == 5757L && !flagG,
+      s"conforming window misread: dev=$devG flagged=$flagG")
+    assert(devB == 920819L && flagB,
+      s"fabricated window not flagged: dev=$devB flagged=$flagB")
+  }
+
   test("F17: streaming HLL cardinality monitor merges across micro-batches, matches batch") {
     // users 10..19 in window 0, split across two micro-batches with an
     // overlapping user — the aggregate's merge path must fold the second
