@@ -237,7 +237,13 @@ object CorpusJob {
     * band index gains the ADMITTED docs' rows (F21: later batches screen
     * against earlier admissions). Each batch is one bounded job whose
     * cost tracks the batch, not the corpus — the lakehouse-ingest
-    * spelling of the F14–F23 streaming admission stack.
+    * spelling of the F14–F23 streaming admission stack. Measured flat
+    * across a 100× standing-corpus span (bench/append_r9.json), with
+    * the honest residual couplings named there; the largest is the
+    * frozen-LM join, which READS the standing bigram table per append
+    * (the batch side broadcasts, so it is a scan, not a shuffle — on a
+    * real web-scale LM you would bucket the table on `bigram` or keep a
+    * count-min twin so the scan prunes too).
     *
     * Returns the same (stage, n) audit shape as [[run]]; counts here are
     * plain counts over checkpointed batch-sized steps (the Observation
