@@ -147,4 +147,34 @@ object SkewCorpus {
     println(s"""{"skew_corpus":"$dst","src":"$src"}""")
     spark.stop()
   }
+
+  /** Anisotropic embedding twin (r10): every table copied through, but
+    * the embedding SPACE gets the energy profile real text/image
+    * embeddings have — per-dim variance decaying exponentially with the
+    * dim index (`decay`^d), i.e. energy front-loaded into the leading
+    * dims the way an MRL-trained or PCA-rotated model lands it. The
+    * synthetic embeddings are isotropic by construction (measured
+    * subspace energies 0.121–0.130), which makes B22's OPQ permutation a
+    * no-op and flattens B20's MRL budget curve — this twin is where
+    * those claims become testable: under identity subspace order, one PQ
+    * subspace hoards the energy and ADC distortion concentrates there;
+    * the energy-balancing permutation spreads it, and an MRL prefix
+    * actually carries most of the signal. ALL vectors scale — queries
+    * too: anisotropy is a property of the space, not of individual rows,
+    * so the protected-probe convention does not apply (the twin asks a
+    * different, sharper question of the same serving code). */
+  def writeAniso(spark: SparkSession, src: String, dst: String,
+      decay: Double = 0.7): Unit = {
+    def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents"))
+      load(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    load("embeddings")
+      .withColumn("embedding",
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (v, d) => v * pow(lit(decay), d.cast("double"))))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+  }
 }

@@ -1671,6 +1671,13 @@ object Analytics {
     val cents = (col("l_extendedprice").cast(DecimalType(12, 2)) * 100)
       .cast("long")
     Tables.lineitem(s, dir)
+      // Benford is defined on positive magnitudes: a zero amount has no
+      // leading significant digit (digit 0 would make the expected-ppm
+      // lookup throw) and a negative's leading character is the sign,
+      // which the ANSI string→long cast rejects. Gate BEFORE deriving
+      // the digit — in BOTH engines, not via the oracle's digit join
+      // silently dropping the rows.
+      .filter(cents > 0)
       .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_rows"))
       .withColumn("total", sum("n_rows").over(Window.partitionBy()))
@@ -1690,7 +1697,8 @@ object Analytics {
     WITH d AS (
       SELECT CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
         AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
-      FROM lineitem),
+      FROM lineitem
+      WHERE CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) > 0),
     g AS (SELECT digit, COUNT(*) AS n_rows FROM d GROUP BY digit),
     t AS (SELECT digit, n_rows, SUM(n_rows) OVER () AS total FROM g),
     e AS (SELECT * FROM (VALUES $expRows) e(digit, exp_ppm))

@@ -1620,22 +1620,34 @@ object Dedup {
     * `dir` exactly as [[dedupContamination]] does; shared with
     * [[graft.CorpusJob]]'s incremental append, which decontaminates each
     * new batch against the same standing eval suite. */
-  private[graft] def contaminationPairs(s: SparkSession, dir: String,
-      probe: DataFrame): DataFrame = {
-    import s.implicits._
+  /** The eval-suite side of C7 as data: (bench_id, shingle set) rows,
+    * derived from the corpus dir's benchmark docs. [[contaminationPairs]]
+    * consumes it directly; CorpusJob.run freezes it as a state sidecar so
+    * G40 appends decontaminate against the SAME suite with no corpus-dir
+    * dependence (the suite is the contract, not the dir it came from). */
+  private[graft] def benchShingleSets(s: SparkSession, dir: String)
+      : Seq[(Long, Seq[Long])] = {
     val benchMax = s.conf.getOption("graft.contam.benchMaxDocId")
       .map(_.toLong).getOrElse(20L)
-    val docs = Tables.documents(s, dir)
+    // NULL-text bench docs have no shingles and cannot contaminate
+    Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text")).as("shs"))
-    // NULL-text bench docs have no shingles and cannot contaminate
-    val benchSets: Seq[(Long, Seq[Long])] = docs
       .filter(col("doc_id") < benchMax && col("shs").isNotNull)
-      .select(col("doc_id"), col("shs"))
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
       .sortBy(_._1)
+  }
+
+  private[graft] def contaminationPairs(s: SparkSession, dir: String,
+      probe: DataFrame): DataFrame =
+    contaminationAgainst(s, benchShingleSets(s, dir), probe)
+
+  /** C7's probe against an explicit (frozen) eval suite. */
+  private[graft] def contaminationAgainst(s: SparkSession,
+      benchSets: Seq[(Long, Seq[Long])], probe: DataFrame): DataFrame = {
+    import s.implicits._
     val union: Array[Long] =
       benchSets.flatMap(_._2).distinct.sorted.toArray
     val maxLiteral = s.conf.getOption("graft.contam.maxLiteralShingles")

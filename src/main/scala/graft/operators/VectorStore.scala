@@ -147,14 +147,22 @@ object VectorStore {
         spark.sparkContext.hadoopConfiguration)
       // the OPQ permutation freezes FIRST: the codebook's subspaces are
       // defined over the permuted layout, so perm reuse gates like the
-      // codebook's (append → frozen; creation → trained on this batch)
-      val reusePerm = mode == "append" &&
-        fs.exists(new org.apache.hadoop.fs.Path(permPath))
-      val perm: Seq[Int] =
-        if (reusePerm) readPerm(spark, indexDir).get
-        else trainPerm(embedded)
+      // codebook's (append → frozen; creation → trained on this batch).
+      // A store whose codebook predates the perm sidecar was coded over
+      // the IDENTITY layout — appending to it must keep that layout (and
+      // must NOT write a sidecar): training a fresh permutation here
+      // would encode the batch against subspaces the frozen codebook
+      // never saw and then permute every future query, corrupting ADC
+      // distances for all previously-ingested rows.
       val reuse = mode == "append" &&
         fs.exists(new org.apache.hadoop.fs.Path(cbPath))
+      val reusePerm = mode == "append" &&
+        fs.exists(new org.apache.hadoop.fs.Path(permPath))
+      val legacyIdentity = reuse && !reusePerm
+      val perm: Seq[Int] =
+        if (reusePerm) readPerm(spark, indexDir).get
+        else if (legacyIdentity) 0 until Dim
+        else trainPerm(embedded)
       val codebook = if (reuse) {
         // materialize NOW: the lazy plan must not race a sidecar rewrite
         spark.read.parquet(cbPath).localCheckpoint(true)
@@ -209,7 +217,7 @@ object VectorStore {
       graft.sources.ZoneMaps.appendSidecar(spark, indexDir, "batch_tag")
       if (!reuse)
         codebook.coalesce(1).write.mode("overwrite").parquet(cbPath)
-      if (!reusePerm) {
+      if (!reusePerm && !legacyIdentity) {
         import spark.implicits._
         perm.zipWithIndex.map { case (src, p) => (p, src) }.toDF("p", "src")
           .coalesce(1).write.mode("overwrite").parquet(permPath)
@@ -768,7 +776,31 @@ object VectorStore {
     val edges = topEdges(spark, nodes, cand, degree)
     edges.write.mode("overwrite").partitionBy("sbucket")
       .parquet(s"$indexDir/$GraphDir/edges.parquet")
+    // the build degree is part of the sidecar's identity: the splice
+    // merge lemma top-d(old∪new) = top-d(top-d(old)∪new) only holds for
+    // d ≤ build degree, so [[spliceGraph]] reads this back and refuses
+    // a wider splice instead of silently diverging from a rebuild
+    import spark.implicits._
+    Seq(degree).toDF("degree").coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/$GraphDir/$DegreeFile")
     spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet").count()
+  }
+
+  private val DegreeFile = "degree.parquet"
+
+  /** The degree [[buildGraph]] built the edge sidecar with: the degree
+    * sidecar if present, else (legacy sidecar) the max stored per-src
+    * list length — a lower bound that is exact whenever any bucket has
+    * ≥ degree+1 members, and conservative (smaller) otherwise. */
+  private def storedDegree(spark: SparkSession, indexDir: String): Int = {
+    val p = s"$indexDir/$GraphDir/$DegreeFile"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+      spark.read.parquet(p).head().getInt(0)
+    else spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet")
+      .groupBy("src_doc", "src_ix").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0).toInt
   }
 
   /** Shared scoring tail of [[buildGraph]] and [[spliceGraph]]: attach
@@ -819,6 +851,14 @@ object VectorStore {
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new org.apache.hadoop.fs.Path(edgePath)),
       s"spliceGraph needs an existing buildGraph sidecar at $edgePath")
+    // bit-equal-to-rebuild relies on each stored list being the src's
+    // true top-`degree`; splicing WIDER than the build degree would ask
+    // the merge for old peers the sidecar never stored — refuse.
+    val built = storedDegree(spark, indexDir)
+    require(degree <= built,
+      s"spliceGraph degree=$degree exceeds the sidecar's build degree " +
+        s"$built — top-d(old∪new)=top-d(top-d(old)∪new) only holds for " +
+        "d <= build degree; rebuild with buildGraph(degree) instead")
     spark.catalog.refreshByPath(indexDir)
     val nodes = spark.read.parquet(indexDir)
       .select(struct(col("doc_id"), col("chunk_ix")).as("nid"),

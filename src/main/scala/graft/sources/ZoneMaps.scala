@@ -144,6 +144,48 @@ object ZoneMaps {
     (keep.map(_.getString(0)).toSeq, zm.length)
   }
 
+  /** Key-SET pruning (r10): the files whose [zmin, zmax] zone contains at
+    * least one of `keys` — the point-lookup sibling of [[planFiles]]'s
+    * single interval, for probe-style reads (a batch's bigram hashes
+    * against a standing LM table, a CDC batch's keys against a snapshot).
+    * The zones broadcast (O(files) rows); the interval join's output is
+    * bounded by |keys| when the layout is range-clustered (disjoint
+    * zones ⇒ ≤ 1 file per key), so the matched-file list — never the key
+    * set — lands on the driver. On a range-clustered layout the kept
+    * file count is ≤ min(files, distinct keys): a bounded probe stays
+    * bounded no matter how large the standing table grows, which is the
+    * difference between an incremental job's cost tracking its batch and
+    * tracking the corpus. Returns (kept files, total mapped files). */
+  def planFilesForKeys(spark: SparkSession, path: String,
+      keys: DataFrame): (Seq[String], Int) = {
+    spark.catalog.refreshByPath(zonemapDir(path))
+    val zmDf = spark.read.parquet(zonemapDir(path))
+      .select("file", "zmin", "zmax")
+    require(zmDf.schema("zmin").dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"zone map at $path is keyed by ${zmDf.schema("zmin").dataType.sql}, " +
+        "not BIGINT — planFilesForKeys serves long keys only")
+    val total = zmDf.count().toInt
+    val k = keys.toDF("k").distinct()
+    val kept = k
+      .join(broadcast(zmDf),
+        col("k") >= col("zmin") && col("k") <= col("zmax"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** Probe read served through the zone map: only files whose zone holds
+    * at least one key reach the parquet reader. The caller's own
+    * equi-join supplies the residual row filter (zones admit whole
+    * files). An empty kept list reads nothing but keeps the schema. */
+  def readForKeys(spark: SparkSession, path: String,
+      keys: DataFrame): DataFrame = {
+    val (files, _) = planFilesForKeys(spark, path, keys)
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.option("basePath", path).parquet(files: _*)
+  }
+
   /** Range scan served through the zone map: only overlapping files are
     * handed to the parquet reader; the residual row filter still applies
     * (zones admit whole files, rows inside still need the predicate). */

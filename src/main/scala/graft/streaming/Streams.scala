@@ -459,8 +459,13 @@ object Streams {
     val digitCounts = (1 to 9).map(d =>
       sum(when(col("digit") === d, 1L).otherwise(0L)).as(s"n_$d"))
     val agg = events
+      // Benford is defined on positive magnitudes: a null amount carries
+      // no digit, a zero amount's digit 0 has no n_* bucket (it would
+      // inflate n_rows and deflate every observed ppm), and a negative's
+      // leading character is the sign, which the ANSI string→int cast
+      // rejects. Gate BEFORE deriving the digit, matching E60.
+      .filter(cents > 0)
       .select(col("ts"), digit.as("digit"))
-      .filter(col("digit").isNotNull) // null amounts carry no digit
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "10 minutes"))
       .agg(digitCounts.head,

@@ -76,7 +76,7 @@ class CorpusJobSpec extends AnyFunSuite {
     }.toDF("doc_id", "text", "lang", "source")
     val batch1 = resent.unionByName(fresh)
 
-    val a1 = CorpusJob.append(spark, dir, batch1, out)
+    val a1 = CorpusJob.append(spark, batch1, out)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a1("0_load") == nResent + 20, s"$a1")
     // every re-send dies no later than the exact stage; every fresh doc
@@ -120,7 +120,7 @@ class CorpusJobSpec extends AnyFunSuite {
     assert(manifest == recomputed, "append left a stale manifest")
 
     // idempotence: the SAME batch again is all seen-hash duplicates
-    val a2 = CorpusJob.append(spark, dir, batch1, out)
+    val a2 = CorpusJob.append(spark, batch1, out)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a2("2_exact_dedup") == 0 && a2("7_chunks_written") == 0, s"$a2")
     assert(spark.read.parquet(out).count() == afterChunks,
@@ -137,11 +137,110 @@ class CorpusJobSpec extends AnyFunSuite {
       val words = (0 until 59).map(j => s"zq${i}x$j") :+ s"mut$i"
       (id + 1000000L, words.mkString(" "), "xx", "srcX")
     }.toDF("doc_id", "text", "lang", "source")
-    val a3 = CorpusJob.append(spark, dir, variants, out)
+    val a3 = CorpusJob.append(spark, variants, out)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a3("2_exact_dedup") == admitted.size, s"$a3")
     assert(a3("3_near_dedup") == 0,
       s"near-dup variants slipped past the standing band index: $a3")
+  }
+
+  test("append's frozen-LM gate prunes to the batch's bigram files and " +
+      "matches the full scan") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.ZoneMaps
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    // force many small LM files so the bounded-probe shape is visible at
+    // test scale (production sizing comes from graft.corpus.lmRowsPerFile)
+    spark.conf.set("graft.corpus.lmRowsPerFile", "64")
+    val (out, outLegacy) = try {
+      val a = java.nio.file.Files.createTempDirectory("graft_cj_lm").toString
+      val b = java.nio.file.Files.createTempDirectory("graft_cj_lm2").toString
+      CorpusJob.run(spark, dir, a).collect()
+      CorpusJob.run(spark, dir, b).collect()
+      (a, b)
+    } finally spark.conf.unset("graft.corpus.lmRowsPerFile")
+    val lmPath = s"$out/_graft_state/lm.parquet"
+
+    // the pruning decision is bounded by the batch's OWN vocabulary:
+    // a 4-word batch (3 bigrams) touches at most 3 of the many LM files
+    val tiny = Seq("alpha beta gamma delta").toDF("text")
+      .select(explode(call_function("graft_word_bigrams", col("text")))
+        .as("bigram"))
+    val keys = tiny.select(graft.functions.Hashing.h60(col("bigram")))
+    val (kept, total) = ZoneMaps.planFilesForKeys(spark, lmPath, keys)
+    assert(total > 8, s"LM landed in only $total files — sizing knob inert")
+    assert(kept.size <= 3 && kept.size < total,
+      s"probe not bounded by batch vocabulary: ${kept.size}/$total files")
+
+    // the pruned probe loses NO matching row: for bigrams that exist in
+    // the standing LM, pruned and full scans agree count-for-count
+    val someLm = spark.read.parquet(lmPath).select("bigram", "cnt")
+      .orderBy("bigram").limit(5)
+    val probeKeys = someLm.select(graft.functions.Hashing.h60(col("bigram")))
+    val prunedHits = ZoneMaps.readForKeys(spark, lmPath, probeKeys)
+      .join(someLm.select("bigram"), "bigram")
+      .select("bigram", "cnt").collect().map(_.toString).sorted.toSeq
+    assert(prunedHits == someLm.collect().map(_.toString).sorted.toSeq,
+      "zone pruning dropped a matching LM row")
+
+    // end-to-end: the same batch appended against a pruning state and a
+    // legacy (sidecar-less, full-scan) state produces identical audits
+    // and identical shards — the prune is a pure scan optimization
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$outLegacy/_graft_state/lm.parquet/_graft_zonemap"), true))
+    def batch = (0 until 12).map { i =>
+      (3000000L + i, (0 until 60).map(j => s"lmp${i}w$j").mkString(" "),
+        "xx", "srcX")
+    }.toDF("doc_id", "text", "lang", "source")
+    val aPruned = CorpusJob.append(spark, batch, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    val aLegacy = CorpusJob.append(spark, batch, outLegacy)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(aPruned == aLegacy,
+      s"pruned vs full-scan LM gate diverged: $aPruned vs $aLegacy")
+    def shardRows(p: String) = spark.read.parquet(p)
+      .filter(col("doc_id") >= 3000000L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(shardRows(out) == shardRows(outLegacy),
+      "pruned LM gate admitted different docs than the full scan")
+  }
+
+  test("append decontaminates against the frozen eval-suite sidecar") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Tables
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.1"
+    val out = java.nio.file.Files.createTempDirectory("graft_cj_ev").toString
+    CorpusJob.run(spark, dir, out).collect()
+    // the sidecar run() froze IS the suite a fresh derivation produces
+    val sidecar = spark.read.parquet(s"$out/_graft_state/eval.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val derived = graft.operators.Dedup.benchShingleSets(spark, dir)
+    assert(sidecar == derived,
+      "frozen eval sidecar diverged from a fresh derivation")
+    // behavioral: a batch doc carrying a 25-word run of a bench doc
+    // (>= 24 shared shingles, new hash, low overall Jaccard) dies at the
+    // DECONTAM stage — proving append probes the sidecar with no corpus
+    // dir in sight (its signature no longer takes one)
+    val benchWords = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20 && col("text").isNotNull)
+      .orderBy("doc_id").select("text").collect()
+      .map(_.getString(0).split("\\s+").toSeq).find(_.size >= 25).get
+    val leaked = (benchWords.take(25) ++
+      (0 until 60).map(j => s"evq$j")).mkString(" ")
+    val clean = (0 until 60).map(j => s"evclean$j").mkString(" ")
+    val batch = Seq((4000000L, leaked, "xx", "srcX"),
+      (4000001L, clean, "xx", "srcX"))
+      .toDF("doc_id", "text", "lang", "source")
+    val a = CorpusJob.append(spark, batch, out)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("3_near_dedup") == 2,
+      s"the leaked doc died before decontamination: $a")
+    assert(a("4_decontam") == 1,
+      s"the bench-contaminated doc slipped the frozen suite: $a")
   }
 
   test("doc-range reads serve through the zone-map sidecar") {

@@ -42,4 +42,22 @@ class NullInputSpec extends AnyFunSuite {
       SparkEntry.queries(name)(spark, dirWithNulls).count() // must not throw
     }
   }
+
+  test("q_benford excludes zero and negative amounts instead of throwing") {
+    // Benford has no leading significant digit for non-positive values:
+    // a zero yields digit 0 (element_at(expected, 0) throws under ANSI)
+    // and a negative yields the sign character → null digit. Both must
+    // be gated out, not crash the scan or skew the ppm denominators.
+    val dir = Files.createTempDirectory("graft_benford").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val junk = li.limit(2).withColumn("l_extendedprice", lit(0.0))
+      .union(li.limit(2).withColumn("l_extendedprice", lit(-123.45)))
+    li.union(junk).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q_benford")(spark, dir).collect()
+    assert(out.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 9),
+      "a non-significant digit row leaked through")
+    val positives = li.filter(col("l_extendedprice") > 0).count()
+    assert(out.map(_.getLong(1)).sum == positives,
+      "non-positive amounts entered the digit histogram")
+  }
 }

@@ -432,6 +432,29 @@ class StreamingSpec extends AnyFunSuite {
       s"fabricated window not flagged: dev=$devB flagged=$flagB")
   }
 
+  test("F28: zero and negative amounts carry no leading digit and are excluded") {
+    // Benford is defined on positive magnitudes: a zero amount's digit 0
+    // must not inflate n_rows (deflating every observed ppm), and a
+    // negative amount's sign character must not sneak in as null
+    val ones = (1 to 10).map(i =>
+      StreamEvent(i.toLong, ts(2), 1L, "purchase", 1.0))
+    val junk = Seq(
+      StreamEvent(100L, ts(2), 1L, "purchase", 0.0),
+      StreamEvent(101L, ts(2), 1L, "purchase", -3.5),
+      StreamEvent(102L, ts(2), 1L, "purchase", -0.01))
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(ones ++ junk: _*)
+    val rows = runToCompletion(
+      Streams.benfordMonitor(input.toDF()), OutputMode.Complete)
+    assert(rows.length == 1)
+    val r = rows.head
+    // 10 positive rows, all digit 1: obs 1e6 ppm vs 301030 expected
+    assert(r.getLong(1) == 10L,
+      s"n_rows=${r.getLong(1)} — non-positive amounts were counted")
+    assert(r.getLong(2) == 1000000L - 301030L && r.getBoolean(3),
+      s"dev=${r.getLong(2)} flagged=${r.getBoolean(3)}")
+  }
+
   test("F17: streaming HLL cardinality monitor merges across micro-batches, matches batch") {
     // users 10..19 in window 0, split across two micro-batches with an
     // overlapping user — the aggregate's merge path must fold the second

@@ -321,6 +321,52 @@ class VectorStoreSpec extends AnyFunSuite {
       s"appended chunk lost under the frozen perm: ${hits.head}")
   }
 
+  test("legacy store (codebook, no perm sidecar): append stays identity-coded, " +
+      "writes no sidecar") {
+    // a store written before the perm sidecar existed is identity-coded
+    // end to end; an append that trained a fresh permutation would cut
+    // the batch's codes along subspaces the frozen codebook never saw
+    // AND start permuting queries, corrupting ADC for all legacy rows
+    val dir = Files.createTempDirectory("graft_vs_leg").toString + "/index"
+    val first = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+      .select("doc_id", "text")
+    assert(VectorStore.ingest(first, dir) > 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val permPath = new org.apache.hadoop.fs.Path(s"$dir/_graft_pq/perm.parquet")
+    assert(fs.delete(permPath, true)) // simulate the pre-perm store
+    val second = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 40 && col("doc_id") < 60)
+      .select("doc_id", "text")
+    assert(VectorStore.ingest(second, dir, mode = "append") > 0)
+    // 1) no sidecar appeared: the store keeps serving identity-permuted
+    assert(!fs.exists(permPath),
+      "append to a pre-perm store wrote a perm sidecar")
+    // 2) the appended codes are cut along the IDENTITY layout against
+    //    the frozen codebook — recompute one chunk's codes in-test
+    spark.catalog.refreshByPath(dir)
+    val row = spark.read.parquet(dir).filter(col("doc_id") >= 40)
+      .orderBy("doc_id", "chunk_ix")
+      .select("raw", "codes", "chunk").limit(1).collect().head
+    val raw = row.getSeq[Long](0)
+    val cb = spark.read.parquet(s"$dir/_graft_pq/codebook.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+    val expected = (0 until VectorStore.PqM).map { m =>
+      val sub = raw.slice(m * VectorStore.PqSubDim, (m + 1) * VectorStore.PqSubDim)
+      cb.filter(_._2 == m).map { case (j, _, cent) =>
+        (sub.zip(cent).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }.min._2
+    }
+    assert(row.getSeq[Int](1) == expected,
+      s"appended codes not identity-coded: got ${row.getSeq[Int](1)}, " +
+        s"identity encoding is $expected")
+    // 3) the appended chunk self-hits through the compressed path
+    val hits = VectorStore.searchCompressed(spark, dir,
+      row.getString(2), k = 3).collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") >= 40L,
+      s"appended chunk lost on the legacy identity path: ${hits.headOption}")
+  }
+
   test("time-axis zone maps: tag-range serve prunes to the matching batches' files") {
     import graft.sources.ZoneMaps
     val dir = Files.createTempDirectory("graft_vs_tag").toString + "/index"
