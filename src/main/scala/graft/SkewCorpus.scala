@@ -164,7 +164,7 @@ object SkewCorpus {
     * so the protected-probe convention does not apply (the twin asks a
     * different, sharper question of the same serving code). */
   def writeAniso(spark: SparkSession, src: String, dst: String,
-      decay: Double = 0.7): Unit = {
+      decay: Double = 0.85): Unit = {
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents"))

@@ -1559,6 +1559,190 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** B23: OPQ inside IVF-PQ — the composition where OPQ pays in real
+    * IVFPQ deployments (FAISS's OPQ pre-transform): each IVF cell trains
+    * its OWN energy-balancing permutation over its members' per-dim
+    * exact energies (the B22 rank + snake deal, per cell) and codes
+    * against a CELL-LOCAL codebook, because after coarse quantization
+    * the residual energy profile differs cell to cell — a global
+    * rotation can't balance all of them at once. Everything is data, not
+    * driver literals: the permutation is a (label, d) → (m, sd) table
+    * (cells × Dim rows, broadcast), the codebook is (label, j, m, sd)
+    * rows, so the plan is pure equi-joins and the DuckDB oracle
+    * re-derives the per-cell training in SQL (window rank per label) —
+    * the training is oracle-checked, not just the coding.
+    *
+    * Scale: perm + codebook are O(cells · Dim · K) broadcastable
+    * sidecars; encode is the standard O(members · Dim · K) PQ pass keyed
+    * on (label, m, sd); serving touches only probed cells' members and
+    * the query-side distance table is O(q · nprobe · M · K), broadcast.
+    * Measured vs the global-codebook B8 (bench/aniso_r10.json, the B13
+    * rung table): +0.04 recall on the isotropic corpus, but a TIE on the
+    * decay-0.85 anisotropic twin and a loss at decay 0.7 — an honest
+    * null: with cells this small, a 16-sample cell-local codebook's
+    * variance eats what the local rotation buys (global OPQ, B22, is
+    * where the aniso uplift shows: +0.10 vs global PQ). Per-cell OPQ
+    * needs cells big enough to train on; this operator is the correct
+    * SHAPE for that regime, and the rung table says so rather than
+    * implying an uplift the test corpus cannot show. */
+  def annIvfPqOpq(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("label"),
+        posexplode(q4vec(col("embedding"))))
+      .select(col("vec_id"), col("label"), col("pos").as("d"),
+        col("col").as("x"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    // per-cell per-dim exact energy n·Σx²−(Σx)² → rank within the cell →
+    // snake deal: the same training rule as B22, one permutation PER CELL
+    val wRank = Window.partitionBy("label")
+      .orderBy(col("energy").desc, col("d"))
+    val perm = members.groupBy("label", "d")
+      .agg((count(lit(1)) * sum(col("x") * col("x"))
+        - sum("x") * sum("x")).as("energy"))
+      .withColumn("r", row_number().over(wRank) - 1)
+      .select(col("label"), col("d"),
+        when(expr(s"(r div $PqM) % 2") === 0, col("r") % PqM)
+          .otherwise(lit(PqM - 1) - col("r") % PqM).as("m"),
+        expr(s"r div $PqM").as("sd"))
+    val memberSub = members.join(broadcast(perm), Seq("label", "d"))
+      .select(col("vec_id"), col("label"), col("m"), col("sd"), col("x"))
+    // cell-local codebook: the PqK lowest member ids of each cell (the
+    // same deterministic sampling rule as the global B7 codebook)
+    val wJ = Window.partitionBy("label").orderBy("vec_id")
+    val cbIds = members.select("vec_id", "label").distinct()
+      .withColumn("j", row_number().over(wJ) - 1)
+      .filter(col("j") < PqK)
+    val codebook = memberSub
+      .join(broadcast(cbIds), Seq("vec_id", "label"))
+      .select(col("label"), col("j"), col("m"), col("sd"),
+        col("x").as("cx"))
+      .localCheckpoint(true)
+    val codes = memberSub.join(broadcast(codebook), Seq("label", "m", "sd"))
+      .groupBy(col("vec_id"), col("label"), col("m"), col("j"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+      .groupBy("vec_id", "label", "m")
+      .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+    // query side: each probed (query, cell) pair permutes the query
+    // along THAT cell's permutation and tables distances to its codebook
+    val probed = ivfProbed(s, dir).select("query_id", "label")
+    val qdims = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        posexplode(q4vec(col("embedding"))))
+      .select(col("query_id"), col("pos").as("d"), col("col").as("qx"))
+    val dtab = qdims.join(broadcast(probed), Seq("query_id"))
+      .join(broadcast(perm), Seq("label", "d"))
+      .join(broadcast(codebook), Seq("label", "m", "sd"))
+      .groupBy(col("query_id"), col("label"), col("m"), col("j"))
+      .agg(sum((col("qx") - col("cx")) * (col("qx") - col("cx")))
+        .as("qdist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    codes.join(broadcast(probed), Seq("label"))
+      .join(broadcast(dtab),
+        Seq("query_id", "label", "m"))
+      .filter(col("code") === col("j"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("qdist").as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle: per-cell permutation training (window rank per label +
+    * snake deal), cell-local codebooks, coarse probing, and ADC all
+    * re-derived in SQL. */
+  val annIvfPqOpqSql: String = s"""
+    WITH e4 AS (
+      SELECT vec_id, label, CAST(d.range AS INT) AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    cellstat AS (
+      SELECT label, d,
+        CAST(COUNT(*) AS BIGINT) * CAST(SUM(x * x) AS BIGINT)
+          - CAST(SUM(x) AS BIGINT) * CAST(SUM(x) AS BIGINT) AS energy
+      FROM e4 WHERE vec_id >= 10 GROUP BY label, d),
+    cellperm AS (
+      SELECT label, d,
+        CASE WHEN (r // $PqM) % 2 = 0 THEN r % $PqM
+             ELSE $PqM - 1 - (r % $PqM) END AS m,
+        r // $PqM AS sd
+      FROM (SELECT label, d,
+              row_number() OVER (PARTITION BY label
+                                 ORDER BY energy DESC, d) - 1 AS r
+            FROM cellstat)),
+    msub AS (
+      SELECT e4.vec_id, e4.label, p.m, p.sd, e4.x
+      FROM e4 JOIN cellperm p ON p.label = e4.label AND p.d = e4.d
+      WHERE e4.vec_id >= 10),
+    cbids AS (
+      SELECT vec_id, label, jr - 1 AS j FROM (
+        SELECT vec_id, label,
+          row_number() OVER (PARTITION BY label ORDER BY vec_id) AS jr
+        FROM (SELECT DISTINCT vec_id, label FROM embeddings
+              WHERE vec_id >= 10)) WHERE jr <= $PqK),
+    cent AS (
+      SELECT s.label, b.j, s.m, s.sd, s.x AS cx
+      FROM msub s JOIN cbids b
+        ON b.vec_id = s.vec_id AND b.label = s.label),
+    mdist AS (
+      SELECT s.vec_id, s.label, s.m, c.j,
+        CAST(SUM((s.x - c.cx) * (s.x - c.cx)) AS BIGINT) AS dist
+      FROM msub s JOIN cent c
+        ON c.label = s.label AND c.m = s.m AND c.sd = s.sd
+      GROUP BY s.vec_id, s.label, s.m, c.j),
+    codes AS (
+      SELECT vec_id, label, m, j AS code FROM (
+        SELECT vec_id, label, m, j,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        FROM mdist) WHERE rk = 1),
+    ccent AS (
+      SELECT label, d, CAST(SUM(x) AS BIGINT) AS csum
+      FROM e4 WHERE vec_id >= 10 GROUP BY label, d),
+    ccnt AS (
+      SELECT label, COUNT(*) AS cnt FROM embeddings
+      WHERE vec_id >= 10 GROUP BY label),
+    cellscore AS (
+      SELECT q.vec_id AS query_id, ccent.label,
+        CAST(CAST(SUM(q.x * ccent.csum) AS BIGINT) AS DOUBLE) / MAX(ccnt.cnt)
+          AS cell_score
+      FROM e4 q JOIN ccent ON q.d = ccent.d
+        JOIN ccnt ON ccnt.label = ccent.label
+      WHERE q.vec_id < 10
+      GROUP BY q.vec_id, ccent.label),
+    probed AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cell_score DESC, label) AS crk
+        FROM cellscore) WHERE crk <= $IvfProbes),
+    qsub AS (
+      SELECT e4.vec_id AS query_id, p.label, cp.m, cp.sd, e4.x AS qx
+      FROM e4
+      JOIN probed p ON p.query_id = e4.vec_id
+      JOIN cellperm cp ON cp.label = p.label AND cp.d = e4.d
+      WHERE e4.vec_id < 10),
+    qdist AS (
+      SELECT q.query_id, q.label, q.m, c.j,
+        CAST(SUM((q.qx - c.cx) * (q.qx - c.cx)) AS BIGINT) AS qdist
+      FROM qsub q JOIN cent c
+        ON c.label = q.label AND c.m = q.m AND c.sd = q.sd
+      GROUP BY q.query_id, q.label, q.m, c.j),
+    adc AS (
+      SELECT d.query_id, k.vec_id AS neighbor_id,
+        CAST(SUM(d.qdist) AS BIGINT) AS adist
+      FROM codes k
+      JOIN qdist d ON d.label = k.label AND d.m = k.m AND d.j = k.code
+      GROUP BY d.query_id, k.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY adist, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, rank, neighbor_id, adist
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   /** Shared oracle CTE chain for the IVF-PQ ladder: coarse probing, PQ
     * codes, ADC sums, per-query rank — consumed by both the B8 ranking
     * oracle and the B4pq vote oracle so the ADC math is mirrored once. */
@@ -2221,6 +2405,10 @@ object Similarity {
       // shows the PQ→OPQ gap)
       .unionAll(recallOf("vec_pq", rung("vec_pq", vecPq(s, dir)), 5))
       .unionAll(recallOf("vec_opq", rung("vec_opq", vecOpq(s, dir)), 5))
+      // B8 vs B23 side by side: what per-cell OPQ buys inside IVF-PQ
+      .unionAll(recallOf("ann_ivfpq", rung("ann_ivfpq", annIvfPq(s, dir)), 5))
+      .unionAll(recallOf("ann_ivfpq_opq",
+        rung("ann_ivfpq_opq", annIvfPqOpq(s, dir)), 5))
       .withColumn("recall", col("hits").cast("double") / col("k"))
       .orderBy("method", "query_id")
   }
@@ -2255,7 +2443,13 @@ object Similarity {
           FROM ($vecPqSql)
       UNION ALL
           SELECT 'vec_opq' AS method, query_id, neighbor_id, 5 AS k
-          FROM ($vecOpqSql)),
+          FROM ($vecOpqSql)
+      UNION ALL
+          SELECT 'ann_ivfpq' AS method, query_id, neighbor_id, 5 AS k
+          FROM ($annIvfPqSql)
+      UNION ALL
+          SELECT 'ann_ivfpq_opq' AS method, query_id, neighbor_id, 5 AS k
+          FROM ($annIvfPqOpqSql)),
     hits AS (
       SELECT r.method, r.query_id, COUNT(t.neighbor_id) AS hits
       FROM retrieved r
@@ -2266,7 +2460,8 @@ object Similarity {
       SELECT mm.method, q.query_id, mm.k
       FROM q CROSS JOIN (VALUES ('ann_graph_search', 5), ('ann_ivf', 5),
         ('ann_ivf_km', 5), ('ann_lsh', 3), ('ann_pq_rerank', 5),
-        ('ann_sq8', 5), ('vec_pq', 5), ('vec_opq', 5)) mm(method, k))
+        ('ann_sq8', 5), ('vec_pq', 5), ('vec_opq', 5),
+        ('ann_ivfpq', 5), ('ann_ivfpq_opq', 5)) mm(method, k))
     SELECT base.method, base.query_id,
       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
       CAST(base.k AS BIGINT) AS k,
@@ -2294,6 +2489,7 @@ object Similarity {
     "vec_pq"    -> (vecPq _),
     "vec_opq"   -> (vecOpq _),
     "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_opq" -> (annIvfPqOpq _),
     "knn_vote_pq" -> (knnVotePq _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivf_km" -> (annIvfKm _),
@@ -2321,6 +2517,7 @@ object Similarity {
     "vec_pq"    -> vecPqSql,
     "vec_opq"   -> vecOpqSql,
     "ann_ivfpq" -> annIvfPqSql,
+    "ann_ivfpq_opq" -> annIvfPqOpqSql,
     "knn_vote_pq" -> knnVotePqSql,
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_ivf_km" -> annIvfKmSql,

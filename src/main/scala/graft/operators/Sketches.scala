@@ -183,6 +183,93 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** E61a: the sketch-served twin of E61's exact single-pass profile —
+    * the 100 TB default for feeds where approximate distincts suffice.
+    * Same one-scan shape (row count, null count, min/max for integral
+    * columns), but `n_distinct` is replaced by a [[graft.plans
+    * .HllEstimate]] per column: the exact variant's multi-column
+    * COUNT(DISTINCT) plans through Spark's expand — one input row fans
+    * to one row per distinct column and the aggregation state is
+    * O(distinct values × columns), the one operator in the registry
+    * whose shuffle state is data-sized by definition — while this one
+    * carries ONE 64-byte register buffer per (mapper, column), no
+    * expand, mergeable map-side. The estimate is md5-deterministic (the
+    * G18 registers), so it stays exactly oracle-checkable; hashing
+    * canonicalizes each column to a cross-engine-stable string (longs
+    * cast directly; the double column through DECIMAL(18,6), the classic
+    * float-formatting parity trap sidestepped). */
+  def qProfileHll(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cols: Seq[(String, Boolean)] = Seq(
+      "event_id" -> true, "user_id" -> true, "ts_us" -> true,
+      "event_type" -> false, "value" -> false)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+    def canon(nm: String): Column =
+      if (nm == "value") col(nm).cast(DecimalType(18, 6)).cast("string")
+      else col(nm).cast("string")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap {
+      case (nm, integral) =>
+        Seq(count(col(nm)).as(s"nn_$nm"),
+          call_function("graft_hll_est", Hashing.h60(canon(nm)))
+            .as(s"nd_$nm")) ++
+          (if (integral)
+            Seq(min(col(nm)).cast("long").as(s"mn_$nm"),
+              max(col(nm)).cast("long").as(s"mx_$nm"))
+          else Nil)
+    }
+    ev.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { case (nm, integral) =>
+        struct(lit(nm).as("col_name"), col("n_rows"),
+          (col("n_rows") - col(s"nn_$nm")).as("n_nulls"),
+          col(s"nd_$nm").as("n_distinct_est"),
+          (if (integral) col(s"mn_$nm") else lit(null).cast("long"))
+            .as("min_long"),
+          (if (integral) col(s"mx_$nm") else lit(null).cast("long"))
+            .as("max_long"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .filter(col("n_rows") > 0) // empty-input contract: emit nothing
+      .orderBy("col_name")
+  }
+
+  val qProfileHllSql: String = {
+    def h(nm: String): String = {
+      val canon =
+        if (nm == "value") s"CAST(CAST($nm AS DECIMAL(18,6)) AS VARCHAR)"
+        else s"CAST($nm AS VARCHAR)"
+      s"('0x'||substr(md5($canon),1,15))::BIGINT"
+    }
+    def leg(nm: String, integral: Boolean): String = {
+      val mn = if (integral) s"CAST(MIN($nm) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      val mx = if (integral) s"CAST(MAX($nm) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      s"""SELECT '$nm' AS col_name, st.n_rows, st.n_nulls,
+        hll.n_distinct_est, st.min_long, st.max_long
+      FROM (SELECT COUNT(*) AS n_rows, COUNT(*) - COUNT($nm) AS n_nulls,
+              $mn AS min_long, $mx AS max_long FROM ev
+            HAVING COUNT(*) > 0) st,
+           (SELECT CAST(0.709 AS DOUBLE) * ${(HllM * HllM).toDouble} * ${Scale55}.0
+              / CAST(z_present + ($HllM - n_present) * CAST($Scale55 AS BIGINT) AS DOUBLE)
+              AS n_distinct_est
+            FROM (SELECT SUM(CAST(1 AS BIGINT) << (55 - m)) AS z_present,
+                    COUNT(*) AS n_present
+                  FROM (SELECT CAST(h % $HllM AS INT) AS reg,
+                          MAX(55 - length(bin(h // $HllM))) AS m
+                        FROM (SELECT ${h(nm)} AS h FROM ev)
+                        WHERE h IS NOT NULL
+                        GROUP BY CAST(h % $HllM AS INT)))) hll"""
+    }
+    s"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+      FROM events)
+    ${Seq("event_id" -> true, "user_id" -> true, "ts_us" -> true,
+      "event_type" -> false, "value" -> false)
+      .map { case (nm, i) => leg(nm, i) }.mkString("\n    UNION ALL\n    ")}
+    ORDER BY col_name"""
+  }
+
   /** E31: HLL sketch MERGE — the property that makes sketches work at
     * 100 TB: registers built independently per shard (here per day)
     * combine with element-wise MAX into exactly the registers a global
@@ -879,6 +966,7 @@ object Sketches {
     "q_skew_join"  -> (qSkewJoin _),
     "q_hll_merge"  -> (qHllMerge _),
     "q_hll_native" -> (qHllNative _),
+    "q_profile_hll" -> (qProfileHll _),
     "q_qhist_native" -> (qQhistNative _))
 
   val oracle: Map[String, String] = Map(
@@ -894,5 +982,6 @@ object Sketches {
     "q_skew_join"  -> qSkewJoinSql,
     "q_hll_merge"  -> qHllMergeSql,
     "q_hll_native" -> qHllUsersSql,
+    "q_profile_hll" -> qProfileHllSql,
     "q_qhist_native" -> AnalyticsExt.qQuantileHistSql)
 }

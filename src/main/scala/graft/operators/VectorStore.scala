@@ -566,7 +566,22 @@ object VectorStore {
     * same as [[searchCompressed]]'s ADC→exact tail). `dims = Dim`
     * degenerates to the exact ranking, spec-pinned rank-for-rank equal
     * to [[search]]. Delegates to the batch twin (one machinery). Output
-    * schema = [[search]]. */
+    * schema = [[search]].
+    *
+    * Truncation basis (r10, explicit): the PREFIX OF THE STORED RAW
+    * LAYOUT — i.e. the pre-permutation order. MRL semantics live in the
+    * embedder's own dimension order (a Matryoshka model front-loads
+    * information into the leading dims it was trained with), while the
+    * G38 OPQ permutation reorders dims to balance ENERGY across PQ
+    * subspaces — the two bases do not commute: a prefix of the permuted
+    * layout would mix late dims in and drop early ones, destroying
+    * exactly the property MRL truncation relies on. So on a store WITH a
+    * perm sidecar, truncated serving deliberately ignores the
+    * permutation (it applies only to the PQ/ADC coding path, where
+    * subspace balance is what matters), and both contracts hold at once:
+    * dims=Dim ≡ [[search]] rank-for-rank, and ADC queries keep the
+    * frozen permuted subspaces. Spec-pinned against an OPQ store with a
+    * verified non-identity permutation (VectorStoreSpec). */
   def searchTruncated(spark: SparkSession, indexDir: String, query: String,
       k: Int = 5, dims: Int = 16, shortlist: Int = 50): DataFrame =
     searchTruncatedBatch(spark, indexDir, Seq(query), k, dims, shortlist)
@@ -757,7 +772,8 @@ object VectorStore {
     * after the pair set is fixed. Appends splice through
     * [[spliceGraph]] (r9 — the background merge a real DiskANN ships,
     * re-solving only the touched buckets and pinned bit-equal to a
-    * rebuild); the full rebuild remains the contract for deletes.
+    * rebuild); deletes splice through [[spliceGraphDelete]] (r10 — the
+    * victims' own buckets re-solve from raw candidates, also bit-equal).
     * Returns the edge count. */
   def buildGraph(spark: SparkSession, indexDir: String,
       degree: Int = GraphDegree): Long = {
@@ -840,10 +856,11 @@ object VectorStore {
     *    the write is a dynamic partition overwrite).
     *
     * Cost tracks the appended batch's bucket footprint, not the index
-    * size. Deletes keep the rebuild contract ([[buildGraph]]) — a
-    * removed node invalidates stored lists in a way no local merge can
-    * repair losslessly. Returns the number of edges written (the
-    * touched region's new edge count). */
+    * size. A removed node invalidates stored lists in a way THIS merge
+    * cannot repair (the replacement for an evicted slot was never
+    * stored) — deletes go through [[spliceGraphDelete]], which re-solves
+    * the victims' buckets from raw candidates instead. Returns the
+    * number of edges written (the touched region's new edge count). */
   def spliceGraph(spark: SparkSession, indexDir: String, docIds: Seq[Long],
       degree: Int = GraphDegree): Long = {
     val edgePath = s"$indexDir/$GraphDir/edges.parquet"
@@ -894,6 +911,82 @@ object VectorStore {
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None =>
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.catalog.refreshByPath(edgePath)
+    newRegion.count()
+  }
+
+  /** G31c: DELETE splice — closes the sidecar's last full-rebuild case.
+    * Call AFTER [[delete]] has removed the victims from the index. The
+    * key structural fact making a lossless local repair possible: the
+    * candidate generator is SAME-BUCKET pairs, so every edge lives
+    * inside one bucket and every src whose stored list cites a victim
+    * sits in the victim's own bucket — the stored edge rows citing the
+    * victims identify the affected sbucket partitions exactly, with no
+    * reverse-edge sidecar needed. Those buckets are re-solved FROM RAW
+    * CANDIDATES (a victim occupied top-d slots; its replacement is the
+    * d+1-th neighbor, which no stored list kept — this is why the
+    * insert-splice merge lemma cannot cover deletes), reproducing
+    * [[buildGraph]]'s output for them bit-for-bit; untouched buckets'
+    * partitions are not read or rewritten. A re-solved bucket left with
+    * fewer than two members yields no pairs — its edge partition is
+    * dropped explicitly (dynamic overwrite never rewrites a partition
+    * absent from the new data, and stale rows there would cite deleted
+    * nodes). `degree` must equal the build degree: untouched partitions
+    * keep their stored lists, so a different width could not match a
+    * rebuild. Returns the re-solved region's edge count. */
+  def spliceGraphDelete(spark: SparkSession, indexDir: String,
+      docIds: Seq[Long], degree: Int = GraphDegree): Long = {
+    val edgePath = s"$indexDir/$GraphDir/edges.parquet"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(edgePath)),
+      s"spliceGraphDelete needs an existing buildGraph sidecar at $edgePath")
+    val built = storedDegree(spark, indexDir)
+    require(degree == built,
+      s"spliceGraphDelete degree=$degree != build degree $built — " +
+        "untouched partitions keep their stored lists, so only the build " +
+        "width can reproduce a rebuild")
+    spark.catalog.refreshByPath(edgePath)
+    // affected buckets from the PRE-DELETE edge rows citing a victim
+    // (src or dst side — both live in the same bucket by construction)
+    val edges = spark.read.parquet(edgePath)
+    val touched = edges
+      .filter(col("src_doc").isInCollection(docIds) ||
+        col("dst_doc").isInCollection(docIds))
+      .select("sbucket").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return 0L
+    spark.catalog.refreshByPath(indexDir)
+    val nodes = spark.read.parquet(indexDir)
+      .filter(col("bucket").isInCollection(touched))
+      .select(struct(col("doc_id"), col("chunk_ix")).as("nid"),
+        col("bucket"), col("raw"))
+    val slim = nodes.select(col("nid"), col("bucket"))
+    val cand = slim.alias("a")
+      .join(slim.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.nid").as("src"), col("b.nid").as("dst"))
+    val newRegion = topEdges(spark, nodes, cand, degree)
+      .localCheckpoint(true) // materialize BEFORE the overwrite
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      if (newRegion.isEmpty)
+        () // nothing to overwrite; stale partitions drop below
+      else newRegion.write.mode("overwrite").partitionBy("sbucket")
+        .parquet(edgePath)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // touched buckets that re-solved to ZERO pairs: drop their stale
+    // partitions outright (they would otherwise keep citing victims)
+    val nonEmpty = newRegion.select("sbucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    touched.filterNot(nonEmpty).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$edgePath/sbucket=$b"), true)
     }
     spark.catalog.refreshByPath(edgePath)
     newRegion.count()

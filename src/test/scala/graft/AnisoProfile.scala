@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
 object AnisoProfile {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
+    val decay = args.headOption.map(_.toDouble).getOrElse(0.85)
     val src = "/root/testdata/sf0.01"
     val dst = java.nio.file.Files.createTempDirectory("graft_aniso").toString
-    SkewCorpus.writeAniso(spark, src, dst)
+    SkewCorpus.writeAniso(spark, src, dst, decay)
     def avgRecall(dir: String): Map[String, Double] =
       SparkEntry.queries("ann_recall")(spark, dir)
         .groupBy("method").agg(avg("recall").as("r")).collect()
@@ -33,7 +34,7 @@ object AnisoProfile {
     val aniso = avgRecall(dst)
     val isoMrl = mrlCurve(src)
     val anisoMrl = mrlCurve(dst)
-    println(s"""{"metric":"aniso_recall","decay":0.7,""" +
+    println(s"""{"metric":"aniso_recall","decay":$decay,""" +
       s""""iso":${fmt(iso)},"aniso":${fmt(aniso)},""" +
       f""""opq_minus_pq_iso":${iso("vec_opq") - iso("vec_pq")}%.3f,""" +
       f""""opq_minus_pq_aniso":${aniso("vec_opq") - aniso("vec_pq")}%.3f,""" +

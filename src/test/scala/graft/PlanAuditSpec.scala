@@ -56,6 +56,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_market_basket", "dedup_lsh_tune", "q_ab_test", "q_triangles",
     "text_domain_gate", "q_decile_lift", "q_decay_score", "q_benford",
     "q_profile")
+  // (q_profile_hll needs no entry: its one global merge is a partial
+  // SKETCH aggregate — the partial_graft_ rule below exempts it, the
+  // stronger property than an allowlisted exact funnel.)
 
   /** SinglePartition exchanges whose child is a partial SKETCH aggregate
     * are a bounded merge, not a data-sized funnel: each mapper emits one
@@ -100,6 +103,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowedBnlj = Set(
     "ann_brute", "ann_hybrid", "ann_ivf", "ann_ivf_km",
     "ann_ivfpq", "ann_sq8", "knn_vote", "knn_vote_pq",
+    "ann_ivfpq_opq", // B23: same <=10-row query-set coarse probe as B8
     "q_bloom_native", "q_kmv_overlap", "q_market_basket", "q_rfm",
     "ann_tune", "dedup_lsh_tune", "q_triangles", "text_collocations",
     "text_source_weights", "text_domain_gate", "q_decile_lift",

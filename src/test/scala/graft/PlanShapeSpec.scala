@@ -110,6 +110,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"multi-distinct lost its expand plan:\n$plan")
   }
 
+  test("q_profile_hll is one scan with NO expand: sketch buffers, not " +
+      "exact-distinct fan-out") {
+    // the sketch twin's whole point: same single scan as q_profile, but
+    // the per-column distincts ride HLL register buffers (64 bytes per
+    // mapper per column) instead of Spark's expand — no row fan-out, no
+    // O(distinct)-sized aggregation state
+    val plan = executedPlan(SparkEntry.queries("q_profile_hll")(spark, sf))
+    val finalSection = plan.split("== Initial Plan ==")(0)
+    val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"q_profile_hll reads the table $scans times:\n$plan")
+    assert(!finalSection.contains("Expand"),
+      s"the sketch profile regrew an expand:\n$plan")
+    assert(finalSection.contains("graft_hll_est"),
+      s"HLL aggregate missing from the plan:\n$plan")
+  }
+
   test("grouping sets expands into a single exchange") {
     val plan = executedPlan(SparkEntry.queries("q_grouping_sets")(spark, sf))
       .split("== Initial Plan ==")(0) // count the AQE final plan only

@@ -180,6 +180,66 @@ class StoreGraphSpec extends AnyFunSuite {
     assert(VectorStore.spliceGraph(spark, dir, Seq(3L), degree = 1) > 0)
   }
 
+  test("spliceGraphDelete equals a full rebuild, keeps untouched mtimes, " +
+      "drops emptied partitions") {
+    val dir = Files.createTempDirectory("graft_vsg5").toString + "/index"
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+      .select("doc_id", "text")
+    assert(VectorStore.ingest(docs, dir) > 0)
+    assert(VectorStore.buildGraph(spark, dir) > 0)
+    // victims: a couple of docs plus EVERY member of one bucket except
+    // at most one, so that bucket's edge partition must vanish outright
+    val idx = spark.read.parquet(dir)
+    // >= 2 chunks, so the bucket HAS an edge partition to be dropped
+    val someBucket = idx.groupBy("bucket").count()
+      .filter(col("count") >= 2)
+      .orderBy(col("count"), col("bucket"))
+      .collect().head.getInt(0)
+    val bucketDocs = idx.filter(col("bucket") === someBucket)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    val victims = (bucketDocs ++ Seq(3L, 7L)).distinct
+    val touched = idx
+      .filter(col("doc_id").isInCollection(victims))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    val edgeDir = new java.io.File(s"$dir/_graft_graph/edges.parquet")
+    val untouchedMtimes = edgeDir.listFiles()
+      .filter(f => f.getName.startsWith("sbucket=") &&
+        !touched.contains(f.getName.stripPrefix("sbucket=").toInt))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(untouchedMtimes.nonEmpty, "delete touched every bucket")
+
+    assert(VectorStore.delete(spark, dir, victims) > 0)
+    VectorStore.spliceGraphDelete(spark, dir, victims)
+    def edgeRows = spark.read.parquet(s"$dir/_graft_graph/edges.parquet")
+      .select("src_doc", "src_ix", "dst_doc", "dst_ix")
+      .collect().map(_.toString).sorted.toSeq
+    val spliced = edgeRows
+    // no stored list cites a victim anywhere
+    assert(spark.read.parquet(s"$dir/_graft_graph/edges.parquet")
+      .filter(col("src_doc").isInCollection(victims) ||
+        col("dst_doc").isInCollection(victims)).count() == 0,
+      "zombie edges citing deleted nodes survived the delete splice")
+    // the fully-emptied bucket's edge partition is GONE, not stale
+    // (dynamic overwrite alone would have left it untouched)
+    assert(!new java.io.File(
+      s"$dir/_graft_graph/edges.parquet/sbucket=$someBucket").exists,
+      s"emptied bucket $someBucket kept a stale edge partition")
+    // untouched bucket partitions were not rewritten
+    untouchedMtimes.foreach { case (name, mtime) =>
+      val f = new java.io.File(s"$dir/_graft_graph/edges.parquet/$name")
+      assert(f.exists && f.lastModified == mtime,
+        s"untouched edge partition $name was rewritten by a delete splice")
+    }
+    // and the splice reproduces the full rebuild bit-for-bit
+    VectorStore.buildGraph(spark, dir)
+    assert(edgeRows == spliced, "delete splice diverged from a full rebuild")
+    // the width guard: a delete splice at a non-build degree refuses
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.spliceGraphDelete(spark, dir, Seq(11L), degree = 4)
+    }
+    assert(e.getMessage.contains("build degree"), e.getMessage)
+  }
+
   test("rebuild after append covers the appended chunks") {
     val dir = Files.createTempDirectory("graft_vsg2").toString + "/index"
     val first = Tables.documents(spark, sf).filter(col("doc_id") < 50)

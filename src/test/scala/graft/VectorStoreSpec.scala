@@ -103,6 +103,17 @@ class VectorStoreSpec extends AnyFunSuite {
   }
 
   test("truncated search at full width is rank-for-rank equal to search()") {
+    // the truncation-basis contract (r10): this store HAS a G38 OPQ perm
+    // sidecar with a verified non-identity permutation, and truncated
+    // serving must ignore it — the prefix is of the STORED raw layout
+    // (MRL semantics: the embedder's own dim order), not of the permuted
+    // PQ layout, because the two bases do not commute
+    val perm = spark.read.parquet(s"$indexDir/_graft_pq/perm.parquet")
+      .orderBy("p").collect().map(_.getInt(1)).toSeq
+    assert(perm.sorted == (0 until VectorStore.Dim),
+      "store is missing a valid OPQ perm sidecar")
+    assert(perm != (0 until VectorStore.Dim),
+      "trained permutation is the identity — the basis pin is vacuous")
     val samples = spark.read.parquet(indexDir)
       .orderBy("doc_id", "chunk_ix").select("chunk")
       .limit(3).collect().map(_.getString(0)).distinct.toSeq
