@@ -374,6 +374,55 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("distinct_users_est"))
 
+  /** F29: streaming profile monitor — E61a's sketch-served column
+    * profile as a live feed-health tripwire: per tumbling window, for
+    * each column of the event stream — row count, null count, HLL
+    * distinct estimate, and min/max for the integral columns — computed
+    * in ONE watermarked windowed aggregation and exploded to one row per
+    * (window, column), the q_profile_hll shape. State per open window is
+    * one 64-byte register buffer per column plus a fixed handful of
+    * longs, regardless of stream volume; micro-batches fold through the
+    * sketch's merge path, so the streamed profile is bit-identical to a
+    * batch profile of the same rows (spec-pinned). The schema-drift /
+    * feed-corruption pager: a partner feed that starts sending nulls, a
+    * constant column (distinct estimate collapses), or out-of-range ids
+    * shows up within one window — before anything downstream joins on
+    * the poisoned column. Hash canonicalization matches E61a (longs cast
+    * directly, the double column through DECIMAL(18,6)). */
+  def profileMonitor(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cols: Seq[(String, Boolean)] = Seq("event_id" -> true,
+      "user_id" -> true, "event_type" -> false, "value" -> false)
+    def canon(nm: String): Column =
+      if (nm == "value") col(nm).cast(DecimalType(18, 6)).cast("string")
+      else col(nm).cast("string")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap {
+      case (nm, integral) =>
+        Seq(count(col(nm)).as(s"nn_$nm"),
+          call_function("graft_hll_est",
+            graft.functions.Hashing.h60(canon(nm))).as(s"nd_$nm")) ++
+          (if (integral)
+            Seq(min(col(nm)).cast("long").as(s"mn_$nm"),
+              max(col(nm)).cast("long").as(s"mx_$nm"))
+          else Nil)
+    }
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        explode(array(cols.map { case (nm, integral) =>
+          struct(lit(nm).as("col_name"), col("n_rows"),
+            (col("n_rows") - col(s"nn_$nm")).as("n_nulls"),
+            col(s"nd_$nm").as("n_distinct_est"),
+            (if (integral) col(s"mn_$nm") else lit(null).cast("long"))
+              .as("min_long"),
+            (if (integral) col(s"mx_$nm") else lit(null).cast("long"))
+              .as("max_long"))
+        }: _*)).as("p"))
+      .select(col("window_start"), col("p.*"))
+  }
+
   /** F19: streaming quantile monitor — the G24 native histogram-quantile
     * aggregate (`graft_qhist`) inside a watermarked windowed streaming
     * aggregation: p50/p99 of the value distribution per (10-min window,

@@ -455,6 +455,50 @@ class StreamingSpec extends AnyFunSuite {
       s"dev=${r.getLong(2)} flagged=${r.getBoolean(3)}")
   }
 
+  test("F29: streaming profile monitor merges across micro-batches, " +
+      "matches batch, flags nulls") {
+    // rows split across two micro-batches inside one window: the merged
+    // streamed profile must equal a single batch profile of all rows —
+    // the sketch-merge property that makes the monitor exactly-once-safe
+    val b1 = (0 until 6).map(i =>
+      StreamEvent(i.toLong, ts(1 + i % 5), 100L + i, "click", i + 0.5))
+    val b2 = (6 until 10).map(i =>
+      StreamEvent(i.toLong, ts(1 + i % 5), 100L + i, "view", i + 0.5)) :+
+      StreamEvent(99L, ts(3), 500L, null, 1.0) // a null event_type row
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(b1: _*)
+    val q = Streams.profileMonitor(input.toDF())
+      .writeStream.format("memory").queryName("prof_mon")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("prof_mon").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.toSeq.drop(1))
+      .toMap
+    // batch twin over the identical rows (same agg, no watermark/window
+    // machinery beyond the group key)
+    val batch = Streams.profileMonitor((b1 ++ b2).toDF())
+    // a streaming plan collected in batch mode: strip the watermark by
+    // re-running the same transformations on a static frame
+    val batchRows = batch.collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.toSeq.drop(1))
+      .toMap
+    assert(streamed.keySet == batchRows.keySet)
+    streamed.foreach { case (k, v) =>
+      assert(v == batchRows(k), s"streamed profile diverged at $k: " +
+        s"$v vs ${batchRows(k)}")
+    }
+    // the tripwire reads: 11 rows in the window, exactly one null
+    // event_type, ids 0..9 + 99 span min/max
+    val et = streamed.keys.find(_._2 == "event_type").get
+    val etRow = streamed(et) // (col_name, n_rows, n_nulls, est, mn, mx)
+    assert(etRow(1) == 11L && etRow(2) == 1L, s"event_type row: $etRow")
+    val eid = streamed(streamed.keys.find(_._2 == "event_id").get)
+    assert(eid(4) == 0L && eid(5) == 99L, s"event_id min/max: $eid")
+  }
+
   test("F17: streaming HLL cardinality monitor merges across micro-batches, matches batch") {
     // users 10..19 in window 0, split across two micro-batches with an
     // overlapping user — the aggregate's merge path must fold the second
