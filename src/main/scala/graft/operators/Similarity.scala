@@ -1743,6 +1743,178 @@ object Similarity {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** B24: IVF-PQ with RESIDUAL encoding — what production IVFPQ (FAISS)
+    * actually quantizes: not the raw vector but its residual x − c
+    * against the coarse centroid, because residual energy is a fraction
+    * of raw energy and the same K centroids quantize it far better.
+    * Exactness discipline: the true residual x − S/n is rational, so
+    * everything computes in the n-SCALED integer space r = x·n − S
+    * (exact int64; |r| ≤ 2·10⁴·n). Scaled distances within a cell share
+    * the n² factor, so codes (per-cell argmin) are exact; CROSS-cell ADC
+    * comparison divides once per candidate — score = adist / n², one
+    * IEEE division in fixed order, bit-reproducible in both engines
+    * (the ann_hybrid determinism discipline). Codebooks are per-cell
+    * (first PqK members' residuals): scaled residuals from different
+    * cells carry different n factors and must not share centroids.
+    *
+    * Scale: identical join shape to B23 — per-cell sums are a broadcast
+    * (cells × Dim) sidecar, encode is the standard O(members · Dim · K)
+    * pass, serving touches probed cells only. Measured in the rung
+    * table (bench/aniso_r10.json): residual encoding is where IVF-PQ's
+    * recall gap to the flat scan actually closes. */
+  def annIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("label"),
+        posexplode(q4vec(col("embedding"))))
+      .select(col("vec_id"), col("label"), col("pos").as("d"),
+        col("col").as("x"))
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    // per-cell coarse sums: S_d and n — the broadcastable centroid
+    // numerator/denominator (exact; never a float centroid)
+    val cellSum = members.groupBy("label", "d")
+      .agg(sum("x").as("cs"), count(lit(1)).as("n"))
+    val resid = members.join(broadcast(cellSum), Seq("label", "d"))
+      .select(col("vec_id"), col("label"),
+        expr(s"d div $PqSub").as("m"), (col("d") % PqSub).as("sd"),
+        (col("x") * col("n") - col("cs")).as("r"))
+    val wJ = Window.partitionBy("label").orderBy("vec_id")
+    val cbIds = members.select("vec_id", "label").distinct()
+      .withColumn("j", row_number().over(wJ) - 1)
+      .filter(col("j") < PqK)
+    val codebook = resid.join(broadcast(cbIds), Seq("vec_id", "label"))
+      .select(col("label"), col("j"), col("m"), col("sd"),
+        col("r").as("cr"))
+      .localCheckpoint(true)
+    val codes = resid.join(broadcast(codebook), Seq("label", "m", "sd"))
+      .groupBy(col("vec_id"), col("label"), col("m"), col("j"))
+      .agg(sum((col("r") - col("cr")) * (col("r") - col("cr"))).as("dist"))
+      .groupBy("vec_id", "label", "m")
+      .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+    val probed = ivfProbed(s, dir).select("query_id", "label")
+    // scaled QUERY residual against each probed cell's own (S, n)
+    val qres = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        posexplode(q4vec(col("embedding"))))
+      .select(col("query_id"), col("pos").as("d"), col("col").as("qx"))
+      .join(broadcast(probed), Seq("query_id"))
+      .join(broadcast(cellSum), Seq("label", "d"))
+      .select(col("query_id"), col("label"),
+        expr(s"d div $PqSub").as("m"), (col("d") % PqSub).as("sd"),
+        (col("qx") * col("n") - col("cs")).as("qr"))
+    val dtab = qres.join(broadcast(codebook), Seq("label", "m", "sd"))
+      .groupBy(col("query_id"), col("label"), col("m"), col("j"))
+      .agg(sum((col("qr") - col("cr")) * (col("qr") - col("cr")))
+        .as("qdist"))
+    val cellN = cellSum.groupBy("label").agg(max("n").as("n"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rdist"), col("neighbor_id"))
+    codes.join(broadcast(probed), Seq("label"))
+      .join(broadcast(dtab), Seq("query_id", "label", "m"))
+      .filter(col("code") === col("j"))
+      .groupBy(col("query_id"), col("label"),
+        col("vec_id").as("neighbor_id"))
+      .agg(sum("qdist").as("adist"))
+      .join(broadcast(cellN), Seq("label"))
+      // the one division: scaled → true residual distance (÷ n²),
+      // making scores comparable ACROSS probed cells
+      .withColumn("rdist",
+        col("adist").cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("rdist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle: scaled-residual codes, per-cell codebooks, coarse probing,
+    * and the single cross-cell normalizing division — all re-derived. */
+  val annIvfPqResSql: String = s"""
+    WITH e4 AS (
+      SELECT vec_id, label, CAST(d.range AS INT) AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    cellsum AS (
+      SELECT label, d, CAST(SUM(x) AS BIGINT) AS cs,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM e4 WHERE vec_id >= 10 GROUP BY label, d),
+    resid AS (
+      SELECT e4.vec_id, e4.label, e4.d // $PqSub AS m, e4.d % $PqSub AS sd,
+        e4.x * c.n - c.cs AS r
+      FROM e4 JOIN cellsum c ON c.label = e4.label AND c.d = e4.d
+      WHERE e4.vec_id >= 10),
+    cbids AS (
+      SELECT vec_id, label, jr - 1 AS j FROM (
+        SELECT vec_id, label,
+          row_number() OVER (PARTITION BY label ORDER BY vec_id) AS jr
+        FROM (SELECT DISTINCT vec_id, label FROM embeddings
+              WHERE vec_id >= 10)) WHERE jr <= $PqK),
+    cent AS (
+      SELECT s.label, b.j, s.m, s.sd, s.r AS cr
+      FROM resid s JOIN cbids b
+        ON b.vec_id = s.vec_id AND b.label = s.label),
+    mdist AS (
+      SELECT s.vec_id, s.label, s.m, c.j,
+        CAST(SUM((s.r - c.cr) * (s.r - c.cr)) AS BIGINT) AS dist
+      FROM resid s JOIN cent c
+        ON c.label = s.label AND c.m = s.m AND c.sd = s.sd
+      GROUP BY s.vec_id, s.label, s.m, c.j),
+    codes AS (
+      SELECT vec_id, label, m, j AS code FROM (
+        SELECT vec_id, label, m, j,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        FROM mdist) WHERE rk = 1),
+    ccent AS (
+      SELECT label, d, CAST(SUM(x) AS BIGINT) AS csum
+      FROM e4 WHERE vec_id >= 10 GROUP BY label, d),
+    ccnt AS (
+      SELECT label, COUNT(*) AS cnt FROM embeddings
+      WHERE vec_id >= 10 GROUP BY label),
+    cellscore AS (
+      SELECT q.vec_id AS query_id, ccent.label,
+        CAST(CAST(SUM(q.x * ccent.csum) AS BIGINT) AS DOUBLE) / MAX(ccnt.cnt)
+          AS cell_score
+      FROM e4 q JOIN ccent ON q.d = ccent.d
+        JOIN ccnt ON ccnt.label = ccent.label
+      WHERE q.vec_id < 10
+      GROUP BY q.vec_id, ccent.label),
+    probed AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+          row_number() OVER (PARTITION BY query_id
+                             ORDER BY cell_score DESC, label) AS crk
+        FROM cellscore) WHERE crk <= $IvfProbes),
+    qres AS (
+      SELECT e4.vec_id AS query_id, p.label,
+        e4.d // $PqSub AS m, e4.d % $PqSub AS sd,
+        e4.x * c.n - c.cs AS qr
+      FROM e4
+      JOIN probed p ON p.query_id = e4.vec_id
+      JOIN cellsum c ON c.label = p.label AND c.d = e4.d
+      WHERE e4.vec_id < 10),
+    qdist AS (
+      SELECT q.query_id, q.label, q.m, c.j,
+        CAST(SUM((q.qr - c.cr) * (q.qr - c.cr)) AS BIGINT) AS qdist
+      FROM qres q JOIN cent c
+        ON c.label = q.label AND c.m = q.m AND c.sd = q.sd
+      GROUP BY q.query_id, q.label, q.m, c.j),
+    celln AS (SELECT label, MAX(n) AS n FROM cellsum GROUP BY label),
+    adc AS (
+      SELECT d.query_id, k.vec_id AS neighbor_id,
+        CAST(SUM(d.qdist) AS DOUBLE)
+          / CAST(MAX(cn.n) * MAX(cn.n) AS DOUBLE) AS rdist
+      FROM codes k
+      JOIN qdist d ON d.label = k.label AND d.m = k.m AND d.j = k.code
+      JOIN celln cn ON cn.label = k.label
+      GROUP BY d.query_id, k.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, rdist,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY rdist, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, rank, neighbor_id, rdist
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   /** Shared oracle CTE chain for the IVF-PQ ladder: coarse probing, PQ
     * codes, ADC sums, per-query rank — consumed by both the B8 ranking
     * oracle and the B4pq vote oracle so the ADC math is mirrored once. */
@@ -2405,10 +2577,13 @@ object Similarity {
       // shows the PQ→OPQ gap)
       .unionAll(recallOf("vec_pq", rung("vec_pq", vecPq(s, dir)), 5))
       .unionAll(recallOf("vec_opq", rung("vec_opq", vecOpq(s, dir)), 5))
-      // B8 vs B23 side by side: what per-cell OPQ buys inside IVF-PQ
+      // B8 vs B23 vs B24 side by side: what per-cell OPQ and residual
+      // encoding each buy inside IVF-PQ
       .unionAll(recallOf("ann_ivfpq", rung("ann_ivfpq", annIvfPq(s, dir)), 5))
       .unionAll(recallOf("ann_ivfpq_opq",
         rung("ann_ivfpq_opq", annIvfPqOpq(s, dir)), 5))
+      .unionAll(recallOf("ann_ivfpq_res",
+        rung("ann_ivfpq_res", annIvfPqRes(s, dir)), 5))
       .withColumn("recall", col("hits").cast("double") / col("k"))
       .orderBy("method", "query_id")
   }
@@ -2449,7 +2624,10 @@ object Similarity {
           FROM ($annIvfPqSql)
       UNION ALL
           SELECT 'ann_ivfpq_opq' AS method, query_id, neighbor_id, 5 AS k
-          FROM ($annIvfPqOpqSql)),
+          FROM ($annIvfPqOpqSql)
+      UNION ALL
+          SELECT 'ann_ivfpq_res' AS method, query_id, neighbor_id, 5 AS k
+          FROM ($annIvfPqResSql)),
     hits AS (
       SELECT r.method, r.query_id, COUNT(t.neighbor_id) AS hits
       FROM retrieved r
@@ -2461,7 +2639,8 @@ object Similarity {
       FROM q CROSS JOIN (VALUES ('ann_graph_search', 5), ('ann_ivf', 5),
         ('ann_ivf_km', 5), ('ann_lsh', 3), ('ann_pq_rerank', 5),
         ('ann_sq8', 5), ('vec_pq', 5), ('vec_opq', 5),
-        ('ann_ivfpq', 5), ('ann_ivfpq_opq', 5)) mm(method, k))
+        ('ann_ivfpq', 5), ('ann_ivfpq_opq', 5),
+        ('ann_ivfpq_res', 5)) mm(method, k))
     SELECT base.method, base.query_id,
       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
       CAST(base.k AS BIGINT) AS k,
@@ -2490,6 +2669,7 @@ object Similarity {
     "vec_opq"   -> (vecOpq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_opq" -> (annIvfPqOpq _),
+    "ann_ivfpq_res" -> (annIvfPqRes _),
     "knn_vote_pq" -> (knnVotePq _),
     "ann_pq_rerank" -> (annPqRerank _),
     "ann_ivf_km" -> (annIvfKm _),
@@ -2518,6 +2698,7 @@ object Similarity {
     "vec_opq"   -> vecOpqSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_ivfpq_opq" -> annIvfPqOpqSql,
+    "ann_ivfpq_res" -> annIvfPqResSql,
     "knn_vote_pq" -> knnVotePqSql,
     "ann_pq_rerank" -> annPqRerankSql,
     "ann_ivf_km" -> annIvfKmSql,

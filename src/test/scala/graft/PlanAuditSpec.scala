@@ -104,6 +104,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_brute", "ann_hybrid", "ann_ivf", "ann_ivf_km",
     "ann_ivfpq", "ann_sq8", "knn_vote", "knn_vote_pq",
     "ann_ivfpq_opq", // B23: same <=10-row query-set coarse probe as B8
+    "ann_ivfpq_res", // B24: same <=10-row query-set coarse probe as B8
     "q_bloom_native", "q_kmv_overlap", "q_market_basket", "q_rfm",
     "ann_tune", "dedup_lsh_tune", "q_triangles", "text_collocations",
     "text_source_weights", "text_domain_gate", "q_decile_lift",
