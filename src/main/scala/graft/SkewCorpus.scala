@@ -52,7 +52,8 @@ object SkewCorpus {
   val HotCust = 1L
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SkewCorpus <srcSfDir> <dstDir>")
+    require(args.length >= 2,
+      "usage: SkewCorpus <srcSfDir> <dstDir> [aniso|labelskew]")
     val src = args(0)
     val dst = args(1)
     val spark = SparkSession.builder()
@@ -63,6 +64,19 @@ object SkewCorpus {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // single-axis twin modes (r10): anisotropic per-dim energy, hot cell
+    args.lift(2) match {
+      case Some("aniso") =>
+        writeAniso(spark, src, dst)
+        println(s"""{"aniso_corpus":"$dst","src":"$src"}""")
+        spark.stop(); return
+      case Some("labelskew") =>
+        writeLabelSkew(spark, src, dst)
+        println(s"""{"labelskew_corpus":"$dst","src":"$src"}""")
+        spark.stop(); return
+      case Some(other) => sys.error(s"unknown twin mode '$other'")
+      case None => ()
+    }
     def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def save(df: DataFrame, t: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -146,6 +160,30 @@ object SkewCorpus {
 
     println(s"""{"skew_corpus":"$dst","src":"$src"}""")
     spark.stop()
+  }
+
+  /** Hot-CELL twin (r10): every table copied through, but 30% of the
+    * corpus embeddings collapse onto ONE `label` — the IVF cell map's
+    * hot-cell shape (a template-image cluster that one coarse cell
+    * swallows). The dense-cluster skew in [[main]] collapses VALUES
+    * (one LSH bucket fills); this collapses the CELL ASSIGNMENT itself,
+    * which is what the label-keyed IVF-PQ family (B8/B23/B24) actually
+    * partitions by: a probed hot cell's candidate fan is 30% of the
+    * corpus, and the per-cell codebook/permutation training joins see
+    * one label carrying a third of all rows. Protected probe rows
+    * (vec_id < 10) keep their labels — skewing the queries would change
+    * the question. */
+  def writeLabelSkew(spark: SparkSession, src: String, dst: String): Unit = {
+    def load(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents"))
+      load(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    load("embeddings")
+      .withColumn("label",
+        when(col("vec_id") >= 10 && hbucket(col("vec_id"), 10) < 3, lit(3))
+          .otherwise(col("label")))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 
   /** Anisotropic embedding twin (r10): every table copied through, but

@@ -814,9 +814,11 @@ object VectorStore {
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(p)))
       spark.read.parquet(p).head().getInt(0)
-    else spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet")
+    else Option(spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet")
       .groupBy("src_doc", "src_ix").agg(count(lit(1)).as("n"))
-      .agg(max("n")).head().getLong(0).toInt
+      .agg(max("n")).head().get(0))
+      .map(_.asInstanceOf[Long].toInt)
+      .getOrElse(0) // a fully-emptied legacy sidecar bounds nothing
   }
 
   /** Shared scoring tail of [[buildGraph]] and [[spliceGraph]]: attach
