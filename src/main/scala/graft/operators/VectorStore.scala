@@ -38,6 +38,31 @@ object VectorStore {
   val KmCells = 8
   private val CellsDir = "_graft_cells"
 
+  // Residual-PQ sidecar geometry (r10, the store-side B24): codes are cut
+  // from the chunk's RESIDUAL against its frozen cell centroid, not the
+  // raw weights — residual energy is a fraction of raw energy, so the
+  // same PqK centroids quantize it better (what FAISS IVFPQ ships). The
+  // exactness discipline differs from B24's per-cell n-scaling: residuals
+  // land on ONE shared fixed-point scale, r = raw·2^16 − floor(S·2^16/n)
+  // (the floor computed overflow-safely as (S div n)·2^16 + ((S mod n)·
+  // 2^16 div n)), so residuals from DIFFERENT cells are directly
+  // comparable and one GLOBAL codebook serves every cell — no empty-cell
+  // codebook gap, no per-candidate normalizing division at read time.
+  private val ResScale = 1L << 16
+  private val ResCbFile = "rescb.parquet"
+
+  /** floor(S_d·2^16 / n) per dim, computed DRIVER-side over the K-row
+    * centroid sidecar (the searchCells bounded-collect discipline) with
+    * exact Long arithmetic — the overflow-safe two-term form keeps
+    * S·2^16 from wrapping at web-scale member counts. */
+  private def cmeanScaled(csum: Seq[Long], n: Long): Seq[Long] =
+    csum.map(s => s / n * ResScale + s % n * ResScale / n)
+
+  /** Scaled residual r = raw·2^16 − cmean, elementwise — pure codegen
+    * column math once the cell's scaled mean is attached. */
+  private def scaledResidual(raw: Column, cmean: Column): Column =
+    zip_with(raw, cmean, (x, c) => x * ResScale - c)
+
   /** Per-subspace views of a raw int64 vector: array of PqM slices. */
   private def subvecs(v: Column): Column =
     transform(sequence(lit(0), lit(PqM - 1)),
@@ -206,9 +231,37 @@ object VectorStore {
             (max("cnt")).as("n"))
           .localCheckpoint(true)
       }
-      val indexed = embedded
-        .join(pqEncode(codebook, embedded, perm), Seq("doc_id", "chunk_ix"))
+      // residual-PQ codes (r10): each chunk's rres against its FROZEN
+      // cell centroid (scaled means computed driver-side from the K-row
+      // summary), coded against one GLOBAL residual codebook — frozen at
+      // creation like the raw-layout codebook, reused by appends
+      import spark.implicits._
+      val cmeans = centroids.collect()
+        .map(r => (r.getInt(0),
+          cmeanScaled(r.getSeq[Long](1), r.getLong(2))))
+        .toSeq.toDF("cell", "cmean")
+      val celled = embedded
         .join(cellAssign(centroids, embedded), Seq("doc_id", "chunk_ix"))
+      val withRes = celled.join(broadcast(cmeans), "cell")
+        .withColumn("rres", scaledResidual(col("raw"), col("cmean")))
+        .drop("cmean")
+      val resCbPath = s"$indexDir/$PqDir/$ResCbFile"
+      val reuseRes = mode == "append" &&
+        fs.exists(new org.apache.hadoop.fs.Path(resCbPath))
+      val rescb = if (reuseRes) {
+        spark.read.parquet(resCbPath).localCheckpoint(true)
+      } else {
+        val wj = Window.orderBy("doc_id", "chunk_ix")
+        withRes.select("doc_id", "chunk_ix", "rres")
+          .orderBy("doc_id", "chunk_ix").limit(PqK)
+          .withColumn("j", row_number().over(wj) - 1)
+          .select(col("j"), posexplode(subvecs(col("rres"))))
+          .select(col("j"), col("pos").as("m"), col("col").as("cent"))
+          .localCheckpoint(true)
+      }
+      val indexed = withRes.drop("rres")
+        .join(pqEncode(codebook, embedded, perm), Seq("doc_id", "chunk_ix"))
+        .join(resEncode(rescb, withRes), Seq("doc_id", "chunk_ix"))
         .withColumn("batch_tag", lit(batchTag))
       indexed.write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)
       // time-axis zone maps: incremental upkeep scans this batch's files
@@ -224,6 +277,8 @@ object VectorStore {
       }
       if (!reuseCells)
         centroids.coalesce(1).write.mode("overwrite").parquet(cellPath)
+      if (!reuseRes)
+        rescb.coalesce(1).write.mode("overwrite").parquet(resCbPath)
     }
     embedded.unpersist()
     n
@@ -266,6 +321,27 @@ object VectorStore {
       .groupBy("doc_id", "chunk_ix")
       .agg(transform(array_sort(collect_list(struct(col("m"), col("j")))),
         e => e.getField("j")).as("codes"))
+  }
+
+  /** Residual twin of [[pqEncode]]: identity layout (the OPQ permutation
+    * serves the raw-layout ADC path; residuals are already centered, and
+    * keeping the two sidecar families orthogonal keeps append reuse
+    * rules independent), argmin per (chunk, subspace) over the global
+    * residual codebook. */
+  private def resEncode(rescb: DataFrame, withRes: DataFrame): DataFrame = {
+    val wMin = Window.partitionBy("doc_id", "chunk_ix", "m")
+      .orderBy(col("dist"), col("j"))
+    withRes.select(col("doc_id"), col("chunk_ix"),
+        posexplode(subvecs(col("rres"))))
+      .select(col("doc_id"), col("chunk_ix"), col("pos").as("m"),
+        col("col").as("sub"))
+      .join(broadcast(rescb), "m")
+      .withColumn("dist", call_function("graft_sqdist_l", col("sub"), col("cent")))
+      .withColumn("rk", row_number().over(wMin))
+      .filter(col("rk") === 1)
+      .groupBy("doc_id", "chunk_ix")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("j")))),
+        e => e.getField("j")).as("rcodes"))
   }
 
   /** Search: top-k chunks for a free-text query, probing the query's LSH
@@ -729,6 +805,98 @@ object VectorStore {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
     index.join(broadcast(probes), "cell")
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), col("chunk"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "chunk_ix", "chunk", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** r10: the store-side IVFPQ serving read — the full FAISS composition
+    * over frozen sidecars: learned-cell probing (directory-level `cell=`
+    * pruning, the searchCells rule) → residual-ADC shortlist over the
+    * stored `rcodes` (codes only — no raw vector is read in the scan;
+    * residuals share one fixed-point scale, so ADC sums compare across
+    * probed cells with NO per-candidate division) → exact full-width
+    * re-rank of the ≤ shortlist survivors (the B9 tail, same as
+    * [[searchCompressed]]). Every sidecar it reads froze at creation and
+    * is reused by appends, so codes from any batch compare. */
+  def searchCompressedCells(spark: SparkSession, indexDir: String,
+      query: String, k: Int = 5, nprobe: Int = 2,
+      shortlist: Int = 50): DataFrame =
+    searchCompressedCellsBatch(spark, indexDir, Seq(query), k, nprobe,
+      shortlist).drop("query_id")
+
+  /** Batch twin of [[searchCompressedCells]] (the G23/G26 shape): many
+    * queries through ONE probed/ADC/re-rank plan, every ranking windowed
+    * per query. Output schema = [[searchBatch]]. */
+  def searchCompressedCellsBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5, nprobe: Int = 2,
+      shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/$CellsDir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val qdf = queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "qtext")
+      .withColumn("qraw", rawWeights(col("qtext")))
+      .select("query_id", "qraw")
+    val qraws = qdf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // coarse probe: exact int64 centroid dots over the K-row summary,
+    // one IEEE division each — the searchCells probing rule
+    val probePairs = qraws.flatMap { case (qid, qraw) =>
+      centroids.map { case (cell, csum, nMem) =>
+          val dot = qraw.zip(csum).map { case (a, b) => a * b }.sum
+          (dot.toDouble / nMem, cell)
+        }.sortBy { case (s, cell) => (-s, cell) }
+        .take(nprobe).map { case (_, cell) => (qid, cell) }
+    }.toSeq
+    val probes = probePairs.toDF("query_id", "cell")
+    val cmeans = centroids
+      .map { case (cell, csum, n) => (cell, cmeanScaled(csum, n)) }
+      .toSeq.toDF("cell", "cmean")
+    val rescb = spark.read.parquet(s"$indexDir/$PqDir/$ResCbFile")
+    // per probed (query, cell): the query's scaled residual against THAT
+    // cell's frozen mean, tabled against the global residual codebook —
+    // O(queries · nprobe · M · K) rows, broadcast
+    val dtab = qdf.join(broadcast(probes), "query_id")
+      .join(broadcast(cmeans), "cell")
+      .withColumn("qres", scaledResidual(col("qraw"), col("cmean")))
+      .select(col("query_id"), col("cell"), posexplode(subvecs(col("qres"))))
+      .select(col("query_id"), col("cell"), col("pos").as("m"),
+        col("col").as("sub"))
+      .join(broadcast(rescb), "m")
+      .withColumn("qdist", call_function("graft_sqdist_l", col("sub"), col("cent")))
+      .select("query_id", "cell", "m", "j", "qdist")
+    val index = spark.read.parquet(indexDir)
+      .filter(col("cell").isInCollection(probePairs.map(_._2).distinct))
+    // phase 1: ADC over stored codes — the scan reads (cell, ids, rcodes)
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("doc_id"), col("chunk_ix"))
+    val short = index
+      .select(col("cell"), col("doc_id"), col("chunk_ix"),
+        posexplode(col("rcodes")))
+      .select(col("cell"), col("doc_id"), col("chunk_ix"),
+        col("pos").as("m"), col("col").as("code"))
+      .join(broadcast(dtab), Seq("cell", "m"))
+      .filter(col("code") === col("j"))
+      .groupBy("query_id", "doc_id", "chunk_ix")
+      .agg(sum("qdist").as("adist"))
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= shortlist)
+      .select("query_id", "doc_id", "chunk_ix")
+    // phase 2: exact full-width cosine re-rank of the survivors
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    index.join(broadcast(short), Seq("doc_id", "chunk_ix"))
       .join(broadcast(qdf), "query_id")
       .select(col("query_id"), col("doc_id"), col("chunk_ix"), col("chunk"),
         score.as("score"))

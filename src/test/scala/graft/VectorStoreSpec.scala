@@ -332,6 +332,74 @@ class VectorStoreSpec extends AnyFunSuite {
       s"appended chunk lost under the frozen perm: ${hits.head}")
   }
 
+  test("compressed-cells search: self-hit rank 1; ADC scan cell-pruned; " +
+      "batch twin matches") {
+    // the store-side IVFPQ composition: frozen cells + frozen residual
+    // codebook + stored rcodes; a verbatim chunk must survive the
+    // residual-ADC shortlist and win the exact re-rank
+    val sample = spark.read.parquet(indexDir)
+      .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val hits = VectorStore.searchCompressedCells(spark, indexDir, sample,
+      k = 3).collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 3L &&
+      hits.head.getAs[Int]("chunk_ix") == 1, s"top hit: ${hits.headOption}")
+    assert(hits.head.getAs[Double]("score") > 0.999) // exact re-rank tail
+    // batch twin: rank-for-rank equal to the single-query read
+    val samples = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(3).collect().map(_.getString(0)).distinct.toSeq
+    assert(samples.size >= 2)
+    val batch = VectorStore.searchCompressedCellsBatch(spark, indexDir,
+      samples, k = 3).collect()
+      .groupBy(_.getAs[Long]("query_id")).view
+      .mapValues(_.sortBy(_.getAs[Int]("rank")).toSeq).toMap
+    samples.zipWithIndex.foreach { case (qt, i) =>
+      val single = VectorStore.searchCompressedCells(spark, indexDir, qt,
+        k = 3).collect()
+      val got = batch(i.toLong)
+      assert(single.length == got.size, s"query $i row count diverged")
+      single.zip(got).foreach { case (s, b) =>
+        assert(s.getAs[Long]("doc_id") == b.getAs[Long]("doc_id") &&
+          s.getAs[Int]("chunk_ix") == b.getAs[Int]("chunk_ix") &&
+          s.getAs[Int]("rank") == b.getAs[Int]("rank"),
+          s"query $i diverged: single=$s batch=$b")
+      }
+    }
+  }
+
+  test("residual codebook freezes at creation; appended chunks serve " +
+      "through compressed-cells") {
+    val dir = Files.createTempDirectory("graft_vs_res").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 50), dir) > 0)
+    def rescb() = spark.read.parquet(s"$dir/_graft_pq/rescb.parquet")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val cb1 = rescb()
+    assert(cb1.nonEmpty)
+    assert(VectorStore.ingest(
+      docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
+      dir, mode = "append") > 0)
+    assert(rescb() == cb1, "append retrained the frozen residual codebook")
+    // an APPENDED verbatim chunk self-hits through the composed read —
+    // doc 70 chunk 1, the probe-reachable sample the frozen-cells append
+    // test pins through searchCells (the coarse probe ranks by dot/n
+    // while assignment is min-sqdist, so not every chunk's own cell is
+    // in its top-nprobe — the composed read inherits searchCells'
+    // probing, and this pin isolates the residual-ADC stage)
+    spark.catalog.refreshByPath(dir)
+    val sample = spark.read.parquet(dir)
+      .filter(col("doc_id") === 70 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val hits = VectorStore.searchCompressedCells(spark, dir, sample,
+      k = 3).collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 70L &&
+      hits.head.getAs[Int]("chunk_ix") == 1,
+      s"appended chunk lost on the residual path: ${hits.headOption}")
+    assert(hits.head.getAs[Double]("score") > 0.999)
+  }
+
   test("legacy store (codebook, no perm sidecar): append stays identity-coded, " +
       "writes no sidecar") {
     // a store written before the perm sidecar existed is identity-coded
