@@ -275,6 +275,18 @@ class VectorStoreSpec extends AnyFunSuite {
       s"no codes-only pruned scan found:\n${scans.mkString("\n")}")
   }
 
+  test("compressed-cells ADC scan reads rcodes, not raw vectors or chunk text") {
+    val q = VectorStore.searchCompressedCells(spark, indexDir, "merge join",
+      k = 2)
+    q.collect()
+    // the residual-ADC branch's parquet scan must be pruned to
+    // ids/rcodes — raw/embedding/chunk stay out until the re-rank fetch
+    val scans = q.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(s => s.contains("rcodes") && !s.contains("raw")),
+      s"no rcodes-only pruned scan found:\n${scans.mkString("\n")}")
+  }
+
   test("append reuses the frozen codebook; compressed search spans both batches") {
     val dir = Files.createTempDirectory("graft_vs_app").toString + "/index"
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
