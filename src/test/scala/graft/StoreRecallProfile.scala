@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.VectorStore
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** B13's recall-table discipline applied to the G20 store: every serving
+  * rung measured against the EXACT full-scan truth on one index, so the
+  * store's speed/recall ladder is a published number, not scaladoc
+  * prose. Truth: queries are verbatim stored chunks, whose embedding IS
+  * the stored row's embedding — the exact top-5 by unit-vector dot needs
+  * only the index itself (one 10-query broadcast scan). Rungs: bucket
+  * multiprobe (`search`), learned cells (`searchCells`), bucket ADC +
+  * re-rank (`searchCompressed`), the composed IVFPQ read
+  * (`searchCompressedCells`), graph walk (`searchGraph`), MRL prefix
+  * (`searchTruncated` dims=16). Run: `sbt "Test/runMain
+  * graft.StoreRecallProfile"`; lands in bench/store_recall_r10.json. */
+object StoreRecallProfile {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_srp").toString + "/index"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    require(VectorStore.ingest(docs, dir) > 0)
+    require(VectorStore.buildGraph(spark, dir) > 0)
+    val index = spark.read.parquet(dir)
+      .select(col("doc_id"), col("chunk_ix"), col("chunk"), col("embedding"))
+      .cache()
+    // 10 query chunks spread across the corpus (every 40th doc's first)
+    val qrows = index.filter(col("chunk_ix") === 1 && col("doc_id") % 40 === 0)
+      .orderBy("doc_id").limit(10)
+      .select(col("doc_id").as("q_doc"), col("chunk").as("qtext"),
+        col("embedding").as("qemb"))
+      .collect()
+    val queries = qrows.map(_.getString(1)).toSeq
+    val qdf = { import spark.implicits._
+      qrows.zipWithIndex.map { case (r, i) =>
+        (i.toLong, r.getSeq[Double](2)) }.toSeq.toDF("query_id", "qemb") }
+    // exact truth: unit-vector dot over the WHOLE index (10-query
+    // broadcast — profile-only, the brute baseline a rung table needs)
+    val dot = aggregate(zip_with(col("embedding"), col("qemb"),
+      (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("doc_id"), col("chunk_ix"))
+    val truth = index.crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), dot.as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "doc_id", "chunk_ix")
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getInt(2))).toSet).toMap
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select("query_id", "doc_id", "chunk_ix").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getInt(2))).toSet).toMap
+      truth.keys.toSeq.map { q =>
+        truth(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / 5
+      }.sum / truth.size
+    }
+    val rungs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "search_bucket" ->
+        (() => VectorStore.searchBatch(spark, dir, queries, k = 5)),
+      "search_cells" ->
+        (() => VectorStore.searchCellsBatch(spark, dir, queries, k = 5)),
+      "search_compressed" ->
+        (() => VectorStore.searchCompressedBatch(spark, dir, queries, k = 5)),
+      "search_compressed_cells" ->
+        (() => VectorStore.searchCompressedCellsBatch(spark, dir, queries, k = 5)),
+      "search_graph" ->
+        (() => VectorStore.searchGraphBatch(spark, dir, queries, k = 5)),
+      "search_truncated_d16" ->
+        (() => VectorStore.searchTruncatedBatch(spark, dir, queries, k = 5,
+          dims = 16)))
+    val parts = rungs.map { case (name, build) =>
+      f""""$name":${recallOf(build())}%.3f"""
+    }
+    println(s"""{"metric":"store_recall","k":5,"queries":${truth.size},${parts.mkString(",")}}""")
+    spark.stop()
+  }
+}
