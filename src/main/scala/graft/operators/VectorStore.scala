@@ -914,7 +914,8 @@ object VectorStore {
     * rows — untouched buckets keep their files, so the rewrite cost
     * scales with the victims' bucket footprint, not the index size.
     * Returns the number of chunk rows removed. An #EDIT reprocess is
-    * `delete(ids)` followed by `ingest(newDocs, mode = "append")`.
+    * [[edit]] — `delete(ids)` + `ingest(append)` with the graph sidecar
+    * maintained through both splices.
     *
     * Crash safety: the multi-step mutation (partition overwrite, then
     * explicit drop of fully-victim bucket dirs) is journaled. A pending
@@ -1236,6 +1237,39 @@ object VectorStore {
       .select(col("query_id"), col("rank"), col("nid.doc_id").as("doc_id"),
         col("nid.chunk_ix").as("chunk_ix"), col("chunk"), col("score"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The #EDIT lifecycle op, composed (r10): the reference re-exports an
+    * edited message by removing its old chunks and re-ingesting the new
+    * text (KnowledgeBot.py:351-379 → `_delete_knowledge_chunks` then the
+    * export path; this engine's README spelled it "delete then append"
+    * — this method IS that spelling, with the graph sidecar maintained
+    * through BOTH splices instead of a rebuild): [[delete]] the old
+    * docs' chunks (partition-scoped, journaled), [[spliceGraphDelete]]
+    * the victims' buckets out of the edge sidecar, [[ingest]] the
+    * re-exported docs as an append (every frozen sidecar — codebook,
+    * perm, cells, residual codebook — reused), [[spliceGraph]] the
+    * appended region in. Each splice is bit-equal to a rebuild, so the
+    * composition ends bit-equal to `buildGraph` over the final index
+    * (spec-pinned). A store without a graph sidecar just skips the
+    * splices. Returns (chunks removed, chunks added). */
+  def edit(spark: SparkSession, indexDir: String, docIds: Seq[Long],
+      newDocs: org.apache.spark.sql.DataFrame, chunkSize: Int = 20,
+      overlap: Int = 5, batchTag: Long = 0L): (Long, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val hasGraph = fs.exists(new org.apache.hadoop.fs.Path(
+      s"$indexDir/$GraphDir/edges.parquet"))
+    val removed = delete(spark, indexDir, docIds)
+    if (hasGraph && removed > 0) spliceGraphDelete(spark, indexDir, docIds)
+    val added = ingest(newDocs, indexDir, chunkSize, overlap,
+      mode = "append", batchTag = batchTag)
+    if (hasGraph && added > 0) {
+      val newIds = newDocs.select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      spliceGraph(spark, indexDir, newIds)
+    }
+    (removed, added)
   }
 
   def delete(spark: SparkSession, indexDir: String, docIds: Seq[Long]): Long = {

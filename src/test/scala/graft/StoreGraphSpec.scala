@@ -240,6 +240,42 @@ class StoreGraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("build degree"), e.getMessage)
   }
 
+  test("edit() re-exports docs through both splices; sidecar ends " +
+      "rebuild-equal") {
+    // the #EDIT lifecycle: delete old chunks -> delete-splice -> append
+    // re-exported text under the SAME ids -> insert-splice; the edge
+    // sidecar must end bit-equal to a rebuild of the final index
+    val dir = Files.createTempDirectory("graft_vsg6").toString + "/index"
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 80)
+      .select("doc_id", "text")
+    assert(VectorStore.ingest(docs, dir) > 0)
+    assert(VectorStore.buildGraph(spark, dir) > 0)
+    val edited = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(30L, 31L))
+      .select(col("doc_id"),
+        concat(lit("edited version "), col("text")).as("text"))
+    val (removed, added) = VectorStore.edit(spark, dir, Seq(30L, 31L), edited)
+    assert(removed > 0 && added > 0)
+    spark.catalog.refreshByPath(dir)
+    // the doc's chunks are the NEW text only
+    val c30 = spark.read.parquet(dir)
+      .filter(col("doc_id") === 30 && col("chunk_ix") === 1)
+      .select("chunk").collect().map(_.getString(0))
+    assert(c30.length == 1 && c30.head.startsWith("edited version"),
+      s"doc 30 chunk 1 after edit: ${c30.toSeq}")
+    // the edited chunk serves verbatim through the exact path
+    val hits = VectorStore.search(spark, dir, c30.head, k = 3).collect()
+    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 30L,
+      s"edited chunk not served: ${hits.headOption}")
+    // the sidecar after the two splices equals a full rebuild
+    def edgeRows = spark.read.parquet(s"$dir/_graft_graph/edges.parquet")
+      .select("src_doc", "src_ix", "dst_doc", "dst_ix")
+      .collect().map(_.toString).sorted.toSeq
+    val spliced = edgeRows
+    assert(VectorStore.buildGraph(spark, dir) > 0)
+    assert(edgeRows == spliced, "edit's splices diverged from a rebuild")
+  }
+
   test("rebuild after append covers the appended chunks") {
     val dir = Files.createTempDirectory("graft_vsg2").toString + "/index"
     val first = Tables.documents(spark, sf).filter(col("doc_id") < 50)
