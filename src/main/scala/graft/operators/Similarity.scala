@@ -1757,6 +1757,15 @@ object Similarity {
     * (first PqK members' residuals): scaled residuals from different
     * cells carry different n factors and must not share centroids.
     *
+    * Member-count bound: |r| ≤ 2·10⁴·n makes a per-subspace squared-
+    * distance sum ≤ PqSub·(4·10⁴·n)², which stays inside int64 only
+    * while a cell holds n ≲ 8·10⁴ members — beyond that the n-scaling
+    * trick is unsound and the shared fixed-point scale the store-side
+    * variant uses (VectorStore's ResScale = 2¹⁶ residuals, one GLOBAL
+    * codebook, no n factor) is the 100-TB-shape answer; this query keeps
+    * the n-scaled form because its corpus cells are bounded and the
+    * exact-arithmetic contract is the point being oracle-checked.
+    *
     * Scale: identical join shape to B23 — per-cell sums are a broadcast
     * (cells × Dim) sidecar, encode is the standard O(members · Dim · K)
     * pass, serving touches probed cells only. Measured in the rung

@@ -248,20 +248,34 @@ object VectorStore {
       val resCbPath = s"$indexDir/$PqDir/$ResCbFile"
       val reuseRes = mode == "append" &&
         fs.exists(new org.apache.hadoop.fs.Path(resCbPath))
-      val rescb = if (reuseRes) {
-        spark.read.parquet(resCbPath).localCheckpoint(true)
-      } else {
-        val wj = Window.orderBy("doc_id", "chunk_ix")
-        withRes.select("doc_id", "chunk_ix", "rres")
-          .orderBy("doc_id", "chunk_ix").limit(PqK)
-          .withColumn("j", row_number().over(wj) - 1)
-          .select(col("j"), posexplode(subvecs(col("rres"))))
-          .select(col("j"), col("pos").as("m"), col("col").as("cent"))
-          .localCheckpoint(true)
-      }
-      val indexed = withRes.drop("rres")
+      // A store whose codebook predates the residual sidecar (pre-r10)
+      // carries no `rcodes` column: training a fresh residual codebook
+      // from an APPEND batch and coding only the new rows would leave a
+      // mixed-schema index where every legacy row silently vanishes from
+      // the compressed-cells read (or breaks its schema inference). The
+      // perm sidecar's legacyIdentity rule applies here too: such a
+      // store keeps appending WITHOUT residual codes and writes no
+      // rescb sidecar — [[searchCompressedCellsBatch]] refuses loudly
+      // until a full re-ingest upgrades the store.
+      val legacyRes = reuse && !reuseRes
+      val rescbOpt: Option[DataFrame] =
+        if (legacyRes) None
+        else if (reuseRes)
+          Some(spark.read.parquet(resCbPath).localCheckpoint(true))
+        else {
+          val wj = Window.orderBy("doc_id", "chunk_ix")
+          Some(withRes.select("doc_id", "chunk_ix", "rres")
+            .orderBy("doc_id", "chunk_ix").limit(PqK)
+            .withColumn("j", row_number().over(wj) - 1)
+            .select(col("j"), posexplode(subvecs(col("rres"))))
+            .select(col("j"), col("pos").as("m"), col("col").as("cent"))
+            .localCheckpoint(true))
+        }
+      val coded = withRes.drop("rres")
         .join(pqEncode(codebook, embedded, perm), Seq("doc_id", "chunk_ix"))
-        .join(resEncode(rescb, withRes), Seq("doc_id", "chunk_ix"))
+      val indexed = rescbOpt
+        .fold(coded)(cb =>
+          coded.join(resEncode(cb, withRes), Seq("doc_id", "chunk_ix")))
         .withColumn("batch_tag", lit(batchTag))
       indexed.write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)
       // time-axis zone maps: incremental upkeep scans this batch's files
@@ -278,11 +292,35 @@ object VectorStore {
       if (!reuseCells)
         centroids.coalesce(1).write.mode("overwrite").parquet(cellPath)
       if (!reuseRes)
-        rescb.coalesce(1).write.mode("overwrite").parquet(resCbPath)
+        rescbOpt.foreach(
+          _.coalesce(1).write.mode("overwrite").parquet(resCbPath))
     }
     embedded.unpersist()
     n
   }
+
+  /** Coarse cell probe (r11, metric-ALIGNED with assignment): rank cells
+    * by the same rule [[cellAssign]] assigns with — exact int64
+    * numerator ‖S‖² − 2·(q·S)·n over an IEEE n² — so the probe order IS
+    * the assignment order, and a stored chunk's own cell is always its
+    * own query's top-1 probe (q = the chunk's raw makes its assigned
+    * cell the argmin by definition). The r10 probe ranked by dot(q,S)/n,
+    * a direction-only score that could place a chunk's own cell outside
+    * its top-nprobe — the self-recall caveat this alignment deletes
+    * (spec-pinned for arbitrary stored chunks, not a reachable sample).
+    * Driver-side over the K-row frozen sidecar, one IEEE division per
+    * cell, ties to the smaller cell id. */
+  private def probeCellsFor(centroids: Array[(Int, Array[Long], Long)],
+      qraw: Array[Long], nprobe: Int): Seq[Int] =
+    centroids.map { case (cell, csum, nMem) =>
+      var ss = 0L; var dot = 0L; var i = 0
+      while (i < csum.length) {
+        ss += csum(i) * csum(i); dot += qraw(i) * csum(i); i += 1
+      }
+      // (n·n as int64, then one cast — bit-identical to cellAssign's
+      // (col("n") * col("n")).cast("double") denominator)
+      ((ss - 2L * dot * nMem).toDouble / (nMem * nMem).toDouble, cell)
+    }.sortBy { case (s, cell) => (s, cell) }.take(nprobe).map(_._2).toSeq
 
   /** Assign each batch chunk to its nearest frozen cell centroid S/n:
     * argmin ‖x − S/n‖² restated division-free as
@@ -741,12 +779,9 @@ object VectorStore {
     val qvec = { import spark.implicits._; Seq(query).toDF("qtext") }
     val qraw = qvec.select(rawWeights(col("qtext")).as("qraw"))
       .collect().head.getSeq[Long](0).toArray
-    // cell score = dot(q, S)/n (one IEEE division of exact int64
-    // operands); top-nprobe, ties to the smaller cell id
-    val probeCells = centroids.map { case (cell, csum, nMem) =>
-        val dot = qraw.zip(csum).map { case (a, b) => a * b }.sum
-        (dot.toDouble / nMem, cell)
-      }.sortBy { case (s, cell) => (-s, cell) }.take(nprobe).map(_._2).toSeq
+    // cell ranking = the assignment rule itself ([[probeCellsFor]]):
+    // top-nprobe by exact min-sqdist score, ties to the smaller cell id
+    val probeCells = probeCellsFor(centroids, qraw, nprobe)
     val index = spark.read.parquet(indexDir)
       .filter(col("cell").isInCollection(probeCells))
     val qdf = qvec.select(rawWeights(col("qtext")).as("qraw"))
@@ -787,11 +822,7 @@ object VectorStore {
     val qraws = qdf.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     val probePairs = qraws.flatMap { case (qid, qraw) =>
-      centroids.map { case (cell, csum, nMem) =>
-          val dot = qraw.zip(csum).map { case (a, b) => a * b }.sum
-          (dot.toDouble / nMem, cell)
-        }.sortBy { case (s, cell) => (-s, cell) }
-        .take(nprobe).map { case (_, cell) => (qid, cell) }
+      probeCellsFor(centroids, qraw, nprobe).map(cell => (qid, cell))
     }.toSeq
     val probes = probePairs.toDF("query_id", "cell")
     val index = spark.read.parquet(indexDir)
@@ -822,7 +853,10 @@ object VectorStore {
     * probed cells with NO per-candidate division) → exact full-width
     * re-rank of the ≤ shortlist survivors (the B9 tail, same as
     * [[searchCompressed]]). Every sidecar it reads froze at creation and
-    * is reused by appends, so codes from any batch compare. */
+    * is reused by appends, so codes from any batch compare. A store
+    * created before residual coding existed has no rcodes at all —
+    * appends keep it that way (ingest's legacyRes rule) and this read
+    * refuses it loudly rather than silently dropping the legacy rows. */
   def searchCompressedCells(spark: SparkSession, indexDir: String,
       query: String, k: Int = 5, nprobe: Int = 2,
       shortlist: Int = 50): DataFrame =
@@ -836,6 +870,17 @@ object VectorStore {
       queries: Seq[String], k: Int = 5, nprobe: Int = 2,
       shortlist: Int = 50): DataFrame = {
     import spark.implicits._
+    // refuse loudly on a store with no residual sidecar (created before
+    // the rcodes column existed, and kept rcodes-free by appends — the
+    // ingest legacyRes rule): scanning a missing column would silently
+    // drop every legacy row from the ADC ranking instead
+    val resCbCheck = s"$indexDir/$PqDir/$ResCbFile"
+    require(org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(resCbCheck)),
+      s"searchCompressedCells needs the residual codebook sidecar at " +
+        s"$resCbCheck — this store predates residual coding (no rcodes); " +
+        "re-ingest it (mode=overwrite) to serve the compressed-cells path")
     val centroids = spark.read.parquet(s"$indexDir/$CellsDir/centroids.parquet")
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
     val qdf = queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
@@ -844,14 +889,10 @@ object VectorStore {
       .select("query_id", "qraw")
     val qraws = qdf.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    // coarse probe: exact int64 centroid dots over the K-row summary,
-    // one IEEE division each — the searchCells probing rule
+    // coarse probe: the assignment-aligned rule ([[probeCellsFor]]) over
+    // the K-row summary — exact int64 numerators, one IEEE division each
     val probePairs = qraws.flatMap { case (qid, qraw) =>
-      centroids.map { case (cell, csum, nMem) =>
-          val dot = qraw.zip(csum).map { case (a, b) => a * b }.sum
-          (dot.toDouble / nMem, cell)
-        }.sortBy { case (s, cell) => (-s, cell) }
-        .take(nprobe).map { case (_, cell) => (qid, cell) }
+      probeCellsFor(centroids, qraw, nprobe).map(cell => (qid, cell))
     }.toSeq
     val probes = probePairs.toDF("query_id", "cell")
     val cmeans = centroids
@@ -1185,16 +1226,42 @@ object VectorStore {
     * `query_id`, each hop's beam prunes through a window PARTITIONED BY
     * QUERY, and the bounded (queries × beam)-row frontier is eagerly
     * checkpointed per hop exactly like the single-query walk. Output
-    * schema = [[searchBatch]]. */
+    * schema = [[searchBatch]].
+    *
+    * Serving knobs (r11, the B14 tuning discipline applied to G31):
+    * `entries`/`beam`/`hops` widen the walk; `seedFromBuckets` replaces
+    * the fixed md5-drawn global entry set with per-query entries drawn
+    * from the query's OWN multiprobe LSH buckets. The edge sidecar's
+    * candidate generator is same-bucket pairs, so the graph is a union
+    * of per-bucket components — a walk can NEVER leave the buckets its
+    * entries start in, which is why fixed global entries starve against
+    * full-scan truth (store_recall_r10: 0.18) and why cell-sidecar
+    * medoids would not help either (medoids land in arbitrary buckets).
+    * Bucket seeding reads only the probed partitions, column-pruned to
+    * (nid, bucket), caps at `entries` md5-ranked rows per query, and the
+    * walk then scores O(entries + hops·beam·degree) vectors — the
+    * operating points are published in bench/graph_tune_r11.json. */
   def searchGraphBatch(spark: SparkSession, indexDir: String,
-      queries: Seq[String], k: Int = 5): DataFrame = {
+      queries: Seq[String], k: Int = 5, entries: Int = GraphEntries,
+      beam: Int = GraphBeam, hops: Int = GraphHops,
+      seedFromBuckets: Boolean = false): DataFrame =
+    graphWalk(spark, indexDir, queries, k, entries, beam, hops,
+      seedFromBuckets, countTouched = false)._1
+
+  /** The walk body behind [[searchGraphBatch]]; `countTouched = true`
+    * additionally returns the number of (query, vector) score
+    * evaluations the walk performed — the cost axis of the published
+    * tuning table (extra per-hop counts run only when asked). */
+  private[graft] def graphWalk(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int, entries: Int, beamIn: Int, hops: Int,
+      seedFromBuckets: Boolean, countTouched: Boolean): (DataFrame, Long) = {
     // the per-hop beam must cover the asked-for k: the final cut runs
     // over the LAST frontier, which holds at most `beam` rows per query
-    val beam = math.max(GraphBeam, k)
+    val beam = math.max(beamIn, k)
     spark.catalog.refreshByPath(indexDir)
     val nodes = spark.read.parquet(indexDir)
       .select(struct(col("doc_id"), col("chunk_ix")).as("nid"),
-        col("chunk"), col("raw"))
+        col("bucket"), col("chunk"), col("raw"))
     val edges = spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet")
       .select(struct(col("src_doc"), col("src_ix")).as("src"),
         struct(col("dst_doc"), col("dst_ix")).as("dst"))
@@ -1202,12 +1269,36 @@ object VectorStore {
       queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("query_id", "qtext") }
       .select(col("query_id"), rawWeights(col("qtext")).as("qraw"))
-    val entries = nodes.select(col("nid"))
-      .withColumn("h", md5(concat_ws(":",
-        col("nid.doc_id").cast("string"), col("nid.chunk_ix").cast("string"))))
-      .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
-      .limit(GraphEntries).select(col("nid"))
-    val start = qdf.select(col("query_id")).crossJoin(broadcast(entries))
+    val entryH = md5(concat_ws(":",
+      col("nid.doc_id").cast("string"), col("nid.chunk_ix").cast("string")))
+    val start =
+      if (seedFromBuckets) {
+        // per-query entries from the query's multiprobe bucket set: the
+        // same partition-pruned directory read search() scans, but
+        // column-pruned to (nid, bucket) and capped to `entries`
+        // md5-ranked rows per query — deterministic, spread across the
+        // probed buckets, and inside the only components the same-bucket
+        // edge sidecar lets this query's walk reach
+        val probes = qdf.select(col("query_id"),
+          bucketOf(col("qraw")).as("qbucket"))
+          .select(col("query_id"), explode(array(
+            col("qbucket") +: (0 until Planes).map(p =>
+              col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
+        val wE = Window.partitionBy("query_id")
+          .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
+        nodes.select(col("nid"), col("bucket"))
+          .join(broadcast(probes), "bucket")
+          .withColumn("h", entryH)
+          .withColumn("rk", row_number().over(wE))
+          .filter(col("rk") <= entries)
+          .select(col("query_id"), col("nid"))
+      } else {
+        val entryDf = nodes.select(col("nid"))
+          .withColumn("h", entryH)
+          .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
+          .limit(entries).select(col("nid"))
+        qdf.select(col("query_id")).crossJoin(broadcast(entryDf))
+      }
     val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
     val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
     val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
@@ -1216,11 +1307,13 @@ object VectorStore {
       .otherwise(lit(0.0d))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("nid.doc_id"), col("nid.chunk_ix"))
+    var touched = 0L
     def hop(f: DataFrame): DataFrame = {
       val fc = f.select(col("query_id"), col("nid"))
       val grown = fc.union(
         edges.join(broadcast(fc), col("nid") === col("src"))
           .select(col("query_id"), col("dst").as("nid"))).distinct()
+      if (countTouched) touched += grown.count()
       nodes.join(broadcast(grown), "nid")
         .join(broadcast(qdf), "query_id")
         .select(col("query_id"), col("nid"), score.as("score"))
@@ -1228,15 +1321,16 @@ object VectorStore {
         .filter(col("rk") <= beam)
         .select(col("query_id"), col("nid"), col("score"))
     }
-    val last = (1 to GraphHops)
+    val last = (1 to hops)
       .foldLeft(start.localCheckpoint(true))((f, _) => hop(f).localCheckpoint(true))
-    last
+    val out = last
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .join(nodes.select(col("nid"), col("chunk")), "nid")
       .select(col("query_id"), col("rank"), col("nid.doc_id").as("doc_id"),
         col("nid.chunk_ix").as("chunk_ix"), col("chunk"), col("score"))
       .orderBy("query_id", "rank")
+    (out, touched)
   }
 
   /** The #EDIT lifecycle op, composed (r10): the reference re-exports an
@@ -1260,14 +1354,19 @@ object VectorStore {
       spark.sparkContext.hadoopConfiguration)
     val hasGraph = fs.exists(new org.apache.hadoop.fs.Path(
       s"$indexDir/$GraphDir/edges.parquet"))
+    // the sidecar's own build degree drives BOTH splices: hardcoding the
+    // default would make edit() unusable on any buildGraph(degree != 8)
+    // store (spliceGraphDelete requires degree == built)
+    val deg = if (hasGraph) storedDegree(spark, indexDir) else GraphDegree
     val removed = delete(spark, indexDir, docIds)
-    if (hasGraph && removed > 0) spliceGraphDelete(spark, indexDir, docIds)
+    if (hasGraph && removed > 0)
+      spliceGraphDelete(spark, indexDir, docIds, deg)
     val added = ingest(newDocs, indexDir, chunkSize, overlap,
       mode = "append", batchTag = batchTag)
     if (hasGraph && added > 0) {
       val newIds = newDocs.select("doc_id").distinct()
         .collect().map(_.getLong(0)).toSeq
-      spliceGraph(spark, indexDir, newIds)
+      spliceGraph(spark, indexDir, newIds, deg)
     }
     (removed, added)
   }

@@ -144,14 +144,21 @@ object ZoneMaps {
     (keep.map(_.getString(0)).toSeq, zm.length)
   }
 
-  /** Key-SET pruning (r10): the files whose [zmin, zmax] zone contains at
-    * least one of `keys` — the point-lookup sibling of [[planFiles]]'s
-    * single interval, for probe-style reads (a batch's bigram hashes
-    * against a standing LM table, a CDC batch's keys against a snapshot).
-    * The zones broadcast (O(files) rows); the interval join's output is
-    * bounded by |keys| when the layout is range-clustered (disjoint
-    * zones ⇒ ≤ 1 file per key), so the matched-file list — never the key
-    * set — lands on the driver. On a range-clustered layout the kept
+  /** Key-SET pruning (r10; join shape bin-decomposed r11): the files
+    * whose [zmin, zmax] zone contains at least one of `keys` — the
+    * point-lookup sibling of [[planFiles]]'s single interval, for
+    * probe-style reads (a batch's bigram hashes against a standing LM
+    * table, a CDC batch's keys against a snapshot). The containment join
+    * is NOT a keys×zones nested loop (O(|batch| × |mapped files|) range
+    * predicates — the planning join itself would become the append
+    * bottleneck once the standing table maps 10⁴⁺ files): it is the
+    * E17/G28 bin decomposition. Both sides land in power-of-two bins via
+    * an arithmetic right shift sized to the WIDEST zone — so every zone
+    * covers at most two bins, the exploded broadcast is ≤ 2·files rows,
+    * and each key equi-joins only the zones sharing its bin, with the
+    * exact [zmin, zmax] check as the residual. Planning cost is
+    * O(|keys| + files), whole-stage-codegen hash join throughout
+    * (plan-pinned in ZoneMapSpec). On a range-clustered layout the kept
     * file count is ≤ min(files, distinct keys): a bounded probe stays
     * bounded no matter how large the standing table grows, which is the
     * difference between an incremental job's cost tracking its batch and
@@ -165,14 +172,41 @@ object ZoneMaps {
         org.apache.spark.sql.types.LongType,
       s"zone map at $path is keyed by ${zmDf.schema("zmin").dataType.sql}, " +
         "not BIGINT — planFilesForKeys serves long keys only")
-    val total = zmDf.count().toInt
-    val k = keys.toDF("k").distinct()
-    val kept = k
-      .join(broadcast(zmDf),
-        col("k") >= col("zmin") && col("k") <= col("zmax"))
+    // O(files) sidecar rows on the driver — the planFiles discipline
+    val zm = zmDf.collect()
+    val zones = zm.filter(!_.isNullAt(1))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    if (zones.isEmpty) return (Seq.empty, zm.length)
+    val kept = keyProbeMatches(spark, keys, zones)
       .select("file").distinct()
       .collect().map(_.getString(0)).toSeq
-    (kept, total)
+    (kept, zm.length)
+  }
+
+  /** The bin-decomposed containment join behind [[planFilesForKeys]],
+    * exposed (package-private) so the spec can pin its plan shape and
+    * its floor-division semantics on negative domains. Returns the
+    * matched (k, file) pairs (pre-distinct). The shift is the smallest s
+    * with 2^s ≥ the widest zone: an arithmetic right shift is exact
+    * floor division by 2^s for ANY signed long — no subtraction, so no
+    * overflow on domains spanning the full int64 range (where a
+    * (k − lo) rebasing would wrap). Degenerate layouts stay correct:
+    * one zone spanning ~the whole domain forces s → 63, collapsing to
+    * ≤ 2 bins — the broadcast-everything cost the legacy nested loop
+    * paid always, now paid only when pruning is hopeless anyway. */
+  private[graft] def keyProbeMatches(spark: SparkSession, keys: DataFrame,
+      zones: Seq[(String, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val widest = zones.map(z => BigInt(z._3) - BigInt(z._2) + 1).max
+    val shift = (0 to 62).find(s => (BigInt(1) << s) >= widest).getOrElse(63)
+    val binned = zones.flatMap { case (f, zmin, zmax) =>
+      ((zmin >> shift) to (zmax >> shift)).map(b => (b, f, zmin, zmax))
+    }.toDF("bin", "file", "zmin", "zmax")
+    keys.toDF("k").distinct()
+      .withColumn("bin", shiftright(col("k"), shift))
+      .join(broadcast(binned), "bin")
+      .filter(col("k") >= col("zmin") && col("k") <= col("zmax"))
+      .select("k", "file")
   }
 
   /** Probe read served through the zone map: only files whose zone holds

@@ -244,12 +244,15 @@ class StoreGraphSpec extends AnyFunSuite {
       "rebuild-equal") {
     // the #EDIT lifecycle: delete old chunks -> delete-splice -> append
     // re-exported text under the SAME ids -> insert-splice; the edge
-    // sidecar must end bit-equal to a rebuild of the final index
+    // sidecar must end bit-equal to a rebuild of the final index.
+    // Built at a NON-default degree: edit() must forward the sidecar's
+    // own build degree to both splices (a hardcoded default would make
+    // spliceGraphDelete's degree == built guard throw here)
     val dir = Files.createTempDirectory("graft_vsg6").toString + "/index"
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 80)
       .select("doc_id", "text")
     assert(VectorStore.ingest(docs, dir) > 0)
-    assert(VectorStore.buildGraph(spark, dir) > 0)
+    assert(VectorStore.buildGraph(spark, dir, degree = 4) > 0)
     val edited = Tables.documents(spark, sf)
       .filter(col("doc_id").isin(30L, 31L))
       .select(col("doc_id"),
@@ -267,12 +270,13 @@ class StoreGraphSpec extends AnyFunSuite {
     val hits = VectorStore.search(spark, dir, c30.head, k = 3).collect()
     assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 30L,
       s"edited chunk not served: ${hits.headOption}")
-    // the sidecar after the two splices equals a full rebuild
+    // the sidecar after the two splices equals a full rebuild AT THE
+    // STORED DEGREE
     def edgeRows = spark.read.parquet(s"$dir/_graft_graph/edges.parquet")
       .select("src_doc", "src_ix", "dst_doc", "dst_ix")
       .collect().map(_.toString).sorted.toSeq
     val spliced = edgeRows
-    assert(VectorStore.buildGraph(spark, dir) > 0)
+    assert(VectorStore.buildGraph(spark, dir, degree = 4) > 0)
     assert(edgeRows == spliced, "edit's splices diverged from a rebuild")
   }
 

@@ -394,12 +394,10 @@ class VectorStoreSpec extends AnyFunSuite {
       docs.filter(col("doc_id") >= 50 && col("doc_id") < 100),
       dir, mode = "append") > 0)
     assert(rescb() == cb1, "append retrained the frozen residual codebook")
-    // an APPENDED verbatim chunk self-hits through the composed read —
-    // doc 70 chunk 1, the probe-reachable sample the frozen-cells append
-    // test pins through searchCells (the coarse probe ranks by dot/n
-    // while assignment is min-sqdist, so not every chunk's own cell is
-    // in its top-nprobe — the composed read inherits searchCells'
-    // probing, and this pin isolates the residual-ADC stage)
+    // an APPENDED verbatim chunk self-hits through the composed read
+    // (r11: the coarse probe IS the assignment rule, so any chunk's own
+    // cell is its top-1 probe — this pin isolates the residual-ADC
+    // stage on an appended row coded with the frozen rescb)
     spark.catalog.refreshByPath(dir)
     val sample = spark.read.parquet(dir)
       .filter(col("doc_id") === 70 && col("chunk_ix") === 1)
@@ -456,6 +454,62 @@ class VectorStoreSpec extends AnyFunSuite {
       row.getString(2), k = 3).collect()
     assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") >= 40L,
       s"appended chunk lost on the legacy identity path: ${hits.headOption}")
+  }
+
+  test("pre-residual legacy store: append codes no rcodes, writes no rescb; " +
+      "compressed-cells refuses loudly") {
+    // a store written before residual coding existed has neither the
+    // rescb sidecar nor an rcodes column; an append that trained a fresh
+    // residual codebook from its own batch would (a) freeze a sidecar the
+    // creation batch never saw and (b) leave a mixed-schema index whose
+    // legacy rows silently vanish from the compressed-cells ADC scan
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val src = Files.createTempDirectory("graft_vs_preres").toString + "/src"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 40), src) > 0)
+    // materialize a faithful pre-r10 store: same rows minus rcodes, same
+    // frozen sidecars minus rescb
+    val dir = Files.createTempDirectory("graft_vs_preres").toString + "/index"
+    spark.read.parquet(src).drop("rcodes")
+      .write.partitionBy("bucket", "cell").parquet(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("_graft_pq/codebook.parquet", "_graft_pq/perm.parquet",
+        "_graft_cells/centroids.parquet").foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$src/$p"), fs,
+        new org.apache.hadoop.fs.Path(s"$dir/$p"), false, conf)
+    }
+    val more = docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+    assert(VectorStore.ingest(more, dir, mode = "append") > 0)
+    // 1) no rescb sidecar appeared, and the schema stayed UNIFORM — the
+    //    appended rows carry no rcodes either
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_pq/rescb.parquet")),
+      "append to a pre-residual store trained and froze a rescb sidecar")
+    spark.catalog.refreshByPath(dir)
+    assert(!spark.read.parquet(dir).columns.contains("rcodes"),
+      "mixed-schema index: appended rows carry rcodes the legacy rows lack")
+    // 2) the compressed-cells read refuses loudly instead of silently
+    //    dropping every legacy row
+    val ex = intercept[IllegalArgumentException] {
+      VectorStore.searchCompressedCells(spark, dir, "anything", k = 3)
+    }
+    assert(ex.getMessage.contains("residual codebook"), ex.getMessage)
+    // 3) every other serving path still covers the appended batch
+    val row = spark.read.parquet(dir).filter(col("doc_id") >= 40)
+      .orderBy("doc_id", "chunk_ix")
+      .select("doc_id", "chunk_ix", "chunk").limit(1).collect().head
+    val hits = VectorStore.searchCompressed(spark, dir,
+      row.getString(2), k = 3).collect()
+    assert(hits.nonEmpty &&
+      hits.head.getAs[Long]("doc_id") == row.getLong(0),
+      s"appended chunk lost on the raw-ADC path: ${hits.headOption}")
+    val cellHits = VectorStore.searchCells(spark, dir,
+      row.getString(2), k = 3).collect()
+    assert(cellHits.nonEmpty &&
+      cellHits.head.getAs[Long]("doc_id") == row.getLong(0),
+      s"appended chunk lost on the cell path: ${cellHits.headOption}")
   }
 
   test("time-axis zone maps: tag-range serve prunes to the matching batches' files") {
@@ -520,18 +574,28 @@ class VectorStoreSpec extends AnyFunSuite {
     val cellDirs = bucketDirs.flatMap(_.listFiles())
       .filter(_.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty, "expected cell=N subdirectories")
-    val sample = spark.read.parquet(indexDir)
-      .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
-      .select("chunk").collect().head.getString(0)
-    // a verbatim chunk maps to its own cell (nearest centroid is stable
-    // between ingest-time and query-time assignment), so the self-hit
-    // must survive cell probing
-    val hits = VectorStore.searchCells(spark, indexDir, sample, k = 3).collect()
-    assert(hits.nonEmpty && hits.head.getAs[Long]("doc_id") == 3L &&
-      hits.head.getAs[Int]("chunk_ix") == 1, s"top hit was ${hits.headOption}")
-    assert(hits.head.getAs[Double]("score") > 0.999)
+    // ARBITRARY stored chunks self-hit (r11): the coarse probe ranks by
+    // the assignment rule itself (min-sqdist over the frozen sidecar),
+    // so EVERY chunk's own cell is its own query's top-1 probe — not
+    // just a probe-reachable sample, the r10 caveat this deletes. An
+    // md5-spread draw keeps the pick deterministic but unbiased.
+    val samples = spark.read.parquet(indexDir)
+      .select("doc_id", "chunk_ix", "chunk")
+      .withColumn("h", md5(concat_ws(":", col("doc_id"), col("chunk_ix"))))
+      .orderBy("h").limit(8).collect()
+    samples.foreach { s =>
+      val hits = VectorStore.searchCells(spark, indexDir,
+        s.getString(2), k = 3).collect()
+      assert(hits.nonEmpty &&
+        hits.head.getAs[Long]("doc_id") == s.getLong(0) &&
+        hits.head.getAs[Int]("chunk_ix") == s.getInt(1),
+        s"chunk (${s.getLong(0)}, ${s.getInt(1)}) lost under cell " +
+          s"probing: ${hits.headOption}")
+      assert(hits.head.getAs[Double]("score") > 0.999)
+    }
     // and the plan prunes partitions by the literal probed cell list
-    val plan = VectorStore.searchCells(spark, indexDir, sample, k = 3)
+    val plan = VectorStore.searchCells(spark, indexDir,
+      samples.head.getString(2), k = 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("cell"), "expected cell partition pruning in plan")
   }

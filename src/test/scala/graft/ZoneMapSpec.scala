@@ -126,6 +126,54 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(incRows == fullRows)
   }
 
+  test("planFilesForKeys: bin-decomposed equi probe, no nested-loop join, exact kept set") {
+    // probe keys: a mix of present values and misses straddling the domain
+    val present = docs.select("n_chars").orderBy("n_chars")
+      .collect().map(_.getLong(0))
+    val probe = Seq(present.head, present(present.length / 2), present.last,
+      present.last + 7777L, -5L)
+    import spark.implicits._
+    val keys = probe.toDF("k")
+    for (layout <- Seq("clustered", "shuffled")) {
+      val (kept, total) = ZoneMaps.planFilesForKeys(spark, s"$base/$layout", keys)
+      assert(total == 8)
+      // brute-force truth from the collected sidecar
+      val zones = spark.read.parquet(s"$base/$layout/_graft_zonemap")
+        .collect().filter(!_.isNullAt(1))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val want = zones.filter { case (_, zmin, zmax) =>
+        probe.exists(k => k >= zmin && k <= zmax) }.map(_._1).toSet
+      assert(kept.toSet == want,
+        s"$layout: bin probe kept ${kept.size} files, brute force ${want.size}")
+      // the plan is a broadcast HASH join on the bin — never a nested loop
+      // (the r10 keys×zones shape was O(|keys|·files) planning work)
+      val plan = ZoneMaps.keyProbeMatches(spark, keys, zones.toSeq)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$layout: zone probe regressed to a nested-loop join:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$layout: expected a broadcast hash join on the bin key:\n$plan")
+    }
+  }
+
+  test("keyProbeMatches: floor-shift binning exact on negative and full-span domains") {
+    import spark.implicits._
+    // zones straddling zero and sitting deep in the negative range — an
+    // arithmetic shift floors correctly where (k - lo) rebasing or `div`
+    // truncation toward zero would mis-bin boundary keys
+    val zones = Seq(
+      ("fneg", -1000L, -901L), ("fstraddle", -3L, 4L), ("fpos", 900L, 999L),
+      ("fwide", Long.MinValue / 2, Long.MaxValue / 2))
+    val keys = Seq(-1000L, -901L, -900L, -4L, -3L, 0L, 4L, 5L, 899L, 900L,
+      999L, 1000L, Long.MinValue / 2, Long.MaxValue / 2, Long.MaxValue)
+    val got = ZoneMaps.keyProbeMatches(spark, keys.toDF("k"), zones)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (for {
+      k <- keys; (f, zmin, zmax) <- zones; if k >= zmin && k <= zmax
+    } yield (k, f)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
   test("empty band short-circuits to an empty scan with the table schema") {
     val ceiling = docs.agg(max("n_chars")).collect()(0).getLong(0)
     val df = ZoneMaps.readRange(spark, s"$base/clustered", "n_chars",
