@@ -1722,13 +1722,30 @@ object Analytics {
     * (the double column reports counts only — float min/max formatting
     * is the classic cross-engine parity trap, and a profile's range
     * check on money belongs on exact cents anyway). */
-  def qProfile(s: SparkSession, dir: String): DataFrame = {
-    val cols: Seq[(String, Boolean)] = Seq(
-      "event_id" -> true, "user_id" -> true, "ts_us" -> true,
-      "event_type" -> false, "value" -> false)
-    val ev = Tables.events(s, dir)
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    profile(Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), unix_micros(col("ts")).as("ts_us"))
+        col("value"), unix_micros(col("ts")).as("ts_us")),
+      Seq("event_id", "user_id", "ts_us", "event_type", "value"))
+
+  /** E61 parametric form (r11): the exact single-pass profile over ANY
+    * table — the per-column aggregate list is generated from the
+    * SCHEMA (integral columns add BIGINT min/max; everything else
+    * counts + distincts only, the float-formatting parity rule), so a
+    * feed-health deployment profiles arbitrary feeds with one call.
+    * [[qProfile]] is this applied to the events table (time columns
+    * canonicalized to epoch-micros first — a timestamp profiles as its
+    * integral form). Plan shape is unchanged from the hardwired r10
+    * version: ONE scan, map-side partials, the multi-column exact
+    * distincts through Spark's expand. */
+  def profile(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols: Seq[(String, Boolean)] = colNames.map { nm =>
+      nm -> (df.schema(nm).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap {
       case (nm, integral) =>
         Seq(count(col(nm)).as(s"nn_$nm"),
@@ -1738,7 +1755,7 @@ object Analytics {
               max(col(nm)).cast("long").as(s"mx_$nm"))
           else Nil)
     }
-    ev.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map { case (nm, integral) =>
         struct(lit(nm).as("col_name"), col("n_rows"),
           (col("n_rows") - col(s"nn_$nm")).as("n_nulls"),

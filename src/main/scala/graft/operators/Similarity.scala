@@ -1392,6 +1392,120 @@ object Similarity {
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** B25 (r11): PQ with a LLOYD-TRAINED codebook — the "a production
+    * pipeline would iterate k-means on it" step B7's doc defers, run as
+    * ONE exact refinement round per subspace. Seeds are B7's sampled
+    * codebook; every corpus subvector assigns to its nearest seed (exact
+    * int64 sqdist, ties to the smaller j — the B12 rule applied per
+    * subspace); each surviving (m, j) centroid refines to the
+    * FLOOR-DIVIDED integer mean floorDiv(Σx, n) per dim. Integer
+    * centroids are the exactness move: every downstream distance stays
+    * in B7's exact int64 machinery (codes, ADC tables, ranking all
+    * hash-match DuckDB, no per-candidate division), and the rounding
+    * costs < 1 on a 10⁴-scaled axis — noise against centroid spreads.
+    * Seeds that win no members vanish (deterministic in both engines;
+    * the codebook can only shrink, never mis-pair). Codes and the ADC
+    * ranking then run EXACTLY B7's shape against the refined codebook —
+    * the rung-table pair (vec_pq vs vec_pq_lloyd) measures what training
+    * buys over sampling, the r10 rung analysis' top suspect for the
+    * remaining PQ recall gap.
+    *
+    * Scale shape: B7's plus one refinement pass — the assignment is the
+    * same broadcast-codebook O(vectors·M·K) join every encode does, the
+    * refinement a narrow mergeable (m, j, sd) aggregate (M·K·PqSub rows
+    * out), both map-side-combining. Nothing new shuffles at 100 TB. */
+  def vecPqLloyd(s: SparkSession, dir: String): DataFrame = {
+    val sub = pqCorpusSub(s, dir)
+    val seeds = pqCodebook(s, dir)
+    val a1 = sub.join(broadcast(seeds), Seq("m"))
+      .select(col("vec_id"), col("m"), col("j"),
+        sq(col("sub"), col("cent")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("j"))).getField("j").as("j"))
+    val cent2 = sub.join(a1, Seq("vec_id", "m"))
+      .select(col("m"), col("j"), posexplode(col("sub")))
+      .groupBy("m", "j", "pos")
+      .agg(sum("col").as("cs"), count(lit(1)).as("n"))
+      // floorDiv via pmod: the numerator is exactly divisible, so the
+      // truncating `div` is exact in both engines regardless of sign
+      .select(col("m"), col("j"), col("pos"),
+        expr("(cs - pmod(cs, n)) div n").as("c2"))
+      .groupBy("m", "j")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c2")))),
+        e => e.getField("c2")).as("cent"))
+    val codes = sub.join(broadcast(cent2), Seq("m"))
+      .select(col("vec_id"), col("m"), col("j"),
+        sq(col("sub"), col("cent")).as("dist"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+    val dtab = pqSubvecs(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), q4vec(col("embedding")).as("v")),
+      "query_id")
+      .join(broadcast(cent2), Seq("m"))
+      .select(col("query_id"), col("m"), col("j"),
+        sq(col("sub"), col("cent")).as("qdist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist"), col("neighbor_id"))
+    codes.join(broadcast(dtab),
+        codes("m") === dtab("m") && codes("code") === dtab("j"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("qdist").as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val vecPqLloydSql: String = s"""
+    WITH e4 AS (
+      SELECT vec_id, CAST(d.range AS INT) AS d,
+        CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS x
+      FROM embeddings CROSS JOIN range($VecDim) d),
+    sub AS (
+      SELECT vec_id, d // $PqSub AS m, d % $PqSub AS sd, x FROM e4),
+    cent AS (
+      SELECT vec_id - 10 AS j, m, sd, x FROM sub
+      WHERE vec_id >= 10 AND vec_id < ${10 + PqK}),
+    d1 AS (
+      SELECT s.vec_id, s.m, c.j,
+        CAST(SUM((s.x - c.x) * (s.x - c.x)) AS BIGINT) AS dist
+      FROM sub s JOIN cent c ON c.m = s.m AND c.sd = s.sd
+      WHERE s.vec_id >= 10
+      GROUP BY s.vec_id, s.m, c.j),
+    a1 AS (SELECT vec_id, m, j FROM (
+        SELECT vec_id, m, j,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        FROM d1) WHERE rk = 1),
+    cent2 AS (
+      SELECT a1.m, a1.j, s.sd,
+        CAST((SUM(s.x) - ((SUM(s.x) % COUNT(*)) + COUNT(*)) % COUNT(*))
+          // COUNT(*) AS BIGINT) AS x
+      FROM sub s JOIN a1 ON a1.vec_id = s.vec_id AND a1.m = s.m
+      GROUP BY a1.m, a1.j, s.sd),
+    d2 AS (
+      SELECT s.vec_id, s.m, c.j,
+        CAST(SUM((s.x - c.x) * (s.x - c.x)) AS BIGINT) AS dist
+      FROM sub s JOIN cent2 c ON c.m = s.m AND c.sd = s.sd
+      GROUP BY s.vec_id, s.m, c.j),
+    codes AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+          row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rk
+        FROM d2 WHERE vec_id >= 10) WHERE rk = 1),
+    adc AS (
+      SELECT d.vec_id AS query_id, c.vec_id AS neighbor_id,
+        CAST(SUM(d.dist) AS BIGINT) AS adist
+      FROM codes c JOIN d2 d ON d.m = c.m AND d.j = c.code AND d.vec_id < 10
+      GROUP BY d.vec_id, c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+        row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      FROM adc)
+    SELECT query_id, rank, neighbor_id, adist
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   /** B22: OPQ-style dimension assignment ahead of the PQ split. Plain PQ
     * cuts the vector into CONTIGUOUS subspaces; OPQ (Ge et al., CVPR
     * 2013) learns a rotation so the subspaces carry balanced energy —
@@ -2585,6 +2699,9 @@ object Similarity {
       // isotropic by construction; the rung pair is where a real corpus
       // shows the PQ→OPQ gap)
       .unionAll(recallOf("vec_pq", rung("vec_pq", vecPq(s, dir)), 5))
+      // B25 next to B7: what one exact Lloyd round over the codebook buys
+      .unionAll(recallOf("vec_pq_lloyd",
+        rung("vec_pq_lloyd", vecPqLloyd(s, dir)), 5))
       .unionAll(recallOf("vec_opq", rung("vec_opq", vecOpq(s, dir)), 5))
       // B8 vs B23 vs B24 side by side: what per-cell OPQ and residual
       // encoding each buy inside IVF-PQ
@@ -2626,6 +2743,9 @@ object Similarity {
           SELECT 'vec_pq' AS method, query_id, neighbor_id, 5 AS k
           FROM ($vecPqSql)
       UNION ALL
+          SELECT 'vec_pq_lloyd' AS method, query_id, neighbor_id, 5 AS k
+          FROM ($vecPqLloydSql)
+      UNION ALL
           SELECT 'vec_opq' AS method, query_id, neighbor_id, 5 AS k
           FROM ($vecOpqSql)
       UNION ALL
@@ -2647,7 +2767,7 @@ object Similarity {
       SELECT mm.method, q.query_id, mm.k
       FROM q CROSS JOIN (VALUES ('ann_graph_search', 5), ('ann_ivf', 5),
         ('ann_ivf_km', 5), ('ann_lsh', 3), ('ann_pq_rerank', 5),
-        ('ann_sq8', 5), ('vec_pq', 5), ('vec_opq', 5),
+        ('ann_sq8', 5), ('vec_pq', 5), ('vec_pq_lloyd', 5), ('vec_opq', 5),
         ('ann_ivfpq', 5), ('ann_ivfpq_opq', 5),
         ('ann_ivfpq_res', 5)) mm(method, k))
     SELECT base.method, base.query_id,
@@ -2675,6 +2795,7 @@ object Similarity {
     "vec_cluster_sample" -> (vecClusterSample _),
     "vec_kmeans" -> (vecKmeans _),
     "vec_pq"    -> (vecPq _),
+    "vec_pq_lloyd" -> (vecPqLloyd _),
     "vec_opq"   -> (vecOpq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_opq" -> (annIvfPqOpq _),
@@ -2704,6 +2825,7 @@ object Similarity {
     "vec_cluster_sample" -> vecClusterSampleSql,
     "vec_kmeans" -> vecKmeansSql,
     "vec_pq"    -> vecPqSql,
+    "vec_pq_lloyd" -> vecPqLloydSql,
     "vec_opq"   -> vecOpqSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_ivfpq_opq" -> annIvfPqOpqSql,

@@ -198,17 +198,35 @@ object Sketches {
     * canonicalizes each column to a cross-engine-stable string (longs
     * cast directly; the double column through DECIMAL(18,6), the classic
     * float-formatting parity trap sidestepped). */
-  def qProfileHll(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val cols: Seq[(String, Boolean)] = Seq(
-      "event_id" -> true, "user_id" -> true, "ts_us" -> true,
-      "event_type" -> false, "value" -> false)
-    val ev = Tables.events(s, dir)
+  def qProfileHll(s: SparkSession, dir: String): DataFrame =
+    profile(Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value"), unix_micros(col("ts")).as("ts_us"))
-    def canon(nm: String): Column =
-      if (nm == "value") col(nm).cast(DecimalType(18, 6)).cast("string")
-      else col(nm).cast("string")
+        col("value"), unix_micros(col("ts")).as("ts_us")),
+      Seq("event_id", "user_id", "ts_us", "event_type", "value"))
+
+  /** E61a parametric form (r11): the sketch profile over ANY table — the
+    * per-column aggregate list is generated from the SCHEMA: integral
+    * columns add BIGINT min/max; fractional columns (double/float/
+    * decimal) canonicalize through DECIMAL(18,6) before hashing (the
+    * cross-engine float-formatting rule the hardwired version applied to
+    * `value`); everything hashes via its string form into one
+    * md5-deterministic HLL register set per column. [[qProfileHll]] is
+    * this applied to the events table. One scan, one 64-byte register
+    * buffer per (mapper, column) — no expand, mergeable map-side, the
+    * 100 TB default profile. */
+  def profile(df: DataFrame, colNames: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols: Seq[(String, Boolean)] = colNames.map { nm =>
+      nm -> (df.schema(nm).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    }
+    def canon(nm: String): Column = df.schema(nm).dataType match {
+      case DoubleType | FloatType | _: DecimalType =>
+        col(nm).cast(DecimalType(18, 6)).cast("string")
+      case _ => col(nm).cast("string")
+    }
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap {
       case (nm, integral) =>
         Seq(count(col(nm)).as(s"nn_$nm"),
@@ -219,7 +237,7 @@ object Sketches {
               max(col(nm)).cast("long").as(s"mx_$nm"))
           else Nil)
     }
-    ev.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map { case (nm, integral) =>
         struct(lit(nm).as("col_name"), col("n_rows"),
           (col("n_rows") - col(s"nn_$nm")).as("n_nulls"),

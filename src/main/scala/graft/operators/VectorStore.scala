@@ -68,6 +68,46 @@ object VectorStore {
     transform(sequence(lit(0), lit(PqM - 1)),
       m => slice(v, m * lit(PqSubDim) + 1, lit(PqSubDim)))
 
+  /** One exact Lloyd refinement round over chunk subvectors (r11, the
+    * B25 rule applied to the store's frozen codebooks): assign every
+    * (chunk, subspace) of the CREATION batch to its nearest seed
+    * centroid (exact int64 sqdist, ties to the smaller j), then refine
+    * each surviving (m, j) centroid to the floor-divided integer mean —
+    * integer centroids keep the ADC scan in exact int64 with no
+    * per-candidate division, and the <1 rounding on the hash-weight axis
+    * is noise against centroid spreads. Seeds that win no members vanish
+    * (the codebook only shrinks — codes stay dense in [0, K)). Cost: one
+    * encode-shaped broadcast pass plus a narrow (m, j, sd) mergeable
+    * aggregate, paid once at store creation; appends still reuse the
+    * frozen result. `subs` = (doc_id, chunk_ix, m, sub). */
+  private def lloydRefine(subs: DataFrame, seeds: DataFrame): DataFrame = {
+    val wMin = Window.partitionBy("doc_id", "chunk_ix", "m")
+      .orderBy(col("dist"), col("j"))
+    val a1 = subs.join(broadcast(seeds), Seq("m"))
+      .withColumn("dist", call_function("graft_sqdist_l", col("sub"), col("cent")))
+      .withColumn("rk", row_number().over(wMin))
+      .filter(col("rk") === 1)
+      .select("doc_id", "chunk_ix", "m", "j")
+    subs.join(a1, Seq("doc_id", "chunk_ix", "m"))
+      .select(col("m"), col("j"), posexplode(col("sub")))
+      .groupBy("m", "j", "pos")
+      .agg(sum("col").as("cs"), count(lit(1)).as("n"))
+      // floorDiv via pmod: exactly-divisible numerator makes the
+      // truncating `div` exact regardless of sign
+      .select(col("m"), col("j"), col("pos"),
+        expr("(cs - pmod(cs, n)) div n").as("c2"))
+      .groupBy("m", "j")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c2")))),
+        e => e.getField("c2")).as("cent"))
+      .select("j", "m", "cent")
+  }
+
+  /** (doc_id, chunk_ix, m, sub) subvector rows of a vector column. */
+  private def subRows(df: DataFrame, vecCol: Column): DataFrame =
+    df.select(col("doc_id"), col("chunk_ix"), posexplode(subvecs(vecCol)))
+      .select(col("doc_id"), col("chunk_ix"),
+        col("pos").as("m"), col("col").as("sub"))
+
   /** B22 for the store: OPQ-style energy-balancing permutation ahead of
     * the PQ subspace split, trained on the CREATION batch (per-dim exact
     * int64 energy n·Σx²−(Σx)², snake deal — the Similarity.vecOpq rule)
@@ -192,12 +232,17 @@ object VectorStore {
         // materialize NOW: the lazy plan must not race a sidecar rewrite
         spark.read.parquet(cbPath).localCheckpoint(true)
       } else {
+        // seed = first PqK chunks' subvectors (the k-means|| seeding
+        // step), then ONE exact Lloyd round over the creation batch
+        // (r11) — trained centroids instead of raw samples close most
+        // of the sampled-codebook ADC gap (the B25 measurement)
         val wj = Window.orderBy("doc_id", "chunk_ix")
-        embedded.select("doc_id", "chunk_ix", "raw")
+        val seeds = embedded.select("doc_id", "chunk_ix", "raw")
           .orderBy("doc_id", "chunk_ix").limit(PqK)
           .withColumn("j", row_number().over(wj) - 1)
           .select(col("j"), posexplode(subvecs(permuteRaw(col("raw"), perm))))
           .select(col("j"), col("pos").as("m"), col("col").as("cent"))
+        lloydRefine(subRows(embedded, permuteRaw(col("raw"), perm)), seeds)
           .localCheckpoint(true)
       }
       // Cell centroids: same freezing discipline as the codebook — one
@@ -263,12 +308,16 @@ object VectorStore {
         else if (reuseRes)
           Some(spark.read.parquet(resCbPath).localCheckpoint(true))
         else {
+          // same seeding + one exact Lloyd round as the raw codebook
+          // (r11): the residual codebook trains on the creation batch's
+          // scaled residuals instead of carrying its first-K samples
           val wj = Window.orderBy("doc_id", "chunk_ix")
-          Some(withRes.select("doc_id", "chunk_ix", "rres")
+          val seeds = withRes.select("doc_id", "chunk_ix", "rres")
             .orderBy("doc_id", "chunk_ix").limit(PqK)
             .withColumn("j", row_number().over(wj) - 1)
             .select(col("j"), posexplode(subvecs(col("rres"))))
             .select(col("j"), col("pos").as("m"), col("col").as("cent"))
+          Some(lloydRefine(subRows(withRes, col("rres")), seeds)
             .localCheckpoint(true))
         }
       val coded = withRes.drop("rres")
@@ -1033,17 +1082,29 @@ object VectorStore {
 
   /** Shared scoring tail of [[buildGraph]] and [[spliceGraph]]: attach
     * raw vectors to the candidate pair set, keep each src's top-`degree`
-    * by exact int64 dot (ties: dst id — fully deterministic, so a splice
-    * and a rebuild agree bit-for-bit). */
+    * by COSINE (exact int64 dot and norms, one IEEE division — ties:
+    * dst id, fully deterministic, so a splice and a rebuild agree
+    * bit-for-bit). Cosine, not raw dot (r11): the serving walk ranks by
+    * cosine, and edges ranked by dot point every list at the same
+    * high-NORM hubs regardless of direction — a beam following
+    * dot-edges under a cosine objective stalls on hubs, which is
+    * exactly what the r10 recall rung measured (0.18). DiskANN's rule:
+    * the graph's edge metric IS the serving metric. */
   private def topEdges(spark: SparkSession, nodes: DataFrame,
       cand: DataFrame, degree: Int): DataFrame = {
-    val w = Window.partitionBy("src").orderBy(col("dot").desc,
+    val dot = call_function("graft_dot_l", col("sr"), col("dr"))
+    val ssS = call_function("graft_dot_l", col("sr"), col("sr"))
+    val ssD = call_function("graft_dot_l", col("dr"), col("dr"))
+    val cosSD = when(ssS > 0 && ssD > 0,
+      dot.cast("double") / (sqrt(ssS.cast("double")) * sqrt(ssD.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc,
       col("dst.doc_id"), col("dst.chunk_ix"))
     cand
       .join(nodes.select(col("nid").as("src"), col("bucket").as("sbucket"),
         col("raw").as("sr")), "src")
       .join(nodes.select(col("nid").as("dst"), col("raw").as("dr")), "dst")
-      .withColumn("dot", call_function("graft_dot_l", col("sr"), col("dr")))
+      .withColumn("cos", cosSD)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= degree)
       .select(col("src.doc_id").as("src_doc"), col("src.chunk_ix").as("src_ix"),

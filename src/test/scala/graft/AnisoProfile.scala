@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * profile real embedding models produce; the same oracle-checked rung
   * queries (`ann_recall`, `vec_mrl_recall`) then run unchanged on both
   * corpora. Run: `sbt "Test/runMain graft.AnisoProfile"`. Numbers land in
-  * bench/aniso_r10.json. */
+  * bench/aniso_r11.json. */
 object AnisoProfile {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
@@ -38,6 +38,8 @@ object AnisoProfile {
       s""""iso":${fmt(iso)},"aniso":${fmt(aniso)},""" +
       f""""opq_minus_pq_iso":${iso("vec_opq") - iso("vec_pq")}%.3f,""" +
       f""""opq_minus_pq_aniso":${aniso("vec_opq") - aniso("vec_pq")}%.3f,""" +
+      f""""lloyd_minus_pq_iso":${iso("vec_pq_lloyd") - iso("vec_pq")}%.3f,""" +
+      f""""lloyd_minus_pq_aniso":${aniso("vec_pq_lloyd") - aniso("vec_pq")}%.3f,""" +
       s""""mrl_iso":${fmtCurve(isoMrl)},"mrl_aniso":${fmtCurve(anisoMrl)}}""")
     spark.stop()
   }

@@ -83,7 +83,8 @@ object GraphTuneProfile {
     val points = Seq(
       ("global", 8, 8, 4), ("global", 32, 16, 4), ("global", 64, 16, 6),
       ("bucket", 4, 8, 2), ("bucket", 8, 8, 2), ("bucket", 8, 8, 4),
-      ("bucket", 16, 16, 4))
+      ("bucket", 16, 16, 4), ("bucket", 16, 16, 6), ("bucket", 32, 32, 4),
+      ("bucket", 32, 32, 6))
     val rows = points.map { case (seed, e, b, h) =>
       val (res, touched) = VectorStore.graphWalk(spark, dir, queries, 5,
         e, b, h, seedFromBuckets = seed == "bucket", countTouched = true)

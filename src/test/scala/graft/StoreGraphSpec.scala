@@ -280,6 +280,72 @@ class StoreGraphSpec extends AnyFunSuite {
     assert(edgeRows == spliced, "edit's splices diverged from a rebuild")
   }
 
+  test("tuned seeded walk: >= 0.5 recall@5 vs full-scan truth at sub-bucket cost") {
+    // the published graph_tune_r11 operating point (bucket-seeded
+    // entries=32, beam=32, hops=4 over cosine-metric edges), pinned:
+    // recall@5 against the EXACT full-scan truth clears 0.5 while the
+    // walk touches fewer (query, vector) scores than the bucket
+    // multiprobe's own candidate count — the sub-bucket-cost bar. Full
+    // sf corpus (not the 100-doc fixture) so buckets hold real members.
+    val dir = Files.createTempDirectory("graft_vsg7").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs, dir) > 0)
+    assert(VectorStore.buildGraph(spark, dir) > 0)
+    val index = spark.read.parquet(dir)
+      .select(col("doc_id"), col("chunk_ix"), col("chunk"), col("bucket"),
+        col("embedding")).cache()
+    val qrows = index.filter(col("chunk_ix") === 1 && col("doc_id") % 40 === 0)
+      .orderBy("doc_id").limit(10)
+      .select(col("chunk"), col("embedding")).collect()
+    val queries = qrows.map(_.getString(0)).toSeq
+    val qdf = { import spark.implicits._
+      qrows.zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+        .toSeq.toDF("query_id", "qemb") }
+    val dotE = aggregate(zip_with(col("embedding"), col("qemb"),
+      (a, b) => a * b), lit(0.0d), (acc, x) => acc + x)
+    val wT = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("doc_id"), col("chunk_ix"))
+    val truth = index.crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), dotE.as("dot"))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(wT))
+      .filter(col("rank") <= 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getInt(2))).toSet).toMap
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select("query_id", "doc_id", "chunk_ix").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getInt(2))).toSet).toMap
+      truth.keys.toSeq.map { q =>
+        truth(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / 5
+      }.sum / truth.size
+    }
+    val (seededDf, touched) = VectorStore.graphWalk(spark, dir, queries, 5,
+      32, 32, 4, seedFromBuckets = true, countTouched = true)
+    val seeded = recallOf(seededDf)
+    val default = recallOf(
+      VectorStore.searchGraphBatch(spark, dir, queries, k = 5))
+    // the bucket probe's own candidate count = the cost bar
+    val qb = { import spark.implicits._
+      queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("query_id", "qtext") }
+      .select(col("query_id"),
+        element_at(call_function("graft_lsh_buckets",
+          call_function("graft_hash_embed", col("qtext"),
+            lit(VectorStore.Dim)), lit(1), lit(8)), 1).as("qbucket"))
+    val probes = qb.select(col("query_id"), explode(array(
+      col("qbucket") +: (0 until 8).map(p =>
+        col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
+    val bucketScored = index.select("bucket")
+      .join(broadcast(probes), "bucket").count()
+    assert(seeded >= 0.5,
+      f"seeded walk recall $seeded%.3f below the pinned 0.5 operating point")
+    assert(seeded > default,
+      f"seeded walk ($seeded%.3f) did not beat fixed global entries ($default%.3f)")
+    assert(touched < bucketScored,
+      s"walk touched $touched scores, not sub-bucket (probe scores $bucketScored)")
+    index.unpersist()
+  }
+
   test("rebuild after append covers the appended chunks") {
     val dir = Files.createTempDirectory("graft_vsg2").toString + "/index"
     val first = Tables.documents(spark, sf).filter(col("doc_id") < 50)

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * re-rank (`searchCompressed`), the composed IVFPQ read
   * (`searchCompressedCells`), graph walk (`searchGraph`), MRL prefix
   * (`searchTruncated` dims=16). Run: `sbt "Test/runMain
-  * graft.StoreRecallProfile"`; lands in bench/store_recall_r10.json. */
+  * graft.StoreRecallProfile"`; lands in bench/store_recall_r11.json. */
 object StoreRecallProfile {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
@@ -70,6 +70,11 @@ object StoreRecallProfile {
         (() => VectorStore.searchCompressedCellsBatch(spark, dir, queries, k = 5)),
       "search_graph" ->
         (() => VectorStore.searchGraphBatch(spark, dir, queries, k = 5)),
+      // the graph_tune_r11 operating point: bucket-seeded entries over
+      // cosine-metric edges, sub-bucket cost (spec-pinned >= 0.5)
+      "search_graph_seeded" ->
+        (() => VectorStore.searchGraphBatch(spark, dir, queries, k = 5,
+          entries = 32, beam = 32, hops = 4, seedFromBuckets = true)),
       "search_truncated_d16" ->
         (() => VectorStore.searchTruncatedBatch(spark, dir, queries, k = 5,
           dims = 16)))
