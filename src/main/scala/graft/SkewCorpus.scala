@@ -103,7 +103,40 @@ object SkewCorpus {
         .otherwise(col("user_id"))), "events", 8)
 
     // documents: one giant near-dup family (30%) + a Zipf head token (20%)
-    val docs = load("documents")
+    writeDocSkew(spark, src, dst)
+
+    // embeddings: 30% of vectors collapse into one dense cluster around
+    // the centroid of vec_id 10 (first unprotected id), ±0.5% noise
+    val emb = load("embeddings")
+    val centroid = emb.filter(col("vec_id") === 10)
+      .select(col("embedding").as("c_emb"))
+    val skewedEmb = emb.crossJoin(broadcast(centroid))
+      .withColumn("embedding",
+        when(col("vec_id") >= 10 && hbucket(col("vec_id"), 10) < 3,
+          zip_with(
+            col("c_emb"),
+            sequence(lit(0), size(col("c_emb")) - 1),
+            (v, i) => v + (pmod(conv(substring(md5(concat_ws("_",
+              col("vec_id"), i)), 1, 8), 16, 10).cast("long"), lit(100))
+              .cast("double") - 50.0d) * 0.0001d))
+        .otherwise(col("embedding")))
+      .drop("c_emb")
+    save(skewedEmb, "embeddings", 4)
+
+    println(s"""{"skew_corpus":"$dst","src":"$src"}""")
+    spark.stop()
+  }
+
+  /** The documents twin alone (r11, extracted from [[main]] for the
+    * store-ingest skew rehearsal): one giant near-dup family (30% of
+    * docs become ~5%-perturbed copies of one template, pairwise Jaccard
+    * ≈ 0.9) plus a Zipf head token (20% of docs get every 7th token
+    * replaced by one shared token). The family's chunks embed into one
+    * tight region, so a store built on this corpus assigns ~a third of
+    * all chunks to ONE learned cell and floods one LSH bucket — the
+    * hot-cell/hot-bucket ingest shape StoreSkewProfile measures. */
+  def writeDocSkew(spark: SparkSession, src: String, dst: String): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
     // the template: the text of the lowest-id protected doc with a
     // non-trivial body — one row, broadcast onto the family members
     val template = docs.filter(col("doc_id") < 20 && length(col("text")) > 200)
@@ -138,28 +171,8 @@ object SkewCorpus {
       .withColumn("n_chars",
         when(col("text").isNull, col("n_chars")).otherwise(length(col("text"))))
       .drop("tpl_text")
-    save(skewedDocs, "documents", 8)
-
-    // embeddings: 30% of vectors collapse into one dense cluster around
-    // the centroid of vec_id 10 (first unprotected id), ±0.5% noise
-    val emb = load("embeddings")
-    val centroid = emb.filter(col("vec_id") === 10)
-      .select(col("embedding").as("c_emb"))
-    val skewedEmb = emb.crossJoin(broadcast(centroid))
-      .withColumn("embedding",
-        when(col("vec_id") >= 10 && hbucket(col("vec_id"), 10) < 3,
-          zip_with(
-            col("c_emb"),
-            sequence(lit(0), size(col("c_emb")) - 1),
-            (v, i) => v + (pmod(conv(substring(md5(concat_ws("_",
-              col("vec_id"), i)), 1, 8), 16, 10).cast("long"), lit(100))
-              .cast("double") - 50.0d) * 0.0001d))
-        .otherwise(col("embedding")))
-      .drop("c_emb")
-    save(skewedEmb, "embeddings", 4)
-
-    println(s"""{"skew_corpus":"$dst","src":"$src"}""")
-    spark.stop()
+    skewedDocs.repartition(8).write.mode("overwrite")
+      .parquet(s"$dst/documents.parquet")
   }
 
   /** Hot-CELL twin (r10): every table copied through, but 30% of the

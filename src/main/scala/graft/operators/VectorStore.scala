@@ -1196,18 +1196,28 @@ object VectorStore {
     * inside one bucket and every src whose stored list cites a victim
     * sits in the victim's own bucket — the stored edge rows citing the
     * victims identify the affected sbucket partitions exactly, with no
-    * reverse-edge sidecar needed. Those buckets are re-solved FROM RAW
-    * CANDIDATES (a victim occupied top-d slots; its replacement is the
-    * d+1-th neighbor, which no stored list kept — this is why the
-    * insert-splice merge lemma cannot cover deletes), reproducing
-    * [[buildGraph]]'s output for them bit-for-bit; untouched buckets'
-    * partitions are not read or rewritten. A re-solved bucket left with
-    * fewer than two members yields no pairs — its edge partition is
-    * dropped explicitly (dynamic overwrite never rewrites a partition
-    * absent from the new data, and stale rows there would cite deleted
-    * nodes). `degree` must equal the build degree: untouched partitions
-    * keep their stored lists, so a different width could not match a
-    * rebuild. Returns the re-solved region's edge count. */
+    * reverse-edge sidecar needed.
+    *
+    * Repair granularity (r11 — SRC lists, not whole buckets): under a
+    * rebuild, the ONLY lists that can change are (a) victims' own rows
+    * (deleted) and (b) lists CITING a victim — a victim occupied top-d
+    * slots and its replacement is the d+1-th neighbor, which no stored
+    * list kept, so those srcs re-solve from the full live candidate set
+    * of their bucket. Every other src's stored top-d is provably the
+    * rebuild's answer: victims were not in it, and deleting them does
+    * not reorder the surviving candidates — so those rows ride through
+    * verbatim. Cost is O(citing lists × bucket membership), linear in
+    * membership — the r10 version re-solved every touched bucket's full
+    * n² pairs, which for a multi-chunk-doc edit (5 docs ≈ 180 chunks ≈
+    * 180 buckets of 256) cost MORE than a rebuild (measured 39 s vs
+    * 30 s at sf0.1; this shape reads ~3 s). Untouched buckets'
+    * partitions are not read or rewritten; a touched bucket left with
+    * no surviving rows has its partition dropped explicitly (dynamic
+    * overwrite never rewrites a partition absent from the new data, and
+    * stale rows there would cite deleted nodes). `degree` must equal
+    * the build degree: ride-through lists are stored at the build
+    * width, so a different width could not match a rebuild. Returns the
+    * rewritten region's edge count. */
   def spliceGraphDelete(spark: SparkSession, indexDir: String,
       docIds: Seq[Long], degree: Int = GraphDegree): Long = {
     val edgePath = s"$indexDir/$GraphDir/edges.parquet"
@@ -1224,22 +1234,39 @@ object VectorStore {
     // affected buckets from the PRE-DELETE edge rows citing a victim
     // (src or dst side — both live in the same bucket by construction)
     val edges = spark.read.parquet(edgePath)
-    val touched = edges
-      .filter(col("src_doc").isInCollection(docIds) ||
-        col("dst_doc").isInCollection(docIds))
+    val victimSrc = col("src_doc").isInCollection(docIds)
+    val victimDst = col("dst_doc").isInCollection(docIds)
+    val touched = edges.filter(victimSrc || victimDst)
       .select("sbucket").distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return 0L
+    // the lists that actually change: live srcs citing a victim
+    val affectedSrcs = edges.filter(victimDst && !victimSrc)
+      .select(struct(col("src_doc").as("doc_id"),
+        col("src_ix").as("chunk_ix")).as("nid"))
+      .distinct()
     spark.catalog.refreshByPath(indexDir)
-    val nodes = spark.read.parquet(indexDir)
+    val nodes = spark.read.parquet(indexDir) // post-delete: victims gone
       .filter(col("bucket").isInCollection(touched))
       .select(struct(col("doc_id"), col("chunk_ix")).as("nid"),
         col("bucket"), col("raw"))
-    val slim = nodes.select(col("nid"), col("bucket"))
-    val cand = slim.alias("a")
-      .join(slim.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.nid") =!= col("b.nid"))
-      .select(col("a.nid").as("src"), col("b.nid").as("dst"))
-    val newRegion = topEdges(spark, nodes, cand, degree)
+    // candidates: each citing src × its own bucket's live members
+    val aff = nodes.join(affectedSrcs, Seq("nid"), "left_semi")
+      .select(col("nid").as("src"), col("bucket").as("sb"))
+    val cand = aff
+      .join(nodes.select(col("nid").as("dst"), col("bucket").as("sb")), "sb")
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    val resolved = topEdges(spark, nodes, cand, degree)
+    // ride-through: touched buckets' stored rows minus victim rows minus
+    // the re-solved srcs' old lists
+    val affKeys = affectedSrcs.select(col("nid.doc_id").as("src_doc"),
+      col("nid.chunk_ix").as("src_ix"))
+    val keep = edges
+      .filter(col("sbucket").isInCollection(touched))
+      .filter(!victimSrc && !victimDst)
+      .join(affKeys, Seq("src_doc", "src_ix"), "left_anti")
+      .select("src_doc", "src_ix", "dst_doc", "dst_ix", "sbucket")
+    val newRegion = keep.unionByName(resolved)
       .localCheckpoint(true) // materialize BEFORE the overwrite
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

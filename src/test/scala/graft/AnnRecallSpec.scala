@@ -16,12 +16,12 @@ class AnnRecallSpec extends AnyFunSuite {
     .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getDouble(4)))
 
-  test("one row per (method, query): 11 methods x 10 queries") {
-    assert(rows.length === 110)
+  test("one row per (method, query): 12 methods x 10 queries") {
+    assert(rows.length === 120)
     assert(rows.map(_._1).distinct.sorted ===
       Array("ann_graph_search", "ann_ivf", "ann_ivf_km", "ann_ivfpq",
         "ann_ivfpq_opq", "ann_ivfpq_res", "ann_lsh",
-        "ann_pq_rerank", "ann_sq8", "vec_opq", "vec_pq"))
+        "ann_pq_rerank", "ann_sq8", "vec_opq", "vec_pq", "vec_pq_lloyd"))
     rows.groupBy(_._1).foreach { case (m, g) =>
       assert(g.map(_._2).distinct.length === 10, s"method $m query coverage")
     }
@@ -74,6 +74,7 @@ class AnnRecallSpec extends AnyFunSuite {
       ("ann_pq_rerank", retrieved(Similarity.annPqRerank(spark, sf)), 5),
       ("ann_sq8", retrieved(Similarity.annSq8(spark, sf)), 5),
       ("vec_pq", retrieved(Similarity.vecPq(spark, sf)), 5),
+      ("vec_pq_lloyd", retrieved(Similarity.vecPqLloyd(spark, sf)), 5),
       ("vec_opq", retrieved(Similarity.vecOpq(spark, sf)), 5),
       ("ann_ivfpq", retrieved(Similarity.annIvfPq(spark, sf)), 5),
       ("ann_ivfpq_opq", retrieved(Similarity.annIvfPqOpq(spark, sf)), 5),

@@ -99,6 +99,38 @@ object AppendProfile {
     }
     val flat = lmAxis.last._5 / lmAxis.head._5
     println(s"""{"metric":"append_lm_scale","batch_docs":5,"batch_bigrams":295,${parts.mkString(",")},"ratio_100x_lm":${f"$flat%.3f"}}""")
+
+    // ---- axis 3 (r11): PLANNING cost of the zone probe itself as the
+    // mapped-file count grows 100×, fixed 10⁵-key batch. The r10 probe
+    // was a keys×zones broadcast nested loop — O(|keys|·files) range
+    // predicates of pure planning overhead per append (the G40b `weak`);
+    // the r11 bin decomposition is O(|keys| + files). Zones are
+    // synthesized directly: planning reads only the sidecar, never data.
+    val keyN = 100000
+    val keys = spark.range(keyN.toLong)
+      .select((col("id") * 7919L % 100000000L).as("k"))
+      .localCheckpoint(true)
+    val planAxis = Seq(100, 1000, 10000).map { files =>
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_zplan$files").toString
+      val width = 100000000L / files
+      (0 until files).map(i =>
+        (s"f$i", i * width, (i + 1) * width - 1, width))
+        .toDF("file", "zmin", "zmax", "n_rows")
+        .coalesce(1).write.parquet(s"$p/_graft_zonemap")
+      val wall = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val (kept, total) = graft.sources.ZoneMaps.planFilesForKeys(
+          spark, p, keys)
+        require(total == files && kept.nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (files, wall)
+    }
+    val pparts = planAxis.map { case (f, w) =>
+      f""""files$f":{"plan_sec":$w%.3f}""" }
+    println(s"""{"metric":"zone_plan_scale","batch_keys":$keyN,${pparts.mkString(",")},""" +
+      f""""ratio_100x_files":${planAxis.last._2 / planAxis.head._2}%.3f}""")
     spark.stop()
   }
 }
