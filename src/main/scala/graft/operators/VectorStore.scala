@@ -1017,8 +1017,13 @@ object VectorStore {
     * gone ⇒ no rewrite; bucket dir already dropped ⇒ no-op delete). */
   private val GraphDir = "_graft_graph"
   private val GraphDegree = 8
-  private val GraphEntries = 8
-  private val GraphBeam = 8
+  // serving defaults = the published graph_tune_r11 operating point
+  // (bucket-seeded 32/32/4: recall@5 0.64 vs full-scan truth at fewer
+  // score evaluations than the bucket multiprobe's own candidate count);
+  // the r10 fixed-global-entry 8/8/4 config read 0.18 and stays
+  // reachable via seedFromBuckets = false
+  private val GraphEntries = 32
+  private val GraphBeam = 32
   private val GraphHops = 4
 
   /** G31: DiskANN-style navigable-graph index sidecar. For every stored
@@ -1293,17 +1298,22 @@ object VectorStore {
   }
 
   /** G31 serving read: beam search over the [[buildGraph]] sidecar — the
-    * B17 walk shape against the store. Every query starts at the same
-    * [[GraphEntries]] md5-drawn stored chunks, expands [[GraphHops]]
-    * times through the edge sidecar keeping the best max([[GraphBeam]],
-    * k) by cosine to the query (the beam widens with k — a k above the
-    * beam would otherwise be silently capped by the last frontier), and
-    * answers with the final top-k. Per hop the walk touches
-    * O(beam · degree) stored vectors — independent of index size, the
-    * property that makes graph serving the low-latency read once an
-    * index outgrows exhaustive bucket probes. Delegates to the batch
-    * walk (one machinery, spec'd rank-for-rank equal). Output schema =
-    * [[search]]. */
+    * B17 walk shape against the store. By default (r11, the published
+    * graph_tune_r11 operating point) every query seeds [[GraphEntries]]
+    * entries from its OWN multiprobe LSH buckets — the only components
+    * the same-bucket edge sidecar lets its walk reach — then expands
+    * [[GraphHops]] times through the edges keeping the best
+    * max([[GraphBeam]], k) by cosine to the query (the beam widens with
+    * k — a k above the beam would otherwise be silently capped by the
+    * last frontier), and answers with the final top-k. Per hop the walk
+    * touches O(beam · degree) stored vectors — independent of index
+    * size, the property that makes graph serving the low-latency read
+    * once an index outgrows exhaustive bucket probes; at the default
+    * knobs the whole walk evaluates fewer scores than the bucket
+    * multiprobe's own candidate count (recall@5 0.64 vs the probe's
+    * 0.74 at sub-probe cost — bench/graph_tune_r11.json). Delegates to
+    * the batch walk (one machinery, spec'd rank-for-rank equal). Output
+    * schema = [[search]]. */
   def searchGraph(spark: SparkSession, indexDir: String, query: String,
       k: Int = 5): DataFrame =
     searchGraphBatch(spark, indexDir, Seq(query), k)
@@ -1332,7 +1342,7 @@ object VectorStore {
   def searchGraphBatch(spark: SparkSession, indexDir: String,
       queries: Seq[String], k: Int = 5, entries: Int = GraphEntries,
       beam: Int = GraphBeam, hops: Int = GraphHops,
-      seedFromBuckets: Boolean = false): DataFrame =
+      seedFromBuckets: Boolean = true): DataFrame =
     graphWalk(spark, indexDir, queries, k, entries, beam, hops,
       seedFromBuckets, countTouched = false)._1
 
@@ -1359,6 +1369,13 @@ object VectorStore {
       .select(col("query_id"), rawWeights(col("qtext")).as("qraw"))
     val entryH = md5(concat_ws(":",
       col("nid.doc_id").cast("string"), col("nid.chunk_ix").cast("string")))
+    def globalStart(qs: DataFrame): DataFrame = {
+      val entryDf = nodes.select(col("nid"))
+        .withColumn("h", entryH)
+        .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
+        .limit(entries).select(col("nid"))
+      qs.crossJoin(broadcast(entryDf))
+    }
     val start =
       if (seedFromBuckets) {
         // per-query entries from the query's multiprobe bucket set: the
@@ -1374,19 +1391,20 @@ object VectorStore {
               col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
         val wE = Window.partitionBy("query_id")
           .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
-        nodes.select(col("nid"), col("bucket"))
+        val seeded = nodes.select(col("nid"), col("bucket"))
           .join(broadcast(probes), "bucket")
           .withColumn("h", entryH)
           .withColumn("rk", row_number().over(wE))
           .filter(col("rk") <= entries)
           .select(col("query_id"), col("nid"))
-      } else {
-        val entryDf = nodes.select(col("nid"))
-          .withColumn("h", entryH)
-          .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
-          .limit(entries).select(col("nid"))
-        qdf.select(col("query_id")).crossJoin(broadcast(entryDf))
-      }
+        // a query whose 9 probed buckets hold NO rows gets global
+        // entries instead of an empty answer (bounded: the unseeded
+        // query set is tiny by construction, and usually empty)
+        val unseeded = qdf.select(col("query_id"))
+          .join(seeded.select("query_id").distinct(),
+            Seq("query_id"), "left_anti")
+        seeded.unionByName(globalStart(unseeded))
+      } else globalStart(qdf.select(col("query_id")))
     val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
     val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
     val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))

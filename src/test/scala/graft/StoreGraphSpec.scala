@@ -56,7 +56,9 @@ class StoreGraphSpec extends AnyFunSuite {
       .select("chunk").collect().head.getString(0)
     // score every entry exactly the way the store does: cosine over the
     // raw int64 hashing-trick weights — the beam keeps an entry unless
-    // it finds better, so rank-1 must be >= the best entry score
+    // it finds better, so rank-1 must be >= the best entry score.
+    // Entries replicate the DEFAULT seeding (r11): the query's own
+    // multiprobe buckets' members, md5-ranked, capped at 32
     import spark.implicits._
     val qraw = Seq(query).toDF("t")
       .select(call_function("graft_hash_embed", col("t"),
@@ -69,13 +71,20 @@ class StoreGraphSpec extends AnyFunSuite {
       if (sa > 0 && sb > 0) dot.toDouble / (math.sqrt(sa.toDouble) * math.sqrt(sb.toDouble))
       else 0.0
     }
+    val qbucket = Seq(query).toDF("t")
+      .select(element_at(call_function("graft_lsh_buckets",
+        call_function("graft_hash_embed", col("t"), lit(VectorStore.Dim)),
+        lit(1), lit(8)), 1).as("b"))
+      .collect().head.getInt(0)
+    val probeSet = (qbucket +: (0 until 8).map(p => qbucket ^ (1 << p))).toSet
     val entryScores = spark.read.parquet(indexDir)
+      .filter(col("bucket").isInCollection(probeSet.toSeq))
       .select(col("doc_id"), col("chunk_ix"), col("raw"))
       .withColumn("h", md5(concat_ws(":",
         col("doc_id").cast("string"), col("chunk_ix").cast("string"))))
-      .orderBy(col("h"), col("doc_id"), col("chunk_ix")).limit(8)
+      .orderBy(col("h"), col("doc_id"), col("chunk_ix")).limit(32)
       .collect().map(r => cos(qraw, r.getSeq[Long](2).toArray))
-    assert(entryScores.length == 8)
+    assert(entryScores.nonEmpty)
     val top = VectorStore.searchGraph(spark, indexDir, query, k = 1)
       .collect().head.getAs[Double]("score")
     assert(top >= entryScores.max - 1e-9,
@@ -322,8 +331,11 @@ class StoreGraphSpec extends AnyFunSuite {
     val (seededDf, touched) = VectorStore.graphWalk(spark, dir, queries, 5,
       32, 32, 4, seedFromBuckets = true, countTouched = true)
     val seeded = recallOf(seededDf)
-    val default = recallOf(
-      VectorStore.searchGraphBatch(spark, dir, queries, k = 5))
+    // the r10 fixed-global-entry config, for contrast (the serving
+    // DEFAULT is now the seeded operating point itself)
+    val default = recallOf(VectorStore.searchGraphBatch(spark, dir,
+      queries, k = 5, entries = 8, beam = 8, hops = 4,
+      seedFromBuckets = false))
     // the bucket probe's own candidate count = the cost bar
     val qb = { import spark.implicits._
       queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }

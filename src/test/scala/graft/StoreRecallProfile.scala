@@ -68,13 +68,14 @@ object StoreRecallProfile {
         (() => VectorStore.searchCompressedBatch(spark, dir, queries, k = 5)),
       "search_compressed_cells" ->
         (() => VectorStore.searchCompressedCellsBatch(spark, dir, queries, k = 5)),
+      // default = the graph_tune_r11 operating point: bucket-seeded
+      // 32/32/4 over cosine-metric edges, sub-bucket cost (spec-pinned
+      // >= 0.5); the r10 fixed-global-entry config published as contrast
       "search_graph" ->
         (() => VectorStore.searchGraphBatch(spark, dir, queries, k = 5)),
-      // the graph_tune_r11 operating point: bucket-seeded entries over
-      // cosine-metric edges, sub-bucket cost (spec-pinned >= 0.5)
-      "search_graph_seeded" ->
+      "search_graph_global_entries" ->
         (() => VectorStore.searchGraphBatch(spark, dir, queries, k = 5,
-          entries = 32, beam = 32, hops = 4, seedFromBuckets = true)),
+          entries = 8, beam = 8, hops = 4, seedFromBuckets = false)),
       "search_truncated_d16" ->
         (() => VectorStore.searchTruncatedBatch(spark, dir, queries, k = 5,
           dims = 16)))
