@@ -1728,6 +1728,34 @@ object Analytics {
         col("value"), unix_micros(col("ts")).as("ts_us")),
       Seq("event_id", "user_id", "ts_us", "event_type", "value"))
 
+  /** E61d (r11): the parametric profiler driven through the ORACLE gate
+    * over a SECOND table — [[profile]] applied to documents (doc_id,
+    * n_chars integral → BIGINT min/max; lang, source strings → counts +
+    * distincts only). Beyond ProfileSpec's in-process pins, this makes
+    * the schema-driven aggregate generation DuckDB-checked end to end on
+    * a different column mix — the "profiles ANY feed" claim as a
+    * hash-matched output, not a unit test. */
+  def qProfileDocs(s: SparkSession, dir: String): DataFrame =
+    profile(Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("source")),
+      Seq("doc_id", "n_chars", "lang", "source"))
+
+  val qProfileDocsSql: String = {
+    def leg(nm: String, integral: Boolean): String = {
+      val mn = if (integral) s"CAST(MIN($nm) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      val mx = if (integral) s"CAST(MAX($nm) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+      s"""SELECT '$nm' AS col_name, COUNT(*) AS n_rows,
+        COUNT(*) - COUNT($nm) AS n_nulls,
+        CAST(COUNT(DISTINCT $nm) AS BIGINT) AS n_distinct,
+        $mn AS min_long, $mx AS max_long FROM documents HAVING COUNT(*) > 0"""
+    }
+    s"""
+    ${Seq("doc_id" -> true, "n_chars" -> true, "lang" -> false,
+      "source" -> false)
+      .map { case (nm, i) => leg(nm, i) }.mkString("\n    UNION ALL\n    ")}
+    ORDER BY col_name"""
+  }
+
   /** E61 parametric form (r11): the exact single-pass profile over ANY
     * table — the per-column aggregate list is generated from the
     * SCHEMA (integral columns add BIGINT min/max; everything else
@@ -1874,6 +1902,7 @@ object Analytics {
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_benford" -> (qBenford _),
     "q_profile" -> (qProfile _),
+    "q_profile_docs" -> (qProfileDocs _),
     "q_set_ops"    -> (qSetOps _),
     "q_full_outer" -> (qFullOuter _),
     "q_recursive"  -> (qRecursive _),
@@ -1918,6 +1947,7 @@ object Analytics {
     "q_anomaly_mad" -> qAnomalyMadSql,
     "q_benford" -> qBenfordSql,
     "q_profile" -> qProfileSql,
+    "q_profile_docs" -> qProfileDocsSql,
     "q_set_ops"    -> qSetOpsSql,
     "q_full_outer" -> qFullOuterSql,
     "q_recursive"  -> qRecursiveSql,

@@ -184,7 +184,8 @@ object VectorStore {
     * the matching batches' files before any bucket probe runs. */
   def ingest(docs: DataFrame, indexDir: String,
       chunkSize: Int = 20, overlap: Int = 5, mode: String = "overwrite",
-      batchTag: Long = 0L): Long = {
+      batchTag: Long = 0L, cells: Int = KmCells): Long = {
+    require(cells >= 1, s"cells must be >= 1, got $cells")
     val chunks = docs
       .select(col("doc_id"),
         posexplode(Text.chunks(col("text"), chunkSize, overlap)))
@@ -246,7 +247,10 @@ object VectorStore {
           .localCheckpoint(true)
       }
       // Cell centroids: same freezing discipline as the codebook — one
-      // Lloyd round over the creation batch (seed = first KmCells chunks,
+      // Lloyd round over the creation batch (seed = first `cells` chunks
+      // — a creation-time knob (r11): cell count should scale with the
+      // corpus (more Voronoi cells = finer directory pruning); every
+      // serving path reads the frozen K-row sidecar, so any K serves,
       // assignment by exact int64 sqdist, centroid = exact sum + count),
       // appends assign against the frozen summary so cell ids stay
       // comparable across batches.
@@ -258,7 +262,7 @@ object VectorStore {
       } else {
         val wj = Window.orderBy("doc_id", "chunk_ix")
         val seeds = embedded.select("doc_id", "chunk_ix", "raw")
-          .orderBy("doc_id", "chunk_ix").limit(KmCells)
+          .orderBy("doc_id", "chunk_ix").limit(cells)
           .withColumn("cell", row_number().over(wj) - 1)
           .select(col("cell"), col("raw").as("sq"))
         val wMin = Window.partitionBy("doc_id", "chunk_ix")

@@ -55,7 +55,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_top_movers", "text_pack", "ann_tune", "ann_hybrid", "q_rfm",
     "q_market_basket", "dedup_lsh_tune", "q_ab_test", "q_triangles",
     "text_domain_gate", "q_decile_lift", "q_decay_score", "q_benford",
-    "q_profile")
+    "q_profile", "q_profile_docs") // E61d: same bounded global-agg funnel as q_profile
   // (q_profile_hll needs no entry: its one global merge is a partial
   // SKETCH aggregate — the partial_graft_ rule below exempts it, the
   // stronger property than an allowlisted exact funnel.)

@@ -600,6 +600,39 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(plan.contains("cell"), "expected cell partition pruning in plan")
   }
 
+  test("cell count is a creation knob: a 16-cell store serves every cell path") {
+    // cell count should scale with the corpus (finer Voronoi cells =
+    // finer directory pruning); serving reads the frozen sidecar, so any
+    // K works — pinned at 2x the default, with appends reusing it
+    val dir = Files.createTempDirectory("graft_vs_k16").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 60), dir,
+      cells = 16) > 0)
+    val cents = spark.read.parquet(s"$dir/_graft_cells/centroids.parquet")
+      .collect()
+    assert(cents.length > 8 && cents.length <= 16,
+      s"expected up to 16 trained cells, sidecar has ${cents.length}")
+    assert(VectorStore.ingest(
+      docs.filter(col("doc_id") >= 60 && col("doc_id") < 80), dir,
+      mode = "append", cells = 16) > 0)
+    spark.catalog.refreshByPath(dir)
+    val row = spark.read.parquet(dir)
+      .filter(col("doc_id") >= 60).orderBy("doc_id", "chunk_ix")
+      .select("doc_id", "chunk_ix", "chunk").limit(1).collect().head
+    // aligned probe: the appended chunk's own cell is its top-1 probe
+    val hits = VectorStore.searchCells(spark, dir, row.getString(2),
+      k = 3).collect()
+    assert(hits.nonEmpty &&
+      hits.head.getAs[Long]("doc_id") == row.getLong(0) &&
+      hits.head.getAs[Int]("chunk_ix") == row.getInt(1),
+      s"16-cell self-hit lost: ${hits.headOption}")
+    val chits = VectorStore.searchCompressedCells(spark, dir,
+      row.getString(2), k = 3).collect()
+    assert(chits.nonEmpty &&
+      chits.head.getAs[Long]("doc_id") == row.getLong(0),
+      s"16-cell compressed self-hit lost: ${chits.headOption}")
+  }
+
   test("append reuses the frozen cell centroids; appended chunks searchable by cell") {
     val dir = Files.createTempDirectory("graft_vs_cells").toString + "/index"
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
