@@ -1067,10 +1067,57 @@ object VectorStore {
     import spark.implicits._
     Seq(degree).toDF("degree").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/$GraphDir/$DegreeFile")
+    // per-bucket entry heads for the seeded walk — full rebuild here,
+    // splice-maintained thereafter
+    writeEntries(spark, indexDir, nodes, None)
     spark.read.parquet(s"$indexDir/$GraphDir/edges.parquet").count()
   }
 
   private val DegreeFile = "degree.parquet"
+  private val EntriesFile = "entries.parquet"
+
+  /** Per-bucket ENTRY sidecar (r11): each bucket's md5-top-
+    * [[GraphEntries]] member ids, written next to the edge sidecar and
+    * maintained by both splices — so the seeded walk's query-time
+    * seeding is a sidecar read (O(buckets · width) rows, no index scan;
+    * the same ingest-time-artifact discipline as the codebook/cells/
+    * degree sidecars). `touched = None` rebuilds the whole sidecar from
+    * `nodes`; `Some(buckets)` recomputes exactly those buckets from
+    * `nodes` (which must hold their CURRENT members) and keeps every
+    * other stored row — a bucket whose members all vanished loses its
+    * rows. The entry pick is the md5 rank, so the maintained sidecar is
+    * bit-equal to a from-scratch rebuild (spec-pinned). */
+  private def writeEntries(spark: SparkSession, indexDir: String,
+      nodes: DataFrame, touched: Option[Seq[Int]]): Unit = {
+    val path = s"$indexDir/$GraphDir/$EntriesFile"
+    val entryH = md5(concat_ws(":",
+      col("nid.doc_id").cast("string"), col("nid.chunk_ix").cast("string")))
+    val wB = Window.partitionBy("bucket")
+      .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
+    val base = touched match {
+      case None => nodes
+      case Some(b) => nodes.filter(col("bucket").isInCollection(b))
+    }
+    val fresh = base.select(col("nid"), col("bucket"))
+      .withColumn("h", entryH)
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= GraphEntries)
+      .select(col("bucket"), col("h"),
+        col("nid.doc_id").as("doc_id"), col("nid.chunk_ix").as("chunk_ix"),
+        lit(GraphEntries).as("width"))
+    val merged = touched match {
+      case None => fresh
+      case Some(b) =>
+        spark.catalog.refreshByPath(path)
+        spark.read.parquet(path)
+          .filter(!col("bucket").isInCollection(b))
+          .unionByName(fresh)
+    }
+    // materialize BEFORE the overwrite truncates its own input
+    merged.localCheckpoint(true)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    spark.catalog.refreshByPath(path)
+  }
 
   /** The degree [[buildGraph]] built the edge sidecar with: the degree
     * sidecar if present, else (legacy sidecar) the max stored per-src
@@ -1195,6 +1242,11 @@ object VectorStore {
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     spark.catalog.refreshByPath(edgePath)
+    // maintain the per-bucket entry sidecar for the touched buckets (a
+    // legacy store without one keeps serving through the scan fallback)
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexDir/$GraphDir/$EntriesFile")))
+      writeEntries(spark, indexDir, nodes, Some(touched))
     newRegion.count()
   }
 
@@ -1298,6 +1350,11 @@ object VectorStore {
       fs.delete(new org.apache.hadoop.fs.Path(s"$edgePath/sbucket=$b"), true)
     }
     spark.catalog.refreshByPath(edgePath)
+    // entry sidecar: recompute the touched buckets from the post-delete
+    // members (an emptied bucket simply loses its rows)
+    if (fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexDir/$GraphDir/$EntriesFile")))
+      writeEntries(spark, indexDir, nodes, Some(touched))
     newRegion.count()
   }
 
@@ -1382,12 +1439,16 @@ object VectorStore {
     }
     val start =
       if (seedFromBuckets) {
-        // per-query entries from the query's multiprobe bucket set: the
-        // same partition-pruned directory read search() scans, but
-        // column-pruned to (nid, bucket) and capped to `entries`
-        // md5-ranked rows per query — deterministic, spread across the
-        // probed buckets, and inside the only components the same-bucket
-        // edge sidecar lets this query's walk reach
+        // per-query entries from the query's multiprobe bucket set —
+        // deterministic md5-ranked members of the probed buckets, inside
+        // the only components the same-bucket edge sidecar lets this
+        // query's walk reach. Served from the per-bucket ENTRY sidecar
+        // when the graph build wrote one wide enough (O(buckets · width)
+        // rows, NO index scan — the 100 TB seeding path); falls back to
+        // a column-pruned directory read of the probed partitions for
+        // legacy sidecars or wider-than-stored entry requests. Both
+        // derivations pick the identical entry set: a per-query winner
+        // is necessarily within its own bucket's md5-top-`width`.
         val probes = qdf.select(col("query_id"),
           bucketOf(col("qraw")).as("qbucket"))
           .select(col("query_id"), explode(array(
@@ -1395,12 +1456,33 @@ object VectorStore {
               col("qbucket").bitwiseXOR(lit(1 << p))): _*)).as("bucket"))
         val wE = Window.partitionBy("query_id")
           .orderBy(col("h"), col("nid.doc_id"), col("nid.chunk_ix"))
-        val seeded = nodes.select(col("nid"), col("bucket"))
-          .join(broadcast(probes), "bucket")
-          .withColumn("h", entryH)
-          .withColumn("rk", row_number().over(wE))
-          .filter(col("rk") <= entries)
-          .select(col("query_id"), col("nid"))
+        val entPath = s"$indexDir/$GraphDir/$EntriesFile"
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val sidecar: Option[DataFrame] =
+          if (!fs.exists(new org.apache.hadoop.fs.Path(entPath))) None
+          else {
+            spark.catalog.refreshByPath(entPath)
+            val ent = spark.read.parquet(entPath)
+            val width = ent.select(max("width")).head()
+            if (width.isNullAt(0) || width.getInt(0) < entries) None
+            else Some(ent.select(col("bucket"), col("h"),
+              struct(col("doc_id"), col("chunk_ix")).as("nid")))
+          }
+        val seeded = sidecar match {
+          case Some(ent) =>
+            ent.join(broadcast(probes), "bucket")
+              .withColumn("rk", row_number().over(wE))
+              .filter(col("rk") <= entries)
+              .select(col("query_id"), col("nid"))
+          case None =>
+            nodes.select(col("nid"), col("bucket"))
+              .join(broadcast(probes), "bucket")
+              .withColumn("h", entryH)
+              .withColumn("rk", row_number().over(wE))
+              .filter(col("rk") <= entries)
+              .select(col("query_id"), col("nid"))
+        }
         // a query whose 9 probed buckets hold NO rows gets global
         // entries instead of an empty answer (bounded: the unseeded
         // query set is tiny by construction, and usually empty)

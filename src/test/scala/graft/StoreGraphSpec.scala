@@ -289,6 +289,64 @@ class StoreGraphSpec extends AnyFunSuite {
     assert(edgeRows == spliced, "edit's splices diverged from a rebuild")
   }
 
+  test("entry sidecar: per-bucket md5 heads, splice-maintained ≡ recompute, " +
+      "serving ≡ scan fallback") {
+    val dir = Files.createTempDirectory("graft_vsg8").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 80), dir) > 0)
+    assert(VectorStore.buildGraph(spark, dir) > 0)
+    val entPath = s"$dir/_graft_graph/entries.parquet"
+    def sidecarRows = spark.read.parquet(entPath)
+      .select("bucket", "doc_id", "chunk_ix")
+      .collect().map(_.toString).sorted.toSeq
+    // shape: ≤ 32 heads per bucket, every head a stored chunk of that bucket
+    val ent = spark.read.parquet(entPath)
+    assert(ent.groupBy("bucket").count()
+      .agg(max("count")).head().getLong(0) <= 32)
+    val stored = spark.read.parquet(dir)
+      .select("bucket", "doc_id", "chunk_ix")
+    assert(ent.select("bucket", "doc_id", "chunk_ix")
+      .join(stored, Seq("bucket", "doc_id", "chunk_ix"), "left_anti")
+      .count() == 0, "entry sidecar cites a chunk outside its bucket")
+    // recompute truth: per-bucket md5-top-32 over the index
+    def recompute: Seq[String] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("bucket").orderBy(col("h"),
+        col("doc_id"), col("chunk_ix"))
+      spark.read.parquet(dir)
+        .select(col("bucket"), col("doc_id"), col("chunk_ix"))
+        .withColumn("h", md5(concat_ws(":",
+          col("doc_id").cast("string"), col("chunk_ix").cast("string"))))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 32)
+        .select("bucket", "doc_id", "chunk_ix")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(sidecarRows == recompute, "fresh sidecar != recompute")
+    // append + insert splice: maintained sidecar ≡ recompute
+    val more = docs.filter(col("doc_id") >= 80 && col("doc_id") < 95)
+    assert(VectorStore.ingest(more, dir, mode = "append") > 0)
+    VectorStore.spliceGraph(spark, dir,
+      (80L until 95L).toSeq)
+    assert(sidecarRows == recompute, "post-insert-splice sidecar diverged")
+    // delete + delete splice: maintained sidecar ≡ recompute
+    assert(VectorStore.delete(spark, dir, Seq(80L, 30L)) > 0)
+    VectorStore.spliceGraphDelete(spark, dir, Seq(80L, 30L))
+    assert(sidecarRows == recompute, "post-delete-splice sidecar diverged")
+    // serving: sidecar-seeded walk ≡ the scan-fallback derivation
+    val q = spark.read.parquet(dir).orderBy("doc_id", "chunk_ix")
+      .select("chunk").limit(1).collect().head.getString(0)
+    val withSidecar = VectorStore.searchGraph(spark, dir, q, k = 5)
+      .collect().map(_.toString).toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(entPath), true))
+    val fallback = VectorStore.searchGraph(spark, dir, q, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(withSidecar == fallback,
+      "sidecar seeding diverged from the scan derivation")
+  }
+
   test("tuned seeded walk: >= 0.5 recall@5 vs full-scan truth at sub-bucket cost") {
     // the published graph_tune_r11 operating point (bucket-seeded
     // entries=32, beam=32, hops=4 over cosine-metric edges), pinned:
