@@ -100,6 +100,11 @@ object IngestJob {
       .select(col("event_id"), col("ts"), col("user_id"))
 
     // #EDIT resolution (the A14 rule, kb_edit_resolve): a tag counts only
+    // (volume bound: the resolved parent set is human-generated edit
+    // requests per window — the reference handles them one reply at a
+    // time — so the collected Seq and the isInCollection literals stay
+    // small; a pathological machine-generated flood should be chunked
+    // into multiple runs, not widened here)
     // in a genuine thread REPLY (root id = event_id rounded to 10, tag
     // when event_id % 7 == 0), each resolving to its parent message —
     // which must itself exist in the stream. The sweep spans the full
