@@ -103,6 +103,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val allowedBnlj = Set(
     "ann_brute", "ann_hybrid", "ann_ivf", "ann_ivf_km",
     "ann_ivfpq", "ann_sq8", "knn_vote", "knn_vote_pq",
+    "ann_ivfpq_lloyd", // B26: same <=10-row query-set coarse probe as B8
     "ann_ivfpq_opq", // B23: same <=10-row query-set coarse probe as B8
     "ann_ivfpq_res", // B24: same <=10-row query-set coarse probe as B8
     "q_bloom_native", "q_kmv_overlap", "q_market_basket", "q_rfm",
