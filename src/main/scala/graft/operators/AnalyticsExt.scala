@@ -301,6 +301,68 @@ object AnalyticsExt {
     GROUP BY date_trunc('hour', ts), event_type
     ORDER BY window_start, event_type"""
 
+  /** E62: two-sample Kolmogorov–Smirnov drift test — per event_type, the
+    * KS statistic D = max |F_a(v) − F_b(v)| between the `value`
+    * distributions of the first half of January (population A) and the
+    * rest (population B). The distribution-drift gate every continuously
+    * ingested feed needs next to E61's column profile: the profile
+    * catches range/null breaks, KS catches a SHAPE change at unchanged
+    * min/max/mean.
+    *
+    * Exactness: D's numerator is max |cumA·nB − cumB·nA| over DISTINCT
+    * values (cums grouped per value first, so tie order can't matter),
+    * all int64 (cum ≤ 10⁶ rows/type · n ≤ 10⁶ → 10¹² ✓); ONE final IEEE
+    * division by nA·nB. No libm, no approximation.
+    *
+    * Scale shape: one keyed shuffle to (type, value) counts with map-side
+    * partial aggregation, then ONE sort-window per event_type over
+    * distinct values — types are the parallel unit, and the per-type sort
+    * is the irreducible cost of an exact ECDF sup-distance (a bucketed
+    * approximate KS would reuse E35's histogram if types ever skewed). */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    val split = to_timestamp(lit("2024-01-16 00:00:00"))
+    val perVal = Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        (col("ts") < split).cast("long").as("isa"))
+      .groupBy("event_type", "value")
+      .agg(sum("isa").as("ca"), (count(lit(1)) - sum("isa")).as("cb"))
+    val wCum = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    perVal
+      .withColumn("cuma", sum("ca").over(wCum))
+      .withColumn("cumb", sum("cb").over(wCum))
+      .withColumn("na", sum("ca").over(wAll))
+      .withColumn("nb", sum("cb").over(wAll))
+      .groupBy("event_type")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("dnum"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("dnum").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+      .orderBy("event_type")
+  }
+
+  val qKsDriftSql: String = """
+    WITH pv AS (
+      SELECT event_type, value,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM events GROUP BY event_type, value),
+    cum AS (
+      SELECT event_type,
+        CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+        CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb,
+        CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+      FROM pv)
+    SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+      CAST(MAX(abs(cuma * nb - cumb * na)) AS DOUBLE)
+        / CAST(MAX(na) * MAX(nb) AS DOUBLE) AS ks
+    FROM cum GROUP BY event_type ORDER BY event_type"""
+
   /** E35: mergeable quantile HISTOGRAM — the scalable twin of E12's
     * exact percentiles. E12 must shuffle and rank every row; this
     * operator reduces each partition to integer-bucket counts (width 10,
@@ -753,6 +815,7 @@ object AnalyticsExt {
     "q_cohort" -> (qCohort _),
     "q_percentiles" -> (qPercentiles _),
     "q_tumbling"    -> (qTumbling _),
+    "q_ks_drift"    -> (qKsDrift _),
     "q_tfidf"       -> (qTfidf _),
     "q_bloom_join"  -> (qBloomJoin _))
 
@@ -772,6 +835,7 @@ object AnalyticsExt {
     "q_cohort" -> qCohortSql,
     "q_percentiles" -> qPercentilesSql,
     "q_tumbling"    -> qTumblingSql,
+    "q_ks_drift"    -> qKsDriftSql,
     "q_tfidf"       -> qTfidfSql,
     "q_bloom_join"  -> qBloomJoinSql)
 }

@@ -328,7 +328,67 @@ object Multimodal {
     ORDER BY doc_a, doc_b"""
   }
 
+  /** F30's shard byte budget. 16 KiB on the synthetic corpus (~10 shards
+    * at sf0.01); a production WebDataset run sets ~100 MB-1 GB. */
+  private val ShardBytes = 16384L
+
+  /** F30: WebDataset-style shard packing — the training-data step that
+    * turns N media blobs into sequential size-bounded shard archives a
+    * dataloader streams. Each blob (doc_id order) is assigned the shard
+    * its START byte offset falls in (offset ÷ budget — the same
+    * concat-then-cut contract as D13's token packing, applied to bytes),
+    * then the manifest aggregates per shard: blob count, payload bytes,
+    * id range. Deterministic, integer-only.
+    *
+    * Scale shape: a naive global byte cumsum is a ONE-PARTITION window;
+    * this uses D13's decomposition — per-bucket byte sums (one small
+    * shuffle), cumulative bucket offsets over the tiny bucket list
+    * (broadcast back), per-bucket windows — identical output to the
+    * global window the oracle runs, every stage parallel. The manifest
+    * agg is a second small keyed shuffle. */
+  def mmShardPack(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(col("payload").isNotNull)
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"),
+        (col("doc_id") - pmod(col("doc_id"), lit(100L))).as("bucket"))
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blobs.groupBy("bucket").agg(sum("n_bytes").as("b_sum"))
+      .withColumn("b_off", coalesce(sum("b_sum").over(wB), lit(0L)))
+      .select("bucket", "b_off")
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    blobs.join(broadcast(offsets), "bucket")
+      .withColumn("start_off",
+        col("b_off") + coalesce(sum("n_bytes").over(wIn), lit(0L)))
+      .withColumn("shard_id",
+        ((col("start_off") - pmod(col("start_off"), lit(ShardBytes)))
+          / ShardBytes).cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_blobs"), sum("n_bytes").as("shard_bytes"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  val mmShardPackSql: String = s"""
+    WITH b AS (
+      SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT doc_id, n_bytes,
+        COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+      FROM b)
+    SELECT CAST(start_off // $ShardBytes AS BIGINT) AS shard_id,
+      CAST(COUNT(*) AS BIGINT) AS n_blobs,
+      CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+      MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY shard_id ORDER BY shard_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_pack" -> (mmShardPack _),
     "mm_audio_fp" -> (mmAudioFp _),
     "mm_phash" -> (mmPhash _),
     "mm_pipeline" -> (mmPipeline _),
@@ -403,6 +463,7 @@ object Multimodal {
   }
 
   val oracle: Map[String, String] = Map(
+    "mm_shard_pack" -> mmShardPackSql,
     "mm_audio_fp" -> mmAudioFpSql(mmFrameSampleSql),
     "mm_phash" -> mmPhashSql(mmFrameSampleSql),
     "mm_dedup" -> mmDedupSql,

@@ -1601,7 +1601,166 @@ object TextAnalysis {
     FROM withtld w JOIN shares s ON w.domain = s.sd
     ORDER BY w.doc_id"""
 
+  /** D30's fixed query workload: three multi-term queries over the
+    * corpus vocabulary. A literal (query_id, term) relation — broadcast
+    * everywhere it joins. */
+  private val bm25Queries: Seq[(String, String)] = Seq(
+    "q1" -> "vector", "q1" -> "scan",
+    "q2" -> "fast", "q2" -> "join", "q2" -> "table",
+    "q3" -> "stream", "q3" -> "window", "q3" -> "group")
+
+  /** D30: BM25 retrieval — top-10 documents per query under BM25
+    * (k1 = 1.2, b = 0.75) with the RATIONAL Robertson idf
+    * (N − df + ½)/(df + ½) instead of its log (libm rounding is
+    * engine-specific; the rational form preserves the idf ordering and
+    * keeps every factor exact). With avgdl frozen to the exact integer
+    * ⌊T/N⌋ the per-term score reduces to a ratio of two int64 products,
+    *
+    *   22·tf·avgdl·(2N − 2df + 1)
+    *   ──────────────────────────────────────── ,
+    *   (2df + 1)·(10·tf·avgdl + 3·avgdl + 9·dl)
+    *
+    * each < 2⁵³ (int64- and double-exact to N ≈ 10⁸ docs at dl ≤ 10³;
+    * beyond that only the final division rounds, uniformly in both
+    * engines), floored to micro-units so the per-doc SUM over query
+    * terms is exact int64 — order-independent, hash-stable.
+    *
+    * Scale shape: ONE corpus scan computes dl and explodes tokens with
+    * the `isin(query terms)` filter BEFORE the (doc, term) aggregation,
+    * so the shuffle carries only query-term hits (∝ matches, not corpus);
+    * df and the query relation are term-cardinality broadcasts; (N, T)
+    * ride a 1-row broadcast cross join; the rank window partitions by
+    * query. The lexical leg of a hybrid (BM25 + ANN) retrieval stack —
+    * B18's RRF fuses rank lists exactly like the ones emitted here. */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = bm25Queries.map(_._2).distinct
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    val totals = Tables.documents(s, dir)
+      .select(size(Text.tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("t"))
+      .withColumn("avgdl", ((col("t") - pmod(col("t"), col("n"))) / col("n")).cast("long"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    import s.implicits._
+    val qrel = bm25Queries.toDF("query_id", "term")
+    val num = lit(22L) * col("tf") * col("avgdl") *
+      (lit(2L) * col("n") - lit(2L) * col("df") + lit(1L))
+    val den = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("tf") * col("avgdl") + lit(3L) * col("avgdl") +
+        lit(9L) * col("dl"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(qrel), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("fp",
+        floor(num.cast("double") / den.cast("double") * 1e6 + 0.5).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("fp").as("score_fp"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("n_terms"),
+        (col("score_fp").cast("double") / 1e6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val textBm25Sql: String = {
+    val vals = bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+    val inList = bm25Queries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+    av AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
+      FROM dl),
+    qt(query_id, term) AS (VALUES $vals),
+    tf AS (
+      SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+      WHERE tok IN ($inList)
+      GROUP BY doc_id, tok),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, f.doc_id,
+        CAST(floor(
+          CAST(22 * f.tf * av.avgdl * (2 * av.n - 2 * df.df + 1) AS DOUBLE)
+          / CAST((2 * df.df + 1)
+                 * (10 * f.tf * av.avgdl + 3 * av.avgdl + 9 * l.dl) AS DOUBLE)
+          * 1e6 + 0.5) AS BIGINT) AS fp
+      FROM tf f
+      JOIN qt q ON q.term = f.term
+      JOIN df ON df.term = f.term
+      JOIN dl l ON l.doc_id = f.doc_id
+      CROSS JOIN av),
+    agg AS (
+      SELECT query_id, doc_id, CAST(SUM(fp) AS BIGINT) AS score_fp,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM scored GROUP BY query_id, doc_id),
+    ranked AS (
+      SELECT query_id, doc_id, score_fp, n_terms,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY score_fp DESC, doc_id) AS rank
+      FROM agg)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_terms,
+           CAST(score_fp AS DOUBLE) / 1e6 AS score
+    FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+  }
+
+  /** D31: lexical-diversity quality gate — per-document type-token ratio
+    * and Simpson concentration Σc²/n² (the log-free entropy stand-in: a
+    * doc whose token mass concentrates on few types scores high), with a
+    * keep verdict at concentration ≤ 0.08. Catches the stutter/boilerplate
+    * failure mode D8's adjacent-repeat detector misses when repeats are
+    * NON-adjacent (a spam doc cycling 3 phrases passes D8, fails here).
+    * Both ratios are exact-int64 numerator/denominator pairs with one
+    * IEEE division each — deterministic across engines, no libm.
+    *
+    * Scale shape: two keyed shuffles with map-side partial aggregation
+    * ((doc, token) counts, then per-doc moments) — the same profile as
+    * D14; nothing global, no window. */
+  def textDiversity(s: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    tc.groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("c2"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tok").cast("double")).as("ttr"),
+        (col("c2").cast("double") /
+          (col("n_tok") * col("n_tok")).cast("double")).as("simpson"))
+      .withColumn("keep", col("simpson") <= 0.08)
+      .orderBy("doc_id")
+  }
+
+  val textDiversitySql: String = """
+    WITH t AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      FROM documents),
+    tc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY doc_id, tok),
+    m AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * c) AS BIGINT) AS c2
+      FROM tc GROUP BY doc_id)
+    SELECT doc_id, n_tok, n_types,
+      CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE) AS ttr,
+      CAST(c2 AS DOUBLE) / CAST(n_tok * n_tok AS DOUBLE) AS simpson,
+      (CAST(c2 AS DOUBLE) / CAST(n_tok * n_tok AS DOUBLE)) <= 0.08 AS keep
+    FROM m ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (textBm25 _),
+    "text_diversity" -> (textDiversity _),
     "text_split_safe" -> (textSplitSafe _),
     "text_domain_gate" -> (textDomainGate _),
     "text_bpe_encode" -> (textBpeEncode _),
@@ -1636,6 +1795,8 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql,
+    "text_diversity" -> textDiversitySql,
     "text_split_safe" -> textSplitSafeSql,
     "text_domain_gate" -> textDomainGateSql,
     "text_bpe_encode" -> textBpeEncodeSql,

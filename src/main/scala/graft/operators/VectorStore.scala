@@ -326,10 +326,21 @@ object VectorStore {
         }
       val coded = withRes.drop("rres")
         .join(pqEncode(codebook, embedded, perm), Seq("doc_id", "chunk_ix"))
-      val indexed = rescbOpt
+      // SQ8 codes (G44, r12): per-chunk symmetric int8 quantization of
+      // the exact raw weights — the serving rung between the raw-vector
+      // cell scan and the PQ/residual ADC. The per-chunk scale
+      // FACTORIZES out of the dot product (annSq8's B6 scheme), so the
+      // rung needs NO trained artifact: every row self-scales, appends
+      // and edits are consistent by construction. A store written
+      // before this column existed stays scodes-free on append (the
+      // perm/rescb legacy rule) and the sq8 read refuses it loudly.
+      val sqLegacy = reuse &&
+        !spark.read.parquet(indexDir).schema.fieldNames.contains("scodes")
+      val indexed0 = rescbOpt
         .fold(coded)(cb =>
           coded.join(resEncode(cb, withRes), Seq("doc_id", "chunk_ix")))
         .withColumn("batch_tag", lit(batchTag))
+      val indexed = if (sqLegacy) indexed0 else sq8Cols(indexed0)
       indexed.write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)
       // time-axis zone maps: incremental upkeep scans this batch's files
       // only (an overwrite-mode write wiped the old sidecar with the rest
@@ -350,6 +361,23 @@ object VectorStore {
     }
     embedded.unpersist()
     n
+  }
+
+  /** SQ8 columns over `raw` — B6's symmetric scheme: per-chunk scale
+    * d = max(1, ⌊max_i|raw_i|/127⌋), code_i = sgn(raw_i)·⌊|raw_i|/d⌋.
+    * |code| ≤ 127 by construction; the serving ADC d·Σ q_i·code_i is
+    * exact int64 (|Σ| bounded by the exact dot the raw scan computes).
+    * Stored as an int64 array for the codegen dot kernel — parquet
+    * bit-packs the int8-range values on disk; a byte-packed binary
+    * layout would be the further memory-format step. */
+  private def sq8Cols(df: DataFrame): DataFrame = {
+    val m = array_max(transform(col("raw"), x => abs(x)))
+    df.withColumn("sscale",
+        greatest((m - pmod(m, lit(127L))) / 127L, lit(1L)).cast("long"))
+      .withColumn("scodes", transform(col("raw"), x =>
+        (when(x < 0, lit(-1L)).otherwise(lit(1L)) *
+          ((abs(x) - pmod(abs(x), col("sscale"))) / col("sscale")))
+          .cast("long")))
   }
 
   /** Coarse cell probe (r11, metric-ALIGNED with assignment): rank cells
@@ -978,6 +1006,85 @@ object VectorStore {
       .filter(col("code") === col("j"))
       .groupBy("query_id", "doc_id", "chunk_ix")
       .agg(sum("qdist").as("adist"))
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= shortlist)
+      .select("query_id", "doc_id", "chunk_ix")
+    // phase 2: exact full-width cosine re-rank of the survivors
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    index.join(broadcast(short), Seq("doc_id", "chunk_ix"))
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), col("chunk"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "chunk_ix", "chunk", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** G44 (r12): SQ8 serving read — the recall/cost rung BETWEEN the
+    * raw-vector cell scan ([[searchCells]]: exact scores, full 8-byte
+    * dims) and the residual-PQ ADC ([[searchCompressedCells]]: M codes
+    * per chunk, coarsest): learned-cell probing → int8-code ADC
+    * shortlist (the scan reads the int8-range `scodes` + one scale long
+    * instead of the raw int64 vector — ~⅛ the scan bytes at equal
+    * candidate count) → exact full-width re-rank of the survivors.
+    * The ADC d·Σ q_i·code_i is exact int64 (the per-chunk scale
+    * factorizes out — B6/B15's scheme), so the shortlist order is
+    * deterministic. No trained sidecar: each row self-scales, so codes
+    * from ANY batch compare and splice maintenance never touches them.
+    * A store written before the scodes column existed is refused
+    * loudly, mirroring the compressed-cells legacy rule. */
+  def searchSq8Cells(spark: SparkSession, indexDir: String,
+      query: String, k: Int = 5, nprobe: Int = 2,
+      shortlist: Int = 50): DataFrame =
+    searchSq8CellsBatch(spark, indexDir, Seq(query), k, nprobe, shortlist)
+      .drop("query_id")
+
+  /** Batch twin of [[searchSq8Cells]] — many queries through ONE
+    * probed/ADC/re-rank plan. Output schema = [[searchBatch]]. */
+  def searchSq8CellsBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5, nprobe: Int = 2,
+      shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    // refuse loudly on a pre-sq8 store (no scodes column — kept that way
+    // by appends): scanning the missing column would fail inference or
+    // silently drop legacy rows, the same failure mode the rescb rule
+    // guards against
+    require(spark.read.parquet(indexDir).schema.fieldNames.contains("scodes"),
+      s"searchSq8Cells needs the scodes column — this store predates SQ8 " +
+        "coding; re-ingest it (mode=overwrite) to serve the sq8 path")
+    val centroids = spark.read.parquet(s"$indexDir/$CellsDir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val qdf = queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "qtext")
+      .withColumn("qraw", rawWeights(col("qtext")))
+      .select("query_id", "qraw")
+    val qraws = qdf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val probePairs = qraws.flatMap { case (qid, qraw) =>
+      probeCellsFor(centroids, qraw, nprobe).map(cell => (qid, cell))
+    }.toSeq
+    val probes = probePairs.toDF("query_id", "cell")
+    val index = spark.read.parquet(indexDir)
+      .filter(col("cell").isInCollection(probePairs.map(_._2).distinct))
+    // phase 1: SQ8 ADC shortlist — the scan reads (cell, ids, scodes,
+    // sscale); the exact raw vector is NOT touched until the tail
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("doc_id"), col("chunk_ix"))
+    val short = index
+      .select(col("cell"), col("doc_id"), col("chunk_ix"),
+        col("scodes"), col("sscale"))
+      .join(broadcast(probes), "cell")
+      .join(broadcast(qdf), "query_id")
+      .withColumn("adc",
+        call_function("graft_dot_l", col("scodes"), col("qraw")) * col("sscale"))
       .withColumn("trk", row_number().over(wT))
       .filter(col("trk") <= shortlist)
       .select("query_id", "doc_id", "chunk_ix")

@@ -55,7 +55,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_top_movers", "text_pack", "ann_tune", "ann_hybrid", "q_rfm",
     "q_market_basket", "dedup_lsh_tune", "q_ab_test", "q_triangles",
     "text_domain_gate", "q_decile_lift", "q_decay_score", "q_benford",
-    "q_profile", "q_profile_docs") // E61d: same bounded global-agg funnel as q_profile
+    "q_profile", "q_profile_docs", // E61d: same bounded global-agg funnel as q_profile
+    "text_bm25",     // D30: 1-row corpus-totals aggregate (the ann_hybrid N funnel)
+    "mm_shard_pack") // F30: text_pack's bucket-count offset pass over byte sums
   // (q_profile_hll needs no entry: its one global merge is a partial
   // SKETCH aggregate — the partial_graft_ rule below exempts it, the
   // stronger property than an allowlisted exact funnel.)
@@ -110,7 +112,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_tune", "dedup_lsh_tune", "q_triangles", "text_collocations",
     "text_source_weights", "text_domain_gate", "q_decile_lift",
     "vec_mrl_recall", // B20: same broadcast <=10-row query-set scan as ann_brute
-    "q_decay_score")  // E59: 1-row max-day anchor attach, the q_rfm shape
+    "q_decay_score",  // E59: 1-row max-day anchor attach, the q_rfm shape
+    "text_bm25")      // D30: 1-row (N, T, avgdl) totals attach, the ann_hybrid shape
 
   test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
     val observed = plans.collect {
