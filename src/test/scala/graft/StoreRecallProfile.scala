@@ -68,6 +68,10 @@ object StoreRecallProfile {
         (() => VectorStore.searchCompressedBatch(spark, dir, queries, k = 5)),
       "search_compressed_cells" ->
         (() => VectorStore.searchCompressedCellsBatch(spark, dir, queries, k = 5)),
+      // G44 (r12): the int8 rung between the raw cell scan and PQ ADC —
+      // same probe budget as search_cells, ~1/8 the candidate-scan bytes
+      "search_sq8_cells" ->
+        (() => VectorStore.searchSq8CellsBatch(spark, dir, queries, k = 5)),
       // default = the graph_tune_r11 operating point: bucket-seeded
       // 32/32/4 over cosine-metric edges, sub-bucket cost (spec-pinned
       // >= 0.5); the r10 fixed-global-entry config published as contrast
