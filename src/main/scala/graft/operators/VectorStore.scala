@@ -1514,13 +1514,37 @@ object VectorStore {
     graphWalk(spark, indexDir, queries, k, entries, beam, hops,
       seedFromBuckets, countTouched = false)._1
 
+  /** G45 (r12): the DiskANN discipline over the G31 walk — every HOP
+    * scores candidates from the G44 int8 codes (the per-chunk scale
+    * CANCELS from the cosine, so the hop ranking is deterministic pure
+    * code arithmetic: d·Σq·c / (d·√Σc²·√Σq²)), and the exact raw
+    * vectors are read ONLY for the final ≤beam-per-query re-rank — the
+    * walk's per-hop read drops to ~⅛ of the exact walk's bytes at
+    * identical knob costs, which is precisely how DiskANN keeps its
+    * frontier in fast memory and full vectors on SSD (Subramanya et al.
+    * 2019). Served scores stay EXACT (the tail recomputes them
+    * full-width). Pre-sq8 stores are refused loudly, like
+    * [[searchSq8Cells]]. */
+  def searchGraphSq8(spark: SparkSession, indexDir: String, query: String,
+      k: Int = 5): DataFrame =
+    searchGraphSq8Batch(spark, indexDir, Seq(query), k).drop("query_id")
+
+  /** Batch twin of [[searchGraphSq8]] — knobs as [[searchGraphBatch]]. */
+  def searchGraphSq8Batch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5, entries: Int = GraphEntries,
+      beam: Int = GraphBeam, hops: Int = GraphHops,
+      seedFromBuckets: Boolean = true): DataFrame =
+    graphWalk(spark, indexDir, queries, k, entries, beam, hops,
+      seedFromBuckets, countTouched = false, sq8Hops = true)._1
+
   /** The walk body behind [[searchGraphBatch]]; `countTouched = true`
     * additionally returns the number of (query, vector) score
     * evaluations the walk performed — the cost axis of the published
     * tuning table (extra per-hop counts run only when asked). */
   private[graft] def graphWalk(spark: SparkSession, indexDir: String,
       queries: Seq[String], k: Int, entries: Int, beamIn: Int, hops: Int,
-      seedFromBuckets: Boolean, countTouched: Boolean): (DataFrame, Long) = {
+      seedFromBuckets: Boolean, countTouched: Boolean,
+      sq8Hops: Boolean = false): (DataFrame, Long) = {
     // the per-hop beam must cover the asked-for k: the final cut runs
     // over the LAST frontier, which holds at most `beam` rows per query
     val beam = math.max(beamIn, k)
@@ -1604,6 +1628,26 @@ object VectorStore {
     val score = when(ssC > 0 && ssQ > 0,
       dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
       .otherwise(lit(0.0d))
+    // sq8 hop metric (G45): the per-chunk scale d cancels from
+    // d·Σq·c / (d·√Σc² · √Σq²), so hops rank by pure code arithmetic —
+    // exact int64 inside, one IEEE division, no scale column read
+    val hopNodes =
+      if (!sq8Hops) nodes.select(col("nid"), col("raw"))
+      else {
+        val idx = spark.read.parquet(indexDir)
+        require(idx.schema.fieldNames.contains("scodes"),
+          s"searchGraphSq8 needs the scodes column — this store predates " +
+            "SQ8 coding; re-ingest it (mode=overwrite) to walk on codes")
+        idx.select(struct(col("doc_id"), col("chunk_ix")).as("nid"),
+          col("scodes"))
+      }
+    val dot8 = call_function("graft_dot_l", col("scodes"), col("qraw"))
+    val ss8 = call_function("graft_dot_l", col("scodes"), col("scodes"))
+    val hopScore =
+      if (!sq8Hops) score
+      else when(ss8 > 0 && ssQ > 0, dot8.cast("double") /
+          (sqrt(ss8.cast("double")) * sqrt(ssQ.cast("double"))))
+        .otherwise(lit(0.0d))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("nid.doc_id"), col("nid.chunk_ix"))
     var touched = 0L
@@ -1613,16 +1657,24 @@ object VectorStore {
         edges.join(broadcast(fc), col("nid") === col("src"))
           .select(col("query_id"), col("dst").as("nid"))).distinct()
       if (countTouched) touched += grown.count()
-      nodes.join(broadcast(grown), "nid")
+      hopNodes.join(broadcast(grown), "nid")
         .join(broadcast(qdf), "query_id")
-        .select(col("query_id"), col("nid"), score.as("score"))
+        .select(col("query_id"), col("nid"), hopScore.as("score"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= beam)
         .select(col("query_id"), col("nid"), col("score"))
     }
     val last = (1 to hops)
       .foldLeft(start.localCheckpoint(true))((f, _) => hop(f).localCheckpoint(true))
-    val out = last
+    // sq8 walk: the exact raw vectors enter ONLY here, for the bounded
+    // (queries × beam)-row final re-rank — served scores stay exact
+    val finalScored =
+      if (!sq8Hops) last
+      else nodes.select(col("nid"), col("raw"))
+        .join(broadcast(last.select(col("query_id"), col("nid"))), Seq("nid"))
+        .join(broadcast(qdf), "query_id")
+        .select(col("query_id"), col("nid"), score.as("score"))
+    val out = finalScored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .join(nodes.select(col("nid"), col("chunk")), "nid")

@@ -77,6 +77,10 @@ object StoreRecallProfile {
       // >= 0.5); the r10 fixed-global-entry config published as contrast
       "search_graph" ->
         (() => VectorStore.searchGraphBatch(spark, dir, queries, k = 5)),
+      // G45 (r12): the DiskANN walk — same knobs as search_graph, hops
+      // score from int8 codes (~1/8 bytes/touch), exact final re-rank
+      "search_graph_sq8" ->
+        (() => VectorStore.searchGraphSq8Batch(spark, dir, queries, k = 5)),
       "search_graph_global_entries" ->
         (() => VectorStore.searchGraphBatch(spark, dir, queries, k = 5,
           entries = 8, beam = 8, hops = 4, seedFromBuckets = false)),

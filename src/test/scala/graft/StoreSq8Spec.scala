@@ -85,6 +85,58 @@ class StoreSq8Spec extends AnyFunSuite {
       s"appended chunk lost on the sq8 path: ${hits.headOption}")
   }
 
+  private lazy val graphDir = {
+    val d = Files.createTempDirectory("graft_sq8_g").toString + "/index"
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select("doc_id", "text")
+    assert(VectorStore.ingest(docs, d) > 100)
+    assert(VectorStore.buildGraph(spark, d) > 0)
+    d
+  }
+
+  test("sq8 graph walk self-hits and serves EXACT scores") {
+    val sample = spark.read.parquet(graphDir)
+      .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val hits = VectorStore.searchGraphSq8(spark, graphDir, sample, k = 3)
+      .collect()
+    assert(hits.nonEmpty)
+    assert(hits.head.getAs[Long]("doc_id") == 3L &&
+      hits.head.getAs[Int]("chunk_ix") == 1, s"top hit was ${hits.head}")
+    // the tail re-ranks full-width: the self-hit's served score is the
+    // exact unit cosine, not a quantized approximation
+    assert(hits.head.getAs[Double]("score") > 0.999)
+    // every served score matches the exact walk's score for the same
+    // (query, chunk) — the DiskANN contract: approximate ROUTE, exact answer
+    val exact = VectorStore.searchGraph(spark, graphDir, sample, k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_ix"))
+        -> r.getAs[Double]("score")).toMap
+    hits.foreach { r =>
+      val key = (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_ix"))
+      exact.get(key).foreach(s =>
+        assert(s == r.getAs[Double]("score"), s"score drifted for $key"))
+    }
+  }
+
+  test("sq8 graph walk refuses a pre-sq8 store loudly") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val leg = Files.createTempDirectory("graft_sq8_gleg").toString + "/index"
+    spark.read.parquet(graphDir).drop("scodes", "sscale")
+      .write.partitionBy("bucket", "cell").parquet(leg)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("_graft_graph/edges.parquet", "_graft_graph/degree.parquet",
+        "_graft_graph/entries.parquet").foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$graphDir/$p"), fs,
+        new org.apache.hadoop.fs.Path(s"$leg/$p"), false, conf)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      VectorStore.searchGraphSq8(spark, leg, "anything", k = 3).collect()
+    }
+    assert(ex.getMessage.contains("scodes"), ex.getMessage)
+  }
+
   test("pre-sq8 legacy store: append keeps the schema uniform, read refuses") {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
