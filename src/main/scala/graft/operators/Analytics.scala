@@ -1585,6 +1585,92 @@ object Analytics {
     FROM f ORDER BY file_id"""
   }
 
+  /** E63: Hilbert-curve layout audit — E37's Morton audit re-run on the
+    * Hilbert key, the layout Delta/Iceberg reach for when Z-order's seam
+    * jumps hurt. Same 4-bit (partkey, suppkey) plane, same 16
+    * contiguous-key "files": Hilbert's first 4 bits fix the same-size
+    * 4×4 box as Morton's (box_area 16, the skipping win is identical),
+    * but the CURVE is edge-continuous — consecutive files are spatially
+    * ADJACENT, which the audit proves with `step_cheb`, the Chebyshev
+    * distance between consecutive files' box corners: Hilbert reads a
+    * CONSTANT 4 (= one box width, i.e. every consecutive pair shares an
+    * edge) while Morton's z-seam jumps read up to 12 (three box widths,
+    * the (4,12)→(8,0) seam) on the same plane. Adjacency is what bounds
+    * worst-case curve displacement for RANGE predicates spanning file
+    * boundaries (a band over either dimension touches a contiguous file
+    * run instead of stripes).
+    *
+    * The xy→d transform is the standard 4-step unrolled loop (rx/ry bit
+    * tests as floor-div/mod — no engine bit intrinsics; the rotation's
+    * quadrant code 3rx ⊕ ry spelled as the polynomial 3rx + ry − 2rxry),
+    * identical expression trees in both engines: all exact int64. One
+    * narrow scan + one 16-group aggregate + one tiny ordered window. */
+  def qHilbert(s: SparkSession, dir: String): DataFrame = {
+    var df = Tables.lineitem(s, dir)
+      .select((col("l_partkey") % 16).as("a"), (col("l_suppkey") % 16).as("b"))
+      .withColumn("x", col("a")).withColumn("y", col("b"))
+      .withColumn("d", lit(0L))
+    Seq(8L, 4L, 2L, 1L).foreach { st =>
+      df = df
+        .withColumn("rx", expr(s"(x div $st) % 2"))
+        .withColumn("ry", expr(s"(y div $st) % 2"))
+        .withColumn("d", col("d") + lit(st * st) *
+          (lit(3L) * col("rx") + col("ry") - lit(2L) * col("rx") * col("ry")))
+        .withColumn("xn", when(col("ry") === 0,
+          when(col("rx") === 1, lit(15L) - col("y")).otherwise(col("y")))
+          .otherwise(col("x")))
+        .withColumn("yn", when(col("ry") === 0,
+          when(col("rx") === 1, lit(15L) - col("x")).otherwise(col("x")))
+          .otherwise(col("y")))
+        .withColumn("x", col("xn")).withColumn("y", col("yn"))
+        .drop("xn", "yn")
+    }
+    val files = df
+      .withColumn("file_id", expr("d div 16"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("a").as("pk_lo"), max("a").as("pk_hi"),
+        min("b").as("sk_lo"), max("b").as("sk_hi"))
+      .withColumn("box_area",
+        (col("pk_hi") - col("pk_lo") + 1) * (col("sk_hi") - col("sk_lo") + 1))
+    val wSeq = Window.orderBy("file_id") // 16 rows — bounded funnel
+    files
+      .withColumn("step_cheb", greatest(
+        abs(col("pk_lo") - lag("pk_lo", 1).over(wSeq)),
+        abs(col("sk_lo") - lag("sk_lo", 1).over(wSeq))))
+      .orderBy("file_id")
+  }
+
+  val qHilbertSql: String = {
+    def stepCte(prev: String, cur: String, st: Long): String = s"""
+    $cur AS (
+      SELECT a, b,
+        d + ${st * st} * (3 * rx + ry - 2 * rx * ry) AS d,
+        CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 15 - y ELSE y END
+             ELSE x END AS x,
+        CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 15 - x ELSE x END
+             ELSE y END AS y
+      FROM (SELECT a, b, x, y, d,
+              (x // $st) % 2 AS rx, (y // $st) % 2 AS ry FROM $prev))"""
+    val steps = Seq(8L, 4L, 2L, 1L).zipWithIndex
+      .map { case (st, i) => stepCte(if (i == 0) "h0" else s"h$i", s"h${i + 1}", st) }
+      .mkString(",")
+    s"""
+    WITH h0 AS (
+      SELECT l_partkey % 16 AS a, l_suppkey % 16 AS b,
+        l_partkey % 16 AS x, l_suppkey % 16 AS y, CAST(0 AS BIGINT) AS d
+      FROM lineitem),$steps,
+    f AS (
+      SELECT d // 16 AS file_id, COUNT(*) AS n_rows,
+        MIN(a) AS pk_lo, MAX(a) AS pk_hi, MIN(b) AS sk_lo, MAX(b) AS sk_hi
+      FROM h4 GROUP BY d // 16)
+    SELECT file_id, n_rows, pk_lo, pk_hi, sk_lo, sk_hi,
+      (pk_hi - pk_lo + 1) * (sk_hi - sk_lo + 1) AS box_area,
+      GREATEST(abs(pk_lo - lag(pk_lo, 1) OVER (ORDER BY file_id)),
+               abs(sk_lo - lag(sk_lo, 1) OVER (ORDER BY file_id))) AS step_cheb
+    FROM f ORDER BY file_id"""
+  }
+
   /** E38: robust anomaly gate — per event_type median + MAD (median
     * absolute deviation, the Hampel estimator) and the count of events
     * outside med ± 3·MAD. The robust twin of z-scores: one wild outlier
@@ -1899,6 +1985,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank"   -> (qPagerank _),
     "q_zorder"     -> (qZorder _),
+    "q_hilbert"    -> (qHilbert _),
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_benford" -> (qBenford _),
     "q_profile" -> (qProfile _),
@@ -1944,6 +2031,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q_pagerank"   -> qPagerankSql,
     "q_zorder"     -> qZorderSql,
+    "q_hilbert"    -> qHilbertSql,
     "q_anomaly_mad" -> qAnomalyMadSql,
     "q_benford" -> qBenfordSql,
     "q_profile" -> qProfileSql,

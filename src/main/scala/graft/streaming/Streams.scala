@@ -779,4 +779,67 @@ object Streams {
     docs.select(bucket.as("bucket")).groupBy("bucket").count()
       .collect().toSeq.map(r => (r.getInt(0), r.getLong(1)))
   }
+
+  private val KsBucketW = 10 // E35's width-10 value-bucket convention
+
+  /** F31: streaming distribution-drift monitor — E62's two-sample KS
+    * test made streamable. Per tumbling window, the BUCKETED KS
+    * statistic between the arriving `value` distribution and a FROZEN
+    * reference histogram ([[ksBaseline]], width-10 edges): the exact KS
+    * needs a sort over distinct values — fundamentally not
+    * bounded-state streamable — but over a fixed edge grid the
+    * sup-distance is computable from mergeable bucket counts, and it IS
+    * the exact KS statistic of the bucket-rounded distributions (error
+    * vs the exact statistic ≤ the reference mass of any one bucket),
+    * the standard production drift monitor. State per open window =
+    * one long per reference edge; the reference's cumulative counts
+    * fold in as plan literals (the F18 PSI discipline). The numerator
+    * max_e |cumObs(e)·nRef − cumRef(e)·nObs| is exact int64; ONE final
+    * IEEE division. A window whose values all exceed the reference's
+    * last edge still reads correctly: at that edge cumObs < nObs, so
+    * the escaped mass shows as 1 − cumObs/nObs.
+    *
+    * Shape-vs-range complement: E61/F29's profile flags range/null
+    * breaks, F19's quantiles move only at the probed points; KS pages
+    * on ANY cdf displacement, at unchanged min/max/median included. */
+  def ksMonitor(events: DataFrame, reference: Seq[(Long, Long)],
+      threshold: Double = 0.2): DataFrame = {
+    require(reference.nonEmpty, "reference histogram is empty")
+    val edges = reference.map(_._1).sorted
+    val nRef = reference.map(_._2).sum
+    require(nRef > 0, "reference histogram has zero mass")
+    val refByEdge = reference.toMap
+    val refCum: Seq[(Long, Long)] = edges
+      .scanLeft((0L, 0L)) { case ((_, acc), e) => (e, acc + refByEdge(e)) }
+      .tail
+    val edgeOf = (floor(col("value") / KsBucketW).cast("long")
+      * KsBucketW + KsBucketW)
+    val cumCounts = edges.map(e =>
+      sum(when(col("edge") <= e, 1L).otherwise(0L)).as(s"c_$e"))
+    val agg = events
+      .select(col("ts"), edgeOf.as("edge"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(cumCounts.head, cumCounts.tail :+ count(lit(1)).as("n_events"): _*)
+    val ksNum = greatest(refCum.map { case (e, cref) =>
+      abs(col(s"c_$e") * lit(nRef) - lit(cref) * col("n_events"))
+    }: _*)
+    val ks = ksNum.cast("double") /
+      (col("n_events") * lit(nRef)).cast("double")
+    agg.select(col("window.start").as("window_start"), col("n_events"),
+      ks.as("ks"), (ks > lit(threshold)).as("drifted"))
+  }
+
+  /** Convenience: the frozen width-10 reference histogram for
+    * [[ksMonitor]] — (bucket edge, count) over an accepted window of the
+    * same stream (or any reference population). Keep the grid a MONITOR
+    * grid: the per-window state and the literal fold-in are one long per
+    * edge, so a raw full-range histogram of an unbounded measure should
+    * be capped/coarsened before freezing. */
+  def ksBaseline(events: DataFrame): Seq[(Long, Long)] = {
+    val edgeOf = (floor(col("value") / KsBucketW).cast("long")
+      * KsBucketW + KsBucketW)
+    events.select(edgeOf.as("edge")).groupBy("edge").count()
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+  }
 }

@@ -57,7 +57,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_domain_gate", "q_decile_lift", "q_decay_score", "q_benford",
     "q_profile", "q_profile_docs", // E61d: same bounded global-agg funnel as q_profile
     "text_bm25",     // D30: 1-row corpus-totals aggregate (the ann_hybrid N funnel)
-    "mm_shard_pack") // F30: text_pack's bucket-count offset pass over byte sums
+    "mm_shard_pack", // F30: text_pack's bucket-count offset pass over byte sums
+    "q_hilbert")     // E63: adjacency lag over the 16-row file table (q_top_movers shape)
   // (q_profile_hll needs no entry: its one global merge is a partial
   // SKETCH aggregate — the partial_graft_ rule below exempts it, the
   // stronger property than an allowlisted exact funnel.)

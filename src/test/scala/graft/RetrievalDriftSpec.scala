@@ -102,6 +102,36 @@ class RetrievalDriftSpec extends AnyFunSuite {
     assert(disj.toDouble / (10L * 10L) == 1.0)
   }
 
+  // ---- E63 q_hilbert -------------------------------------------------------
+
+  test("hilbert: boxes tile the plane, every consecutive file edge-adjacent") {
+    // sf0.001's supplier universe doesn't reach all 16 sk buckets, so the
+    // 16x16 plane is only fully populated from sf0.01 up — the tiling
+    // property needs the full plane
+    val sfFull = "/root/testdata/sf0.01"
+    val rows = operators.Analytics.qHilbert(spark, sfFull)
+      .orderBy("file_id").collect()
+    assert(rows.length == 16)
+    // same skipping win as z-order: every file's box is one 4x4 tile
+    rows.foreach(r => assert(r.getAs[Long]("box_area") == 16L,
+      s"file ${r.getAs[Long]("file_id")} box not 4x4"))
+    // the 16 tiles are DISTINCT (a partition of the 16x16 plane)
+    assert(rows.map(r => (r.getAs[Long]("pk_lo"), r.getAs[Long]("sk_lo")))
+      .distinct.length == 16)
+    // Hilbert's edge-continuity: corner displacement constant at ONE box
+    // width; the Morton curve on the identical plane jumps 3 widths at
+    // its z-seams (computed from the same audit's boxes below)
+    rows.drop(1).foreach(r => assert(r.getAs[Long]("step_cheb") == 4L,
+      s"file ${r.getAs[Long]("file_id")} not adjacent to its predecessor"))
+    val zrows = operators.Analytics.qZorder(spark, sfFull)
+      .orderBy("file_id").collect()
+      .map(r => (r.getAs[Long]("pk_lo"), r.getAs[Long]("sk_lo")))
+    val zmax = zrows.sliding(2).map { case Array(a, b) =>
+      math.max(math.abs(b._1 - a._1), math.abs(b._2 - a._2))
+    }.max
+    assert(zmax == 12L, s"expected the Morton seam to jump 3 box widths, got $zmax")
+  }
+
   // ---- F30 mm_shard_pack ---------------------------------------------------
 
   test("shard pack: shards partition the corpus into contiguous id ranges") {

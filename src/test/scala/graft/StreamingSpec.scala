@@ -779,4 +779,65 @@ class StreamingSpec extends AnyFunSuite {
       "not a parquet file".getBytes)
     intercept[Exception] { Streams.loadSeenSketch(spark, root) }
   }
+
+  test("F31: KS monitor passes an in-distribution window, flags a shifted one") {
+    // reference: one value per decade bucket 10..100 (uniform, nRef=10)
+    val ref = (1 to 10).map(i => (i * 10L, 1L))
+    // window 0: the same uniform draw -> every cum matches, ks exactly 0
+    val wSame = (1 to 10).map(i =>
+      StreamEvent(i.toLong, ts(2), 1L, "click", i * 10.0 - 5.0))
+    // window 1: every value beyond the reference's last edge -> at edge
+    // 100 cumObs=0 vs cumRef=nRef, ks exactly 1 (the escaped-mass rule)
+    val wShift = (1 to 10).map(i =>
+      StreamEvent(100L + i, ts(12), 1L, "click", 105.0))
+    // window 2: half in place, half shifted by +50 -> sup displacement
+    // at edge 50: |5*10 - 5*10|... hand-computed below as 0.3 at edge 30
+    // (obs cum 3/10 of mass <= 30 is 2/10? keep it simple: 5 values at
+    // 5..45 (cum at 50 = 5), 5 values at 105 -> at edge 50: |5*10-5*10|=0;
+    // at edge 100: |5*10-10*10|=50 -> ks 0.5)
+    val wHalf = (1 to 5).map(i =>
+      StreamEvent(200L + i, ts(22), 1L, "click", i * 10.0 - 5.0)) ++
+      (6 to 10).map(i => StreamEvent(200L + i, ts(22), 1L, "click", 105.0))
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(wSame ++ wShift ++ wHalf: _*)
+    val rows = runToCompletion(
+      Streams.ksMonitor(input.toDF(), ref), OutputMode.Complete)
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val (nS, ksS, dS) = rows("2024-01-01 00:00:00.0")
+    val (nX, ksX, dX) = rows("2024-01-01 00:10:00.0")
+    val (nH, ksH, dH) = rows("2024-01-01 00:20:00.0")
+    assert(nS == 10L && ksS == 0.0 && !dS, s"stable window: ks=$ksS")
+    assert(nX == 10L && ksX == 1.0 && dX, s"shifted window: ks=$ksX")
+    assert(nH == 10L && ksH == 0.5 && dH, s"half-shifted window: ks=$ksH")
+  }
+
+  test("F31: bucket counts merge across micro-batches (ks stays exact)") {
+    // one window's rows split across two micro-batches: the merged
+    // cumulative counts must equal the single-batch computation — ks
+    // exactly 0 for an in-distribution draw regardless of the split
+    val ref = (1 to 10).map(i => (i * 10L, 1L))
+    val b1 = (1 to 4).map(i =>
+      StreamEvent(i.toLong, ts(3), 1L, "click", i * 10.0 - 5.0))
+    val b2 = (5 to 10).map(i =>
+      StreamEvent(i.toLong, ts(4), 1L, "click", i * 10.0 - 5.0))
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(b1: _*)
+    val q = Streams.ksMonitor(input.toDF(), ref)
+      .writeStream.format("memory").queryName("ks_mon")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ks_mon").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(1) == 10L)
+    assert(rows.head.getDouble(2) == 0.0,
+      s"split window drifted: ks=${rows.head.getDouble(2)}")
+    // and the baseline generator round-trips the same grid
+    val base = Streams.ksBaseline((b1 ++ b2).toDF()).sortBy(_._1)
+    assert(base == ref.map { case (e, c) => (e, c) },
+      s"baseline grid mismatch: $base")
+  }
 }
