@@ -367,9 +367,14 @@ object VectorStore {
     * d = max(1, ⌊max_i|raw_i|/127⌋), code_i = sgn(raw_i)·⌊|raw_i|/d⌋.
     * |code| ≤ 127 by construction; the serving ADC d·Σ q_i·code_i is
     * exact int64 (|Σ| bounded by the exact dot the raw scan computes).
-    * Stored as an int64 array for the codegen dot kernel — parquet
-    * bit-packs the int8-range values on disk; a byte-packed binary
-    * layout would be the further memory-format step. */
+    * Stored as an int64 array for the codegen dot kernel. Honest disk
+    * note (bench/store_sq8_r12.json): on THIS store parquet's
+    * dictionary+RLE already encodes the small count-valued raw weights
+    * to ~0.7 byte/dim, so the codes column lands at byte PARITY with
+    * raw — the 1-byte-vs-8-byte width win is a DECODED working-set
+    * property, and its on-disk counterpart needs high-entropy raw
+    * vectors (the B15-style 1e8-scaled embeddings, 65 vs 512 logical
+    * bytes/vector). */
   private def sq8Cols(df: DataFrame): DataFrame = {
     val m = array_max(transform(col("raw"), x => abs(x)))
     df.withColumn("sscale",
@@ -1028,19 +1033,25 @@ object VectorStore {
       .orderBy("query_id", "rank")
   }
 
-  /** G44 (r12): SQ8 serving read — the recall/cost rung BETWEEN the
-    * raw-vector cell scan ([[searchCells]]: exact scores, full 8-byte
-    * dims) and the residual-PQ ADC ([[searchCompressedCells]]: M codes
-    * per chunk, coarsest): learned-cell probing → int8-code ADC
-    * shortlist (the scan reads the int8-range `scodes` + one scale long
-    * instead of the raw int64 vector — ~⅛ the scan bytes at equal
-    * candidate count) → exact full-width re-rank of the survivors.
-    * The ADC d·Σ q_i·code_i is exact int64 (the per-chunk scale
-    * factorizes out — B6/B15's scheme), so the shortlist order is
-    * deterministic. No trained sidecar: each row self-scales, so codes
-    * from ANY batch compare and splice maintenance never touches them.
-    * A store written before the scodes column existed is refused
-    * loudly, mirroring the compressed-cells legacy rule. */
+  /** G44 (r12): SQ8 serving read — the recall rung BETWEEN the
+    * raw-vector cell scan ([[searchCells]]: exact scores, 8-byte
+    * decoded dims) and the residual-PQ ADC ([[searchCompressedCells]]:
+    * M codes per chunk, coarsest): learned-cell probing → int8-code ADC
+    * shortlist (1-byte decoded width per dim instead of 8) → exact
+    * full-width re-rank of the survivors. Measured rung: recall@5 0.74
+    * between exact-cells 0.82 and PQ 0.68 at the same probe budget
+    * (bench/store_recall_r12.json). The ADC d·Σ q_i·code_i is exact
+    * int64 (the per-chunk scale factorizes out — B6/B15's scheme), so
+    * the shortlist order is deterministic. No trained sidecar: each row
+    * self-scales, so codes from ANY batch compare and splice
+    * maintenance never touches them. A store written before the scodes
+    * column existed is refused loudly, mirroring the compressed-cells
+    * legacy rule. Honest cost scope (bench/store_sq8_r12.json): on this
+    * corpus the PARQUET-encoded codes column is byte-parity with raw
+    * (both are low-entropy small ints) and at sf0.1 the extra
+    * shortlist→re-rank phase costs more wall than the scan saves — the
+    * rung pays in scan-bound regimes over high-entropy vectors; at toy
+    * scale its measured value is the recall ladder position. */
   def searchSq8Cells(spark: SparkSession, indexDir: String,
       query: String, k: Int = 5, nprobe: Int = 2,
       shortlist: Int = 50): DataFrame =
@@ -1519,12 +1530,19 @@ object VectorStore {
     * CANCELS from the cosine, so the hop ranking is deterministic pure
     * code arithmetic: d·Σq·c / (d·√Σc²·√Σq²)), and the exact raw
     * vectors are read ONLY for the final ≤beam-per-query re-rank — the
-    * walk's per-hop read drops to ~⅛ of the exact walk's bytes at
+    * walk's per-hop DECODED width drops to ⅛ of the exact walk's at
     * identical knob costs, which is precisely how DiskANN keeps its
     * frontier in fast memory and full vectors on SSD (Subramanya et al.
     * 2019). Served scores stay EXACT (the tail recomputes them
-    * full-width). Pre-sq8 stores are refused loudly, like
-    * [[searchSq8Cells]]. */
+    * full-width), and the measured recall is IDENTICAL to the exact
+    * walk (0.64, bench/store_recall_r12.json) — quantized routing loses
+    * nothing on this corpus. Honest cost scope
+    * (bench/store_sq8_r12.json): the on-disk codes column is
+    * byte-parity with raw here (parquet entropy-codes both), and at
+    * sf0.1 the extra final re-rank join reads slightly slower than the
+    * exact walk — the route-on-codes payoff is a decoded-working-set /
+    * scan-bound-regime property. Pre-sq8 stores are refused loudly,
+    * like [[searchSq8Cells]]. */
   def searchGraphSq8(spark: SparkSession, indexDir: String, query: String,
       k: Int = 5): DataFrame =
     searchGraphSq8Batch(spark, indexDir, Seq(query), k).drop("query_id")
