@@ -363,6 +363,162 @@ object AnalyticsExt {
         / CAST(MAX(na) * MAX(nb) AS DOUBLE) AS ks
     FROM cum GROUP BY event_type ORDER BY event_type"""
 
+  /** E64: two-sample chi-square drift test — per event_type, the
+    * homogeneity χ² between the CATEGORICAL composition (user bucket
+    * user_id % 16) of the first half-month and the rest. Completes the
+    * drift family: E61's profile catches range/null breaks, E62's KS
+    * catches numeric SHAPE drift, this catches a mix shift over a
+    * categorical axis KS cannot rank (categories have no order).
+    *
+    * Exactness: per category k the 2×K identity reduces every cell term
+    * to d_k²/(n_A·n_B·n_k) with d_k = a_k·n_B − b_k·n_A — d_k exact int64
+    * (|d| ≤ rows²/type: sound to ~3·10⁹ rows/type; beyond that, pre-scale
+    * the per-category counts), squared in int64, then ONE identically-
+    * shaped IEEE division chain per category floored to micro-units, so
+    * the per-type sum is order-independent int64 and hash-matches DuckDB.
+    * drifted = χ² > 25.0 (the df=15, α=0.05 critical value 24.996).
+    *
+    * Scale shape: one keyed shuffle to (type, cat) cells with map-side
+    * partial aggregation — the shuffle carries K·|types| cells, not rows
+    * — then a window over ≤16 rows per type. Nothing global. */
+  def qChisqDrift(s: SparkSession, dir: String): DataFrame = {
+    val split = to_timestamp(lit("2024-01-16 00:00:00"))
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"), pmod(col("user_id"), lit(16L)).as("cat"),
+        (col("ts") < split).cast("long").as("isa"))
+      .groupBy("event_type", "cat")
+      .agg(sum("isa").as("a"), (count(lit(1)) - sum("isa")).as("b"))
+    val wAll = Window.partitionBy("event_type")
+    cells
+      .withColumn("na", sum("a").over(wAll))
+      .withColumn("nb", sum("b").over(wAll))
+      .withColumn("d", col("a") * col("nb") - col("b") * col("na"))
+      .withColumn("tmicro",
+        when(col("na") === 0L || col("nb") === 0L, lit(0L))
+          .otherwise(floor((col("d") * col("d")).cast("double")
+            / (col("na") * col("nb")).cast("double")
+            / (col("a") + col("b")).cast("double") * lit(1e6)).cast("long")))
+      .groupBy("event_type")
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        count(lit(1)).as("k_cats"), sum("tmicro").as("chi2_fp"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("k_cats"),
+        (col("chi2_fp").cast("double") / lit(1e6)).as("chi2"),
+        (col("chi2_fp") > lit(25000000L)).as("drifted"))
+      .orderBy("event_type")
+  }
+
+  val qChisqDriftSql: String = """
+    WITH cells AS (
+      SELECT event_type, user_id % 16 AS cat,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM events GROUP BY event_type, user_id % 16),
+    tot AS (
+      SELECT event_type, a, b,
+        CAST(SUM(a) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+        CAST(SUM(b) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+      FROM cells),
+    term AS (
+      SELECT event_type, na, nb,
+        CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(floor(
+               CAST((a*nb - b*na) * (a*nb - b*na) AS DOUBLE)
+               / CAST(na * nb AS DOUBLE) / CAST(a + b AS DOUBLE) * 1e6) AS BIGINT)
+        END AS tmicro
+      FROM tot)
+    SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+      COUNT(*) AS k_cats,
+      CAST(SUM(tmicro) AS DOUBLE) / 1e6 AS chi2,
+      CAST(SUM(tmicro) AS BIGINT) > 25000000 AS drifted
+    FROM term GROUP BY event_type ORDER BY event_type"""
+
+  /** E65: isotonic (monotone) calibration — per event_type, the L2
+    * isotonic regression of the daily mean `value` over days, via the
+    * minimax identity fitted_i = max_{j≤i} min_{k≥i} mean(y[j..k]) (the
+    * closed form of PAVA's pooled violators; Robertson–Wright–Dykstra
+    * 1988 §1.2). The calibration step every score→probability mapping
+    * needs (quality classifiers, CTR predictors): the fitted curve is the
+    * best monotone approximation of the observed daily means.
+    *
+    * Exactness: daily sums are int64 cents (floor(value·100) — identical
+    * in both engines on the same stored doubles), interval means are ONE
+    * IEEE division of exact int64 prefix-sum differences, and min/max
+    * over identically-computed doubles are order-free — the curve
+    * hash-matches DuckDB with no libm anywhere.
+    *
+    * Scale shape: types are the parallel unit; within a type the
+    * minimax enumerates O(n³) (i, j, k) triples of the DAILY series —
+    * n = 31 here, bounded by the calendar, never by row count (the raw
+    * rows reduce to daily cells in the first keyed aggregate). A series
+    * with 10⁴+ points needs the sequential PAVA recursion instead,
+    * which is a per-key mapPartitions — documented, not built: every
+    * calibration feed this engine profiles is calendar-bucketed. */
+  def qIsotonic(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("ys"), count(lit(1)).as("yn"))
+    val wO = Window.partitionBy("event_type").orderBy("day")
+    val wC = wO.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = daily
+      .withColumn("i", row_number().over(wO).cast("long"))
+      .withColumn("cs", sum("ys").over(wC))
+      .withColumn("cn", sum("yn").over(wC))
+    val j = pts.select(col("event_type"), col("i").as("ji"),
+      (col("cs") - col("ys")).as("ps"), (col("cn") - col("yn")).as("pn"))
+    val k = pts.select(col("event_type"), col("i").as("ki"),
+      col("cs").as("ks"), col("cn").as("kn"))
+    val iv = j.join(k, Seq("event_type")).filter(col("ji") <= col("ki"))
+      .select(col("event_type"), col("ji"), col("ki"),
+        ((col("ks") - col("ps")).cast("double") /
+          (col("kn") - col("pn")).cast("double")).as("avg"))
+    val mn = pts.select(col("event_type"), col("i"))
+      .join(iv, Seq("event_type"))
+      .filter(col("ji") <= col("i") && col("i") <= col("ki"))
+      .groupBy("event_type", "i", "ji").agg(min("avg").as("m"))
+    val ft = mn.groupBy("event_type", "i").agg(max("m").as("fitted_c"))
+    pts.join(ft, Seq("event_type", "i"))
+      .select(col("event_type"), col("day"),
+        (col("ys").cast("double") / col("yn").cast("double") / lit(100.0))
+          .as("y_mean"),
+        (col("fitted_c") / lit(100.0)).as("fitted"))
+      .orderBy("event_type", "day")
+  }
+
+  val qIsotonicSql: String = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS ys,
+        COUNT(*) AS yn
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    pts AS (
+      SELECT event_type, day, ys, yn,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        CAST(SUM(ys) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+        CAST(SUM(yn) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+      FROM daily),
+    iv AS (
+      SELECT j.event_type, j.i AS ji, k.i AS ki,
+        CAST(k.cs - (j.cs - j.ys) AS DOUBLE)
+          / CAST(k.cn - (j.cn - j.yn) AS DOUBLE) AS avg
+      FROM pts j JOIN pts k ON k.event_type = j.event_type AND j.i <= k.i),
+    mn AS (
+      SELECT p.event_type, p.i, iv.ji, MIN(iv.avg) AS m
+      FROM pts p JOIN iv ON iv.event_type = p.event_type
+        AND iv.ji <= p.i AND p.i <= iv.ki
+      GROUP BY p.event_type, p.i, iv.ji),
+    ft AS (
+      SELECT event_type, i, MAX(m) AS fitted_c FROM mn
+      GROUP BY event_type, i)
+    SELECT p.event_type, p.day,
+      CAST(p.ys AS DOUBLE) / CAST(p.yn AS DOUBLE) / 100.0 AS y_mean,
+      ft.fitted_c / 100.0 AS fitted
+    FROM pts p JOIN ft ON ft.event_type = p.event_type AND ft.i = p.i
+    ORDER BY p.event_type, p.day"""
+
   /** E35: mergeable quantile HISTOGRAM — the scalable twin of E12's
     * exact percentiles. E12 must shuffle and rank every row; this
     * operator reduces each partition to integer-bucket counts (width 10,
@@ -816,6 +972,8 @@ object AnalyticsExt {
     "q_percentiles" -> (qPercentiles _),
     "q_tumbling"    -> (qTumbling _),
     "q_ks_drift"    -> (qKsDrift _),
+    "q_chisq_drift" -> (qChisqDrift _),
+    "q_isotonic"    -> (qIsotonic _),
     "q_tfidf"       -> (qTfidf _),
     "q_bloom_join"  -> (qBloomJoin _))
 
@@ -836,6 +994,8 @@ object AnalyticsExt {
     "q_percentiles" -> qPercentilesSql,
     "q_tumbling"    -> qTumblingSql,
     "q_ks_drift"    -> qKsDriftSql,
+    "q_chisq_drift" -> qChisqDriftSql,
+    "q_isotonic"    -> qIsotonicSql,
     "q_tfidf"       -> qTfidfSql,
     "q_bloom_join"  -> qBloomJoinSql)
 }

@@ -2791,6 +2791,271 @@ object Similarity {
       ON g.dims = h.dims AND g.query_id = h.query_id
     ORDER BY g.dims, g.query_id"""
 
+  // ---- B27/B28: Johnson–Lindenstrauss ±1 random projection ----------------
+
+  private val RpDims = 16
+
+  /** md5-derived ±1 sign matrix for the JL projection — sign(j,d) = bit 3
+    * of h60("rp:j:d"), the same 60-bit md5 integer the oracle derives in
+    * SQL, computed once driver-side (16×64 literals, no lookup join). */
+  private lazy val rpSigns: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpDims, VecDim) { (j, d) =>
+      val hex = md.digest(s"rp:$j:$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      ((java.lang.Long.parseLong(hex, 16) >> 3) & 1L) * 2L - 1L
+    }
+  }
+
+  // Quantization for the projection path reuses the 1e4-scale q4 (the IVF
+  // cell-assignment quantizer): the projected coordinate sums 64 signed
+  // elements (≤ 2.6e6) and the 16-dim projected dot stays ≤ ~1e14 —
+  // int64-exact; the 1e8 scale q8 uses would overflow the projected dot.
+  private def rpProject(v4: Column): Column =
+    array((0 until RpDims).map(j =>
+      dotExact(typedLit(rpSigns(j).toSeq), v4)): _*)
+
+  /** B27: Johnson–Lindenstrauss ±1 random projection — every vector's 64
+    * dims compressed to 16 via a seeded sign matrix (Achlioptas 2003: ±1
+    * entries preserve inner products in expectation with 4× fewer
+    * multiplies and no trained artifact). The projection each downstream
+    * rung (B28) scores in; exploded to scalar rows for the comparator.
+    * Shuffle-free: 16 codegen'd int64 dot kernels per row against literal
+    * sign vectors — no lookup join, no explode of the input. */
+  def vecRp(s: SparkSession, dir: String): DataFrame = {
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => q4(x)).as("v4"))
+      .select(col("vec_id"), posexplode(rpProject(col("v4"))))
+      .select(col("vec_id"), col("pos").cast("int").as("rdim"),
+        col("col").as("proj"))
+      .orderBy("vec_id", "rdim")
+  }
+
+  val vecRpSql: String = s"""
+    WITH sm AS (
+      SELECT j.range AS rdim, d.range AS d,
+        ((('0x'||substr(md5('rp:'||CAST(j.range AS VARCHAR)||':'||CAST(d.range AS VARCHAR)),1,15))::BIGINT >> 3) & 1) * 2 - 1 AS sign
+      FROM range($RpDims) j CROSS JOIN range($VecDim) d)
+    SELECT e.vec_id, CAST(sm.rdim AS INT) AS rdim,
+      CAST(SUM(sm.sign *
+        CAST(floor(CAST(e.embedding[CAST(sm.d + 1 AS INT)] AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+      ) AS BIGINT) AS proj
+    FROM embeddings e CROSS JOIN sm
+    GROUP BY e.vec_id, sm.rdim
+    ORDER BY e.vec_id, rdim"""
+
+  /** B28: ANN via JL shortlist — candidate generation scores the 16-dim
+    * PROJECTED dot (4× fewer multiplies per pair, exact int64), keeps the
+    * top 30 per query, then re-ranks survivors with the full-width exact
+    * dot. The dimension-reduction serving rung next to ann_sq8 (which
+    * shrinks the ELEMENT instead of the dim count); graded in the B13
+    * ladder. At scale the projected vectors are 4× smaller to scan and
+    * the exact read touches 30 rows/query. */
+  def annRp(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), x => q8(x)).as("qq"),
+        rpProject(transform(col("embedding"), x => q4(x))).as("qp"))
+    val c = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("embedding"), x => q8(x)).as("cq"),
+        rpProject(transform(col("embedding"), x => q4(x))).as("cp"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("pdot").desc, col("neighbor_id"))
+    val wR = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    c.join(broadcast(q))
+      .withColumn("pdot", dotExact(col("qp"), col("cp")))
+      .withColumn("prank", row_number().over(wS))
+      .filter(col("prank") <= 30)
+      .withColumn("dot", dotExact(col("qq"), col("cq")))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (col("dot").cast("double") / lit(1.0e16)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annRpSql: String = s"""
+    WITH sm AS (
+      SELECT j.range AS rdim, d.range AS d,
+        ((('0x'||substr(md5('rp:'||CAST(j.range AS VARCHAR)||':'||CAST(d.range AS VARCHAR)),1,15))::BIGINT >> 3) & 1) * 2 - 1 AS sign
+      FROM range($RpDims) j CROSS JOIN range($VecDim) d),
+    pr AS (
+      SELECT e.vec_id, sm.rdim,
+        CAST(SUM(sm.sign *
+          CAST(floor(CAST(e.embedding[CAST(sm.d + 1 AS INT)] AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        ) AS BIGINT) AS proj
+      FROM embeddings e CROSS JOIN sm
+      GROUP BY e.vec_id, sm.rdim),
+    pd AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        CAST(SUM(a.proj * b.proj) AS BIGINT) AS pdot
+      FROM pr a JOIN pr b ON a.rdim = b.rdim
+      WHERE a.vec_id < 10 AND b.vec_id >= 10
+      GROUP BY a.vec_id, b.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY pdot DESC, neighbor_id) AS prank
+      FROM pd),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id,
+        CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+          z -> CAST(floor(CAST(z[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(z[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS dot
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id
+      WHERE s.prank <= 30),
+    ranked AS (
+      SELECT query_id, neighbor_id, dot,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY dot DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+      CAST(dot AS DOUBLE) / 1.0e16 AS score
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  // ---- B29: maximal-marginal-relevance diversified re-rank ---------------
+
+  /** B29: MMR (Carbonell & Goldstein 1998) — greedy top-5 selection from
+    * each query's 20-candidate shortlist maximizing
+    * λ·relevance − (1−λ)·max-cosine-to-already-selected (λ=0.7): the
+    * diversification pass a retrieval-augmented pipeline runs so five
+    * near-duplicate passages don't fill the context window. Relevance is
+    * the exact int64 dot; candidate-pair cosines divide exact int64
+    * dot/norms once; the greedy argmax is a per-query window with id
+    * tie-break — every step deterministic and identical in both engines,
+    * so the 5-step unrolled selection hash-matches the oracle's chained
+    * CTEs.
+    *
+    * Scale shape: the iterative part never touches the corpus — it runs
+    * on the (queries × 20) shortlist and its (queries × 20 × 19) pair
+    * table, both checkpointed once; each of the 4 greedy steps is a
+    * keyed join + window over those bounded relations. Cost scales with
+    * the query batch, not the index. */
+  def annMmr(s: SparkSession, dir: String): DataFrame = {
+    val C = 20
+    val K = 5
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val cands = corpusSet(s, dir).join(broadcast(queriesSet(s, dir)))
+      .select(col("query_id"), col("neighbor_id"), col("cq"),
+        dotExact(col("qq"), col("cq")).as("rel"))
+      .withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") <= C)
+      .select("query_id", "neighbor_id", "cq", "rel")
+      .localCheckpoint(true)
+    val x = cands.select(col("query_id"), col("neighbor_id").as("xn"),
+      col("cq").as("xv"))
+    val y = cands.select(col("query_id"), col("neighbor_id").as("yn"),
+      col("cq").as("yv"))
+    val dXY = dotExact(col("xv"), col("yv"))
+    val ssX = dotExact(col("xv"), col("xv"))
+    val ssY = dotExact(col("yv"), col("yv"))
+    val sims = x.join(y, Seq("query_id")).filter(col("xn") =!= col("yn"))
+      .select(col("query_id"), col("xn"), col("yn"),
+        (dXY.cast("double") /
+          (sqrt(ssX.cast("double")) * sqrt(ssY.cast("double")))).as("cos"))
+      .localCheckpoint(true)
+    val relD = col("rel").cast("double") / lit(1.0e16)
+    var sel = cands.withColumn("rk", row_number().over(wRel))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), lit(1L).as("rank"), col("neighbor_id"),
+        col("rel"), (lit(0.7) * relD).as("mmr"))
+      .localCheckpoint(true)
+    for (step <- 2 to K) {
+      val pen = sims
+        .join(sel.select(col("query_id"), col("neighbor_id").as("yn")),
+          Seq("query_id", "yn"))
+        .groupBy("query_id", "xn").agg(max("cos").as("pen"))
+      val wM = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("neighbor_id"))
+      val pick = cands
+        .join(sel.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(pen, col("neighbor_id") === col("xn") &&
+          cands("query_id") === pen("query_id"))
+        .drop(pen("query_id")).drop("xn")
+        .withColumn("mmr", lit(0.7) * relD - lit(0.3) * col("pen"))
+        .withColumn("rk", row_number().over(wM))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), lit(step.toLong).as("rank"),
+          col("neighbor_id"), col("rel"), col("mmr"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("query_id"), col("rank"), col("neighbor_id"),
+      relD.as("score"), col("mmr"))
+      .orderBy("query_id", "rank")
+  }
+
+  val annMmrSql: String = {
+    // the 4 greedy steps as mechanically chained CTEs: sN = selection
+    // after step N; each step excludes sN's picks, penalizes by the max
+    // cosine to them, and argmaxes the identical mmr expression
+    def stepSql(n: Int): String = {
+      val prev = s"s${n - 1}"
+      s"""
+    p$n AS (
+      SELECT m.query_id, m.xn, MAX(m.cos) AS pen
+      FROM sims m JOIN $prev ON $prev.query_id = m.query_id
+        AND $prev.neighbor_id = m.yn
+      GROUP BY m.query_id, m.xn),
+    m$n AS (
+      SELECT c.query_id, c.neighbor_id, c.rel,
+        0.7 * (CAST(c.rel AS DOUBLE) / 1.0e16) - 0.3 * p.pen AS mmr,
+        row_number() OVER (PARTITION BY c.query_id
+          ORDER BY 0.7 * (CAST(c.rel AS DOUBLE) / 1.0e16) - 0.3 * p.pen DESC,
+                   c.neighbor_id) AS rk
+      FROM cand c
+      JOIN p$n p ON p.query_id = c.query_id AND p.xn = c.neighbor_id
+      WHERE NOT EXISTS (SELECT 1 FROM $prev
+        WHERE $prev.query_id = c.query_id
+          AND $prev.neighbor_id = c.neighbor_id)),
+    s$n AS (
+      SELECT query_id, CAST($n AS BIGINT) AS rank, neighbor_id, rel, mmr
+      FROM m$n WHERE rk = 1
+      UNION ALL SELECT * FROM $prev)"""
+    }
+    s"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q FROM embeddings
+               WHERE vec_id < 10),
+    c0 AS (SELECT vec_id AS neighbor_id, embedding AS c FROM embeddings
+           WHERE vec_id >= 10),
+    scored AS (
+      SELECT query_id, neighbor_id, c,
+        CAST(list_sum(list_transform(list_zip(q.q, c0.c),
+          z -> CAST(floor(CAST(z[1] AS DOUBLE) * 100000000 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(z[2] AS DOUBLE) * 100000000 + 0.5) AS BIGINT))) AS BIGINT) AS rel
+      FROM q CROSS JOIN c0),
+    cand AS (
+      SELECT query_id, neighbor_id, c, rel FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rel DESC, neighbor_id) AS rk FROM scored)
+      WHERE rk <= 20),
+    qc AS (SELECT query_id, neighbor_id,
+        list_transform(c, e -> CAST(floor(CAST(e AS DOUBLE) * 100000000 + 0.5) AS BIGINT)) AS cq
+      FROM cand),
+    sims AS (
+      SELECT a.query_id, a.neighbor_id AS xn, b.neighbor_id AS yn,
+        CAST(list_sum(list_transform(list_zip(a.cq, b.cq),
+          z -> z[1] * z[2])) AS DOUBLE)
+        / (sqrt(CAST(list_sum(list_transform(a.cq, e -> e * e)) AS DOUBLE))
+           * sqrt(CAST(list_sum(list_transform(b.cq, e -> e * e)) AS DOUBLE))) AS cos
+      FROM qc a JOIN qc b ON a.query_id = b.query_id
+        AND a.neighbor_id <> b.neighbor_id),
+    s1 AS (
+      SELECT query_id, CAST(1 AS BIGINT) AS rank, neighbor_id, rel,
+        0.7 * (CAST(rel AS DOUBLE) / 1.0e16) AS mmr
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY rel DESC, neighbor_id) AS rk FROM cand)
+      WHERE rk = 1),${stepSql(2)},${stepSql(3)},${stepSql(4)},${stepSql(5)}
+    SELECT query_id, rank, neighbor_id,
+      CAST(rel AS DOUBLE) / 1.0e16 AS score, mmr
+    FROM s5 ORDER BY query_id, rank"""
+  }
+
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val truth = memoRung(s, dir, "truth")(
       annBrute(s, dir).select("query_id", "rank", "neighbor_id"))
@@ -2831,6 +3096,8 @@ object Similarity {
       // B26 next to B8: codebook training inside the composed index
       .unionAll(recallOf("ann_ivfpq_lloyd",
         rung("ann_ivfpq_lloyd", annIvfPqLloyd(s, dir)), 5))
+      // B28: the dim-reduction rung (JL shortlist + exact re-rank)
+      .unionAll(recallOf("ann_rp", rung("ann_rp", annRp(s, dir)), 5))
       .withColumn("recall", col("hits").cast("double") / col("k"))
       .orderBy("method", "query_id")
   }
@@ -2880,7 +3147,10 @@ object Similarity {
           FROM ($annIvfPqResSql)
       UNION ALL
           SELECT 'ann_ivfpq_lloyd' AS method, query_id, neighbor_id, 5 AS k
-          FROM ($annIvfPqLloydSql)),
+          FROM ($annIvfPqLloydSql)
+      UNION ALL
+          SELECT 'ann_rp' AS method, query_id, neighbor_id, 5 AS k
+          FROM ($annRpSql)),
     hits AS (
       SELECT r.method, r.query_id, COUNT(t.neighbor_id) AS hits
       FROM retrieved r
@@ -2893,7 +3163,8 @@ object Similarity {
         ('ann_ivf_km', 5), ('ann_lsh', 3), ('ann_pq_rerank', 5),
         ('ann_sq8', 5), ('vec_pq', 5), ('vec_pq_lloyd', 5), ('vec_opq', 5),
         ('ann_ivfpq', 5), ('ann_ivfpq_opq', 5),
-        ('ann_ivfpq_res', 5), ('ann_ivfpq_lloyd', 5)) mm(method, k))
+        ('ann_ivfpq_res', 5), ('ann_ivfpq_lloyd', 5),
+        ('ann_rp', 5)) mm(method, k))
     SELECT base.method, base.query_id,
       CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
       CAST(base.k AS BIGINT) AS k,
@@ -2921,6 +3192,9 @@ object Similarity {
     "vec_pq"    -> (vecPq _),
     "vec_pq_lloyd" -> (vecPqLloyd _),
     "ann_ivfpq_lloyd" -> (annIvfPqLloyd _),
+    "vec_rp"    -> (vecRp _),
+    "ann_rp"    -> (annRp _),
+    "ann_mmr"   -> (annMmr _),
     "vec_opq"   -> (vecOpq _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_opq" -> (annIvfPqOpq _),
@@ -2952,6 +3226,9 @@ object Similarity {
     "vec_pq"    -> vecPqSql,
     "vec_pq_lloyd" -> vecPqLloydSql,
     "ann_ivfpq_lloyd" -> annIvfPqLloydSql,
+    "vec_rp"    -> vecRpSql,
+    "ann_rp"    -> annRpSql,
+    "ann_mmr"   -> annMmrSql,
     "vec_opq"   -> vecOpqSql,
     "ann_ivfpq" -> annIvfPqSql,
     "ann_ivfpq_opq" -> annIvfPqOpqSql,

@@ -1758,7 +1758,53 @@ object TextAnalysis {
       (CAST(c2 AS DOUBLE) / CAST(n_tok * n_tok AS DOUBLE)) <= 0.08 AS keep
     FROM m ORDER BY doc_id"""
 
+  /** D32: deterministic global shuffle + shard assignment — the training
+    * export step after every filter/dedup/mix stage: order the corpus by a
+    * seeded hash (a reproducible permutation, the Fisher–Yates stand-in
+    * every data pipeline actually ships), cut the permuted stream into
+    * fixed-size shards, and emit each document's (shard, pos) address.
+    * Reruns and engines agree bit-for-bit: the permutation is
+    * md5('shuf42:'||doc_id) with doc_id tie-break, nothing sampled.
+    *
+    * Scale shape: the naive global row_number is a ONE-PARTITION window —
+    * a driver-sized bottleneck at 100 TB. This uses the D13 two-phase
+    * rank: the md5 PREFIX is the range bucket (prefix order ≡ full-hash
+    * order, so per-bucket ranks + cumulative bucket offsets reproduce the
+    * global rank exactly), per-bucket counts shuffle once, the 256-row
+    * offset window is driver-trivial, and every per-bucket window runs in
+    * parallel. At cluster scale the bucket doubles as the output
+    * partition: each shard's docs land hash-clustered, so the export
+    * writer streams shards without a second sort. */
+  def textShuffleShard(s: SparkSession, dir: String): DataFrame = {
+    val S = 50L
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("bucket").agg(count(lit(1)).as("b_n"))
+      .withColumn("b_off", coalesce(sum("b_n").over(wB), lit(0L)))
+      .select("bucket", "b_off")
+    val wIn = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+    docs.join(broadcast(offsets), "bucket")
+      .withColumn("rk", col("b_off") + row_number().over(wIn).cast("long") - 1L)
+      .select(((col("rk") - pmod(col("rk"), lit(S))) / S).cast("long").as("shard"),
+        pmod(col("rk"), lit(S)).as("pos"), col("doc_id"), col("n_chars"))
+      .orderBy("shard", "pos")
+  }
+
+  val textShuffleShardSql: String = """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+        row_number() OVER (ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)),
+                           doc_id) - 1 AS rk
+      FROM documents)
+    SELECT CAST(rk // 50 AS BIGINT) AS shard, CAST(rk % 50 AS BIGINT) AS pos,
+           doc_id, n_chars
+    FROM r ORDER BY shard, pos"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_shuffle_shard" -> (textShuffleShard _),
     "text_bm25" -> (textBm25 _),
     "text_diversity" -> (textDiversity _),
     "text_split_safe" -> (textSplitSafe _),
@@ -1795,6 +1841,7 @@ object TextAnalysis {
     "text_vocab"       -> (textVocab _))
 
   val oracle: Map[String, String] = Map(
+    "text_shuffle_shard" -> textShuffleShardSql,
     "text_bm25" -> textBm25Sql,
     "text_diversity" -> textDiversitySql,
     "text_split_safe" -> textSplitSafeSql,

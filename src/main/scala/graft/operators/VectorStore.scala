@@ -931,6 +931,101 @@ object VectorStore {
       .orderBy("query_id", "rank")
   }
 
+  /** G46 (r13): MMR-diversified BATCH serving read — [[searchDiverse]]'s
+    * semantics (λ·cos(q,c) − (1−λ)·max-cos(c, selected), λ a pure
+    * preference knob since relevance and redundancy share the cosine
+    * scale) with BOTH of that method's driver affinities removed: the
+    * shortlist is the CELL-probed scan (directory-pruned, the
+    * searchCellsBatch machinery, raw vectors kept in the shortlist so no
+    * second index pass), and the greedy runs as k bounded DataFrame
+    * steps — no vector ever reaches the driver, and MANY queries
+    * diversify through ONE plan (the G23/G26 batch discipline).
+    * Deterministic: every argmax breaks ties on (doc_id, chunk_ix).
+    *
+    * Scale shape: the greedy never touches the index — the shortlist
+    * (queries × `shortlist`) and its pair table (× shortlist−1)
+    * checkpoint once; each step is a keyed join + window over those
+    * bounded relations. Rank 1 always equals [[searchCellsBatch]]'s
+    * rank 1 (no penalty yet), so relevance-first callers lose nothing.
+    * Output schema = [[searchCellsBatch]] plus the `mmr` objective. */
+  def searchDiverseBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5, nprobe: Int = 2,
+      shortlist: Int = 20, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$indexDir/$CellsDir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val qdf = queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "qtext")
+      .withColumn("qraw", rawWeights(col("qtext")))
+      .select("query_id", "qraw")
+    val qraws = qdf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val probePairs = qraws.flatMap { case (qid, qraw) =>
+      probeCellsFor(centroids, qraw, nprobe).map(cell => (qid, cell))
+    }.toSeq
+    val probes = probePairs.toDF("query_id", "cell")
+    val index = spark.read.parquet(indexDir)
+      .filter(col("cell").isInCollection(probePairs.map(_._2).distinct))
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val relScore = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    val cand = index.join(broadcast(probes), "cell")
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), col("chunk"),
+        col("raw"), relScore.as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist)
+      .drop("rk")
+      .localCheckpoint(true)
+    val xs = cand.select(col("query_id"), col("doc_id").as("xd"),
+      col("chunk_ix").as("xi"), col("raw").as("xr"))
+    val ys = cand.select(col("query_id"), col("doc_id").as("yd"),
+      col("chunk_ix").as("yi"), col("raw").as("yr"))
+    val dXY = call_function("graft_dot_l", col("xr"), col("yr"))
+    val ssX = call_function("graft_dot_l", col("xr"), col("xr"))
+    val ssY = call_function("graft_dot_l", col("yr"), col("yr"))
+    val cosXY = when(ssX > 0 && ssY > 0,
+      dXY.cast("double") / (sqrt(ssX.cast("double")) * sqrt(ssY.cast("double"))))
+      .otherwise(lit(0.0d))
+    val sims = xs.join(ys, Seq("query_id"))
+      .filter(col("xd") =!= col("yd") || col("xi") =!= col("yi"))
+      .select(col("query_id"), col("xd"), col("xi"), col("yd"), col("yi"),
+        cosXY.as("cos"))
+      .localCheckpoint(true)
+    var sel = cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), lit(1L).as("rank"), col("doc_id"),
+        col("chunk_ix"), col("chunk"), col("score"),
+        (lit(lambda) * col("score")).as("mmr"))
+      .localCheckpoint(true)
+    for (step <- 2 to k) {
+      val pen = sims
+        .join(sel.select(col("query_id"), col("doc_id").as("yd"),
+          col("chunk_ix").as("yi")), Seq("query_id", "yd", "yi"))
+        .groupBy("query_id", "xd", "xi").agg(max("cos").as("pen"))
+        .withColumnRenamed("xd", "doc_id").withColumnRenamed("xi", "chunk_ix")
+      val wM = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("doc_id"), col("chunk_ix"))
+      val pick = cand
+        .join(sel.select("query_id", "doc_id", "chunk_ix"),
+          Seq("query_id", "doc_id", "chunk_ix"), "left_anti")
+        .join(pen, Seq("query_id", "doc_id", "chunk_ix"))
+        .withColumn("mmr",
+          lit(lambda) * col("score") - lit(1.0 - lambda) * col("pen"))
+        .withColumn("rk", row_number().over(wM))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), lit(step.toLong).as("rank"), col("doc_id"),
+          col("chunk_ix"), col("chunk"), col("score"), col("mmr"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.orderBy("query_id", "rank")
+  }
+
   /** r10: the store-side IVFPQ serving read — the full FAISS composition
     * over frozen sidecars: learned-cell probing (directory-level `cell=`
     * pruning, the searchCells rule) → residual-ADC shortlist over the

@@ -16,12 +16,13 @@ class AnnRecallSpec extends AnyFunSuite {
     .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getDouble(4)))
 
-  test("one row per (method, query): 13 methods x 10 queries") {
-    assert(rows.length === 130)
+  test("one row per (method, query): 14 methods x 10 queries") {
+    assert(rows.length === 140)
     assert(rows.map(_._1).distinct.sorted ===
       Array("ann_graph_search", "ann_ivf", "ann_ivf_km", "ann_ivfpq",
         "ann_ivfpq_lloyd", "ann_ivfpq_opq", "ann_ivfpq_res", "ann_lsh",
-        "ann_pq_rerank", "ann_sq8", "vec_opq", "vec_pq", "vec_pq_lloyd"))
+        "ann_pq_rerank", "ann_rp", "ann_sq8", "vec_opq", "vec_pq",
+        "vec_pq_lloyd"))
     rows.groupBy(_._1).foreach { case (m, g) =>
       assert(g.map(_._2).distinct.length === 10, s"method $m query coverage")
     }
@@ -79,7 +80,8 @@ class AnnRecallSpec extends AnyFunSuite {
       ("ann_ivfpq", retrieved(Similarity.annIvfPq(spark, sf)), 5),
       ("ann_ivfpq_opq", retrieved(Similarity.annIvfPqOpq(spark, sf)), 5),
       ("ann_ivfpq_res", retrieved(Similarity.annIvfPqRes(spark, sf)), 5),
-      ("ann_ivfpq_lloyd", retrieved(Similarity.annIvfPqLloyd(spark, sf)), 5))
+      ("ann_ivfpq_lloyd", retrieved(Similarity.annIvfPqLloyd(spark, sf)), 5),
+      ("ann_rp", retrieved(Similarity.annRp(spark, sf)), 5))
       .flatMap { case (m, got, k) =>
         truthAt(k).map { case (q, ts) =>
           (m, q) -> got.getOrElse(q, Set.empty).intersect(ts).size.toLong }

@@ -58,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_profile", "q_profile_docs", // E61d: same bounded global-agg funnel as q_profile
     "text_bm25",     // D30: 1-row corpus-totals aggregate (the ann_hybrid N funnel)
     "mm_shard_pack", // F30: text_pack's bucket-count offset pass over byte sums
-    "q_hilbert")     // E63: adjacency lag over the 16-row file table (q_top_movers shape)
+    "q_hilbert",     // E63: adjacency lag over the 16-row file table (q_top_movers shape)
+    "text_shuffle_shard") // D32: text_pack's 256-row bucket-offset pass
   // (q_profile_hll needs no entry: its one global merge is a partial
   // SKETCH aggregate — the partial_graft_ rule below exempts it, the
   // stronger property than an allowlisted exact funnel.)
@@ -114,7 +115,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_source_weights", "text_domain_gate", "q_decile_lift",
     "vec_mrl_recall", // B20: same broadcast <=10-row query-set scan as ann_brute
     "q_decay_score",  // E59: 1-row max-day anchor attach, the q_rfm shape
-    "text_bm25")      // D30: 1-row (N, T, avgdl) totals attach, the ann_hybrid shape
+    "text_bm25",      // D30: 1-row (N, T, avgdl) totals attach, the ann_hybrid shape
+    "ann_rp")         // B28: same broadcast <=10-row query-set scan as ann_brute
 
   test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
     val observed = plans.collect {

