@@ -519,6 +519,54 @@ object AnalyticsExt {
     FROM pts p JOIN ft ON ft.event_type = p.event_type AND ft.i = p.i
     ORDER BY p.event_type, p.day"""
 
+  /** E66: day-of-week seasonal index — per (event_type, weekday), the
+    * classic ratio-to-overall seasonal factor: mean(value | dow) / mean
+    * (value), the decomposition step a forecast (E49's SES smooths the
+    * LEVEL) needs before it can see trend through weekly periodicity.
+    * Index > 1 = the weekday runs hot. Exact int64 cents sums; the two
+    * means and their ratio are THREE IEEE divisions in fixed order —
+    * identical shape both engines, hash-matched.
+    *
+    * Scale shape: one keyed (type, dow) aggregate with map-side partials
+    * (7·|types| cells), the per-type totals a ≤7-row window — nothing
+    * global, nothing data-sized past the first reduce. */
+  def qSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      .groupBy("event_type", "dow")
+      .agg(sum("cents").as("ds"), count(lit(1)).as("dn"))
+    val wT = Window.partitionBy("event_type")
+    cells
+      .withColumn("ts_all", sum("ds").over(wT))
+      .withColumn("tn_all", sum("dn").over(wT))
+      .select(col("event_type"), col("dow"), col("dn").as("n_events"),
+        (col("ds").cast("double") / col("dn").cast("double") / lit(100.0))
+          .as("dow_mean"),
+        ((col("ds").cast("double") / col("dn").cast("double")) /
+          (col("ts_all").cast("double") / col("tn_all").cast("double")))
+          .as("seasonal_index"))
+      .orderBy("event_type", "dow")
+  }
+
+  val qSeasonalSql: String = """
+    WITH cells AS (
+      -- DuckDB numbers Sunday 0, Spark's dayofweek numbers Sunday 1
+      SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS ds,
+        COUNT(*) AS dn
+      FROM events GROUP BY event_type, CAST(dayofweek(ts) + 1 AS BIGINT)),
+    tot AS (
+      SELECT event_type, dow, ds, dn,
+        CAST(SUM(ds) OVER (PARTITION BY event_type) AS BIGINT) AS ts_all,
+        CAST(SUM(dn) OVER (PARTITION BY event_type) AS BIGINT) AS tn_all
+      FROM cells)
+    SELECT event_type, dow, dn AS n_events,
+      CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE) / 100.0 AS dow_mean,
+      (CAST(ds AS DOUBLE) / CAST(dn AS DOUBLE))
+        / (CAST(ts_all AS DOUBLE) / CAST(tn_all AS DOUBLE)) AS seasonal_index
+    FROM tot ORDER BY event_type, dow"""
+
   /** E35: mergeable quantile HISTOGRAM — the scalable twin of E12's
     * exact percentiles. E12 must shuffle and rank every row; this
     * operator reduces each partition to integer-bucket counts (width 10,
@@ -974,6 +1022,7 @@ object AnalyticsExt {
     "q_ks_drift"    -> (qKsDrift _),
     "q_chisq_drift" -> (qChisqDrift _),
     "q_isotonic"    -> (qIsotonic _),
+    "q_seasonal"    -> (qSeasonal _),
     "q_tfidf"       -> (qTfidf _),
     "q_bloom_join"  -> (qBloomJoin _))
 
@@ -996,6 +1045,7 @@ object AnalyticsExt {
     "q_ks_drift"    -> qKsDriftSql,
     "q_chisq_drift" -> qChisqDriftSql,
     "q_isotonic"    -> qIsotonicSql,
+    "q_seasonal"    -> qSeasonalSql,
     "q_tfidf"       -> qTfidfSql,
     "q_bloom_join"  -> qBloomJoinSql)
 }

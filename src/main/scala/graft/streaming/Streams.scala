@@ -842,4 +842,63 @@ object Streams {
     events.select(edgeOf.as("edge")).groupBy("edge").count()
       .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
   }
+
+  private val ChisqCats = 16L // E64's user-bucket convention
+
+  /** F32: streaming categorical-mix drift monitor — E64's two-sample
+    * chi-square made streamable, completing the streaming drift family
+    * (F18 PSI over quality buckets, F31 KS over a numeric cdf, this
+    * over a CATEGORICAL axis KS cannot rank). Per tumbling window, the
+    * homogeneity χ² between the window's user-bucket composition
+    * (user_id % 16) and a FROZEN reference composition: the E64
+    * identity reduces every cell to d_k²/(nObs·nRef·n_k) with
+    * d_k = a_k·nRef − b_k·nObs, where the b_k are plan LITERALS (the
+    * F18/F31 fold-in discipline) and the a_k are one conditional count
+    * per reference category plus one escape bucket for categories the
+    * reference never saw — bounded mergeable state, one long per
+    * category per open window. Exact int64 numerators, one IEEE
+    * division chain per category in fixed order.
+    *
+    * Calibration pins (spec): a window distributed exactly like the
+    * reference reads χ² = 0; a window fully CONCENTRATED on categories
+    * the reference never saw reads χ² = nObs + nRef exactly (the
+    * complete-separation value of the 2×K table). */
+  def chisqMonitor(events: DataFrame, reference: Seq[(Long, Long)],
+      threshold: Double = 25.0): DataFrame = {
+    require(reference.nonEmpty, "reference composition is empty")
+    val nRef = reference.map(_._2).sum
+    require(nRef > 0, "reference composition has zero mass")
+    require(reference.forall(_._2 > 0),
+      "zero-count reference categories must be dropped before freezing")
+    val cats = reference.map(_._1)
+    val catOf = pmod(col("user_id"), lit(ChisqCats))
+    val catCounts = cats.map(c =>
+      sum(when(col("cat") === c, 1L).otherwise(0L)).as(s"a_$c"))
+    val agg = events
+      .select(col("ts"), catOf.as("cat"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(catCounts.head, catCounts.tail :+ count(lit(1)).as("n_events"): _*)
+    def term(a: Column, bk: Long): Column = {
+      val d = a * lit(nRef) - lit(bk) * col("n_events")
+      (d * d).cast("double") /
+        (col("n_events") * lit(nRef)).cast("double") /
+        (a + lit(bk)).cast("double")
+    }
+    val refTerms = reference.map { case (c, bk) => term(col(s"a_$c"), bk) }
+    val aOther = col("n_events") - cats.map(c => col(s"a_$c")).reduce(_ + _)
+    val otherTerm = when(aOther > 0L, term(aOther, 0L)).otherwise(lit(0.0d))
+    val chi2 = refTerms.reduce(_ + _) + otherTerm
+    agg.select(col("window.start").as("window_start"), col("n_events"),
+      chi2.as("chi2"), (chi2 > lit(threshold)).as("drifted"))
+  }
+
+  /** Convenience: the frozen reference composition for [[chisqMonitor]]
+    * — (user bucket, count) over an accepted window of the same stream.
+    * Zero-count buckets are absent by construction of groupBy. */
+  def chisqBaseline(events: DataFrame): Seq[(Long, Long)] = {
+    events.select(pmod(col("user_id"), lit(ChisqCats)).as("cat"))
+      .groupBy("cat").count()
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+  }
 }

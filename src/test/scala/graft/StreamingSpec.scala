@@ -840,4 +840,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(base == ref.map { case (e, c) => (e, c) },
       s"baseline grid mismatch: $base")
   }
+
+  test("F32: chi-square monitor calibration — 0 in-distribution, " +
+    "nObs+nRef on complete separation, hand value on a skewed window") {
+    // reference: user buckets 0..3, one each (nRef = 4)
+    val ref = (0L to 3L).map(c => (c, 1L))
+    // window 0: users 16..19 -> cats 0..3, identical composition -> 0
+    val wSame = (0 to 3).map(i =>
+      StreamEvent(i.toLong, ts(2), 16L + i, "click", 1.0))
+    // window 1: users 4..7 -> cats the reference never saw -> the
+    // complete-separation value nObs + nRef = 8, flagged at threshold 5
+    val wDisj = (0 to 3).map(i =>
+      StreamEvent(10L + i, ts(12), 4L + i, "click", 1.0))
+    // window 2: all four on cat 0 -> hand-computed per-cell sum
+    val wSkew = (0 to 3).map(i =>
+      StreamEvent(20L + i, ts(22), 16L, "click", 1.0))
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(wSame ++ wDisj ++ wSkew: _*)
+    val rows = runToCompletion(
+      Streams.chisqMonitor(input.toDF(), ref, threshold = 5.0),
+      OutputMode.Complete)
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val (nS, xS, dS) = rows("2024-01-01 00:00:00.0")
+    val (nX, xX, dX) = rows("2024-01-01 00:10:00.0")
+    val (nK, xK, dK) = rows("2024-01-01 00:20:00.0")
+    assert(nS == 4L && xS == 0.0 && !dS, s"stable window: chi2=$xS")
+    assert(nX == 4L && xX == 8.0 && dX, s"disjoint window: chi2=$xX")
+    // same division order as the operator: (d*d)/(nObs*nRef)/(a+b)
+    // cat 0: d = 4*4-1*4 = 12, cell total a+b = 5; cats 1..3: d = -4,
+    // cell total 0+1 = 1
+    val expSkew = (12.0 * 12.0) / 16.0 / 5.0 +
+      3.0 * ((4.0 * 4.0) / 16.0 / 1.0)
+    assert(nK == 4L && xK == expSkew && !dK,
+      s"skewed window: chi2=$xK expected $expSkew")
+    // baseline generator round-trips the composition
+    val base = Streams.chisqBaseline(wSame.toDF()).sortBy(_._1)
+    assert(base == ref, s"baseline composition mismatch: $base")
+  }
 }
