@@ -192,6 +192,8 @@ object CorpusJob {
       Dedup.bandRows(Tables.documents(s, dir).join(admittedIds, "doc_id")
           .select("doc_id", "text"))
         .write.mode("overwrite").parquet(s"$stateDir/bands.parquet")
+      // D32 composed: the training-export address book over the shards
+      writeShuffleSidecar(s, outDir)
     }
     // The standing bigram LM lands RANGE-CLUSTERED on the bigram's 60-bit
     // hash with a G34 zone-map sidecar: [[append]]'s frozen-LM gate then
@@ -420,9 +422,16 @@ object CorpusJob {
     if (!seenDelta.isEmpty)
       seenDelta.write.mode("append").parquet(state("seen.parquet"))
     // band index grows by the ADMITTED docs (F21)
-    if (nChunks > 0)
+    if (nChunks > 0) {
       Dedup.bandRows(withSplit.select("doc_id", "text"))
         .write.mode("append").parquet(state("bands.parquet"))
+      // the shuffle address book re-deals over the GROWN corpus: a global
+      // permutation is a per-snapshot artifact by design (any membership
+      // change moves addresses), and the rewrite is one column-pruned
+      // distinct scan of (doc_id, split) + the bounded two-phase rank —
+      // narrow in the shard tree, no text read
+      writeShuffleSidecar(s, outDir)
+    }
 
     val splitCounts: Seq[(String, Long)] =
       if (nChunks == 0) Seq("train", "val", "test").map(sp => s"8_${sp}_docs" -> 0L)
@@ -443,6 +452,43 @@ object CorpusJob {
       "6_mixture" -> withSplit.count(),
       "7_chunks_written" -> nChunks) ++ splitCounts)
       .toDF("stage", "n")
+  }
+
+  /** D32 composed (r13): the training-export address book — per split,
+    * the deterministic md5('shuf42:'||doc_id) permutation of the WRITTEN
+    * shard tree's documents cut into 50-doc shards, landed under
+    * `_graft_shuffle` (underscore dir: invisible to plain shard reads,
+    * like the manifest). The reproducible global shuffle every
+    * dataloader needs, derived from the shards rather than the funnel
+    * plan (the Observation-latch rule run() follows for bands/manifest).
+    * Two-phase rank, never a one-partition window: the md5 PREFIX is the
+    * range bucket (prefix order ≡ full-hash order), per-(split, bucket)
+    * counts shuffle once, the ≤3·256-row offset window is bounded, and
+    * every per-bucket rank window runs in parallel — the D32 oracle
+    * query's shape with `split` joined into every key. */
+  private def writeShuffleSidecar(s: SparkSession, outDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 50L
+    s.catalog.refreshByPath(outDir)
+    val docs = s.read.parquet(outDir).select("doc_id", "split").distinct()
+      .withColumn("h",
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val wB = Window.partitionBy("split").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("split", "bucket")
+      .agg(count(lit(1)).as("b_n"))
+      .withColumn("b_off", coalesce(sum("b_n").over(wB), lit(0L)))
+      .select("split", "bucket", "b_off")
+    val wIn = Window.partitionBy("split", "bucket")
+      .orderBy(col("h"), col("doc_id"))
+    docs.join(broadcast(offsets), Seq("split", "bucket"))
+      .withColumn("rk",
+        col("b_off") + row_number().over(wIn).cast("long") - 1L)
+      .select(col("split"),
+        ((col("rk") - pmod(col("rk"), lit(S))) / S).cast("long").as("shard"),
+        pmod(col("rk"), lit(S)).as("pos"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$outDir/_graft_shuffle")
   }
 
   /** CLI: CorpusJob <sfDir> <outDir> — prints the audit. */

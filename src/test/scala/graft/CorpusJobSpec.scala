@@ -45,6 +45,25 @@ class CorpusJobSpec extends AnyFunSuite {
       .groupBy("fk").agg(countDistinct("split").as("ns"))
       .filter(col("ns") > 1).count()
     assert(spanning == 0, s"$spanning families span a split boundary")
+    // D32 composed: the shuffle address book covers every written doc
+    // exactly once, per split, in 50-doc shards filled contiguously
+    val shuffle = spark.read.parquet(s"$out/_graft_shuffle").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val writtenDocs = shards.select("doc_id", "split").distinct().collect()
+      .map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(shuffle.map(t => (t._1, t._4)).toSet == writtenDocs,
+      "shuffle sidecar doesn't cover exactly the written (split, doc) set")
+    shuffle.groupBy(_._1).foreach { case (sp, g) =>
+      val byShard = g.groupBy(_._2).toSeq.sortBy(_._1)
+      assert(byShard.map(_._1) == byShard.indices.map(_.toLong),
+        s"$sp shard ids not contiguous")
+      byShard.zipWithIndex.foreach { case ((sh, rows), i) =>
+        assert(rows.map(_._3).sorted.toSeq == rows.indices.map(_.toLong),
+          s"$sp shard $sh positions not contiguous")
+        if (i < byShard.length - 1)
+          assert(rows.length == 50, s"$sp non-final shard $sh size")
+      }
+    }
   }
 
   test("incremental append: a batch curates against the standing state") {
@@ -93,6 +112,16 @@ class CorpusJobSpec extends AnyFunSuite {
     val afterChunks = spark.read.parquet(out).count()
     assert(a1("7_chunks_written") > 0 &&
       afterChunks == beforeChunks + a1("7_chunks_written"))
+    // the shuffle address book re-dealt over the GROWN corpus: it covers
+    // exactly the grown (split, doc) set — appended docs included
+    val shuffledDocs = spark.read.parquet(s"$out/_graft_shuffle")
+      .select("split", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val grownDocs = spark.read.parquet(out)
+      .select("split", "doc_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(shuffledDocs == grownDocs,
+      "shuffle sidecar stale after append: doc sets diverge")
 
     // the appended docs serve through the INCREMENTALLY refreshed
     // sidecar: an id-range read over the fresh band prunes files and
