@@ -340,7 +340,13 @@ object VectorStore {
         .fold(coded)(cb =>
           coded.join(resEncode(cb, withRes), Seq("doc_id", "chunk_ix")))
         .withColumn("batch_tag", lit(batchTag))
-      val indexed = if (sqLegacy) indexed0 else sq8Cols(indexed0)
+      // JL-projected codes (G47, r13): same legacy rule — a store written
+      // before the pcodes column stays pcodes-free on append and the rp
+      // read refuses it loudly
+      val rpLegacy = reuse &&
+        !spark.read.parquet(indexDir).schema.fieldNames.contains("pcodes")
+      val indexed1 = if (sqLegacy) indexed0 else sq8Cols(indexed0)
+      val indexed = if (rpLegacy) indexed1 else rpCols(indexed1)
       indexed.write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)
       // time-axis zone maps: incremental upkeep scans this batch's files
       // only (an overwrite-mode write wiped the old sidecar with the rest
@@ -384,6 +390,38 @@ object VectorStore {
           ((abs(x) - pmod(abs(x), col("sscale"))) / col("sscale")))
           .cast("long")))
   }
+
+  private val RpDims = 16
+
+  /** md5-derived ±1 sign matrix for the store's JL projection (G47) —
+    * the B27 construction seeded "srp:" over the store's Dim, computed
+    * once driver-side. A LITERAL, never a sidecar: like the scodes
+    * rung, appends and edits are consistent by construction and splice
+    * maintenance never touches it. */
+  private lazy val rpSigns: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(RpDims, Dim) { (j, d) =>
+      val hex = md.digest(s"srp:$j:$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      ((java.lang.Long.parseLong(hex, 16) >> 3) & 1L) * 2L - 1L
+    }
+  }
+
+  private def rpProject(raw: Column): Column =
+    array((0 until RpDims).map(j =>
+      call_function("graft_dot_l", typedLit(rpSigns(j).toSeq), raw)): _*)
+
+  /** JL-projected codes over `raw` (G47): 16 signed sums of the 32 raw
+    * weights — the DIM-count compression rung next to scodes' element-
+    * width rung: 2× fewer multiplies and array elements per candidate
+    * in the shortlist scan, exact int64 end to end (|raw| is token-count
+    * sized, so the projected coordinate and the 16-dim projected dot sit
+    * far inside int64). An 8-dim variant was measured and REJECTED:
+    * quarter-width projections of these 32-dim count vectors drop a
+    * verbatim chunk's own row out of a 50-deep shortlist — half-width
+    * keeps the self-hit and the recall rung serviceable. */
+  private def rpCols(df: DataFrame): DataFrame =
+    df.withColumn("pcodes", rpProject(col("raw")))
 
   /** Coarse cell probe (r11, metric-ALIGNED with assignment): rank cells
     * by the same rule [[cellAssign]] assigns with — exact int64
@@ -1205,6 +1243,78 @@ object VectorStore {
       .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
     index.join(broadcast(short), Seq("doc_id", "chunk_ix"))
       .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), col("chunk"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "chunk_ix", "chunk", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** G47 (r13): the JL-projected cell read — B28's dimension-reduction
+    * rung on the store, completing the compression-axis pair: scodes
+    * shrinks the ELEMENT (8→1 byte decoded, full dim count), pcodes
+    * shrinks the DIM COUNT (32→16 coordinates, full-width elements). The
+    * shortlist scan evaluates a 16-element int64 dot per candidate (2×
+    * fewer multiplies and decoded elements than the raw scan), then the
+    * exact full-width cosine re-ranks the ≤shortlist survivors — the
+    * B9 refine tail, so served scores are exact. No trained artifact
+    * (the sign matrix is a code literal): appends, edits and splices
+    * are consistent by construction, exactly the scodes discipline. A
+    * store written before the pcodes column is refused loudly. */
+  def searchRpCells(spark: SparkSession, indexDir: String,
+      query: String, k: Int = 5, nprobe: Int = 2,
+      shortlist: Int = 50): DataFrame =
+    searchRpCellsBatch(spark, indexDir, Seq(query), k, nprobe, shortlist)
+      .drop("query_id")
+
+  /** Batch twin of [[searchRpCells]] — many queries through ONE
+    * probed/projected/re-rank plan. Output schema = [[searchBatch]]. */
+  def searchRpCellsBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5, nprobe: Int = 2,
+      shortlist: Int = 50): DataFrame = {
+    import spark.implicits._
+    require(spark.read.parquet(indexDir).schema.fieldNames.contains("pcodes"),
+      s"searchRpCells needs the pcodes column — this store predates JL " +
+        "coding; re-ingest it (mode=overwrite) to serve the projected path")
+    val centroids = spark.read.parquet(s"$indexDir/$CellsDir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    val qdf = queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("query_id", "qtext")
+      .withColumn("qraw", rawWeights(col("qtext")))
+      .withColumn("qp", rpProject(col("qraw")))
+      .select("query_id", "qraw", "qp")
+    val qraws = qdf.select("query_id", "qraw").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val probePairs = qraws.flatMap { case (qid, qraw) =>
+      probeCellsFor(centroids, qraw, nprobe).map(cell => (qid, cell))
+    }.toSeq
+    val probes = probePairs.toDF("query_id", "cell")
+    val index = spark.read.parquet(indexDir)
+      .filter(col("cell").isInCollection(probePairs.map(_._2).distinct))
+    // phase 1: projected-dot shortlist — the scan reads (cell, ids,
+    // pcodes); neither raw nor chunk is touched until the tail
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("pdot").desc, col("doc_id"), col("chunk_ix"))
+    val short = index
+      .select(col("cell"), col("doc_id"), col("chunk_ix"), col("pcodes"))
+      .join(broadcast(probes), "cell")
+      .join(broadcast(qdf.select("query_id", "qp")), "query_id")
+      .withColumn("pdot", call_function("graft_dot_l", col("pcodes"), col("qp")))
+      .withColumn("trk", row_number().over(wT))
+      .filter(col("trk") <= shortlist)
+      .select("query_id", "doc_id", "chunk_ix")
+    // phase 2: exact full-width cosine re-rank of the survivors
+    val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
+    val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
+    val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
+    val score = when(ssC > 0 && ssQ > 0,
+      dotQC.cast("double") / (sqrt(ssC.cast("double")) * sqrt(ssQ.cast("double"))))
+      .otherwise(lit(0.0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    index.join(broadcast(short), Seq("doc_id", "chunk_ix"))
+      .join(broadcast(qdf.select("query_id", "qraw")), "query_id")
       .select(col("query_id"), col("doc_id"), col("chunk_ix"), col("chunk"),
         score.as("score"))
       .withColumn("rank", row_number().over(w))

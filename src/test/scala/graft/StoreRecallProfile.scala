@@ -72,6 +72,10 @@ object StoreRecallProfile {
       // same probe budget as search_cells, ~1/8 the candidate-scan bytes
       "search_sq8_cells" ->
         (() => VectorStore.searchSq8CellsBatch(spark, dir, queries, k = 5)),
+      // G47 (r13): the dim-count rung — 16-coordinate JL shortlist at
+      // search_cells' probe budget, exact full-width re-rank tail
+      "search_rp_cells" ->
+        (() => VectorStore.searchRpCellsBatch(spark, dir, queries, k = 5)),
       // default = the graph_tune_r11 operating point: bucket-seeded
       // 32/32/4 over cosine-metric edges, sub-bucket cost (spec-pinned
       // >= 0.5); the r10 fixed-global-entry config published as contrast
