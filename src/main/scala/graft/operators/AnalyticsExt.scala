@@ -432,6 +432,130 @@ object AnalyticsExt {
       CAST(SUM(tmicro) AS BIGINT) > 25000000 AS drifted
     FROM term GROUP BY event_type ORDER BY event_type"""
 
+  /** E67: Mann–Whitney AUC drift test — per event_type, the probability
+    * that a random second-period `value` exceeds a random first-period
+    * one (ties count half): U/(nA·nB), the common-language effect size,
+    * identically the ROC-AUC of "period predicts value". The LOCATION
+    * member of the drift family — E62's KS pages on any shape change
+    * but says nothing about direction; AUC reads 0.5 = no shift, >0.5 =
+    * the feed is drifting UP, and is rank-based (outlier-robust where a
+    * mean comparison is not).
+    *
+    * Exactness: over per-distinct-value counts (a_v, b_v) with the
+    * cumulative cumA before v, 2·U = 2·Σ b_v·cumA_<v + Σ a_v·b_v — the
+    * half-tie credit stays INTEGER by working in doubled units; one
+    * final IEEE division by 2·nA·nB. Bound: 2U ≤ 2·nA·nB ≤ 2·10¹² at
+    * 10⁶ rows/type — int64-sound to ~2·10⁹ rows/type.
+    *
+    * Scale shape: E62's exact profile — one keyed (type, value) shuffle
+    * with map-side partials, one sort-window per type over DISTINCT
+    * values; types are the parallel unit. */
+  def qAucDrift(s: SparkSession, dir: String): DataFrame = {
+    val split = to_timestamp(lit("2024-01-16 00:00:00"))
+    val perVal = Tables.events(s, dir)
+      .select(col("event_type"), col("value"),
+        (col("ts") < split).cast("long").as("isa"))
+      .groupBy("event_type", "value")
+      .agg(sum("isa").as("a"), (count(lit(1)) - sum("isa")).as("b"))
+    val wCum = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perVal
+      .withColumn("cuma", coalesce(sum("a").over(wCum), lit(0L)))
+      .groupBy("event_type")
+      .agg(sum("a").as("n_a"), sum("b").as("n_b"),
+        sum(lit(2L) * col("b") * col("cuma") + col("a") * col("b"))
+          .as("u2"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("u2").cast("double") /
+          (lit(2L) * col("n_a") * col("n_b")).cast("double")).as("auc"))
+      .withColumn("shifted", abs(col("auc") - lit(0.5)) > lit(0.1))
+      .orderBy("event_type")
+  }
+
+  val qAucDriftSql: String = """
+    WITH pv AS (
+      SELECT event_type, value,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM events GROUP BY event_type, value),
+    cum AS (
+      SELECT event_type, a, b,
+        CAST(COALESCE(SUM(a) OVER (PARTITION BY event_type ORDER BY value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cuma
+      FROM pv),
+    agg AS (
+      SELECT event_type,
+        CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+        CAST(SUM(2 * b * cuma + a * b) AS BIGINT) AS u2
+      FROM cum GROUP BY event_type)
+    SELECT event_type, n_a, n_b,
+      CAST(u2 AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE) AS auc,
+      abs(CAST(u2 AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE) - 0.5) > 0.1
+        AS shifted
+    FROM agg ORDER BY event_type"""
+
+  /** E68: winsorized robust statistics — per event_type, the mean/min/
+    * max after clipping `value` to its exact [p05, p95] (the standard
+    * outlier-robust summary a feed-health dashboard shows next to the
+    * raw mean, which one fat-fingered 10⁹ record can drag anywhere).
+    * Percentile edges are exact order statistics at rank ceil(q·n)
+    * (E12's rule); clipping and the mean run in int64 cents, so the
+    * result hash-matches with ONE final IEEE division.
+    *
+    * Scale shape: one keyed shuffle + one per-type sort-rank window
+    * (E12's profile — the exact-percentile cost); the clip + mean is a
+    * second pass over the same keyed rows with map-side partials. E35's
+    * mergeable histogram is the documented approximate fallback when a
+    * type's row set outgrows a sort. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("c"))
+    val wR = Window.partitionBy("event_type").orderBy("c")
+    val wAll = Window.partitionBy("event_type")
+    val ranked = cents
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+    def edge(q: Double) =
+      min(when(col("rk") >= ceil(lit(q) * col("n")), col("c")))
+    val edges = ranked.groupBy("event_type")
+      .agg(edge(0.05).as("lo"), edge(0.95).as("hi"))
+    val clipped = greatest(least(col("c"), col("hi")), col("lo"))
+    cents.join(broadcast(edges), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max("lo").as("lo_c"), max("hi").as("hi_c"),
+        sum(clipped).as("wsum"))
+      .select(col("event_type"), col("n_events"),
+        (col("lo_c").cast("double") / lit(100.0)).as("p05"),
+        (col("hi_c").cast("double") / lit(100.0)).as("p95"),
+        (col("wsum").cast("double") / col("n_events").cast("double")
+          / lit(100.0)).as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
+  val qWinsorizeSql: String = """
+    WITH cents AS (
+      SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS c
+      FROM events),
+    ranked AS (
+      SELECT event_type, c,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS rk,
+        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM cents),
+    edges AS (
+      SELECT event_type,
+        MIN(CASE WHEN rk >= ceil(0.05 * n) THEN c END) AS lo,
+        MIN(CASE WHEN rk >= ceil(0.95 * n) THEN c END) AS hi
+      FROM ranked GROUP BY event_type)
+    SELECT c.event_type, COUNT(*) AS n_events,
+      CAST(MAX(e.lo) AS DOUBLE) / 100.0 AS p05,
+      CAST(MAX(e.hi) AS DOUBLE) / 100.0 AS p95,
+      CAST(SUM(GREATEST(LEAST(c.c, e.hi), e.lo)) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) / 100.0 AS winsorized_mean
+    FROM cents c JOIN edges e ON e.event_type = c.event_type
+    GROUP BY c.event_type ORDER BY c.event_type"""
+
   /** E65: isotonic (monotone) calibration — per event_type, the L2
     * isotonic regression of the daily mean `value` over days, via the
     * minimax identity fitted_i = max_{j≤i} min_{k≥i} mean(y[j..k]) (the
@@ -1023,6 +1147,8 @@ object AnalyticsExt {
     "q_chisq_drift" -> (qChisqDrift _),
     "q_isotonic"    -> (qIsotonic _),
     "q_seasonal"    -> (qSeasonal _),
+    "q_auc_drift"   -> (qAucDrift _),
+    "q_winsorize"   -> (qWinsorize _),
     "q_tfidf"       -> (qTfidf _),
     "q_bloom_join"  -> (qBloomJoin _))
 
@@ -1046,6 +1172,8 @@ object AnalyticsExt {
     "q_chisq_drift" -> qChisqDriftSql,
     "q_isotonic"    -> qIsotonicSql,
     "q_seasonal"    -> qSeasonalSql,
+    "q_auc_drift"   -> qAucDriftSql,
+    "q_winsorize"   -> qWinsorizeSql,
     "q_tfidf"       -> qTfidfSql,
     "q_bloom_join"  -> qBloomJoinSql)
 }

@@ -48,6 +48,30 @@ class ShuffleShardSpec extends AnyFunSuite {
     }
   }
 
+  test("q_auc_drift: AUC bounded, symmetric role check, flag consistency") {
+    val rows = AnalyticsExt.qAucDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, na, nb, auc, shifted) =>
+      assert(na > 0 && nb > 0, s"$t empty window")
+      assert(auc >= 0.0 && auc <= 1.0, s"$t auc=$auc out of [0,1]")
+      assert(shifted === (math.abs(auc - 0.5) > 0.1), s"$t flag")
+    }
+  }
+
+  test("q_winsorize: clipped mean sits inside the exact [p05, p95] edges") {
+    val rows = AnalyticsExt.qWinsorize(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, p05, p95, wmean) =>
+      assert(n > 0 && p05 <= p95, s"$t edges inverted")
+      assert(wmean >= p05 - 1e-9 && wmean <= p95 + 1e-9,
+        s"$t winsorized mean $wmean outside [$p05, $p95]")
+    }
+  }
+
   test("vec_rp projects every vector to exactly RpDims coordinates") {
     val rows = Similarity.vecRp(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)))
