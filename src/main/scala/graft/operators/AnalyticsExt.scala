@@ -556,6 +556,55 @@ object AnalyticsExt {
     FROM cents c JOIN edges e ON e.event_type = c.event_type
     GROUP BY c.event_type ORDER BY c.event_type"""
 
+  /** E69: Gini concentration index — per event_type, the Gini
+    * coefficient of `value`: G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over
+    * ascending ranks. The inequality audit a data-mix review reads to
+    * see whether one user/source family carries all the mass (G → 1)
+    * or the feed is balanced (G → 0); complements E57's decile lift
+    * (which probes ten fixed points) with the full-distribution scalar.
+    * Tie-safe by algebra: equal values contribute identically under any
+    * rank order among themselves. Exact int64 cents; Σ rank·x bounds
+    * int64 to ~10⁶ rows/type at 10⁶-cent values (beyond that, pre-
+    * aggregate per distinct value first); ONE final IEEE division.
+    *
+    * Scale shape: one keyed shuffle + one per-type sort-rank window
+    * (the E12/E68 exact-order-statistic cost), then one keyed agg. */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("c"))
+    val wR = Window.partitionBy("event_type").orderBy("c")
+    cents
+      .withColumn("rk", row_number().over(wR).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("c").as("s1"),
+        sum(col("rk") * col("c")).as("s2"))
+      .select(col("event_type"), col("n_events"),
+        (col("s1").cast("double") / lit(100.0)).as("total"),
+        ((lit(2L) * col("s2") - (col("n_events") + 1L) * col("s1"))
+          .cast("double") /
+          (col("n_events") * col("s1")).cast("double")).as("gini"))
+      .orderBy("event_type")
+  }
+
+  val qGiniSql: String = """
+    WITH cents AS (
+      SELECT event_type, CAST(floor(value * 100.0) AS BIGINT) AS c
+      FROM events),
+    ranked AS (
+      SELECT event_type, c,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS rk
+      FROM cents),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(rk * c) AS BIGINT) AS s2
+      FROM ranked GROUP BY event_type)
+    SELECT event_type, n_events,
+      CAST(s1 AS DOUBLE) / 100.0 AS total,
+      CAST(2 * s2 - (n_events + 1) * s1 AS DOUBLE)
+        / CAST(n_events * s1 AS DOUBLE) AS gini
+    FROM agg ORDER BY event_type"""
+
   /** E65: isotonic (monotone) calibration — per event_type, the L2
     * isotonic regression of the daily mean `value` over days, via the
     * minimax identity fitted_i = max_{j≤i} min_{k≥i} mean(y[j..k]) (the
@@ -1149,6 +1198,7 @@ object AnalyticsExt {
     "q_seasonal"    -> (qSeasonal _),
     "q_auc_drift"   -> (qAucDrift _),
     "q_winsorize"   -> (qWinsorize _),
+    "q_gini"        -> (qGini _),
     "q_tfidf"       -> (qTfidf _),
     "q_bloom_join"  -> (qBloomJoin _))
 
@@ -1174,6 +1224,7 @@ object AnalyticsExt {
     "q_seasonal"    -> qSeasonalSql,
     "q_auc_drift"   -> qAucDriftSql,
     "q_winsorize"   -> qWinsorizeSql,
+    "q_gini"        -> qGiniSql,
     "q_tfidf"       -> qTfidfSql,
     "q_bloom_join"  -> qBloomJoinSql)
 }

@@ -72,6 +72,16 @@ class ShuffleShardSpec extends AnyFunSuite {
     }
   }
 
+  test("q_gini: coefficient bounded in [0, 1) for positive-mass types") {
+    val rows = AnalyticsExt.qGini(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, total, g) =>
+      assert(n > 0 && total > 0, s"$t empty or non-positive mass")
+      assert(g >= 0.0 && g < 1.0, s"$t gini=$g out of [0,1)")
+    }
+  }
+
   test("vec_rp projects every vector to exactly RpDims coordinates") {
     val rows = Similarity.vecRp(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)))
