@@ -334,8 +334,10 @@ object VectorStore {
       // and edits are consistent by construction. A store written
       // before this column existed stays scodes-free on append (the
       // perm/rescb legacy rule) and the sq8 read refuses it loudly.
-      val sqLegacy = reuse &&
-        !spark.read.parquet(indexDir).schema.fieldNames.contains("scodes")
+      val legacyFields: Set[String] =
+        if (reuse) spark.read.parquet(indexDir).schema.fieldNames.toSet
+        else Set.empty
+      val sqLegacy = reuse && !legacyFields.contains("scodes")
       val indexed0 = rescbOpt
         .fold(coded)(cb =>
           coded.join(resEncode(cb, withRes), Seq("doc_id", "chunk_ix")))
@@ -343,8 +345,7 @@ object VectorStore {
       // JL-projected codes (G47, r13): same legacy rule — a store written
       // before the pcodes column stays pcodes-free on append and the rp
       // read refuses it loudly
-      val rpLegacy = reuse &&
-        !spark.read.parquet(indexDir).schema.fieldNames.contains("pcodes")
+      val rpLegacy = reuse && !legacyFields.contains("pcodes")
       val indexed1 = if (sqLegacy) indexed0 else sq8Cols(indexed0)
       val indexed = if (rpLegacy) indexed1 else rpCols(indexed1)
       indexed.write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)

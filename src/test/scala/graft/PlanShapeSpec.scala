@@ -148,6 +148,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucket offsets not broadcast back:\n$plan")
   }
 
+  test("winsorize/gini rank per (type, bucket) — no per-type row-sized window") {
+    // the r11 verdict's two weak grades: a row_number window partitioned
+    // by event_type alone funnels ~20 TB/type through ONE task at 100 TB.
+    // The two-phase bucketed rank must show per-(type, bkt) hash
+    // partitioning for the rank window, broadcast bucket offsets, and no
+    // SinglePartition exchange on the events rows.
+    for (q <- Seq("q_winsorize", "q_gini")) {
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("hashpartitioning(event_type") &&
+        plan.contains("bkt"),
+        s"$q rank window not per-(type, bucket):\n$plan")
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("Exchange SinglePartition") && l.contains("events")),
+        s"$q funnels raw events through one partition:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q bucket offsets not broadcast back:\n$plan")
+      // no window partitioned by event_type ALONE may survive anywhere
+      // (a per-type groupBy is fine — partial aggregation; a per-type
+      // WINDOW is the single-task sort being killed here)
+      assert(plan.linesIterator.filter(_.contains("windowspecdefinition(event_type#"))
+        .forall(_.contains("bkt")),
+        s"$q kept a per-type-only window:\n$plan")
+    }
+  }
+
   test("incremental dedup broadcasts the new batch, never the corpus index") {
     val plan = executedPlan(SparkEntry.queries("dedup_incremental")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
