@@ -1332,7 +1332,11 @@ object Similarity {
 
   /** Required after rewriting the parquet under a dir within one session —
     * the memo cannot see filesystem rewrites (see [[graft.SessionMemo]]). */
-  def invalidatePqArtifacts(): Unit = pqCodesMemo.clear()
+  def invalidatePqArtifacts(): Unit = {
+    pqCodesMemo.clear()
+    pqVariantMemo.clear()
+    opqSrcMemo.clear()
+  }
 
   /** Query-side ADC distance table: M×K rows per query, broadcast. */
   private def pqDistTab(s: SparkSession, dir: String): DataFrame =
@@ -1438,28 +1442,53 @@ object Similarity {
         e => e.getField("c2")).as("cent"))
   }
 
-  /** Codes + per-query ADC table against an arbitrary (m, j, cent)
-    * codebook — B7's encode/table shape, codebook-agnostic. */
-  private def pqCodesAndTab(s: SparkSession, dir: String,
-      codebook: DataFrame): (DataFrame, DataFrame) = {
-    val sub = pqCorpusSub(s, dir)
-    val codes = sub.join(broadcast(codebook), Seq("m"))
+  /** Session memo for the TRAINED-variant PQ artifacts (B22–B26): the
+    * Lloyd codebook + codes, the per-cell OPQ perm/codebook/codes, and
+    * the residual cell-sums/codebook/codes. The r11 bench's three
+    * slowest registry queries (ann_ivfpq_res 4.9 s, _opq 3.5 s, _lloyd
+    * 2.9 s) each re-derived their codebooks and re-encoded the corpus
+    * per query, and `ann_recall` re-ran all of them as rungs — at
+    * 100 TB these are ingest-time sidecars (exactly what the store's
+    * G20/G38/G41 columns are); this memo is the session-local
+    * equivalent, the same pattern as [[pqCodes]] for plain B7. Keys are
+    * `dir#artifact`, so one memo serves the family; cleared together
+    * with the plain-PQ memo by [[invalidatePqArtifacts]]. */
+  private val pqVariantMemo = new graft.SessionMemo
+  private def memoArtifact(s: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    pqVariantMemo.getOrElseUpdate(s, s"$dir#$tag")(build.localCheckpoint(true))
+
+  /** Corpus codes against an arbitrary (m, j, cent) codebook — B7's
+    * encode shape, codebook-agnostic. */
+  private def pqCodesFor(s: SparkSession, dir: String,
+      codebook: DataFrame): DataFrame =
+    pqCorpusSub(s, dir).join(broadcast(codebook), Seq("m"))
       .select(col("vec_id"), col("m"), col("j"),
         sq(col("sub"), col("cent")).as("dist"))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
-    val dtab = pqSubvecs(
+
+  /** Per-query ADC distance table against an arbitrary codebook. */
+  private def pqDistTabFor(s: SparkSession, dir: String,
+      codebook: DataFrame): DataFrame =
+    pqSubvecs(
       Tables.embeddings(s, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), q4vec(col("embedding")).as("v")),
       "query_id")
       .join(broadcast(codebook), Seq("m"))
       .select(col("query_id"), col("m"), col("j"),
         sq(col("sub"), col("cent")).as("qdist"))
-    (codes, dtab)
-  }
+
+  /** Memoized Lloyd artifacts: the trained codebook (one exact
+    * refinement round) and the corpus encoded against it. */
+  private def pqLloydCb(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "lloyd_cb")(pqLloydCodebook(s, dir))
+  private def pqLloydCodes(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "lloyd_codes")(pqCodesFor(s, dir, pqLloydCb(s, dir)))
 
   def vecPqLloyd(s: SparkSession, dir: String): DataFrame = {
-    val (codes, dtab) = pqCodesAndTab(s, dir, pqLloydCodebook(s, dir))
+    val codes = pqLloydCodes(s, dir)
+    val dtab = pqDistTabFor(s, dir, pqLloydCb(s, dir))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist"), col("neighbor_id"))
     codes.join(broadcast(dtab),
@@ -1488,9 +1517,10 @@ object Similarity {
       .select(col("vec_id"), col("label"))
     val cand = members.join(broadcast(probed), Seq("label"))
       .select(col("query_id"), col("vec_id"))
-    val (codes, dtab0) = pqCodesAndTab(s, dir, pqLloydCodebook(s, dir))
-    val dt = dtab0.select(col("query_id").as("dq"),
-      col("m").as("dm"), col("j"), col("qdist"))
+    val codes = pqLloydCodes(s, dir)
+    val dt = pqDistTabFor(s, dir, pqLloydCb(s, dir))
+      .select(col("query_id").as("dq"),
+        col("m").as("dm"), col("j"), col("qdist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist"), col("neighbor_id"))
     cand.join(codes, Seq("vec_id"))
@@ -1673,20 +1703,41 @@ object Similarity {
   private def opqVec(v: Column, src: Seq[Int]): Column =
     array(src.map(d => element_at(v, d + 1)): _*)
 
-  def vecOpq(s: SparkSession, dir: String): DataFrame = {
-    val src = opqSrcOrder(s, dir)
-    val corpusSub = pqSubvecs(
+  /** Memoized B22 training: the energy-ranked source order (a 64-int
+    * driver sidecar — one full-corpus narrow pass saved per reuse) and
+    * the permuted codebook + corpus codes. */
+  private val opqSrcMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Int]]()
+  private def opqSrc(s: SparkSession, dir: String): Seq[Int] =
+    opqSrcMemo.computeIfAbsent((s, dir), _ => opqSrcOrder(s, dir))
+
+  private def opqCorpusSub(s: SparkSession, dir: String): DataFrame =
+    pqSubvecs(
       Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
-        .select(col("vec_id"), opqVec(q4vec(col("embedding")), src).as("v"))
+        .select(col("vec_id"),
+          opqVec(q4vec(col("embedding")), opqSrc(s, dir)).as("v"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id")),
       "vec_id")
-    val codebook = corpusSub.filter(col("vec_id") < 10 + PqK)
-      .select((col("vec_id") - 10).as("j"), col("m"), col("sub").as("cent"))
-    val codes = corpusSub.join(broadcast(codebook), Seq("m"))
-      .select(col("vec_id"), col("m"), col("j"),
-        sq(col("sub"), col("cent")).as("dist"))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+
+  private def opqCb(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "opq_cb") {
+      opqCorpusSub(s, dir).filter(col("vec_id") < 10 + PqK)
+        .select((col("vec_id") - 10).as("j"), col("m"), col("sub").as("cent"))
+    }
+
+  private def opqCodes(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "opq_codes") {
+      opqCorpusSub(s, dir).join(broadcast(opqCb(s, dir)), Seq("m"))
+        .select(col("vec_id"), col("m"), col("j"),
+          sq(col("sub"), col("cent")).as("dist"))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+    }
+
+  def vecOpq(s: SparkSession, dir: String): DataFrame = {
+    val src = opqSrc(s, dir)
+    val codebook = opqCb(s, dir)
+    val codes = opqCodes(s, dir)
     val dtab = pqSubvecs(
       Tables.embeddings(s, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"),
@@ -1817,43 +1868,66 @@ object Similarity {
     * needs cells big enough to train on; this operator is the correct
     * SHAPE for that regime, and the rung table says so rather than
     * implying an uplift the test corpus cannot show. */
-  def annIvfPqOpq(s: SparkSession, dir: String): DataFrame = {
-    val members = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
+  /** Corpus dims of the IVF cells — the shared scan under the B23/B24
+    * per-cell trainings. */
+  private def cellMembers(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
       .select(col("vec_id"), col("label"),
         posexplode(q4vec(col("embedding"))))
       .select(col("vec_id"), col("label"), col("pos").as("d"),
         col("col").as("x"))
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    // per-cell per-dim exact energy n·Σx²−(Σx)² → rank within the cell →
-    // snake deal: the same training rule as B22, one permutation PER CELL
-    val wRank = Window.partitionBy("label")
-      .orderBy(col("energy").desc, col("d"))
-    val perm = members.groupBy("label", "d")
-      .agg((count(lit(1)) * sum(col("x") * col("x"))
-        - sum("x") * sum("x")).as("energy"))
-      .withColumn("r", row_number().over(wRank) - 1)
-      .select(col("label"), col("d"),
-        when(expr(s"(r div $PqM) % 2") === 0, col("r") % PqM)
-          .otherwise(lit(PqM - 1) - col("r") % PqM).as("m"),
-        expr(s"r div $PqM").as("sd"))
-    val memberSub = members.join(broadcast(perm), Seq("label", "d"))
+
+  /** Memoized B23 training artifacts: per-cell permutation, cell-local
+    * codebook, corpus codes — trained once per (session, dir). */
+  private def opqCellPerm(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "opqc_perm") {
+      // per-cell per-dim exact energy n·Σx²−(Σx)² → rank within the cell
+      // → snake deal: the B22 training rule, one permutation PER CELL
+      val wRank = Window.partitionBy("label")
+        .orderBy(col("energy").desc, col("d"))
+      cellMembers(s, dir).groupBy("label", "d")
+        .agg((count(lit(1)) * sum(col("x") * col("x"))
+          - sum("x") * sum("x")).as("energy"))
+        .withColumn("r", row_number().over(wRank) - 1)
+        .select(col("label"), col("d"),
+          when(expr(s"(r div $PqM) % 2") === 0, col("r") % PqM)
+            .otherwise(lit(PqM - 1) - col("r") % PqM).as("m"),
+          expr(s"r div $PqM").as("sd"))
+    }
+
+  private def opqCellMemberSub(s: SparkSession, dir: String): DataFrame =
+    cellMembers(s, dir).join(broadcast(opqCellPerm(s, dir)), Seq("label", "d"))
       .select(col("vec_id"), col("label"), col("m"), col("sd"), col("x"))
-    // cell-local codebook: the PqK lowest member ids of each cell (the
-    // same deterministic sampling rule as the global B7 codebook)
-    val wJ = Window.partitionBy("label").orderBy("vec_id")
-    val cbIds = members.select("vec_id", "label").distinct()
-      .withColumn("j", row_number().over(wJ) - 1)
-      .filter(col("j") < PqK)
-    val codebook = memberSub
-      .join(broadcast(cbIds), Seq("vec_id", "label"))
-      .select(col("label"), col("j"), col("m"), col("sd"),
-        col("x").as("cx"))
-      .localCheckpoint(true)
-    val codes = memberSub.join(broadcast(codebook), Seq("label", "m", "sd"))
-      .groupBy(col("vec_id"), col("label"), col("m"), col("j"))
-      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
-      .groupBy("vec_id", "label", "m")
-      .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+
+  private def opqCellCb(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "opqc_cb") {
+      // cell-local codebook: the PqK lowest member ids of each cell (the
+      // same deterministic sampling rule as the global B7 codebook)
+      val wJ = Window.partitionBy("label").orderBy("vec_id")
+      val cbIds = cellMembers(s, dir).select("vec_id", "label").distinct()
+        .withColumn("j", row_number().over(wJ) - 1)
+        .filter(col("j") < PqK)
+      opqCellMemberSub(s, dir)
+        .join(broadcast(cbIds), Seq("vec_id", "label"))
+        .select(col("label"), col("j"), col("m"), col("sd"),
+          col("x").as("cx"))
+    }
+
+  private def opqCellCodes(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "opqc_codes") {
+      opqCellMemberSub(s, dir)
+        .join(broadcast(opqCellCb(s, dir)), Seq("label", "m", "sd"))
+        .groupBy(col("vec_id"), col("label"), col("m"), col("j"))
+        .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("dist"))
+        .groupBy("vec_id", "label", "m")
+        .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+    }
+
+  def annIvfPqOpq(s: SparkSession, dir: String): DataFrame = {
+    val perm = opqCellPerm(s, dir)
+    val codebook = opqCellCb(s, dir)
+    val codes = opqCellCodes(s, dir)
     // query side: each probed (query, cell) pair permutes the query
     // along THAT cell's permutation and tables distances to its codebook
     val probed = ivfProbed(s, dir).select("query_id", "label")
@@ -2003,34 +2077,46 @@ object Similarity {
     * pass, serving touches probed cells only. Measured in the rung
     * table (bench/aniso_r10.json): residual encoding is where IVF-PQ's
     * recall gap to the flat scan actually closes. */
-  def annIvfPqRes(s: SparkSession, dir: String): DataFrame = {
-    val members = Tables.embeddings(s, dir).filter(col("vec_id") >= 10)
-      .select(col("vec_id"), col("label"),
-        posexplode(q4vec(col("embedding"))))
-      .select(col("vec_id"), col("label"), col("pos").as("d"),
-        col("col").as("x"))
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    // per-cell coarse sums: S_d and n — the broadcastable centroid
-    // numerator/denominator (exact; never a float centroid)
-    val cellSum = members.groupBy("label", "d")
-      .agg(sum("x").as("cs"), count(lit(1)).as("n"))
-    val resid = members.join(broadcast(cellSum), Seq("label", "d"))
+  /** Memoized B24 training artifacts: per-cell coarse sums (the exact
+    * rational centroid numerator/denominator — never a float centroid),
+    * the per-cell residual codebook, and the corpus residual codes. */
+  private def resCellSum(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "res_cellsum") {
+      cellMembers(s, dir).groupBy("label", "d")
+        .agg(sum("x").as("cs"), count(lit(1)).as("n"))
+    }
+
+  private def resResid(s: SparkSession, dir: String): DataFrame =
+    cellMembers(s, dir).join(broadcast(resCellSum(s, dir)), Seq("label", "d"))
       .select(col("vec_id"), col("label"),
         expr(s"d div $PqSub").as("m"), (col("d") % PqSub).as("sd"),
         (col("x") * col("n") - col("cs")).as("r"))
-    val wJ = Window.partitionBy("label").orderBy("vec_id")
-    val cbIds = members.select("vec_id", "label").distinct()
-      .withColumn("j", row_number().over(wJ) - 1)
-      .filter(col("j") < PqK)
-    val codebook = resid.join(broadcast(cbIds), Seq("vec_id", "label"))
-      .select(col("label"), col("j"), col("m"), col("sd"),
-        col("r").as("cr"))
-      .localCheckpoint(true)
-    val codes = resid.join(broadcast(codebook), Seq("label", "m", "sd"))
-      .groupBy(col("vec_id"), col("label"), col("m"), col("j"))
-      .agg(sum((col("r") - col("cr")) * (col("r") - col("cr"))).as("dist"))
-      .groupBy("vec_id", "label", "m")
-      .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+
+  private def resCellCb(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "res_cb") {
+      val wJ = Window.partitionBy("label").orderBy("vec_id")
+      val cbIds = cellMembers(s, dir).select("vec_id", "label").distinct()
+        .withColumn("j", row_number().over(wJ) - 1)
+        .filter(col("j") < PqK)
+      resResid(s, dir).join(broadcast(cbIds), Seq("vec_id", "label"))
+        .select(col("label"), col("j"), col("m"), col("sd"),
+          col("r").as("cr"))
+    }
+
+  private def resCellCodes(s: SparkSession, dir: String): DataFrame =
+    memoArtifact(s, dir, "res_codes") {
+      resResid(s, dir)
+        .join(broadcast(resCellCb(s, dir)), Seq("label", "m", "sd"))
+        .groupBy(col("vec_id"), col("label"), col("m"), col("j"))
+        .agg(sum((col("r") - col("cr")) * (col("r") - col("cr"))).as("dist"))
+        .groupBy("vec_id", "label", "m")
+        .agg(min(struct(col("dist"), col("j"))).getField("j").as("code"))
+    }
+
+  def annIvfPqRes(s: SparkSession, dir: String): DataFrame = {
+    val cellSum = resCellSum(s, dir)
+    val codebook = resCellCb(s, dir)
+    val codes = resCellCodes(s, dir)
     val probed = ivfProbed(s, dir).select("query_id", "label")
     // scaled QUERY residual against each probed cell's own (S, n)
     val qres = Tables.embeddings(s, dir).filter(col("vec_id") < 10)
