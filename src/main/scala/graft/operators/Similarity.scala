@@ -766,6 +766,171 @@ object Similarity {
       FROM fused) WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** B18b (r12): hybrid retrieval with BM25 as the lexical leg — the
+    * shape Elasticsearch/Vespa actually ship (BM25 + dense, RRF-fused):
+    * B18's fusion and dense leg verbatim, but the lexical shortlist is
+    * scored with D30's exact BM25 (k1 = 1.2, b = 0.75, the rational
+    * Robertson idf — TextAnalysis.textBm25's int64 micro-unit formula)
+    * over CORPUS-side statistics (N, df, avgdl over doc_id ≥ 5 — query
+    * docs must not perturb the index stats), instead of B18's plain
+    * tf·idf_ppm. The pair (ann_hybrid ↔ ann_hybrid_bm25) isolates what
+    * the saturating-tf, length-normalized scorer buys the fused list —
+    * the r11 verdict's named rung comparison.
+    *
+    * Exactness: per-term scores are D30's ratio of two < 2⁵³ int64
+    * products, floored to micro-units, summed in int64 per (query, doc);
+    * leg ranks and RRF are B18's bit-deterministic arithmetic.
+    * Scale shape: identical to B18 — keyed inverted-index join for the
+    * lexical leg (shuffle ∝ query-term hits), broadcast query side for
+    * the dense leg, 1-row stats broadcast. */
+  def annHybridBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("t"))
+    val corpusTf = tok.filter(col("doc_id") >= 5)
+      .groupBy(col("doc_id").as("c_doc"), col("t"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val df_ = corpusTf.groupBy("t").agg(count(lit(1)).as("df"))
+    val totals = docs.filter(col("doc_id") >= 5)
+      .select(size(graft.functions.Text.tokens(col("text")))
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("t_toks"))
+      .withColumn("avgdl",
+        ((col("t_toks") - pmod(col("t_toks"), col("n"))) / col("n"))
+          .cast("long"))
+    val qTerms = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val legW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("c_doc"))
+    val num = lit(22L) * col("tf") * col("avgdl") *
+      (lit(2L) * col("n") - lit(2L) * col("df") + lit(1L))
+    val den = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("tf") * col("avgdl") + lit(3L) * col("avgdl") +
+        lit(9L) * col("dl"))
+    val lex = broadcast(qTerms)
+      .join(corpusTf, "t")
+      .join(broadcast(df_), "t")
+      .crossJoin(broadcast(totals))
+      .withColumn("fp",
+        floor(num.cast("double") / den.cast("double") * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy("query_id", "c_doc")
+      .agg(sum("fp").as("score"))
+      .withColumn("lex_rank", row_number().over(legW).cast("long"))
+      .filter(col("lex_rank") <= HybridLegK)
+      .select(col("query_id"), col("c_doc"), col("lex_rank"))
+    val raw = docs.select(col("doc_id"),
+      call_function("graft_hash_embed", col("text"), lit(EmbedDim)).as("w"))
+    val dense = raw.filter(col("doc_id") >= 5)
+      .select(col("doc_id").as("c_doc"), col("w").as("cw"))
+      .join(broadcast(raw.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("w").as("qw"))))
+      .select(col("query_id"), col("c_doc"),
+        call_function("graft_dot_l", col("qw"), col("cw")).as("score"))
+      .withColumn("vec_rank", row_number().over(legW).cast("long"))
+      .filter(col("vec_rank") <= HybridLegK)
+      .select(col("query_id"), col("c_doc"), col("vec_rank"))
+    val fusedW = Window.partitionBy("query_id")
+      .orderBy(col("fused").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "c_doc"), "full_outer")
+      .select(col("query_id"), col("c_doc").as("doc_id"),
+        col("lex_rank"), col("vec_rank"),
+        (when(col("lex_rank").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("vec_rank").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("vec_rank"))).otherwise(lit(0.0)))
+          .as("fused"))
+      .withColumn("rank", row_number().over(fusedW).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("fused"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle for B18b: D30's BM25 CTEs over corpus-side stats composed
+    * with B18's dense-leg slot-join CTEs and identical RRF arithmetic. */
+  val annHybridBm25Sql: String = s"""
+    WITH d0 AS (
+      SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+      FROM documents),
+    toks AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS t
+      FROM d0),
+    ctf AS (
+      SELECT doc_id AS c_doc, t, CAST(COUNT(*) AS BIGINT) AS tf,
+        CAST(MAX(dl) AS BIGINT) AS dl
+      FROM toks WHERE doc_id >= 5 GROUP BY doc_id, t),
+    dft AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM ctf GROUP BY t),
+    av AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(len(toks)) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl
+      FROM d0 WHERE doc_id >= 5),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, t FROM toks WHERE doc_id < 5),
+    lexscore AS (
+      SELECT q.query_id, c.c_doc,
+        CAST(SUM(CAST(floor(
+          CAST(22 * c.tf * av.avgdl * (2 * av.n - 2 * dft.df + 1) AS DOUBLE)
+          / CAST((2 * dft.df + 1)
+                 * (10 * c.tf * av.avgdl + 3 * av.avgdl + 9 * c.dl) AS DOUBLE)
+          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score
+      FROM qterms q
+      JOIN ctf c ON c.t = q.t
+      JOIN dft ON dft.t = q.t
+      CROSS JOIN av
+      GROUP BY q.query_id, c.c_doc),
+    lex AS (
+      SELECT query_id, c_doc, lex_rank FROM (
+        SELECT query_id, c_doc,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, c_doc) AS lex_rank
+        FROM lexscore) WHERE lex_rank <= $HybridLegK),
+    th AS (
+      SELECT doc_id,
+        CAST(('0x'||substr(md5(t),1,15))::BIGINT % $EmbedDim AS INT) AS slot,
+        ((('0x'||substr(md5(t),1,15))::BIGINT >> 5) & 1) * 2 - 1 AS sign
+      FROM toks),
+    slots AS (
+      SELECT doc_id, slot, CAST(SUM(sign) AS BIGINT) AS weight
+      FROM th GROUP BY doc_id, slot),
+    pairdots AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS c_doc,
+        CAST(SUM(q.weight * c.weight) AS BIGINT) AS dot
+      FROM slots q
+      JOIN slots c ON c.slot = q.slot AND c.doc_id >= 5
+      WHERE q.doc_id < 5
+      GROUP BY q.doc_id, c.doc_id),
+    densescore AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS c_doc,
+        COALESCE(p.dot, 0) AS score
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 5) q
+      CROSS JOIN (SELECT doc_id FROM documents WHERE doc_id >= 5) c
+      LEFT JOIN pairdots p
+        ON p.query_id = q.doc_id AND p.c_doc = c.doc_id),
+    dense AS (
+      SELECT query_id, c_doc, vec_rank FROM (
+        SELECT query_id, c_doc,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, c_doc) AS vec_rank
+        FROM densescore) WHERE vec_rank <= $HybridLegK),
+    fused AS (
+      SELECT COALESCE(lex.query_id, dense.query_id) AS query_id,
+        COALESCE(lex.c_doc, dense.c_doc) AS doc_id,
+        lex.lex_rank, dense.vec_rank,
+        (CASE WHEN lex.lex_rank IS NOT NULL
+              THEN 1.0 / ($RrfK + lex.lex_rank) ELSE 0.0 END +
+         CASE WHEN dense.vec_rank IS NOT NULL
+              THEN 1.0 / ($RrfK + dense.vec_rank) ELSE 0.0 END) AS fused
+      FROM lex
+      FULL OUTER JOIN dense
+        ON dense.query_id = lex.query_id AND dense.c_doc = lex.c_doc)
+    SELECT query_id, rank, doc_id, fused, lex_rank, vec_rank FROM (
+      SELECT query_id, doc_id, fused, lex_rank, vec_rank,
+        row_number() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id) AS rank
+      FROM fused) WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   // dot ≥ 0.25 at the exact 1e16 quantized scale — the radius for B10
   private val RangeThreshold = 2500000000000000L
 
@@ -3267,6 +3432,7 @@ object Similarity {
     "ann_knn_graph" -> (annKnnGraph _),
     "ann_graph_search" -> (annGraphSearch _),
     "ann_hybrid" -> (annHybrid _),
+    "ann_hybrid_bm25" -> (annHybridBm25 _),
     "vec_outliers" -> (vecOutliers _),
     "vec_embed" -> (vecEmbed _),
     "ann_lsh"   -> (annLsh _),
@@ -3301,6 +3467,7 @@ object Similarity {
     "ann_knn_graph" -> annKnnGraphSql,
     "ann_graph_search" -> annGraphSearchSql,
     "ann_hybrid" -> annHybridSql,
+    "ann_hybrid_bm25" -> annHybridBm25Sql,
     "vec_outliers" -> vecOutliersSql,
     "vec_embed" -> vecEmbedSql,
     "ann_lsh"   -> annLshSql,
