@@ -901,4 +901,96 @@ object Streams {
       .groupBy("cat").count()
       .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
   }
+
+  private val ShardCursorDir = "_graft_shard_cursor"
+
+  /** The shard-export cursor sidecar: ONE row (last_batch_id, last_base,
+    * next_base). `last_*` make a replay of the most recent batch reuse
+    * its original base (foreachBatch re-delivers the last uncommitted
+    * batchId with identical rows after a crash); `next_base` is where a
+    * genuinely new batch starts. Missing sidecar = a fresh export. */
+  private def loadShardCursor(spark: SparkSession, outDir: String)
+      : (Long, Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/$ShardCursorDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))) {
+      spark.catalog.refreshByPath(p.toString)
+      val r = spark.read.parquet(p.toString).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    } else (-1L, 0L, 0L)
+  }
+
+  /** F33 core (one micro-batch): assign every doc of `batch` a
+    * deterministic global (shard, pos) address — D32's two-phase
+    * bucketed shuffle-rank WITHIN the batch (md5-prefix range buckets,
+    * per-bucket local ranks + broadcast cumulative offsets ≡ the global
+    * in-batch rank exactly, no single-partition sort) offset by the
+    * cursor's running base, so addresses continue densely across
+    * micro-batches: shard = rk div shardSize, pos = rk mod shardSize,
+    * and a shard can span a batch boundary (the address is the
+    * contract, not the file). Replay-idempotent twice over: the batch's
+    * output lands in its own `data/batch_id=` directory with overwrite
+    * semantics, and a re-delivered batchId reuses its recorded base —
+    * byte-identical addresses, no holes, no double-writes. Returns the
+    * number of docs exported. */
+  def exportShardBatch(batch: DataFrame, batchId: Long, outDir: String,
+      shardSize: Long = 50L): Long = {
+    val spark = batch.sparkSession
+    val (lastId, lastBase, nextBase) = loadShardCursor(spark, outDir)
+    require(batchId >= lastId,
+      s"shard export went back in time: batch $batchId after $lastId — " +
+        "the checkpoint and the export dir belong to different jobs")
+    val base = if (batchId == lastId) lastBase else nextBase
+    val docs = batch
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 2))
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("bucket").agg(count(lit(1)).as("b_n"))
+      .withColumn("b_off", coalesce(sum("b_n").over(wB), lit(0L)))
+      .localCheckpoint(true)
+    val n = offsets.agg(sum("b_n")).head().getLong(0)
+    val wIn = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
+    docs.join(broadcast(offsets.select("bucket", "b_off")), "bucket")
+      .withColumn("rk",
+        lit(base) + col("b_off") + row_number().over(wIn).cast("long") - 1L)
+      .select(
+        ((col("rk") - pmod(col("rk"), lit(shardSize))) / shardSize)
+          .cast("long").as("shard"),
+        pmod(col("rk"), lit(shardSize)).as("pos"),
+        col("doc_id"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$outDir/data/batch_id=$batchId")
+    import spark.implicits._
+    Seq((batchId, base, base + n))
+      .toDF("last_batch_id", "last_base", "next_base").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/$ShardCursorDir")
+    n
+  }
+
+  /** F33: streaming shard export — the training-export loop as a
+    * micro-batch job, closing the last batch-only LLM-pipeline stage
+    * (D32/F30 were batch-only). Input is an admitted-docs stream
+    * (doc_id, text) — compose downstream of [[admissionJob]]'s index by
+    * streaming its ingested docs, or run standalone on any curated
+    * feed. Every admitted doc gets a deterministic, dense, never-reused
+    * (shard, pos) address the moment its batch commits: consumers can
+    * tail `outDir/data` and train on shards as they fill. Checkpointing
+    * + the cursor sidecar make addresses stable across restarts (the
+    * StreamingSpec pins byte-identical addresses across a kill +
+    * restart replay). */
+  def shardExportJob(docs: DataFrame, outDir: String, checkpointDir: String,
+      shardSize: Long = 50L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          exportShardBatch(batch.localCheckpoint(true), batchId, outDir,
+            shardSize)
+        }
+        ()
+      }
+      .start()
 }

@@ -878,4 +878,94 @@ class StreamingSpec extends AnyFunSuite {
     val base = Streams.chisqBaseline(wSame.toDF()).sortBy(_._1)
     assert(base == ref, s"baseline composition mismatch: $base")
   }
+
+  // driver-side replica of the export's shuffle key for truth checks
+  private def shufKey(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"shuf42:$id".getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  test("F33: streaming shard export — dense deterministic addresses across batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    val (out, chk) = (s"$base/out", s"$base/chk")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.shardExportJob(
+      input.toDF().toDF("doc_id", "text"), out, chk, shardSize = 4L)
+    input.addData((1L to 10L).map(i => (i, s"doc number $i")): _*)
+    q.processAllAvailable()
+    input.addData((11L to 17L).map(i => (i, s"doc number $i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(s"$out/data")
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0) * 4 + r.getLong(1), r.getLong(2)))
+    assert(rows.length == 17)
+    assert(rows.map(_._1).sorted.toSeq == (0L until 17L),
+      s"addresses not dense: ${rows.sortBy(_._1).mkString(",")}")
+    // in-batch order is the D32 shuffle rank: (md5('shuf42:'+id), id)
+    val got1 = rows.filter(_._2 <= 10).sortBy(_._1).map(_._2).toSeq
+    assert(got1 == (1L to 10L).sortBy(i => (shufKey(i), i)),
+      s"batch-1 order drifted: $got1")
+    val got2 = rows.filter(_._2 > 10).sortBy(_._1).map(_._2).toSeq
+    assert(got2 == (11L to 17L).sortBy(i => (shufKey(i), i)),
+      s"batch-2 order drifted: $got2")
+    // batch 2 continues exactly where batch 1 stopped — shard 2 spans
+    // the boundary (addresses 8-9 from batch 1, 10-11 from batch 2)
+    assert(rows.filter(_._2 > 10).map(_._1).min == 10L)
+  }
+
+  test("F33: a replayed batchId reuses its base — byte-identical addresses") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shard_rp").toString
+    val d1 = Seq((1L, "aa"), (2L, "bbb"), (3L, "c")).toDF("doc_id", "text")
+    assert(Streams.exportShardBatch(d1, 0L, out, 4L) == 3L)
+    def snap() = spark.read.parquet(s"$out/data")
+      .select("shard", "pos", "doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val first = snap()
+    // crash-replay: same batchId, same rows — output must not move
+    assert(Streams.exportShardBatch(d1, 0L, out, 4L) == 3L)
+    assert(snap() == first, "replay changed the export")
+    // the next real batch continues at base 3 (no hole from the replay)
+    val d2 = Seq((9L, "dddd")).toDF("doc_id", "text")
+    assert(Streams.exportShardBatch(d2, 1L, out, 4L) == 1L)
+    val all = snap()
+    assert(all.map(t => t._1 * 4 + t._2).sorted == (0L to 3L),
+      s"addresses not dense after replay+append: $all")
+    assert(all.find(_._3 == 9L).get._4 == 4L)
+    // time travel (a batchId older than the cursor) fails loud
+    intercept[IllegalArgumentException] {
+      Streams.exportShardBatch(d1, 0L, out, 4L)
+    }
+  }
+
+  test("F33: checkpointed restart continues the address space densely") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_shard_rs").toString
+    val (land, out, chk) = (s"$base/land", s"$base/out", s"$base/chk")
+    def runOnce(): Unit = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(land)
+      val q = Streams.shardExportJob(docs, out, chk, shardSize = 4L)
+      q.processAllAvailable(); q.stop()
+    }
+    (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(land)
+    runOnce()
+    val firstSix = spark.read.parquet(s"$out/data")
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    (7L to 9L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(land)
+    runOnce() // restart from checkpoint picks up ONLY the new file
+    val after = spark.read.parquet(s"$out/data")
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the first six addresses are untouched by the restart
+    assert(after.filter(_._3 <= 6L).sortBy(_._3).toSeq == firstSix,
+      "restart moved committed addresses")
+    assert(after.map(t => t._1 * 4 + t._2).sorted.toSeq == (0L until 9L),
+      s"addresses not dense across restart: ${after.mkString(",")}")
+  }
 }
