@@ -133,6 +133,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           foldableNum(c, "graft_qhist", s"percentile #${i + 1}") })
         .toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_isotonic"),
+      new ExpressionInfo(classOf[graft.plans.IsotonicFit].getName, null,
+        "graft_isotonic"),
+      (children: Seq[Expression]) => graft.plans.IsotonicFit(children(0),
+        children(1), children(2)).toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, null, "graft_simhash32"),
       (children: Seq[Expression]) => SimHash32(children.head)))
