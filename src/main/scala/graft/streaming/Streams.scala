@@ -902,6 +902,61 @@ object Streams {
       .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
   }
 
+  /** F34 core (one micro-batch): the #EDIT reprocess semantics applied
+    * to a maintained vector store. Intra-batch keep-latest per doc_id
+    * first (newest ts wins, deterministic md5 content tie — F3's total
+    * order applied to document versions: two versions of one doc in ONE
+    * micro-batch must collapse before the edit, or the store would
+    * ingest both), then EVERY surviving doc routes through the G42 edit
+    * lifecycle — delete + delete-splice + append + insert-splice with
+    * all frozen sidecars reused — which degenerates to a plain append
+    * for never-seen docs (delete finds no victims), so new docs and
+    * edits need no separate code path, exactly like IngestJob's batch
+    * loop. Replay-idempotent: re-running a batch deletes the chunks it
+    * just added and re-appends identical content. The collected id list
+    * is the bounded-sidecar discipline (edits per micro-batch are
+    * human-generated, the IngestJob volume note). Returns (removed,
+    * added) chunk counts. */
+  def applyEditBatch(batch: DataFrame, indexDir: String,
+      chunkSize: Int = 20, overlap: Int = 5): (Long, Long) = {
+    val spark = batch.sparkSession
+    val wCopy = Window.partitionBy("doc_id")
+      .orderBy(col("ts").desc, md5(col("text")).desc)
+    val latest = batch.withColumn("copy_rk", row_number().over(wCopy))
+      .filter(col("copy_rk") === 1)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val ids = latest.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    if (ids.isEmpty) (0L, 0L)
+    else if (new java.io.File(indexDir).isDirectory) {
+      graft.operators.VectorStore.recover(spark, indexDir)
+      graft.operators.VectorStore.edit(spark, indexDir, ids, latest,
+        chunkSize, overlap)
+    } else
+      (0L, graft.operators.VectorStore.ingest(latest, indexDir, chunkSize,
+        overlap, mode = "append"))
+  }
+
+  /** F34: streaming #EDIT lifecycle — the reference's per-run
+    * `_handle_edit_flags` loop (KnowledgeBot.py:571-611) as a stream:
+    * document versions arrive continuously and the maintained index
+    * (chunks, PQ/SQ8/JL code sidecars, graph splices) always serves the
+    * LATEST version of every doc. Composes F3's keep-latest order with
+    * G42's maintained-index edit; the StreamingSpec pins the resulting
+    * store bit-identical to the batch `edit()` path, graph sidecar
+    * included. */
+  def editLifecycleJob(docs: DataFrame, indexDir: String,
+      checkpointDir: String, chunkSize: Int = 20, overlap: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) applyEditBatch(batch, indexDir, chunkSize, overlap)
+        ()
+      }
+      .start()
+
   private val ShardCursorDir = "_graft_shard_cursor"
 
   /** The shard-export cursor sidecar: ONE row (last_batch_id, last_base,

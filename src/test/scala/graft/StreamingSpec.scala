@@ -940,6 +940,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("F34: streaming edit lifecycle == batch edit(), graph sidecar bit-for-bit") {
+    import graft.operators.VectorStore
+    import graft.sources.Tables
+    val base = java.nio.file.Files.createTempDirectory("graft_sedit").toString
+    val v1 = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val editedText = "completely rewritten content for the edited parent " +
+      "document carrying enough words to chunk into several windows " +
+      (1 to 40).map(i => s"tok$i").mkString(" ")
+
+    // BATCH reference: ingest v1, build the graph, edit doc 7
+    val bDir = s"$base/batch"
+    assert(VectorStore.ingest(v1.toDF("doc_id", "text"), bDir) > 0)
+    assert(VectorStore.buildGraph(spark, bDir) > 0)
+    VectorStore.edit(spark, bDir, Seq(7L),
+      Seq((7L, editedText)).toDF("doc_id", "text"))
+
+    // STREAMING twin: batch 0 = v1 versions, then the graph is built,
+    // then batch 1 delivers the edit PLUS a stale older version of the
+    // same doc — keep-latest must collapse them before the edit
+    val sDir = s"$base/stream"
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = Streams.editLifecycleJob(
+      input.toDF().toDF("doc_id", "ts", "text"), sDir, s"$base/chk")
+    input.addData(v1.map { case (id, t) => (id, ts(1), t) }: _*)
+    q.processAllAvailable()
+    assert(VectorStore.buildGraph(spark, sDir) > 0)
+    input.addData((7L, ts(10), editedText), (7L, ts(5), "stale version"))
+    q.processAllAvailable()
+    q.stop()
+
+    // the stores must be row-identical (all columns: chunks, codes,
+    // sq8/jl sidecars, batch tags) and the graph sidecars edge-identical
+    def rows(d: String) = spark.read.parquet(d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(sDir) == rows(bDir), "index rows diverged from batch edit")
+    def edges(d: String) = spark.read
+      .parquet(s"$d/_graft_graph/edges.parquet")
+      .collect().map(_.toString).sorted.toSeq
+    assert(edges(sDir) == edges(bDir), "graph sidecar diverged from batch edit")
+    // and the served read agrees: the edited content is what comes back
+    val hit = VectorStore.searchCells(spark, sDir,
+      "completely rewritten content for the edited parent document", k = 1)
+      .collect().head
+    assert(hit.getAs[Long]("doc_id") == 7L)
+  }
+
   test("F33: checkpointed restart continues the address space densely") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_shard_rs").toString
