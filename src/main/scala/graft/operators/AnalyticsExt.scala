@@ -314,26 +314,48 @@ object AnalyticsExt {
     * all int64 (cum ≤ 10⁶ rows/type · n ≤ 10⁶ → 10¹² ✓); ONE final IEEE
     * division by nA·nB. No libm, no approximation.
     *
-    * Scale shape: one keyed shuffle to (type, value) counts with map-side
-    * partial aggregation, then ONE sort-window per event_type over
-    * distinct values — types are the parallel unit, and the per-type sort
-    * is the irreducible cost of an exact ECDF sup-distance (a bucketed
-    * approximate KS would reuse E35's histogram if types ever skewed). */
+    * Scale shape (r14): one keyed shuffle to (type, value) counts with
+    * map-side partial aggregation, then the two-phase bucketed prefix
+    * sum — per-(type, value-bucket) cumulative windows + broadcast
+    * per-type bucket offsets reproduce the global ECDF cumsums exactly —
+    * so even a CONTINUOUS value universe (distinct values ≈ rows) never
+    * funnels a type through one sort task; (type, bucket) cells are the
+    * parallel unit. (E35's mergeable histogram remains the cheaper
+    * approximate fallback when exactness isn't required.) */
   def qKsDrift(s: SparkSession, dir: String): DataFrame = {
     val split = to_timestamp(lit("2024-01-16 00:00:00"))
+    // r14: the per-type cumulative windows run two-phase over monotone
+    // value buckets (shiftright(cents, 10) — the E68/E69 rank trick
+    // applied to PREFIX SUMS: per-(type, bucket) local cumsums +
+    // broadcast per-type bucket offsets ≡ the global cumsum exactly,
+    // and ties share a bucket since the bucket is a function of value).
+    // Closes the r11 verdict's watch item: a type with a CONTINUOUS
+    // value universe no longer degenerates to one distinct-value-sized
+    // window task; per-type totals come from the tiny bucket-sum table,
+    // not a second row-sized window.
     val perVal = Tables.events(s, dir)
       .select(col("event_type"), col("value"),
         (col("ts") < split).cast("long").as("isa"))
       .groupBy("event_type", "value")
       .agg(sum("isa").as("ca"), (count(lit(1)) - sum("isa")).as("cb"))
-    val wCum = Window.partitionBy("event_type").orderBy("value")
+      .withColumn("bkt",
+        shiftright(floor(col("value") * lit(100.0)).cast("long"), 10))
+    val wB = Window.partitionBy("event_type").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perVal.groupBy("event_type", "bkt")
+      .agg(sum("ca").as("sa"), sum("cb").as("sb"))
+      .withColumn("offa", coalesce(sum("sa").over(wB), lit(0L)))
+      .withColumn("offb", coalesce(sum("sb").over(wB), lit(0L)))
+    val tot = offs.groupBy("event_type")
+      .agg(sum("sa").as("na"), sum("sb").as("nb"))
+    val wCum = Window.partitionBy("event_type", "bkt").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("event_type")
     perVal
-      .withColumn("cuma", sum("ca").over(wCum))
-      .withColumn("cumb", sum("cb").over(wCum))
-      .withColumn("na", sum("ca").over(wAll))
-      .withColumn("nb", sum("cb").over(wAll))
+      .join(broadcast(offs.select("event_type", "bkt", "offa", "offb")),
+        Seq("event_type", "bkt"))
+      .withColumn("cuma", col("offa") + sum("ca").over(wCum))
+      .withColumn("cumb", col("offb") + sum("cb").over(wCum))
+      .join(broadcast(tot), "event_type")
       .groupBy("event_type")
       .agg(max("na").as("n_a"), max("nb").as("n_b"),
         max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("dnum"))
@@ -453,20 +475,34 @@ object AnalyticsExt {
     * the monitor most needs to flag) pins auc=NULL, shifted=TRUE in
     * both engines (E64's empty-side guard, adapted).
     *
-    * Scale shape: E62's exact profile — one keyed (type, value) shuffle
-    * with map-side partials, one sort-window per type over DISTINCT
-    * values; types are the parallel unit. */
+    * Scale shape (r14): E62's exact profile — one keyed (type, value)
+    * shuffle with map-side partials, then the two-phase bucketed prefix
+    * sum (per-(type, value-bucket) windows + broadcast offsets), so a
+    * continuous value universe never funnels a type's distinct values
+    * through one sort task. */
   def qAucDrift(s: SparkSession, dir: String): DataFrame = {
     val split = to_timestamp(lit("2024-01-16 00:00:00"))
+    // r14: same two-phase bucketed prefix-sum decomposition as E62 (see
+    // qKsDrift) — the exclusive cumA before v = bucket offset + local
+    // exclusive cumsum within the (type, bucket) window.
     val perVal = Tables.events(s, dir)
       .select(col("event_type"), col("value"),
         (col("ts") < split).cast("long").as("isa"))
       .groupBy("event_type", "value")
       .agg(sum("isa").as("a"), (count(lit(1)) - sum("isa")).as("b"))
-    val wCum = Window.partitionBy("event_type").orderBy("value")
+      .withColumn("bkt",
+        shiftright(floor(col("value") * lit(100.0)).cast("long"), 10))
+    val wB = Window.partitionBy("event_type").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perVal.groupBy("event_type", "bkt").agg(sum("a").as("sa"))
+      .withColumn("offa", coalesce(sum("sa").over(wB), lit(0L)))
+      .select("event_type", "bkt", "offa")
+    val wCum = Window.partitionBy("event_type", "bkt").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, -1)
     perVal
-      .withColumn("cuma", coalesce(sum("a").over(wCum), lit(0L)))
+      .join(broadcast(offs), Seq("event_type", "bkt"))
+      .withColumn("cuma",
+        col("offa") + coalesce(sum("a").over(wCum), lit(0L)))
       .groupBy("event_type")
       .agg(sum("a").as("n_a"), sum("b").as("n_b"),
         sum(lit(2L) * col("b") * col("cuma") + col("a") * col("b"))
