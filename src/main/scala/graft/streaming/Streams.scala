@@ -880,8 +880,11 @@ object Streams {
       .groupBy(window(col("ts"), "10 minutes"))
       .agg(catCounts.head, catCounts.tail :+ count(lit(1)).as("n_events"): _*)
     def term(a: Column, bk: Long): Column = {
-      val d = a * lit(nRef) - lit(bk) * col("n_events")
-      (d * d).cast("double") /
+      // d exact int64; SQUARED IN DOUBLE (the E64 r12 advice fix — d²
+      // wraps int64 once nObs·nRef > ~3·10⁹, double·double of the
+      // identically-rounded d is the same IEEE product everywhere)
+      val d = (a * lit(nRef) - lit(bk) * col("n_events")).cast("double")
+      d * d /
         (col("n_events") * lit(nRef)).cast("double") /
         (a + lit(bk)).cast("double")
     }
@@ -891,6 +894,52 @@ object Streams {
     val chi2 = refTerms.reduce(_ + _) + otherTerm
     agg.select(col("window.start").as("window_start"), col("n_events"),
       chi2.as("chi2"), (chi2 > lit(threshold)).as("drifted"))
+  }
+
+  /** F35: streaming location-drift monitor — E67's Mann–Whitney AUC
+    * made streamable, completing the streaming drift family's LOCATION
+    * member (F18 PSI and F31 KS page on any shape change but say
+    * nothing about direction; F32 ranks a categorical mix; this reads
+    * 0.5 = no shift, > 0.5 = the window runs HIGH vs the reference).
+    * Per tumbling window, the BUCKETED AUC between arriving `value`s
+    * and a FROZEN width-[[KsBucketW]] reference histogram (reuse
+    * [[ksBaseline]]): over the fixed edge grid, a row's doubled tie-safe
+    * Mann–Whitney credit is w(edge) = Σ_e (2·b_e·1[edge > e] +
+    * b_e·1[edge = e]) — every b_e a PLAN LITERAL (the F18/F31/F32
+    * fold-in discipline), so the per-window state is exactly TWO longs
+    * (Σw and n) no matter how fine the grid: strictly less state than
+    * F31's per-edge counts, because the reference weights fold into the
+    * row expression. 2U = Σw is exact int64 (≤ 2·nObs·nRef, the E67
+    * bound); auc = Σw / (2·nObs·nRef) is one IEEE division. This is
+    * exactly the AUC of the bucket-rounded distributions — ties at
+    * bucket width count half, the same rounding F31's KS accepts.
+    *
+    * Calibration pins (spec): a window drawn with the reference's own
+    * composition (any size) reads auc = 0.5 EXACTLY (2U = s·nRef² ties
+    * out algebraically); a window entirely above the reference's top
+    * edge reads exactly 1.0, entirely below the bottom edge exactly
+    * 0.0; a hand-computed mixed window matches to the last bit. */
+  def aucMonitor(events: DataFrame, reference: Seq[(Long, Long)],
+      threshold: Double = 0.1): DataFrame = {
+    require(reference.nonEmpty, "reference histogram is empty")
+    val nRef = reference.map(_._2).sum
+    require(nRef > 0, "reference histogram has zero mass")
+    val edgeOf = (floor(col("value") / KsBucketW).cast("long")
+      * KsBucketW + KsBucketW)
+    val w = reference.map { case (e, b) =>
+      when(col("edge") > e, 2L * b).when(col("edge") === e, b)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val agg = events
+      .select(col("ts"), edgeOf.as("edge"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(sum(w).as("u2"), count(lit(1)).as("n_events"))
+    val auc = col("u2").cast("double") /
+      (lit(2L) * col("n_events") * lit(nRef)).cast("double")
+    agg.select(col("window.start").as("window_start"), col("n_events"),
+      auc.as("auc"),
+      (abs(auc - lit(0.5)) > lit(threshold)).as("shifted"))
   }
 
   /** Convenience: the frozen reference composition for [[chisqMonitor]]

@@ -879,6 +879,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(base == ref, s"baseline composition mismatch: $base")
   }
 
+  test("F35: AUC monitor — 0.5 on the reference's own composition, exact extremes") {
+    // reference: one value per decade bucket 10..40 (nRef=4)
+    val ref = (1 to 4).map(i => (i * 10L, 1L))
+    // window 0: the reference composition at DOUBLE the size — the
+    // scaled-shape identity 2U = s·nRef² must read auc exactly 0.5
+    val wSame = (1 to 8).map(i =>
+      StreamEvent(i.toLong, ts(2), 1L, "click", ((i - 1) % 4 + 1) * 10.0 - 5.0))
+    // window 1: entirely above the top edge -> auc exactly 1.0
+    val wHigh = (1 to 3).map(i =>
+      StreamEvent(100L + i, ts(12), 1L, "click", 95.0 + i * 10.0))
+    // window 2: entirely below the bottom edge -> auc exactly 0.0
+    val wLow = Seq(StreamEvent(200L, ts(22), 1L, "click", -25.0))
+    // window 3: hand-computed mix — edges 10/30/100: w = 1 + 5 + 8 = 14,
+    // auc = 14 / (2·3·4) = 0.5833333333333334 (< threshold 0.1 shift? no:
+    // |0.5833-0.5| = 0.0833 -> not shifted)
+    val wMix = Seq(
+      StreamEvent(300L, ts(32), 1L, "click", 5.0),
+      StreamEvent(301L, ts(32), 1L, "click", 25.0),
+      StreamEvent(302L, ts(32), 1L, "click", 95.0))
+    val input = MemoryStream[StreamEvent](spark)
+    input.addData(wSame ++ wHigh ++ wLow ++ wMix: _*)
+    val rows = runToCompletion(
+      Streams.aucMonitor(input.toDF(), ref), OutputMode.Complete)
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val (nS, aS, sS) = rows("2024-01-01 00:00:00.0")
+    val (nH, aH, sH) = rows("2024-01-01 00:10:00.0")
+    val (nL, aL, sL) = rows("2024-01-01 00:20:00.0")
+    val (nM, aM, sM) = rows("2024-01-01 00:30:00.0")
+    assert(nS == 8L && aS == 0.5 && !sS, s"same-composition window: auc=$aS")
+    assert(nH == 3L && aH == 1.0 && sH, s"all-above window: auc=$aH")
+    assert(nL == 1L && aL == 0.0 && sL, s"all-below window: auc=$aL")
+    assert(nM == 3L && aM == 14.0 / 24.0 && !sM, s"mixed window: auc=$aM")
+  }
+
+  test("F35: doubled-unit counts merge across micro-batches (auc stays exact)") {
+    val ref = (1 to 4).map(i => (i * 10L, 1L))
+    val b1 = (1 to 4).map(i =>
+      StreamEvent(i.toLong, ts(3), 1L, "click", i * 10.0 - 5.0))
+    val b2 = (1 to 4).map(i =>
+      StreamEvent(10L + i, ts(4), 1L, "click", i * 10.0 - 5.0))
+    val input = MemoryStream[StreamEvent](spark)
+    val q = Streams.aucMonitor(input.toDF(), ref)
+      .writeStream.format("memory").queryName("f35merge")
+      .outputMode(OutputMode.Complete).start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val r = spark.table("f35merge").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(r == Seq((8L, 0.5)), s"merged window drifted: $r")
+  }
+
   // driver-side replica of the export's shuffle key for truth checks
   private def shufKey(id: Long): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
