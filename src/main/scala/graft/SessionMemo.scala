@@ -32,7 +32,22 @@ final class SessionMemo {
         }
       })
     }
-    entries.computeIfAbsent((s, dir), _ => build)
+    // NOT computeIfAbsent: an artifact's build may itself consult this
+    // memo (r12's PQ variant family — codes build → codebook build, same
+    // map), and a nested computeIfAbsent on one ConcurrentHashMap throws
+    // "Recursive update" whenever the two keys share a bin — a
+    // hash-dependent landmine the NullInputSpec tripped. Build OUTSIDE
+    // the map lock; a concurrent duplicate build is deterministic and
+    // putIfAbsent keeps exactly one (the loser's checkpoint idles until
+    // session end — waste, never wrongness).
+    val key = (s, dir)
+    val existing = entries.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = entries.putIfAbsent(key, built)
+      if (prev != null) prev else built
+    }
   }
 
   def clear(): Unit = entries.clear()
