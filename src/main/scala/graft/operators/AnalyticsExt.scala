@@ -792,6 +792,90 @@ object AnalyticsExt {
     * Scale shape: one keyed (type, dow) aggregate with map-side partials
     * (7·|types| cells), the per-type totals a ≤7-row window — nothing
     * global, nothing data-sized past the first reduce. */
+  /** E70 (r14): Mann–Kendall trend test — per event_type, the
+    * nonparametric S statistic over the DAILY mean series: S =
+    * Σ_{i<j} sign(mean_j − mean_i), the TREND member completing the
+    * batch drift family (E61 profile range/nulls, E62 KS shape, E64 χ²
+    * mix, E67 AUC location — none of which can say "this feed has been
+    * creeping up all month"). Rank-based, so one fat-fingered outlier
+    * day moves S by at most n−1.
+    *
+    * Exactness: ZERO floating point until the last column — daily sums
+    * are int64 cents, each pair's mean comparison is the exact
+    * cross-multiplication sign(ys_j·yn_i − ys_i·yn_j), S is an int64
+    * sum of signs, and the trend flag is the z-test |z| > 1.96 spelled
+    * as the EXACT integer inequality S_adj²·180000 >
+    * 38416·n(n−1)(2n+5) (z² = S_adj²/Var with Var = n(n−1)(2n+5)/18
+    * and 1.96² = 38416/10⁴; S_adj = S∓1 toward zero, the standard
+    * continuity correction; the no-ties variance — cent-exact daily
+    * means tie with negligible probability, and a tie only shrinks the
+    * true variance, making this flag conservative... strict: ties make
+    * the uncorrected variance an over-estimate, so the flag under-fires
+    * — documented, not hidden). Kendall's tau = S/(pairs) is the ONE
+    * IEEE division, fixed order, hash-stable.
+    *
+    * Scale shape: the pair join runs over DAILY cells — the E65
+    * discipline: n is calendar-bounded (31 here), so the per-type
+    * O(n²) pair set is ≤465 rows/type regardless of row count; raw
+    * rows reduce in the first keyed map-side aggregate. */
+  def qTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("ys"), count(lit(1)).as("yn"))
+    val a = daily.select(col("event_type"), col("day").as("da"),
+      col("ys").as("sa"), col("yn").as("na"))
+    val b = daily.select(col("event_type"), col("day").as("db"),
+      col("ys").as("sb"), col("yn").as("nb"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
+      .select(col("event_type"),
+        signum(col("sb") * col("na") - col("sa") * col("nb"))
+          .cast("long").as("sgn"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("np"), sum("sgn").as("s"))
+    val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val sAdj2 = when(col("s") > 0L, (col("s") - 1L) * (col("s") - 1L))
+      .when(col("s") < 0L, (col("s") + 1L) * (col("s") + 1L))
+      .otherwise(lit(0L))
+    pairs.join(broadcast(nd), "event_type")
+      .select(col("event_type"), col("n").as("n_days"), col("s").as("mk_s"),
+        (col("s").cast("double") / col("np").cast("double")).as("tau"),
+        (sAdj2 * lit(180000L) >
+          lit(38416L) * col("n") * (col("n") - 1L)
+            * (lit(2L) * col("n") + 5L)).as("trending"))
+      .orderBy("event_type")
+  }
+
+  val qTrendSql: String = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(SUM(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS ys,
+        CAST(COUNT(*) AS BIGINT) AS yn
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    p AS (
+      SELECT a.event_type,
+        CASE WHEN b.ys * a.yn > a.ys * b.yn THEN CAST(1 AS BIGINT)
+             WHEN b.ys * a.yn < a.ys * b.yn THEN CAST(-1 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS sgn
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND a.day < b.day),
+    ag AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS np,
+        CAST(SUM(sgn) AS BIGINT) AS s
+      FROM p GROUP BY event_type),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type)
+    SELECT ag.event_type, nd.n AS n_days, ag.s AS mk_s,
+      CAST(ag.s AS DOUBLE) / CAST(ag.np AS DOUBLE) AS tau,
+      (CASE WHEN ag.s > 0 THEN (ag.s - 1) * (ag.s - 1)
+            WHEN ag.s < 0 THEN (ag.s + 1) * (ag.s + 1)
+            ELSE CAST(0 AS BIGINT) END) * 180000
+        > 38416 * nd.n * (nd.n - 1) * (2 * nd.n + 5) AS trending
+    FROM ag JOIN nd ON nd.event_type = ag.event_type
+    ORDER BY ag.event_type"""
+
   def qSeasonal(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(s, dir)
       .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
@@ -1285,6 +1369,7 @@ object AnalyticsExt {
     "q_chisq_drift" -> (qChisqDrift _),
     "q_isotonic"    -> (qIsotonic _),
     "q_seasonal"    -> (qSeasonal _),
+    "q_trend"       -> (qTrend _),
     "q_auc_drift"   -> (qAucDrift _),
     "q_winsorize"   -> (qWinsorize _),
     "q_gini"        -> (qGini _),
@@ -1311,6 +1396,7 @@ object AnalyticsExt {
     "q_chisq_drift" -> qChisqDriftSql,
     "q_isotonic"    -> qIsotonicSql,
     "q_seasonal"    -> qSeasonalSql,
+    "q_trend"       -> qTrendSql,
     "q_auc_drift"   -> qAucDriftSql,
     "q_winsorize"   -> qWinsorizeSql,
     "q_gini"        -> qGiniSql,
