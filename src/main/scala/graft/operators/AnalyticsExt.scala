@@ -842,15 +842,20 @@ object AnalyticsExt {
     * are int64 cents, each pair's mean comparison is the exact
     * cross-multiplication sign(ys_j·yn_i − ys_i·yn_j), S is an int64
     * sum of signs, and the trend flag is the z-test |z| > 1.96 spelled
-    * as the EXACT integer inequality S_adj²·180000 >
-    * 38416·n(n−1)(2n+5) (z² = S_adj²/Var with Var = n(n−1)(2n+5)/18
-    * and 1.96² = 38416/10⁴; S_adj = S∓1 toward zero, the standard
-    * continuity correction; the no-ties variance — cent-exact daily
-    * means tie with negligible probability, and a tie only shrinks the
-    * true variance, making this flag conservative... strict: ties make
-    * the uncorrected variance an over-estimate, so the flag under-fires
-    * — documented, not hidden). Kendall's tau = S/(pairs) is the ONE
-    * IEEE division, fixed order, hash-stable.
+    * as the EXACT inequality S_adj²·180000 > 38416·(n(n−1)(2n+5) − T)
+    * (z² = S_adj²/Var with the tie-corrected Var = [n(n−1)(2n+5) −
+    * Σ_k t_k(t_k−1)(2t_k+5)]/18 — Kendall's standard correction, t_k =
+    * size of the k-th group of EQUAL daily means; 1.96² = 38416/10⁴;
+    * S_adj = S∓1 toward zero, the standard continuity correction). The
+    * tie term T is computed exactly from the same daily-cell pair join:
+    * each cell's equal-mean partner count e (exact rational equality
+    * via cross-multiplication) gives Σ_cells e(2e+7) ≡ Σ_k
+    * t(t−1)(2t+5). Both inequality sides are evaluated in DECIMAL(38)
+    * (HUGEINT in the oracle), so there is NO int64 bound on n_days or
+    * |S| (r12 advice: the old int64 form wrapped at |S| ≳ 7.1·10⁶ ≈ a
+    * 10-year daily feed; decimal headroom now reaches n ≈ 10⁹ days).
+    * Kendall's tau = S/(pairs) is the ONE IEEE division, fixed order,
+    * hash-stable.
     *
     * Scale shape: the pair join runs over DAILY cells — the E65
     * discipline: n is calendar-bounded (31 here), so the per-type
@@ -873,15 +878,29 @@ object AnalyticsExt {
       .groupBy("event_type")
       .agg(count(lit(1)).as("np"), sum("sgn").as("s"))
     val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val sAdj2 = when(col("s") > 0L, (col("s") - 1L) * (col("s") - 1L))
-      .when(col("s") < 0L, (col("s") + 1L) * (col("s") + 1L))
-      .otherwise(lit(0L))
+    // exact tie term: per daily cell, e = # other cells of the type with
+    // the SAME rational mean (cross-multiplied equality); summing
+    // e(2e+7) over cells ≡ Σ_k t_k(t_k−1)(2t_k+5) over tie groups
+    val ties = a.join(b, Seq("event_type"))
+      .filter(col("da") =!= col("db") &&
+        col("sb") * col("na") === col("sa") * col("nb"))
+      .groupBy(col("event_type"), col("da"))
+      .agg(count(lit(1)).as("e"))
+      .groupBy("event_type")
+      .agg(sum(col("e") * (lit(2L) * col("e") + 7L)).as("tt"))
+    val d38 = DecimalType(38, 0)
+    val sAdj = when(col("s") > 0L, col("s") - 1L)
+      .when(col("s") < 0L, col("s") + 1L).otherwise(lit(0L))
+    val lhs = sAdj.cast(d38) * sAdj.cast(d38) * lit(180000L).cast(d38)
+    val rhs = lit(38416L).cast(d38) *
+      (col("n").cast(d38) * (col("n") - 1L).cast(d38)
+        * (lit(2L) * col("n") + 5L).cast(d38)
+        - coalesce(col("tt"), lit(0L)).cast(d38))
     pairs.join(broadcast(nd), "event_type")
+      .join(broadcast(ties), Seq("event_type"), "left")
       .select(col("event_type"), col("n").as("n_days"), col("s").as("mk_s"),
         (col("s").cast("double") / col("np").cast("double")).as("tau"),
-        (sAdj2 * lit(180000L) >
-          lit(38416L) * col("n") * (col("n") - 1L)
-            * (lit(2L) * col("n") + 5L)).as("trending"))
+        (lhs > rhs).as("trending"))
       .orderBy("event_type")
   }
 
@@ -904,14 +923,27 @@ object AnalyticsExt {
       FROM p GROUP BY event_type),
     nd AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-      FROM daily GROUP BY event_type)
+      FROM daily GROUP BY event_type),
+    tie AS (
+      SELECT event_type, CAST(SUM(e * (2 * e + 7)) AS BIGINT) AS tt FROM (
+        SELECT a.event_type, a.day, CAST(COUNT(*) AS BIGINT) AS e
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND a.day <> b.day
+         AND b.ys * a.yn = a.ys * b.yn
+        GROUP BY a.event_type, a.day)
+      GROUP BY event_type)
     SELECT ag.event_type, nd.n AS n_days, ag.s AS mk_s,
       CAST(ag.s AS DOUBLE) / CAST(ag.np AS DOUBLE) AS tau,
-      (CASE WHEN ag.s > 0 THEN (ag.s - 1) * (ag.s - 1)
-            WHEN ag.s < 0 THEN (ag.s + 1) * (ag.s + 1)
-            ELSE CAST(0 AS BIGINT) END) * 180000
-        > 38416 * nd.n * (nd.n - 1) * (2 * nd.n + 5) AS trending
+      CAST(CASE WHEN ag.s > 0 THEN ag.s - 1
+                WHEN ag.s < 0 THEN ag.s + 1
+                ELSE CAST(0 AS BIGINT) END AS HUGEINT)
+        * CASE WHEN ag.s > 0 THEN ag.s - 1
+               WHEN ag.s < 0 THEN ag.s + 1
+               ELSE CAST(0 AS BIGINT) END * 180000
+        > 38416 * (CAST(nd.n AS HUGEINT) * (nd.n - 1) * (2 * nd.n + 5)
+                   - COALESCE(tie.tt, 0)) AS trending
     FROM ag JOIN nd ON nd.event_type = ag.event_type
+    LEFT JOIN tie ON tie.event_type = ag.event_type
     ORDER BY ag.event_type"""
 
   def qSeasonal(s: SparkSession, dir: String): DataFrame = {

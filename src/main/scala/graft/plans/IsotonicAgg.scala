@@ -36,7 +36,10 @@ import org.apache.spark.sql.types._
   *
   * Output: array<struct<i, fitted>> sorted by index (fitted in the
   * input's value units — the caller rescales). Rows with any NULL child
-  * are skipped. */
+  * are skipped; a count of 0 is the additive identity (skipped — a
+  * no-point cell has no mean to fit); a NEGATIVE count fails loud,
+  * because it would flip the cross-multiplied violation test's sign
+  * assumption (s₁·n₂ > s₂·n₁ presumes n > 0) and divide to ±Infinity. */
 case class IsotonicFit(
     indexExpr: Expression,
     sumExpr: Expression,
@@ -77,9 +80,20 @@ case class IsotonicFit(
     val sv = sumExpr.eval(input)
     val nv = cntExpr.eval(input)
     if (iv != null && sv != null && nv != null) {
-      val cell = buf.computeIfAbsent(asLong(iv), _ => new Array[Long](2))
-      cell(0) += asLong(sv)
-      cell(1) += asLong(nv)
+      // Counts must be positive mass: n = 0 is a no-point cell (skipped
+      // as the additive identity — it has no mean and no weight), and
+      // n < 0 would flip the sign-sensitive cross-multiplied violation
+      // test AND divide to ±Infinity at eval, so it fails loud instead
+      // of silently pooling wrong blocks.
+      val nl = asLong(nv)
+      if (nl < 0) throw new IllegalArgumentException(
+        s"graft_isotonic: negative count $nl at index ${asLong(iv)} — " +
+          "inputs must be (index, value-sum, count >= 0) cells")
+      if (nl > 0) {
+        val cell = buf.computeIfAbsent(asLong(iv), _ => new Array[Long](2))
+        cell(0) += asLong(sv)
+        cell(1) += nl
+      }
     }
     buf
   }

@@ -1012,9 +1012,16 @@ object Streams {
     * next_base). `last_*` make a replay of the most recent batch reuse
     * its original base (foreachBatch re-delivers the last uncommitted
     * batchId with identical rows after a crash); `next_base` is where a
-    * genuinely new batch starts. Missing sidecar = a fresh export. */
-  private def loadShardCursor(spark: SparkSession, outDir: String)
-      : (Long, Long, Long) = {
+    * genuinely new batch starts. Missing sidecar + missing data = a
+    * fresh export. Missing sidecar with EXISTING data (a crash in the
+    * sidecar swap window, or a hand-deleted sidecar) is RECOVERED from
+    * the data itself — the (shard, pos) addresses are the durable
+    * record: last_batch_id = max batch_id partition, that batch's base =
+    * its min address, next_base = max address + 1 — so the
+    * never-reused/replay-idempotent address contract survives a crash
+    * at ANY point of the cursor rewrite. */
+  private def loadShardCursor(spark: SparkSession, outDir: String,
+      shardSize: Long): (Long, Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/$ShardCursorDir")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.listStatus(p).exists(st => st.isFile &&
@@ -1022,7 +1029,20 @@ object Streams {
       spark.catalog.refreshByPath(p.toString)
       val r = spark.read.parquet(p.toString).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
-    } else (-1L, 0L, 0L)
+    } else {
+      val data = new org.apache.hadoop.fs.Path(s"$outDir/data")
+      if (fs.exists(data) && fs.listStatus(data).nonEmpty) {
+        spark.catalog.refreshByPath(data.toString)
+        val addrs = spark.read.parquet(data.toString)
+          .select(col("batch_id").cast("long").as("bid"),
+            (col("shard") * shardSize + col("pos")).as("addr"))
+        val top = addrs.agg(max("bid"), max("addr")).head()
+        val lastId = top.getLong(0)
+        val lastBase = addrs.filter(col("bid") === lastId)
+          .agg(min("addr")).head().getLong(0)
+        (lastId, lastBase, top.getLong(1) + 1L)
+      } else (-1L, 0L, 0L)
+    }
   }
 
   /** F33 core (one micro-batch): assign every doc of `batch` a
@@ -1041,7 +1061,7 @@ object Streams {
   def exportShardBatch(batch: DataFrame, batchId: Long, outDir: String,
       shardSize: Long = 50L): Long = {
     val spark = batch.sparkSession
-    val (lastId, lastBase, nextBase) = loadShardCursor(spark, outDir)
+    val (lastId, lastBase, nextBase) = loadShardCursor(spark, outDir, shardSize)
     require(batchId >= lastId,
       s"shard export went back in time: batch $batchId after $lastId — " +
         "the checkpoint and the export dir belong to different jobs")
@@ -1066,9 +1086,22 @@ object Streams {
         col("doc_id"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$outDir/data/batch_id=$batchId")
     import spark.implicits._
+    // Near-atomic cursor swap: a plain mode-overwrite deletes the old
+    // sidecar before the new one exists, so a crash in that window
+    // loses the cursor. Stage the new sidecar in a temp dir, then
+    // delete+rename — the remaining (delete, rename) window leaves NO
+    // sidecar, which loadShardCursor recovers exactly from the data's
+    // own (shard, pos) addresses. Either way no address is ever reused.
+    val cursorTmp = s"$outDir/${ShardCursorDir}_tmp"
     Seq((batchId, base, base + n))
       .toDF("last_batch_id", "last_base", "next_base").coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/$ShardCursorDir")
+      .write.mode("overwrite").parquet(cursorTmp)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalP = new org.apache.hadoop.fs.Path(s"$outDir/$ShardCursorDir")
+    fs.delete(finalP, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(cursorTmp), finalP),
+      s"shard cursor rename failed: $cursorTmp -> $finalP")
     n
   }
 

@@ -109,4 +109,25 @@ class IsotonicAggSpec extends AnyFunSuite {
     assert(viol.forall(_.getDouble(1) == pooled),
       s"tie-breaking pooled wrong: ${viol.map(_.getDouble(1))}")
   }
+
+  test("count validation: n = 0 is identity, n < 0 fails loud") {
+    // a zero-count cell (an outer join's empty day) contributes nothing —
+    // no Infinity/NaN fitted value, no phantom point
+    val withZero = Seq((0L, 10L, 2L), (1L, 999L, 0L), (2L, 4L, 1L))
+      .toDF("i", "s", "n")
+      .agg(call_function("graft_isotonic", col("i"), col("s"), col("n")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(withZero.map(_.getLong(0)) == Seq(0L, 2L),
+      s"zero-count cell leaked a point: $withZero")
+    assert(withZero.forall(r => !r.getDouble(1).isNaN &&
+      !r.getDouble(1).isInfinite))
+    // a negative count would flip the cross-multiplied violation test —
+    // reject it instead of silently pooling wrong blocks
+    val ex = intercept[Exception] {
+      Seq((0L, 10L, 2L), (1L, 5L, -1L)).toDF("i", "s", "n")
+        .agg(call_function("graft_isotonic", col("i"), col("s"), col("n")))
+        .head()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -993,6 +993,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("F33: a lost cursor sidecar recovers exactly from the data's addresses") {
+    // the crash window of the cursor swap (old sidecar deleted, new one
+    // not yet renamed in) leaves data but NO cursor. Recovery must
+    // reconstruct (last_batch_id, last_base, next_base) from the
+    // (shard, pos) addresses themselves: a replay of the last batch
+    // stays byte-identical and the next batch continues densely —
+    // never reassigning a used address.
+    val out = java.nio.file.Files.createTempDirectory("graft_shard_cw").toString
+    val d1 = Seq((1L, "aa"), (2L, "bbb"), (3L, "c")).toDF("doc_id", "text")
+    val d2 = Seq((9L, "dddd"), (10L, "e")).toDF("doc_id", "text")
+    assert(Streams.exportShardBatch(d1, 0L, out, 4L) == 3L)
+    assert(Streams.exportShardBatch(d2, 1L, out, 4L) == 2L)
+    def snap() = spark.read.parquet(s"$out/data")
+      .select("shard", "pos", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val before = snap()
+
+    // injected crash window: the sidecar is gone (stale tmp may remain)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$out/_graft_shard_cursor"), true))
+
+    // replay of the LAST batch after the crash: recovered last_base
+    // must equal batch 1's original base — addresses unchanged
+    assert(Streams.exportShardBatch(d2, 1L, out, 4L) == 2L)
+    assert(snap() == before, "post-crash replay moved addresses")
+
+    // and a NEW batch continues at the recovered next_base, densely
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_graft_shard_cursor"), true)
+    val d3 = Seq((20L, "ff")).toDF("doc_id", "text")
+    assert(Streams.exportShardBatch(d3, 2L, out, 4L) == 1L)
+    val all = snap()
+    assert(all.map(t => t._1 * 4 + t._2).sorted == (0L to 5L),
+      s"addresses not dense after crash recovery: $all")
+    // time travel still fails loud off the recovered cursor
+    intercept[IllegalArgumentException] {
+      Streams.exportShardBatch(d1, 1L, out, 4L)
+    }
+  }
+
   test("F34: streaming edit lifecycle == batch edit(), graph sidecar bit-for-bit") {
     import graft.operators.VectorStore
     import graft.sources.Tables

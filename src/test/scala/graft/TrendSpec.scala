@@ -44,4 +44,21 @@ class TrendSpec extends AnyFunSuite {
     // ones (each flips +1 -> -1): S = 45 - 10 = 35, still trending
     assert(s == 35L && trending, s"outlier day broke the trend: S=$s")
   }
+
+  test("tie correction: equal daily means shrink Var and can flip the verdict") {
+    // 11 days: days 1-5 tie at mean 50 (one tie group, t = 5, so
+    // T = t(t-1)(2t+5) = 300); day 6 = 40; days 7-11 = 80,70,90,100,60
+    // (5 inversions). S = 5*(p-q) + W = 5*(5-1) + (5+0) = 25, sAdj = 24.
+    // Tie-corrected: 24^2*180000 = 103,680,000 > 38416*(2970-300)
+    // = 102,570,720 -> trending. The UNCORRECTED variance would say
+    // 103,680,000 < 38416*2970 = 114,095,520 -> not trending; the exact
+    // tie term is what flips it.
+    val means = Seq(50.0, 50.0, 50.0, 50.0, 50.0, 40.0,
+      80.0, 70.0, 90.0, 100.0, 60.0)
+    val rows = means.zipWithIndex.map { case (v, i) => ("tied", i + 1, v) }
+    val out = SparkEntry.queries("q_trend")(spark, write(rows))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4))).head
+    assert(out == ((11L, 25L, true)),
+      s"tie-corrected verdict wrong: $out (expected n=11, S=25, trending)")
+  }
 }
