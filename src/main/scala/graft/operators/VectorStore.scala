@@ -353,6 +353,11 @@ object VectorStore {
       // only (an overwrite-mode write wiped the old sidecar with the rest
       // of the dir, so it degenerates to a fresh full build there)
       graft.sources.ZoneMaps.appendSidecar(spark, indexDir, "batch_tag")
+      // lexical/BM25 sidecar (G49): postings + doclog for the hybrid
+      // read — fresh at creation, generation-append on append; a legacy
+      // store without the sidecar stays lex-free (rule in VectorStoreLex)
+      VectorStoreLex.appendFor(indexDir,
+        embedded.select("doc_id", "chunk_ix", "chunk"), create = !reuse)
       if (!reuse)
         codebook.coalesce(1).write.mode("overwrite").parquet(cbPath)
       if (!reusePerm && !legacyIdentity) {
@@ -580,7 +585,7 @@ object VectorStore {
       graft.sources.ZoneMaps.readRange(spark, indexDir, "batch_tag", lo, hi),
       queries, k)
 
-  private def searchInBatch(spark: SparkSession, index: DataFrame,
+  private[operators] def searchInBatch(spark: SparkSession, index: DataFrame,
       queries: Seq[String], k: Int): DataFrame = {
     val qdf = { import spark.implicits._
       queries.zipWithIndex.map { case (t, i) => (i.toLong, t) }
@@ -1960,6 +1965,10 @@ object VectorStore {
       spark.sparkContext.hadoopConfiguration)
     val manifest = writeManifest(fs, indexDir, docIds, buckets)
     val removed = deleteFromBuckets(spark, indexDir, docIds, buckets)
+    // lexical kill rows ride BEFORE the manifest retires: a crash in
+    // between replays through recover(), which re-logs (an extra kill
+    // row at a later gen is idempotent — still dead, stats carry zeros)
+    VectorStoreLex.logDelete(spark, indexDir, docIds)
     fs.delete(manifest, false) // retire the intent — delete is complete
     removed
   }
@@ -1979,6 +1988,7 @@ object VectorStore {
       val (docIds, buckets) = readManifest(fs, p)
       spark.catalog.refreshByPath(indexDir)
       deleteFromBuckets(spark, indexDir, docIds, buckets)
+      VectorStoreLex.logDelete(spark, indexDir, docIds)
       fs.delete(p, false)
     }
     pending.length

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** G49: store-plane HYBRID retrieval — the maintained index's BM25
+  * inverted-list sidecar plus the RRF read that fuses it with the dense
+  * LSH-bucket leg. The reference IS a Weaviate deployment and Weaviate's
+  * signature read is `hybrid` (VectorDatabase/VectorDatabase.py:31-33
+  * declares the dense near-text half; the hybrid operator is the store
+  * API's headline composition of that leg with BM25) — the registry has
+  * the algorithm pair (B18 `ann_hybrid` / B18b `ann_hybrid_bm25`) but
+  * until r13 the MAINTAINED store had only dense rungs.
+  *
+  * Sidecar layout under `indexDir/_graft_lex/`:
+  *
+  *   - `postings/` — (term, doc_id, chunk_ix, tf, dl, gen), partitioned
+  *     by `tbkt` = first md5 hex char of the term (16 partitions; the
+  *     D32 md5-bucket discipline). A serving read computes its query
+  *     terms' buckets DRIVER-SIDE (md5 is engine-independent), so the
+  *     scan prunes to the matching partitions and the `term isin (…)`
+  *     predicate pushes into the parquet row-group stats — posting-list
+  *     retrieval is ∝ query-term hits, never a corpus scan (the same
+  *     bar the r12 verdict set for B18's lexical leg).
+  *   - `doclog/` — append-only (doc_id, gen, live, n_chunks, n_tokens),
+  *     ONE row per (doc, write op). The latest-gen row per doc is the
+  *     doc's lexical state: ingest/append log (live, counts), delete
+  *     logs a kill row, edit = delete + append = two rows. Postings are
+  *     NEVER rewritten by deletes — a read joins hit postings against
+  *     the keep-latest doclog and keeps rows whose gen matches the
+  *     doc's live gen (the tombstone/generation scheme Lucene-family
+  *     stores use, so a 100 TB edit stream costs O(batch) appends, not
+  *     posting-file rewrites). Corpus stats (N = live chunks, avgdl =
+  *     total tokens div N) fold from the same keep-latest scan — exact
+  *     integer arithmetic, identical after any edit history to a fresh
+  *     ingest of the surviving docs.
+  *
+  * Legacy rule (the G47/perm/rescb discipline): an APPEND to a store
+  * written before this sidecar existed must NOT create it (postings
+  * would cover only the new batch and silently drop every older doc
+  * from the lexical leg) — such a store stays lex-free and
+  * [[searchHybrid]] refuses loudly until a full re-ingest upgrades it.
+  * Re-appending an existing doc_id without `edit()` upserts the LEXICAL
+  * plane (keep-latest) — use `edit()` to keep the dense plane in step.
+  *
+  * Scoring: the lexical leg is D30's exact BM25 (k1 = 1.2, b = 0.75,
+  * rational Robertson idf, int64 micro-unit floor) over CHUNKS as the
+  * retrieval unit (df = live chunks containing the term, dl = chunk
+  * token count); the dense leg is the store's raw-weight LSH probe
+  * ([[VectorStore.searchInBatch]]). Fusion is B18's RRF: each leg keeps
+  * its top-[[LegK]] (deterministic ties → doc_id, chunk_ix), fused =
+  * Σ 1/(60 + rank) in a fixed order — bit-deterministic end to end. */
+object VectorStoreLex {
+  private[operators] val LexDir = "_graft_lex"
+  private val LegK = 20
+  private val RrfK = 60
+
+  private def postingsPath(indexDir: String) = s"$indexDir/$LexDir/postings"
+  private def doclogPath(indexDir: String) = s"$indexDir/$LexDir/doclog"
+
+  private def fs(spark: SparkSession) = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  /** Does the store carry the lexical sidecar? (Pre-r13 stores don't.) */
+  def exists(spark: SparkSession, indexDir: String): Boolean =
+    fs(spark).exists(new org.apache.hadoop.fs.Path(doclogPath(indexDir)))
+
+  /** Driver-side twin of the column-side bucket expression: first hex
+    * char of md5(term) — both sides of the partition pruning MUST agree. */
+  private def termBucket(term: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    f"${(d(0) >> 4) & 0xf}%x"
+  }
+
+  /** Tokenizer twin of [[Text.tokens]] (split on single space, drop
+    * empties) for driver-side query-term literals. */
+  private def tokenize(q: String): Seq[String] =
+    q.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  private def nextGen(spark: SparkSession, indexDir: String): Long = {
+    spark.catalog.refreshByPath(doclogPath(indexDir))
+    spark.read.parquet(doclogPath(indexDir))
+      .agg(max("gen")).head().getLong(0) + 1L
+  }
+
+  /** Ingest hook: index the batch's chunks into the sidecar. `create`
+    * = the store was just (re)written in overwrite mode, so the sidecar
+    * starts fresh at gen 1; otherwise append at the next generation —
+    * UNLESS the store predates the sidecar (legacy rule above). */
+  private[operators] def appendFor(indexDir: String, chunks: DataFrame,
+      create: Boolean): Unit = {
+    val spark = chunks.sparkSession
+    if (!create && !exists(spark, indexDir)) return
+    val gen = if (create) 1L else nextGen(spark, indexDir)
+    val mode = if (create) "overwrite" else "append"
+    val tok = chunks
+      .select(col("doc_id"), col("chunk_ix"), Text.tokens(col("chunk")).as("toks"))
+      .select(col("doc_id"), col("chunk_ix"),
+        size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+    tok.groupBy("doc_id", "chunk_ix", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .withColumn("gen", lit(gen))
+      .withColumn("tbkt", substring(md5(col("term")), 1, 1))
+      .write.mode(mode).partitionBy("tbkt").parquet(postingsPath(indexDir))
+    chunks
+      .select(col("doc_id"), size(Text.tokens(col("chunk"))).cast("long").as("dl"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("dl").as("n_tokens"))
+      .select(col("doc_id"), lit(gen).as("gen"), lit(true).as("live"),
+        col("n_chunks"), col("n_tokens"))
+      .coalesce(1)
+      .write.mode(mode).parquet(doclogPath(indexDir))
+  }
+
+  /** Delete hook: one kill row per doc at the next generation. Postings
+    * stay on disk; the keep-latest read stops serving them. */
+  private[operators] def logDelete(spark: SparkSession, indexDir: String,
+      docIds: Seq[Long]): Unit = {
+    if (!exists(spark, indexDir) || docIds.isEmpty) return
+    val gen = nextGen(spark, indexDir)
+    import spark.implicits._
+    docIds.map(id => (id, gen, false, 0L, 0L))
+      .toDF("doc_id", "gen", "live", "n_chunks", "n_tokens")
+      .coalesce(1)
+      .write.mode("append").parquet(doclogPath(indexDir))
+  }
+
+  /** Keep-latest doclog state: (doc_id, lgen, live, n_chunks, n_tokens).
+    * gen is unique per (doc, op), so max(struct(gen, …)) picks the
+    * newest op's row — a map-side-combining groupBy, no window. */
+  private def latestDoclog(spark: SparkSession, indexDir: String): DataFrame = {
+    spark.catalog.refreshByPath(doclogPath(indexDir))
+    spark.read.parquet(doclogPath(indexDir))
+      .groupBy("doc_id")
+      .agg(max(struct(col("gen"), col("live"),
+        col("n_chunks"), col("n_tokens"))).as("m"))
+      .select(col("doc_id"), col("m.gen").as("lgen"), col("m.live").as("live"),
+        col("m.n_chunks").as("n_chunks"), col("m.n_tokens").as("n_tokens"))
+  }
+
+  /** The lexical leg, ranked: (query_id, doc_id, chunk_ix, score,
+    * lex_rank ≤ legK). Query terms become driver literals (bounded query
+    * batch — the D30 discipline): partition pruning and the term
+    * predicate pushdown both need literals. Corpus stats fold to two
+    * longs (exact integers; avgdl = floor div). */
+  private def lexLeg(spark: SparkSession, indexDir: String,
+      queries: Seq[String], legK: Int): DataFrame = {
+    require(exists(spark, indexDir),
+      s"store $indexDir has no lexical sidecar ($LexDir): it was written " +
+        "before hybrid existed — re-ingest to upgrade (the sidecar cannot " +
+        "be backfilled from an append batch alone)")
+    import spark.implicits._
+    val qTermPairs: Seq[(Long, String)] = queries.zipWithIndex.flatMap {
+      case (q, i) => tokenize(q).distinct.map(t => (i.toLong, t))
+    }
+    val terms = qTermPairs.map(_._2).distinct
+    val tbkts = terms.map(termBucket).distinct
+    val live = latestDoclog(spark, indexDir).filter(col("live"))
+    val statsRow = live.agg(
+      coalesce(sum("n_chunks"), lit(0L)).as("n"),
+      coalesce(sum("n_tokens"), lit(0L)).as("t")).head()
+    val nChunks = statsRow.getLong(0)
+    val avgdl = if (nChunks == 0) 1L else statsRow.getLong(1) / nChunks
+    spark.catalog.refreshByPath(postingsPath(indexDir))
+    val hit = spark.read.parquet(postingsPath(indexDir))
+      .filter(col("tbkt").isin(tbkts: _*) && col("term").isin(terms: _*))
+      .join(live.select(col("doc_id"), col("lgen")),
+        Seq("doc_id"))
+      .filter(col("gen") === col("lgen"))
+      .select("term", "doc_id", "chunk_ix", "tf", "dl")
+    val dft = hit.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = qTermPairs.toDF("query_id", "term")
+    // D30's exact rational BM25 (k1 = 1.2, b = 0.75), micro-unit floored
+    val num = lit(22L) * col("tf") * lit(avgdl) *
+      (lit(2L) * lit(nChunks) - lit(2L) * col("df") + lit(1L))
+    val den = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("tf") * lit(avgdl) + lit(3L) * lit(avgdl) +
+        lit(9L) * col("dl"))
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_ix"))
+    broadcast(qterms).join(hit, "term")
+      .join(broadcast(dft), "term")
+      .withColumn("fp",
+        floor(num.cast("double") / den.cast("double") * 1e6 + 0.5)
+          .cast("long"))
+      .groupBy("query_id", "doc_id", "chunk_ix")
+      .agg(sum("fp").as("score"))
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .filter(col("lex_rank") <= legK)
+  }
+
+  /** Pure-BM25 read, single query (Weaviate's `bm25` operator to
+    * [[searchHybrid]]'s `hybrid`). Output: (rank, doc_id, chunk_ix,
+    * chunk, score) — score in D30's int64 micro-units. */
+  def searchLex(spark: SparkSession, indexDir: String, query: String,
+      k: Int = 5): DataFrame =
+    searchLexBatch(spark, indexDir, Seq(query), k).drop("query_id")
+
+  /** Pure-BM25 read, many queries through one plan. */
+  def searchLexBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5): DataFrame = {
+    val ranked = lexLeg(spark, indexDir, queries, k)
+      .select(col("query_id"), col("lex_rank").as("rank"),
+        col("doc_id"), col("chunk_ix"), col("score"))
+    spark.read.parquet(indexDir).select("doc_id", "chunk_ix", "chunk")
+      .join(broadcast(ranked), Seq("doc_id", "chunk_ix"))
+      .select("query_id", "rank", "doc_id", "chunk_ix", "chunk", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Hybrid read, single query: [[searchHybridBatch]]'s plan for one
+    * query (hybrid leg ranks must be identical in both shapes, so the
+    * single path IS the batch-of-one — HybridStoreSpec pins batch ≡
+    * single on top). Output: (rank, doc_id, chunk_ix, chunk, fused,
+    * lex_rank, vec_rank). */
+  def searchHybrid(spark: SparkSession, indexDir: String, query: String,
+      k: Int = 5): DataFrame =
+    searchHybridBatch(spark, indexDir, Seq(query), k).drop("query_id")
+
+  /** Hybrid read, many queries through one plan (the G23/G26 batch
+    * pattern). Per query: dense leg = the store's LSH-bucket raw-dot
+    * probe top-[[LegK]]; lexical leg = BM25 over the query terms' live
+    * postings top-[[LegK]]; RRF-fused top-k. The chunk text of the ≤k
+    * winners is fetched in one final broadcast-keyed probe of the index
+    * (late materialization — the legs rank ids, never carry text). */
+  def searchHybridBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int = 5): DataFrame = {
+    val lex = lexLeg(spark, indexDir, queries, LegK)
+      .select("query_id", "doc_id", "chunk_ix", "lex_rank")
+
+    // --- dense leg ------------------------------------------------------
+    spark.catalog.refreshByPath(indexDir)
+    val dense = VectorStore.searchInBatch(spark,
+        spark.read.parquet(indexDir), queries, LegK)
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"),
+        col("rank").cast("long").as("vec_rank"))
+
+    // --- RRF fusion + late text materialization -------------------------
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("fused").desc, col("doc_id"), col("chunk_ix"))
+    val fused = lex.join(dense, Seq("query_id", "doc_id", "chunk_ix"),
+        "full_outer")
+      .withColumn("fused",
+        when(col("lex_rank").isNotNull,
+          lit(1.0) / (lit(RrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+        when(col("vec_rank").isNotNull,
+          lit(1.0) / (lit(RrfK) + col("vec_rank"))).otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= k)
+    spark.read.parquet(indexDir).select("doc_id", "chunk_ix", "chunk")
+      .join(broadcast(fused), Seq("doc_id", "chunk_ix"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_ix"),
+        col("chunk"), col("fused"), col("lex_rank"), col("vec_rank"))
+      .orderBy("query_id", "rank")
+  }
+}

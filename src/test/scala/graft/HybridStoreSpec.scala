@@ -1,0 +1,174 @@
+package graft
+
+import graft.operators.{VectorStore, VectorStoreLex}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** G49 store-plane hybrid retrieval (VectorStoreLex): the BM25
+  * inverted-list sidecar + RRF read over the maintained store. Pins the
+  * G47 discipline end to end: verbatim self-hit rank 1 on BOTH legs,
+  * batch ≡ single, edit/append/delete keep the sidecar EXACTLY
+  * consistent (edited store ≡ fresh ingest of the surviving content),
+  * the legacy refusal, and the postings scan's partition pruning. */
+class HybridStoreSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private lazy val indexDir = {
+    val dir = Files.createTempDirectory("graft_hyb").toString + "/index"
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select("doc_id", "text")
+    assert(VectorStore.ingest(docs, dir) > 100)
+    dir
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("hybrid self-hit: a verbatim chunk query tops BOTH legs, fused rank 1") {
+    val sample = spark.read.parquet(indexDir)
+      .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val hits = VectorStoreLex.searchHybrid(spark, indexDir, sample, k = 3)
+      .collect()
+    assert(hits.nonEmpty)
+    val top = hits.head
+    assert(top.getAs[Long]("rank") == 1L &&
+      top.getAs[Long]("doc_id") == 3L && top.getAs[Int]("chunk_ix") == 1,
+      s"self-hit not rank 1: $top")
+    // the verbatim chunk maximizes the dense cosine; its BM25 sum over
+    // every one of its own terms tops the lexical leg too
+    assert(top.getAs[Long]("vec_rank") == 1L &&
+      top.getAs[Long]("lex_rank") == 1L, s"legs disagree on self-hit: $top")
+    assert(top.getAs[String]("chunk") == sample)
+  }
+
+  test("searchHybridBatch matches per-query searchHybrid") {
+    val samples = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("chunk")
+      .limit(3).collect().map(_.getString(0)).distinct.toSeq
+    assert(samples.size >= 2)
+    val batch = VectorStoreLex.searchHybridBatch(spark, indexDir, samples, k = 4)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    samples.zipWithIndex.foreach { case (q, i) =>
+      val single = rows(VectorStoreLex.searchHybrid(spark, indexDir, q, k = 4))
+      val fromBatch = batch(i.toLong).toSeq.sortBy(_.getAs[Long]("rank"))
+        .map(_.toSeq.drop(1)) // drop query_id
+      assert(fromBatch == single, s"batch diverged from single for query $i")
+    }
+  }
+
+  test("edit keeps the sidecar consistent: edited store == fresh ingest") {
+    val editedDir = Files.createTempDirectory("graft_hyb_e").toString + "/index"
+    val freshDir = Files.createTempDirectory("graft_hyb_f").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 50), editedDir) > 0)
+    // replace doc 7's text with doc 107's (keeping doc_id 7)
+    val newDoc = docs.filter(col("doc_id") === 107)
+      .select(lit(7L).as("doc_id"), col("text"))
+    val (removed, added) = VectorStore.edit(spark, editedDir, Seq(7L), newDoc)
+    assert(removed > 0 && added > 0)
+    // the fresh twin ingests the identical final content in one shot
+    val finalDocs = docs.filter(col("doc_id") < 50 && col("doc_id") =!= 7)
+      .unionByName(newDoc)
+    assert(VectorStore.ingest(finalDocs, freshDir) > 0)
+
+    // probe with the edited doc's chunks, an untouched doc's chunk, and
+    // a short partial query (real lexical work, not just self-hits)
+    val probes = spark.read.parquet(freshDir)
+      .filter((col("doc_id") === 7 || col("doc_id") === 21)
+        && col("chunk_ix") === 1)
+      .select("chunk").collect().map(_.getString(0)).toSeq
+    val partial = probes.head.split(" ").take(5).mkString(" ")
+    for (q <- probes :+ partial) {
+      val a = rows(VectorStoreLex.searchHybrid(spark, editedDir, q, k = 5))
+      val b = rows(VectorStoreLex.searchHybrid(spark, freshDir, q, k = 5))
+      assert(a == b, s"edited store diverged from fresh ingest for '$q'")
+    }
+    // the old doc-7 text no longer serves from the lexical plane
+    val oldChunk = spark.read.parquet(indexDir)
+      .filter(col("doc_id") === 7 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val post = VectorStoreLex.searchHybrid(spark, editedDir, oldChunk, k = 5)
+      .filter(col("doc_id") === 7).collect()
+    post.foreach { r =>
+      val fresh = VectorStoreLex.searchHybrid(spark, freshDir, oldChunk, k = 5)
+        .filter(col("doc_id") === 7).collect()
+      assert(r.toSeq == fresh.head.toSeq)
+    }
+  }
+
+  test("delete kills the lexical plane too: deleted store == fresh ingest") {
+    val delDir = Files.createTempDirectory("graft_hyb_d").toString + "/index"
+    val freshDir = Files.createTempDirectory("graft_hyb_d2").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 30), delDir) > 0)
+    val victim = spark.read.parquet(delDir)
+      .filter(col("doc_id") === 11 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    assert(VectorStore.delete(spark, delDir, Seq(11L)) > 0)
+    assert(VectorStore.ingest(
+      docs.filter(col("doc_id") < 30 && col("doc_id") =!= 11), freshDir) > 0)
+    val a = rows(VectorStoreLex.searchHybrid(spark, delDir, victim, k = 5))
+    val b = rows(VectorStoreLex.searchHybrid(spark, freshDir, victim, k = 5))
+    assert(a == b, "deleted store diverged from fresh ingest")
+    assert(!a.exists(_(1) == 11L), s"deleted doc still served: $a")
+  }
+
+  test("legacy store without the sidecar: append stays lex-free, read refuses") {
+    val dir = Files.createTempDirectory("graft_hyb_l").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 20), dir) > 0)
+    // simulate a pre-r13 store: drop the sidecar
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_lex"), true))
+    assert(VectorStore.ingest(docs.filter(col("doc_id") >= 20
+      && col("doc_id") < 25), dir, mode = "append") > 0)
+    // the append must NOT have half-created the sidecar
+    assert(!VectorStoreLex.exists(spark, dir),
+      "append backfilled a partial lexical sidecar")
+    val ex = intercept[IllegalArgumentException] {
+      VectorStoreLex.searchHybrid(spark, dir, "anything", k = 3)
+    }
+    assert(ex.getMessage.contains("re-ingest"), ex.getMessage)
+  }
+
+  test("searchLex: verbatim self-hit rank 1, batch matches single") {
+    val samples = spark.read.parquet(indexDir)
+      .orderBy("doc_id", "chunk_ix").select("doc_id", "chunk_ix", "chunk")
+      .limit(3).collect()
+    val queries = samples.map(_.getString(2)).distinct.toSeq
+    val batch = VectorStoreLex.searchLexBatch(spark, indexDir, queries, k = 4)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    queries.zipWithIndex.foreach { case (q, i) =>
+      val single = rows(VectorStoreLex.searchLex(spark, indexDir, q, k = 4))
+      val fromBatch = batch(i.toLong).toSeq.sortBy(_.getAs[Long]("rank"))
+        .map(_.toSeq.drop(1))
+      assert(fromBatch == single, s"lex batch diverged from single for $i")
+    }
+    // the verbatim chunk contains every query term at full tf — it must
+    // sit in the head of its own BM25 list (an exact bag-of-words
+    // near-dup can TIE and win the doc_id tie-break, so pin top-4
+    // membership and that rank 1 scores no higher than the self row)
+    val hits = VectorStoreLex.searchLex(spark, indexDir,
+      samples.head.getString(2), k = 4).collect()
+    val self = hits.find(r => r.getAs[Long]("doc_id") == samples.head.getLong(0)
+      && r.getAs[Int]("chunk_ix") == samples.head.getInt(1))
+    assert(self.nonEmpty, s"lex self-hit missing from top-4: ${hits.toSeq}")
+    assert(hits.head.getAs[Long]("score") == self.get.getAs[Long]("score"),
+      s"a non-tied chunk outscored the verbatim self-hit: ${hits.toSeq}")
+  }
+
+  test("postings scan prunes to the query terms' md5 partitions") {
+    val df = VectorStoreLex.searchHybrid(spark, indexDir, "the quick fox", k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val postingScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("postings"))
+    assert(postingScan.exists(l => l.contains("PartitionFilters")
+        && l.contains("tbkt")),
+      s"postings scan not partition-pruned on tbkt:\n$plan")
+  }
+}

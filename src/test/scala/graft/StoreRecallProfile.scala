@@ -90,7 +90,18 @@ object StoreRecallProfile {
           entries = 8, beam = 8, hops = 4, seedFromBuckets = false)),
       "search_truncated_d16" ->
         (() => VectorStore.searchTruncatedBatch(spark, dir, queries, k = 5,
-          dims = 16)))
+          dims = 16)),
+      // G49 (r13): Weaviate's read pair over the maintained store — pure
+      // BM25 postings and the RRF hybrid. Recall stays measured vs the
+      // DENSE exact truth (the table's fixed axis), so the lexical rung
+      // reads as the cross-modal baseline and the hybrid rung as how
+      // much dense recall the RRF fusion retains while adding a leg.
+      "search_lex_bm25" ->
+        (() => graft.operators.VectorStoreLex.searchLexBatch(
+          spark, dir, queries, k = 5)),
+      "search_hybrid" ->
+        (() => graft.operators.VectorStoreLex.searchHybridBatch(
+          spark, dir, queries, k = 5)))
     val parts = rungs.map { case (name, build) =>
       f""""$name":${recallOf(build())}%.3f"""
     }
