@@ -902,6 +902,156 @@ object TextAnalysis {
     FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair LIMIT 20"""
 
+  /** D18k (r15): MULTI-ROUND BPE training — the real tokenizer-fit loop
+    * D18 only sampled: k = 3 rounds of (count adjacent SYMBOL pairs →
+    * merge the corpus-wide top pair → re-segment → re-count). Round 1
+    * merges a character bigram; later rounds see MERGED symbols as
+    * units, so the pair key is the symbol PAIR (s1, s2), never a string
+    * concat (("ab","c") ≠ ("a","bc")). Output: one row per round —
+    * (round, s1, s2, cnt, n_symbols) where n_symbols is the corpus
+    * symbol count after applying that round's merge, i.e. the encode
+    * measurement over the learned table (compression progress per
+    * round, the D18e re-check).
+    *
+    * Merge application is the standard leftmost non-overlapping rule,
+    * closed-form relational (D18e's run trick, generalized): a match is
+    * a position whose (sym, next sym) equals the learned pair; two
+    * matches can only be adjacent when s1 = s2, so the greedy starts
+    * are the odd ranks within runs of consecutive matches — for s1 ≠ s2
+    * every run is a singleton and the same rule keeps all matches.
+    * Start positions take the merged symbol, start+1 positions drop,
+    * survivors re-index by row_number.
+    *
+    * Scale shape: each round is (doc, token)-keyed windows and
+    * equi-joins over the exploded symbol table — token-sized
+    * partitions, no hot key possible; the top-1 pair is a
+    * TakeOrdered(1) collected to a literal (the bounded driver funnel,
+    * C6's discipline) and each round's re-segmented table is
+    * localCheckpoint-ed — per-round lineage truncation, so the unrolled
+    * iteration never stacks 3 rounds of window lineage into one plan.
+    * Oracle: the 3 rounds unrolled as CTEs (the E34/B17 precedent). */
+  def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val wTok = Window.partitionBy("doc_id", "tok_ix").orderBy("pos")
+    var sym = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .withColumnRenamed("pos", "tok_ix").withColumnRenamed("col", "tok")
+      .select(col("doc_id"), col("tok_ix"),
+        posexplode(transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1)))))
+      .withColumnRenamed("col", "sym")
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= 3 && !exhausted) {
+      val withNext = sym.withColumn("nxt", lead("sym", 1).over(wTok))
+      val top = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("s1"), col("s2"))
+        .limit(1).collect().headOption
+      top match {
+        case None => exhausted = true // all tokens single-symbol already
+        case Some(t) =>
+          val (a, b, cnt) = (t.getString(0), t.getString(1), t.getLong(2))
+          val starts = withNext
+            .filter(col("sym") === lit(a) && col("nxt") === lit(b))
+            .withColumn("run_id", col("pos") - row_number().over(wTok))
+            .withColumn("rk", row_number().over(Window
+              .partitionBy("doc_id", "tok_ix", "run_id").orderBy("pos")))
+            .filter(pmod(col("rk"), lit(2)) === 1)
+            .select(col("doc_id"), col("tok_ix"), col("pos"))
+          val rebuilt = sym
+            .join(starts.withColumn("is_start", lit(true)),
+              Seq("doc_id", "tok_ix", "pos"), "left")
+            .join(starts.select(col("doc_id"), col("tok_ix"),
+              (col("pos") + 1).as("pos"), lit(true).as("is_cons")),
+              Seq("doc_id", "tok_ix", "pos"), "left")
+            .filter(col("is_cons").isNull)
+            .select(col("doc_id"), col("tok_ix"), col("pos").as("opos"),
+              when(col("is_start").isNotNull, lit(a + b))
+                .otherwise(col("sym")).as("sym"))
+            .withColumn("pos", row_number().over(Window
+              .partitionBy("doc_id", "tok_ix").orderBy("opos")))
+            .select("doc_id", "tok_ix", "pos", "sym")
+            .localCheckpoint(true)
+          learned += ((r, a, b, cnt, rebuilt.count()))
+          sym = rebuilt
+          r += 1
+      }
+    }
+    import s.implicits._
+    learned.toSeq.toDF("round", "s1", "s2", "cnt", "n_symbols")
+      .orderBy("round")
+  }
+
+  /** Oracle for D18k: the three training rounds unrolled as CTEs — each
+    * round's pair count, top-1 pick, odd-rank greedy starts, and
+    * re-segmented symbol table spelled out over the exploded
+    * (doc, token, pos, sym) representation. */
+  val textBpeTrainSql: String = {
+    def roundCtes(r: Int): String = {
+      val prev = if (r == 1) "sym0" else s"sym${r - 1}"
+      s"""
+    nx$r AS (
+      SELECT doc_id, tok_ix, pos, sym,
+        lead(sym) OVER (PARTITION BY doc_id, tok_ix ORDER BY pos) AS nxt
+      FROM $prev),
+    top$r AS (
+      SELECT sym AS s1, nxt AS s2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM nx$r WHERE nxt IS NOT NULL
+      GROUP BY sym, nxt ORDER BY cnt DESC, s1, s2 LIMIT 1),
+    st$r AS (
+      SELECT doc_id, tok_ix, pos FROM (
+        SELECT doc_id, tok_ix, pos,
+          row_number() OVER (PARTITION BY doc_id, tok_ix, run_id
+                             ORDER BY pos) AS rk
+        FROM (
+          SELECT n.doc_id, n.tok_ix, n.pos,
+            n.pos - row_number() OVER (PARTITION BY n.doc_id, n.tok_ix
+                                       ORDER BY n.pos) AS run_id
+          FROM nx$r n, top$r t
+          WHERE n.sym = t.s1 AND n.nxt = t.s2))
+      WHERE rk % 2 = 1),
+    sym$r AS (
+      SELECT b.doc_id, b.tok_ix,
+        row_number() OVER (PARTITION BY b.doc_id, b.tok_ix
+                           ORDER BY b.pos) AS pos,
+        CASE WHEN st.pos IS NOT NULL THEN t.s1 || t.s2 ELSE b.sym END AS sym
+      FROM $prev b
+      CROSS JOIN top$r t
+      LEFT JOIN st$r st ON st.doc_id = b.doc_id AND st.tok_ix = b.tok_ix
+        AND st.pos = b.pos
+      LEFT JOIN st$r cn ON cn.doc_id = b.doc_id AND cn.tok_ix = b.tok_ix
+        AND cn.pos + 1 = b.pos
+      WHERE cn.pos IS NULL)"""
+    }
+    s"""
+    WITH toks AS (
+      SELECT doc_id,
+        generate_subscripts(list_filter(string_split(text, ' '),
+          x -> len(x) > 0), 1) - 1 AS tok_ix,
+        unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+      FROM documents),
+    sym0 AS (
+      SELECT doc_id, tok_ix,
+        generate_subscripts(list_transform(generate_series(1, len(tok)),
+          i -> substr(tok, CAST(i AS INT), 1)), 1) AS pos,
+        unnest(list_transform(generate_series(1, len(tok)),
+          i -> substr(tok, CAST(i AS INT), 1))) AS sym
+      FROM toks),${roundCtes(1)},${roundCtes(2)},${roundCtes(3)}
+    SELECT * FROM (
+      SELECT 1 AS round, s1, s2, cnt,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sym1) AS n_symbols FROM top1
+      UNION ALL SELECT 2, s1, s2, cnt,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sym2) FROM top2
+      UNION ALL SELECT 3, s1, s2, cnt,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sym3) FROM top3)
+    ORDER BY round"""
+  }
+
   // ---- D19 character-n-gram language ID ---------------------------------
 
   private val LidTopN = 30
@@ -1820,6 +1970,7 @@ object TextAnalysis {
     "text_adaptive_filter" -> (textAdaptiveFilter _),
     "text_collocations" -> (textCollocations _),
     "text_bpe_merge"   -> (textBpeMerge _),
+    "text_bpe_train"   -> (textBpeTrain _),
     "text_langid_ngram" -> (textLangidNgram _),
     "text_novelty"     -> (textNovelty _),
     "text_lm_score"    -> (textLmScore _),
@@ -1857,6 +2008,7 @@ object TextAnalysis {
     "text_adaptive_filter" -> textAdaptiveFilterSql,
     "text_collocations" -> textCollocationsSql,
     "text_bpe_merge"   -> textBpeMergeSql,
+    "text_bpe_train"   -> textBpeTrainSql,
     "text_langid_ngram" -> textLangidNgramSql,
     "text_novelty"     -> textNoveltySql,
     "text_lm_score"    -> textLmScoreSql,
