@@ -2030,7 +2030,8 @@ object VectorStore {
       Array.empty[org.apache.hadoop.fs.Path]
     else fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-    val (edits, deletes) = listed.partition(_.getName.startsWith("edit_"))
+    val edits = listed.filter(_.getName.startsWith("edit_"))
+    val deletes = listed.filter(_.getName.startsWith("delete_"))
     deletes.foreach { p =>
       val (docIds, buckets) = readManifest(fs, p)
       spark.catalog.refreshByPath(indexDir)
@@ -2046,6 +2047,8 @@ object VectorStore {
       fs.delete(p, false)
       fs.delete(new org.apache.hadoop.fs.Path(staged), true)
     }
+    // half-swapped lexical compaction: finish the idempotent swap
+    VectorStoreLex.recoverCompact(spark, indexDir)
     // orphaned stages: manifest retired (edit complete) but the crash
     // hit before the staging dir was removed — content is already live,
     // the copy is garbage
@@ -2064,7 +2067,7 @@ object VectorStore {
     listed.length
   }
 
-  private val ManifestDir = "_graft_manifest"
+  private[operators] val ManifestDir = "_graft_manifest"
 
   /** Commit a delete intent atomically: write to a temp name, then rename
     * into place — readers never observe a torn manifest. */

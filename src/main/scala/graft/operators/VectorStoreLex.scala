@@ -141,6 +141,89 @@ object VectorStoreLex {
         col("m.n_chunks").as("n_chunks"), col("m.n_tokens").as("n_tokens"))
   }
 
+  /** G49b: lexical-sidecar compaction — the GC a tombstone/generation
+    * scheme eventually needs: edits/deletes only APPEND (kill rows,
+    * superseded gens), so dead postings accumulate until someone
+    * rewrites. Compaction keeps exactly the live rows (gen = the doc's
+    * latest live gen) and collapses the doclog to one latest-live row
+    * per doc — the derived serving state is UNCHANGED by construction,
+    * which also makes the swap's crash windows benign: old postings +
+    * old doclog, new + old, and new + new all serve identical results
+    * (liveness is what compaction preserves), and a half-done swap is
+    * finished by recover() off the compact manifest.
+    *
+    * Protocol (the edit-journal discipline): stage the compacted
+    * postings + doclog to `_tmp` dirs, commit a `lexcompact` manifest
+    * (temp + rename), then swap each dir (delete final, rename tmp) and
+    * retire the manifest. The swap is idempotent — a tmp dir that still
+    * exists swaps, one that's gone already swapped — so recover()
+    * replays it from any crash point. Returns (kept, dropped) posting
+    * rows. */
+  def compactLex(spark: SparkSession, indexDir: String): (Long, Long) = {
+    val counts = stageCompactLex(spark, indexDir)
+    swapCompactLex(spark, indexDir)
+    counts
+  }
+
+  private def compactManifest(indexDir: String) =
+    new org.apache.hadoop.fs.Path(
+      s"$indexDir/${VectorStore.ManifestDir}/lexcompact.json")
+
+  private[graft] def stageCompactLex(spark: SparkSession,
+      indexDir: String): (Long, Long) = {
+    require(exists(spark, indexDir),
+      s"store $indexDir has no lexical sidecar ($LexDir) to compact")
+    val live = latestDoclog(spark, indexDir).filter(col("live"))
+    spark.catalog.refreshByPath(postingsPath(indexDir))
+    val posts = spark.read.parquet(postingsPath(indexDir))
+    val total = posts.count()
+    val kept = posts
+      .join(live.select(col("doc_id"), col("lgen")), Seq("doc_id"))
+      .filter(col("gen") === col("lgen"))
+      .drop("lgen")
+    kept.write.mode("overwrite").partitionBy("tbkt")
+      .parquet(s"${postingsPath(indexDir)}_tmp")
+    live.select(col("doc_id"), col("lgen").as("gen"), col("live"),
+        col("n_chunks"), col("n_tokens"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${doclogPath(indexDir)}_tmp")
+    val keptN = spark.read.parquet(s"${postingsPath(indexDir)}_tmp").count()
+    val f = fs(spark)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexDir/${VectorStore.ManifestDir}/lexcompact.tmp")
+    val out = f.create(tmp, true)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    f.rename(tmp, compactManifest(indexDir))
+    (keptN, total - keptN)
+  }
+
+  /** Idempotent swap half of [[compactLex]] — also the recover() replay:
+    * a `_tmp` dir that still exists replaces its final dir; one already
+    * gone means that rename completed before the crash. */
+  private[graft] def swapCompactLex(spark: SparkSession,
+      indexDir: String): Unit = {
+    val f = fs(spark)
+    def swapOne(path: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"${path}_tmp")
+      val fin = new org.apache.hadoop.fs.Path(path)
+      if (f.exists(tmp)) {
+        f.delete(fin, true)
+        require(f.rename(tmp, fin), s"compact swap failed: $tmp -> $fin")
+      }
+    }
+    swapOne(postingsPath(indexDir))
+    swapOne(doclogPath(indexDir))
+    f.delete(compactManifest(indexDir), false)
+  }
+
+  /** recover() hook: finish a half-swapped compaction if its manifest
+    * is pending. Returns true if one was replayed. */
+  private[operators] def recoverCompact(spark: SparkSession,
+      indexDir: String): Boolean = {
+    if (!fs(spark).exists(compactManifest(indexDir))) false
+    else { swapCompactLex(spark, indexDir); true }
+  }
+
   /** The lexical leg, ranked: (query_id, doc_id, chunk_ix, score,
     * lex_rank ≤ legK). Query terms become driver literals (bounded query
     * batch — the D30 discipline): partition pruning and the term

@@ -161,6 +161,82 @@ class HybridStoreSpec extends AnyFunSuite {
       s"a non-tied chunk outscored the verbatim self-hit: ${hits.toSeq}")
   }
 
+  test("compaction drops dead generations, serving state unchanged") {
+    val dir = Files.createTempDirectory("graft_hyb_c").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 25), dir) > 0)
+    // create dead postings: edit one doc, delete another
+    val newDoc = docs.filter(col("doc_id") === 107)
+      .select(lit(4L).as("doc_id"), col("text"))
+    VectorStore.edit(spark, dir, Seq(4L), newDoc)
+    VectorStore.delete(spark, dir, Seq(9L))
+    val probes = spark.read.parquet(dir)
+      .filter(col("doc_id").isin(4L, 12L) && col("chunk_ix") === 1)
+      .select("chunk").collect().map(_.getString(0)).toSeq
+    def reads() = probes.flatMap(q =>
+      rows(VectorStoreLex.searchHybrid(spark, dir, q, k = 5)) ++
+        rows(VectorStoreLex.searchLex(spark, dir, q, k = 5)))
+    val before = reads()
+    val postsBefore = spark.read.parquet(s"$dir/_graft_lex/postings").count()
+
+    val (kept, dropped) = VectorStoreLex.compactLex(spark, dir)
+    assert(dropped > 0, "edit+delete left no dead postings to drop?")
+    val postsAfter = spark.read.parquet(s"$dir/_graft_lex/postings").count()
+    assert(postsAfter == kept && postsAfter == postsBefore - dropped)
+    assert(reads() == before, "compaction changed the serving state")
+    // doclog collapsed to one live row per doc (no kill rows, no history)
+    val dl = spark.read.parquet(s"$dir/_graft_lex/doclog")
+    assert(dl.count() == dl.select("doc_id").distinct().count())
+    assert(dl.filter(!col("live")).count() == 0)
+    assert(dl.filter(col("doc_id") === 9L).count() == 0)
+    // compaction is repeatable and a second pass drops nothing
+    val (k2, d2) = VectorStoreLex.compactLex(spark, dir)
+    assert(k2 == kept && d2 == 0)
+    assert(reads() == before)
+  }
+
+  test("compaction crash window: recover() finishes a half-done swap") {
+    val dir = Files.createTempDirectory("graft_hyb_cc").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 20), dir) > 0)
+    VectorStore.edit(spark, dir,
+      Seq(3L), docs.filter(col("doc_id") === 103)
+        .select(lit(3L).as("doc_id"), col("text")))
+    val probe = spark.read.parquet(dir)
+      .filter(col("doc_id") === 3 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val before = rows(VectorStoreLex.searchHybrid(spark, dir, probe, k = 5))
+
+    // crash after staging (tmp dirs + manifest exist, nothing swapped):
+    // reads still serve the OLD sidecar consistently
+    VectorStoreLex.stageCompactLex(spark, dir)
+    assert(rows(VectorStoreLex.searchHybrid(spark, dir, probe, k = 5))
+      == before, "staged-but-unswapped compaction changed reads")
+    // recover() finishes the swap off the pending manifest
+    VectorStore.recover(spark, dir)
+    assert(rows(VectorStoreLex.searchHybrid(spark, dir, probe, k = 5))
+      == before, "recovered compaction changed the serving state")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_manifest/lexcompact.json")), "manifest not retired")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_lex/postings_tmp")), "tmp postings not swapped in")
+
+    // crash MID-swap (postings swapped, doclog not): mixed state still
+    // serves identically (compaction preserves liveness), then recover
+    VectorStoreLex.stageCompactLex(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_lex/postings"), true)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_lex/postings_tmp"),
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_lex/postings")))
+    assert(rows(VectorStoreLex.searchHybrid(spark, dir, probe, k = 5))
+      == before, "mixed swap state changed reads")
+    VectorStore.recover(spark, dir)
+    assert(rows(VectorStoreLex.searchHybrid(spark, dir, probe, k = 5))
+      == before)
+  }
+
   test("postings scan prunes to the query terms' md5 partitions") {
     val df = VectorStoreLex.searchHybrid(spark, indexDir, "the quick fox", k = 3)
     df.collect()
