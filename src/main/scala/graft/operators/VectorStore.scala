@@ -2016,15 +2016,25 @@ object VectorStore {
 
   /** Replay pending delete AND edit manifests left by a crashed
     * [[delete]]/[[edit]] run. Call on store open (IngestJob does) or
-    * after a failure. Deletes replay first (an edit's own delete
-    * sub-step journals independently), then edits replay from their
-    * staged content, then orphaned staging dirs (crash between manifest
-    * retire and stage cleanup) are swept. Returns the number of
-    * manifests replayed. Safe to call any time: with no pending
-    * manifests it reads nothing but the manifest dir listing. */
+    * after a failure. A half-swapped lexical compaction replays FIRST:
+    * the compaction swap renames staged dirs over the live postings/
+    * doclog, so any kill rows / postings the delete/edit replays append
+    * must land on the POST-swap dirs — replaying ops first and swapping
+    * last would silently discard those appends under the stale staged
+    * state (r13 advice: a deleted doc could resurrect in the lexical
+    * leg). Then deletes replay (an edit's own delete sub-step journals
+    * independently), then edits replay from their staged content, then
+    * orphaned staging dirs (crash between manifest retire and stage
+    * cleanup) are swept. Returns the number of manifests replayed. Safe
+    * to call any time: with no pending manifests it reads nothing but
+    * the manifest dir listing. */
   def recover(spark: SparkSession, indexDir: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    // half-swapped lexical compaction finishes BEFORE any manifest
+    // replay appends to the lexical sidecar (see scaladoc); with no
+    // compact manifest pending this also sweeps pre-commit _tmp orphans
+    VectorStoreLex.recoverCompact(spark, indexDir)
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/$ManifestDir")
     val listed = if (!fs.exists(dir))
       Array.empty[org.apache.hadoop.fs.Path]
@@ -2047,8 +2057,6 @@ object VectorStore {
       fs.delete(p, false)
       fs.delete(new org.apache.hadoop.fs.Path(staged), true)
     }
-    // half-swapped lexical compaction: finish the idempotent swap
-    VectorStoreLex.recoverCompact(spark, indexDir)
     // orphaned stages: manifest retired (edit complete) but the crash
     // hit before the staging dir was removed — content is already live,
     // the copy is garbage

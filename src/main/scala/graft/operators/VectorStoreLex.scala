@@ -82,8 +82,11 @@ object VectorStoreLex {
 
   private def nextGen(spark: SparkSession, indexDir: String): Long = {
     spark.catalog.refreshByPath(doclogPath(indexDir))
+    // coalesce: a doclog created over an empty chunk batch has a schema
+    // but zero rows — max(gen) is NULL there, and a bare getLong would
+    // NPE the next append/delete (r13 advice); empty log ⇒ gen 1
     spark.read.parquet(doclogPath(indexDir))
-      .agg(max("gen")).head().getLong(0) + 1L
+      .agg(coalesce(max("gen"), lit(0L))).head().getLong(0) + 1L
   }
 
   /** Ingest hook: index the batch's chunks into the sidecar. `create`
@@ -217,11 +220,21 @@ object VectorStoreLex {
   }
 
   /** recover() hook: finish a half-swapped compaction if its manifest
-    * is pending. Returns true if one was replayed. */
+    * is pending. Returns true if one was replayed. With NO manifest
+    * pending, any `_tmp` dir on disk is a pre-commit orphan (a crash in
+    * [[stageCompactLex]] before the manifest rename) — its staged state
+    * was never promised, so it is swept here rather than left to
+    * accumulate until the next compactLex overwrites it (r13 advice). */
   private[operators] def recoverCompact(spark: SparkSession,
       indexDir: String): Boolean = {
-    if (!fs(spark).exists(compactManifest(indexDir))) false
-    else { swapCompactLex(spark, indexDir); true }
+    val f = fs(spark)
+    if (!f.exists(compactManifest(indexDir))) {
+      Seq(postingsPath(indexDir), doclogPath(indexDir)).foreach { p =>
+        val tmp = new org.apache.hadoop.fs.Path(s"${p}_tmp")
+        if (f.exists(tmp)) f.delete(tmp, true)
+      }
+      false
+    } else { swapCompactLex(spark, indexDir); true }
   }
 
   /** The lexical leg, ranked: (query_id, doc_id, chunk_ix, score,

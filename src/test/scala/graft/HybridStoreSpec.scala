@@ -237,6 +237,93 @@ class HybridStoreSpec extends AnyFunSuite {
       == before)
   }
 
+  test("recover order: pending compaction swaps BEFORE a delete replays " +
+    "(r13 advice — kill rows must land on the post-swap doclog)") {
+    val dir = Files.createTempDirectory("graft_hyb_ro").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 20), dir) > 0)
+    // dead generations so the compaction actually rewrites something
+    VectorStore.edit(spark, dir, Seq(3L), docs.filter(col("doc_id") === 103)
+      .select(lit(3L).as("doc_id"), col("text")))
+    val victimChunk = spark.read.parquet(dir)
+      .filter(col("doc_id") === 5 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    // crash state: compaction staged + manifest committed (swap not run)…
+    VectorStoreLex.stageCompactLex(spark, dir)
+    // …AND a delete of doc 5 that crashed right after its intent manifest
+    // (no bucket deletion, no kill row yet) — the co-existence the r13
+    // advice flagged: replay-then-swap would discard the replayed kill row
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val buckets = spark.read.parquet(dir).filter(col("doc_id") === 5)
+      .select("bucket").distinct().collect().map(_.getInt(0))
+    val mf = new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_manifest/delete_00000000000001_1.json")
+    val out = fs.create(mf, true)
+    try out.write(
+      s"""{"docIds":[5],"buckets":[${buckets.mkString(",")}]}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+
+    VectorStore.recover(spark, dir)
+    // the deleted doc must be dead in BOTH planes after recovery
+    val hits = rows(VectorStoreLex.searchHybrid(spark, dir, victimChunk, k = 5))
+    assert(!hits.exists(_(1) == 5L),
+      s"doc 5 resurrected in the lexical leg after recover(): $hits")
+    assert(spark.read.parquet(dir).filter(col("doc_id") === 5).count() == 0)
+    val latest = spark.read.parquet(s"$dir/_graft_lex/doclog")
+      .groupBy("doc_id").agg(max(struct(col("gen"), col("live"))).as("m"))
+      .filter(col("doc_id") === 5).select("m.live").collect()
+    assert(latest.nonEmpty && !latest.head.getBoolean(0),
+      "doc 5's kill row was lost under the compaction swap")
+  }
+
+  test("empty doclog (zero-row create) yields gen 1, not an NPE") {
+    val dir = Files.createTempDirectory("graft_hyb_eg").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 10), dir) > 0)
+    // simulate a doclog created over an empty batch: schema, zero rows
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dlPath = s"$dir/_graft_lex/doclog"
+    val empty = spark.read.parquet(dlPath).limit(0)
+    val tmp = Files.createTempDirectory("graft_hyb_eg2").toString + "/dl"
+    empty.write.parquet(tmp)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dlPath), true))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dlPath)))
+    // delete logs its lexical kill row through nextGen — pre-fix this
+    // NPE'd on max(gen) = NULL; post-fix the kill row lands at gen 1
+    assert(VectorStore.delete(spark, dir, Seq(3L)) > 0)
+    val kill = spark.read.parquet(dlPath).filter(col("doc_id") === 3).collect()
+    assert(kill.length == 1 && kill.head.getAs[Long]("gen") == 1L &&
+      !kill.head.getAs[Boolean]("live"), s"kill row wrong: ${kill.toSeq}")
+  }
+
+  test("pre-commit compaction orphans (_tmp, no manifest) are swept by recover") {
+    val dir = Files.createTempDirectory("graft_hyb_os").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 15), dir) > 0)
+    val probe = spark.read.parquet(dir)
+      .filter(col("doc_id") === 2 && col("chunk_ix") === 1)
+      .select("chunk").collect().head.getString(0)
+    val before = rows(VectorStoreLex.searchHybrid(spark, dir, probe, k = 5))
+    // crash in stageCompactLex BEFORE the manifest commit: tmp dirs exist,
+    // no manifest — nothing was promised, recover() must sweep the orphans
+    VectorStoreLex.stageCompactLex(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_manifest/lexcompact.json"), false))
+    VectorStore.recover(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_lex/postings_tmp")), "orphan postings_tmp not swept")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_lex/doclog_tmp")), "orphan doclog_tmp not swept")
+    assert(rows(VectorStoreLex.searchHybrid(spark, dir, probe, k = 5))
+      == before, "orphan sweep changed the serving state")
+  }
+
   test("postings scan prunes to the query terms' md5 partitions") {
     val df = VectorStoreLex.searchHybrid(spark, indexDir, "the quick fox", k = 3)
     df.collect()
