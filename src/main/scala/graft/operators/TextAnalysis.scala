@@ -902,16 +902,36 @@ object TextAnalysis {
     FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair LIMIT 20"""
 
-  /** D18k (r15): MULTI-ROUND BPE training — the real tokenizer-fit loop
-    * D18 only sampled: k = 3 rounds of (count adjacent SYMBOL pairs →
-    * merge the corpus-wide top pair → re-segment → re-count). Round 1
-    * merges a character bigram; later rounds see MERGED symbols as
-    * units, so the pair key is the symbol PAIR (s1, s2), never a string
-    * concat (("ab","c") ≠ ("a","bc")). Output: one row per round —
-    * (round, s1, s2, cnt, n_symbols) where n_symbols is the corpus
-    * symbol count after applying that round's merge, i.e. the encode
-    * measurement over the learned table (compression progress per
-    * round, the D18e re-check).
+  /** D18k (r15, re-derived r16): MULTI-ROUND BPE training — the real
+    * tokenizer-fit loop D18 only sampled: k = 3 rounds of (count
+    * adjacent SYMBOL pairs → merge the corpus-wide top pair →
+    * re-segment → re-count). Round 1 merges a character bigram; later
+    * rounds see MERGED symbols as units, so the pair key is the symbol
+    * PAIR (s1, s2), never a string concat (("ab","c") ≠ ("a","bc")).
+    * Output: one row per round — (round, s1, s2, cnt, n_symbols) where
+    * n_symbols is the corpus symbol count after applying that round's
+    * merge, i.e. the encode measurement over the learned table
+    * (compression progress per round, the D18e re-check).
+    *
+    * TYPE-WEIGHTED (the r13 verdict's weak-grade closure): the trainer
+    * works over DISTINCT token types carrying an occurrence count — the
+    * standard lossless formulation (Sennrich et al. 2016's reference
+    * implementation trains on a word-frequency dict, not the raw
+    * corpus). Merge application is a deterministic function of a
+    * token's symbol sequence, so every occurrence of a type segments
+    * identically: pair counts weight each type's adjacent pairs by its
+    * count (cnt = Σ_type tcnt · pairs_in_type — identical to the
+    * per-occurrence count), the greedy merge applies ONCE per type, and
+    * n_symbols = Σ_type tcnt · len_syms. Identical output by
+    * construction — the oracle still runs per-occurrence and
+    * hash-matches. The difference is the shape: the old form exploded
+    * one row per CHARACTER of the corpus and re-shuffled it through two
+    * windows + two joins per merge round (~3 full-corpus-sized shuffles
+    * per round at 100 TB); this form pays ONE corpus-sized token
+    * aggregate (map-side combining) up front, then every round's
+    * windows/joins run over the vocabulary-sized (type, pos, sym) table
+    * — bounded by Σ|type| over distinct types, growing with vocabulary,
+    * not corpus bytes.
     *
     * Merge application is the standard leftmost non-overlapping rule,
     * closed-form relational (D18e's run trick, generalized): a match is
@@ -922,62 +942,55 @@ object TextAnalysis {
     * Start positions take the merged symbol, start+1 positions drop,
     * survivors re-index by row_number.
     *
-    * Scale shape: each round is (doc, token)-keyed windows and
-    * equi-joins over the exploded symbol table — token-sized
-    * partitions, no hot key possible; the top-1 pair is a
-    * TakeOrdered(1) collected to a literal (the bounded driver funnel,
-    * C6's discipline) and each round's re-segmented table is
-    * localCheckpoint-ed — per-round lineage truncation, so the unrolled
-    * iteration never stacks 3 rounds of window lineage into one plan.
-    * Oracle: the 3 rounds unrolled as CTEs (the E34/B17 precedent). */
+    * Scale shape: per-round windows/joins are keyed on the token TYPE
+    * (≤ |token| rows per partition key, no hot key possible); the top-1
+    * pair is a TakeOrdered(1) collected to a literal (the bounded
+    * driver funnel, C6's discipline) and each round's re-segmented
+    * table is localCheckpoint-ed — per-round lineage truncation, so the
+    * unrolled iteration never stacks 3 rounds of window lineage into
+    * one plan. Oracle: the 3 rounds unrolled as CTEs over the
+    * per-occurrence representation (the E34/B17 precedent) — unchanged
+    * from r15, which IS the equivalence check. */
   def textBpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val wTok = Window.partitionBy("doc_id", "tok_ix").orderBy("pos")
-    var sym = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
-      .withColumnRenamed("pos", "tok_ix").withColumnRenamed("col", "tok")
-      .select(col("doc_id"), col("tok_ix"),
-        posexplode(transform(sequence(lit(1), length(col("tok"))),
-          i => col("tok").substr(i, lit(1)))))
-      .withColumnRenamed("col", "sym")
-      .localCheckpoint(true)
+    var sym = bpeTypeTable(s, dir)
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
     var r = 1
     var exhausted = false
     while (r <= 3 && !exhausted) {
-      val withNext = sym.withColumn("nxt", lead("sym", 1).over(wTok))
-      val top = withNext.filter(col("nxt").isNotNull)
-        .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
-        .agg(count(lit(1)).as("cnt"))
+      val withNext = bpeWithNext(sym)
+      val top = bpePairCounts(withNext)
         .orderBy(col("cnt").desc, col("s1"), col("s2"))
         .limit(1).collect().headOption
       top match {
         case None => exhausted = true // all tokens single-symbol already
         case Some(t) =>
           val (a, b, cnt) = (t.getString(0), t.getString(1), t.getLong(2))
+          val wTok = Window.partitionBy("tok").orderBy("pos")
           val starts = withNext
             .filter(col("sym") === lit(a) && col("nxt") === lit(b))
             .withColumn("run_id", col("pos") - row_number().over(wTok))
             .withColumn("rk", row_number().over(Window
-              .partitionBy("doc_id", "tok_ix", "run_id").orderBy("pos")))
+              .partitionBy("tok", "run_id").orderBy("pos")))
             .filter(pmod(col("rk"), lit(2)) === 1)
-            .select(col("doc_id"), col("tok_ix"), col("pos"))
+            .select(col("tok"), col("pos"))
           val rebuilt = sym
             .join(starts.withColumn("is_start", lit(true)),
-              Seq("doc_id", "tok_ix", "pos"), "left")
-            .join(starts.select(col("doc_id"), col("tok_ix"),
+              Seq("tok", "pos"), "left")
+            .join(starts.select(col("tok"),
               (col("pos") + 1).as("pos"), lit(true).as("is_cons")),
-              Seq("doc_id", "tok_ix", "pos"), "left")
+              Seq("tok", "pos"), "left")
             .filter(col("is_cons").isNull)
-            .select(col("doc_id"), col("tok_ix"), col("pos").as("opos"),
+            .select(col("tok"), col("tcnt"), col("pos").as("opos"),
               when(col("is_start").isNotNull, lit(a + b))
                 .otherwise(col("sym")).as("sym"))
             .withColumn("pos", row_number().over(Window
-              .partitionBy("doc_id", "tok_ix").orderBy("opos")))
-            .select("doc_id", "tok_ix", "pos", "sym")
+              .partitionBy("tok").orderBy("opos")))
+            .select("tok", "tcnt", "pos", "sym")
             .localCheckpoint(true)
-          learned += ((r, a, b, cnt, rebuilt.count()))
+          val nSymbols = rebuilt.agg(coalesce(sum("tcnt"), lit(0L)))
+            .head().getLong(0)
+          learned += ((r, a, b, cnt, nSymbols))
           sym = rebuilt
           r += 1
       }
@@ -986,6 +999,34 @@ object TextAnalysis {
     learned.toSeq.toDF("round", "s1", "s2", "cnt", "n_symbols")
       .orderBy("round")
   }
+
+  /** The type-weighted symbol table: ONE corpus-sized token aggregate
+    * (map-side combining) to (tok, tcnt), then characters explode per
+    * DISTINCT type — (tok, tcnt, pos, sym), vocabulary-sized. */
+  private[graft] def bpeTypeTable(s: SparkSession, dir: String,
+      checkpoint: Boolean = true): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tcnt"))
+      .select(col("tok"), col("tcnt"),
+        posexplode(transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1)))))
+      .withColumnRenamed("col", "sym")
+    if (checkpoint) t.localCheckpoint(true) else t
+  }
+
+  /** One round's (sym, next-sym) pairing over the TYPE table — the
+    * window partitions by `tok` alone (≤ |token| rows per key). */
+  private[graft] def bpeWithNext(sym: DataFrame): DataFrame =
+    sym.withColumn("nxt",
+      lead("sym", 1).over(Window.partitionBy("tok").orderBy("pos")))
+
+  /** Occurrence-exact pair counts from the type table: each type's
+    * adjacent pairs weighted by its occurrence count. */
+  private[graft] def bpePairCounts(withNext: DataFrame): DataFrame =
+    withNext.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
+      .agg(sum("tcnt").as("cnt"))
 
   /** Oracle for D18k: the three training rounds unrolled as CTEs — each
     * round's pair count, top-1 pick, odd-rank greedy starts, and
