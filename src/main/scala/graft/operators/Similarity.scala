@@ -774,6 +774,156 @@ object Similarity {
       FROM fused) WHERE rank <= 5
     ORDER BY query_id, rank"""
 
+  /** B30 (r16): metadata-filtered hybrid retrieval — B18's RRF fusion
+    * under a corpus-side predicate (source ∈ {src1, src3, src5, src7}),
+    * the registry twin of the store's `searchHybridFiltered` (G50), so
+    * the registry and store planes keep sharing every serving family
+    * (the recall_unified discipline). B21's PRE-filter bar: the
+    * predicate folds into BOTH legs BELOW their rank windows — each
+    * leg's top-[[HybridLegK]] and the fused top-5 fill entirely from
+    * matching docs (post-filtering the unfiltered legs would under-fill
+    * AND mis-rank: RRF ranks would count excluded docs). Corpus
+    * statistics (N, df) stay INDEX-WIDE — the Weaviate filtered-BM25
+    * semantics the store read implements, mirrored exactly in the
+    * oracle.
+    *
+    * Scale shape: B18's — the (doc, term) tf aggregate still runs once
+    * over query-term hits (it feeds index-wide df AND, filtered, the
+    * candidate stream; source rides the aggregate as a per-doc-constant
+    * max), the dense leg filters the corpus scan before the broadcast
+    * query cross product, and the rank windows see matching rows only. */
+  def annHybridFiltered(s: SparkSession, dir: String): DataFrame = {
+    val inScope = col("source").isin("src1", "src3", "src5", "src7")
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("t")).filter(length(col("t")) > 0)
+    val qTerms = tok.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    // tf aggregate over query-term hits, UNFILTERED (df must be
+    // index-wide); source rides along (constant per doc) so the
+    // candidate filter below needs no second documents join
+    val corpusTf = tok.filter(col("doc_id") >= 5)
+      .join(broadcast(qTerms.select("t").distinct()), Seq("t"), "left_semi")
+      .groupBy(col("doc_id").as("c_doc"), col("t"))
+      .agg(count(lit(1)).as("tf"), max("source").as("source"))
+    val df_ = corpusTf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.filter(col("doc_id") >= 5).agg(count(lit(1)).as("n_docs"))
+    val legW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("c_doc"))
+    val lex = broadcast(qTerms)
+      .join(corpusTf.filter(inScope), "t")
+      .join(df_.crossJoin(broadcast(n))
+        .select(col("t"), expr("(1000000 * n_docs) div df").as("idf_ppm")), "t")
+      .groupBy("query_id", "c_doc")
+      .agg(sum(col("tf") * col("idf_ppm")).as("score"))
+      .withColumn("lex_rank", row_number().over(legW).cast("long"))
+      .filter(col("lex_rank") <= HybridLegK)
+      .select(col("query_id"), col("c_doc"), col("lex_rank"))
+    val raw = docs.select(col("doc_id"), col("source"),
+      call_function("graft_hash_embed", col("text"), lit(EmbedDim)).as("w"))
+    val dense = raw.filter(col("doc_id") >= 5 && inScope)
+      .select(col("doc_id").as("c_doc"), col("w").as("cw"))
+      .join(broadcast(raw.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("w").as("qw"))))
+      .select(col("query_id"), col("c_doc"),
+        call_function("graft_dot_l", col("qw"), col("cw")).as("score"))
+      .withColumn("vec_rank", row_number().over(legW).cast("long"))
+      .filter(col("vec_rank") <= HybridLegK)
+      .select(col("query_id"), col("c_doc"), col("vec_rank"))
+    val fusedW = Window.partitionBy("query_id")
+      .orderBy(col("fused").desc, col("doc_id"))
+    lex.join(dense, Seq("query_id", "c_doc"), "full_outer")
+      .select(col("query_id"), col("c_doc").as("doc_id"),
+        col("lex_rank"), col("vec_rank"),
+        (when(col("lex_rank").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("vec_rank").isNotNull,
+            lit(1.0) / (lit(RrfK) + col("vec_rank"))).otherwise(lit(0.0)))
+          .as("fused"))
+      .withColumn("rank", row_number().over(fusedW).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("fused"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle for B30: B18's oracle with the source predicate folded into
+    * each leg's candidate stream BELOW its rank window; dft/n stay
+    * index-wide (the Weaviate filtered semantics). */
+  val annHybridFilteredSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE length(t) > 0),
+    scoped AS (
+      SELECT doc_id FROM documents
+      WHERE source IN ('src1', 'src3', 'src5', 'src7')),
+    ctf AS (
+      SELECT doc_id AS c_doc, t, COUNT(*) AS tf
+      FROM toks WHERE doc_id >= 5 GROUP BY doc_id, t),
+    dft AS (SELECT t, COUNT(*) AS df FROM ctf GROUP BY t),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id >= 5),
+    qterms AS (
+      SELECT DISTINCT doc_id AS query_id, t FROM toks WHERE doc_id < 5),
+    lexscore AS (
+      SELECT q.query_id, c.c_doc,
+        CAST(SUM(c.tf * ((1000000 * n.n_docs) // dft.df)) AS BIGINT) AS score
+      FROM qterms q
+      JOIN ctf c ON c.t = q.t
+      JOIN scoped s ON s.doc_id = c.c_doc
+      JOIN dft ON dft.t = q.t
+      CROSS JOIN n
+      GROUP BY q.query_id, c.c_doc),
+    lex AS (
+      SELECT query_id, c_doc, lex_rank FROM (
+        SELECT query_id, c_doc,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, c_doc) AS lex_rank
+        FROM lexscore) WHERE lex_rank <= $HybridLegK),
+    th AS (
+      SELECT doc_id,
+        CAST(('0x'||substr(md5(t),1,15))::BIGINT % $EmbedDim AS INT) AS slot,
+        ((('0x'||substr(md5(t),1,15))::BIGINT >> 5) & 1) * 2 - 1 AS sign
+      FROM toks),
+    slots AS (
+      SELECT doc_id, slot, CAST(SUM(sign) AS BIGINT) AS weight
+      FROM th GROUP BY doc_id, slot),
+    pairdots AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS c_doc,
+        CAST(SUM(q.weight * c.weight) AS BIGINT) AS dot
+      FROM slots q
+      JOIN slots c ON c.slot = q.slot AND c.doc_id >= 5
+      WHERE q.doc_id < 5
+      GROUP BY q.doc_id, c.doc_id),
+    densescore AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS c_doc,
+        COALESCE(p.dot, 0) AS score
+      FROM (SELECT doc_id FROM documents WHERE doc_id < 5) q
+      CROSS JOIN (SELECT d.doc_id FROM documents d JOIN scoped s
+                    ON s.doc_id = d.doc_id WHERE d.doc_id >= 5) c
+      LEFT JOIN pairdots p
+        ON p.query_id = q.doc_id AND p.c_doc = c.doc_id),
+    dense AS (
+      SELECT query_id, c_doc, vec_rank FROM (
+        SELECT query_id, c_doc,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, c_doc) AS vec_rank
+        FROM densescore) WHERE vec_rank <= $HybridLegK),
+    fused AS (
+      SELECT COALESCE(lex.query_id, dense.query_id) AS query_id,
+        COALESCE(lex.c_doc, dense.c_doc) AS doc_id,
+        lex.lex_rank, dense.vec_rank,
+        (CASE WHEN lex.lex_rank IS NOT NULL
+              THEN 1.0 / ($RrfK + lex.lex_rank) ELSE 0.0 END +
+         CASE WHEN dense.vec_rank IS NOT NULL
+              THEN 1.0 / ($RrfK + dense.vec_rank) ELSE 0.0 END) AS fused
+      FROM lex
+      FULL OUTER JOIN dense
+        ON dense.query_id = lex.query_id AND dense.c_doc = lex.c_doc)
+    SELECT query_id, rank, doc_id, fused, lex_rank, vec_rank FROM (
+      SELECT query_id, doc_id, fused, lex_rank, vec_rank,
+        row_number() OVER (PARTITION BY query_id ORDER BY fused DESC, doc_id) AS rank
+      FROM fused) WHERE rank <= 5
+    ORDER BY query_id, rank"""
+
   /** B18b (r12): hybrid retrieval with BM25 as the lexical leg — the
     * shape Elasticsearch/Vespa actually ship (BM25 + dense, RRF-fused):
     * B18's fusion and dense leg verbatim, but the lexical shortlist is
@@ -3446,6 +3596,7 @@ object Similarity {
     "ann_graph_search" -> (annGraphSearch _),
     "ann_hybrid" -> (annHybrid _),
     "ann_hybrid_bm25" -> (annHybridBm25 _),
+    "ann_hybrid_filtered" -> (annHybridFiltered _),
     "vec_outliers" -> (vecOutliers _),
     "vec_embed" -> (vecEmbed _),
     "ann_lsh"   -> (annLsh _),
@@ -3480,6 +3631,7 @@ object Similarity {
     "ann_knn_graph" -> annKnnGraphSql,
     "ann_graph_search" -> annGraphSearchSql,
     "ann_hybrid" -> annHybridSql,
+    "ann_hybrid_filtered" -> annHybridFilteredSql,
     "ann_hybrid_bm25" -> annHybridBm25Sql,
     "vec_outliers" -> vecOutliersSql,
     "vec_embed" -> vecEmbedSql,

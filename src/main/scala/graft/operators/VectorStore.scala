@@ -186,10 +186,18 @@ object VectorStore {
       chunkSize: Int = 20, overlap: Int = 5, mode: String = "overwrite",
       batchTag: Long = 0L, cells: Int = KmCells): Long = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
+    // Filtered serving (r16, the Weaviate `where` parity): a `meta`
+    // column on the docs batch (map<string,string> by convention) rides
+    // every chunk row into the index, so serving reads can fold a
+    // predicate BELOW their shortlists (B21's pre-filter discipline).
+    // Legacy rules below mirror perm/rescb/scodes.
+    val hasMeta = docs.columns.contains("meta")
+    val metaIn: Seq[Column] = if (hasMeta) Seq(col("meta")) else Nil
     val chunks = docs
-      .select(col("doc_id"),
-        posexplode(Text.chunks(col("text"), chunkSize, overlap)))
-      .select(col("doc_id"), (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))
+      .select((Seq(col("doc_id")) ++ metaIn ++ Seq(
+        posexplode(Text.chunks(col("text"), chunkSize, overlap)))): _*)
+      .select((Seq(col("doc_id")) ++ metaIn ++ Seq(
+        (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))): _*)
     // `raw` (exact int64 weights) is kept in the index: search ranks with
     // the codegen'd graft_dot_l kernel over it — the interpreted
     // aggregate/zip_with double dot it replaces was the scan-time cost of
@@ -347,7 +355,17 @@ object VectorStore {
       // read refuses it loudly
       val rpLegacy = reuse && !legacyFields.contains("pcodes")
       val indexed1 = if (sqLegacy) indexed0 else sq8Cols(indexed0)
-      val indexed = if (rpLegacy) indexed1 else rpCols(indexed1)
+      val indexed2 = if (rpLegacy) indexed1 else rpCols(indexed1)
+      // meta legacy rules: a meta-carrying store REFUSES a meta-less
+      // append (filtered reads would silently drop the new rows — worse
+      // than failing loudly); a pre-meta store drops the batch's meta
+      // (backfilling only the new rows would serve a partial filter —
+      // the G47 rule) and filtered reads refuse until re-ingest.
+      require(!(reuse && legacyFields.contains("meta")) || hasMeta,
+        s"store $indexDir carries a `meta` column: append batches must " +
+          "carry `meta` too, or filtered reads would silently drop them")
+      val metaLegacy = reuse && hasMeta && !legacyFields.contains("meta")
+      val indexed = if (metaLegacy) indexed2.drop("meta") else indexed2
       indexed.write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)
       // time-axis zone maps: incremental upkeep scans this batch's files
       // only (an overwrite-mode write wiped the old sidecar with the rest
@@ -941,7 +959,68 @@ object VectorStore {
     * queries that probed its cell, and ranking windows by query. Output
     * schema = [[searchCells]] plus a leading `query_id`. */
   def searchCellsBatch(spark: SparkSession, indexDir: String,
-      queries: Seq[String], k: Int = 5, nprobe: Int = 2): DataFrame = {
+      queries: Seq[String], k: Int = 5, nprobe: Int = 2): DataFrame =
+    cellsBatchIn(spark, indexDir, queries, k, nprobe, None)
+
+  /** Metadata-filtered cell serving (r16 — Weaviate's `where`-filtered
+    * search, the most-used store read after plain top-k; the reference's
+    * schema exists precisely to filter on: Channel_Name/Message_Author/
+    * Message_Date, VectorDatabase/VectorDatabase.py:46-57). `pred` is
+    * any Column predicate over index columns — conventionally the
+    * `meta` map ingested with the docs batch, e.g.
+    * `element_at(col("meta"), "channel") === "ops"`.
+    *
+    * B21's PRE-filter discipline: the predicate folds into the
+    * cell-probed scan BELOW the rank window — never a post-filter over
+    * an unfiltered top-k, so a selective predicate still fills all k
+    * slots from the probed cells' matching rows (post-filtering would
+    * under-fill). Semantics: exact top-k among the probed cells' rows
+    * satisfying `pred` (the recall caveat vs a full scan is the same
+    * cell-probing tradeoff every cells read documents). A store written
+    * before metadata existed refuses a meta-referencing predicate
+    * loudly — re-ingest to upgrade (the append-can't-backfill rule). */
+  def searchCellsFiltered(spark: SparkSession, indexDir: String,
+      query: String, pred: Column, k: Int = 5, nprobe: Int = 2): DataFrame =
+    searchCellsFilteredBatch(spark, indexDir, Seq(query), pred, k, nprobe)
+      .drop("query_id")
+
+  /** Batch twin of [[searchCellsFiltered]] (the G23/G26 pattern): many
+    * queries, one filtered cell-probed plan. Rank-for-rank identical to
+    * the single read per query. */
+  def searchCellsFilteredBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], pred: Column, k: Int = 5, nprobe: Int = 2)
+      : DataFrame = {
+    requireFilterable(spark, indexDir, pred)
+    cellsBatchIn(spark, indexDir, queries, k, nprobe, Some(pred))
+  }
+
+  /** Loud legacy gate for predicate-taking reads: every column the
+    * predicate references must exist in the index schema. A pre-meta
+    * store (or a typo'd key) fails HERE with the re-ingest message, not
+    * deep inside analysis. */
+  private[operators] def requireFilterable(spark: SparkSession,
+      indexDir: String, pred: Column): Unit = {
+    try spark.read.parquet(indexDir).filter(pred).schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"store $indexDir cannot serve this predicate " +
+            s"(${e.getSimpleMessage}): if it references `meta`, the store " +
+            "was written before that metadata existed — re-ingest to " +
+            "upgrade (an append cannot backfill `meta` for rows already " +
+            "on disk)", e)
+    }
+    ()
+  }
+
+  /** The shared cell-probed batch plan: probe selection driver-side
+    * against the K-row frozen centroid sidecar, directory-pruned scan of
+    * the probed cells' union, optional predicate folded in BELOW the
+    * per-query rank window (the filtered read's pre-filter bar), then
+    * broadcast (query_id, cell) restriction + per-query top-k. */
+  private def cellsBatchIn(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int, nprobe: Int,
+      pred: Option[Column]): DataFrame = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$indexDir/$CellsDir/centroids.parquet")
       .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
@@ -955,8 +1034,9 @@ object VectorStore {
       probeCellsFor(centroids, qraw, nprobe).map(cell => (qid, cell))
     }.toSeq
     val probes = probePairs.toDF("query_id", "cell")
-    val index = spark.read.parquet(indexDir)
+    val scanned = spark.read.parquet(indexDir)
       .filter(col("cell").isInCollection(probePairs.map(_._2).distinct))
+    val index = pred.fold(scanned)(scanned.filter)
     val dotQC = call_function("graft_dot_l", col("raw"), col("qraw"))
     val ssC = call_function("graft_dot_l", col("raw"), col("raw"))
     val ssQ = call_function("graft_dot_l", col("qraw"), col("qraw"))
@@ -1951,7 +2031,13 @@ object VectorStore {
       spark.sparkContext.hadoopConfiguration)
     val stamp = s"${System.currentTimeMillis()}_${docIds.hashCode.abs}"
     val staged = s"$indexDir/$EditStageDir/staged_$stamp"
-    newDocs.select("doc_id", "text").write.mode("overwrite").parquet(staged)
+    // meta rides the staged copy when present: a meta-carrying store's
+    // append sub-step requires it (and the replay must see it too)
+    val stageCols =
+      if (newDocs.columns.contains("meta")) Seq("doc_id", "text", "meta")
+      else Seq("doc_id", "text")
+    newDocs.select(stageCols.map(col): _*).write.mode("overwrite")
+      .parquet(staged)
     val manifest = writeEditManifest(fs, indexDir, stamp, docIds, staged,
       chunkSize, overlap, batchTag)
     val res = applyEdit(spark, indexDir, docIds, staged, chunkSize, overlap,

@@ -243,7 +243,8 @@ object VectorStoreLex {
     * predicate pushdown both need literals. Corpus stats fold to two
     * longs (exact integers; avgdl = floor div). */
   private def lexLeg(spark: SparkSession, indexDir: String,
-      queries: Seq[String], legK: Int): DataFrame = {
+      queries: Seq[String], legK: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(exists(spark, indexDir),
       s"store $indexDir has no lexical sidecar ($LexDir): it was written " +
         "before hybrid existed — re-ingest to upgrade (the sidecar cannot " +
@@ -261,13 +262,24 @@ object VectorStoreLex {
     val nChunks = statsRow.getLong(0)
     val avgdl = if (nChunks == 0) 1L else statsRow.getLong(1) / nChunks
     spark.catalog.refreshByPath(postingsPath(indexDir))
-    val hit = spark.read.parquet(postingsPath(indexDir))
+    val hit0 = spark.read.parquet(postingsPath(indexDir))
       .filter(col("tbkt").isin(tbkts: _*) && col("term").isin(terms: _*))
       .join(live.select(col("doc_id"), col("lgen")),
         Seq("doc_id"))
       .filter(col("gen") === col("lgen"))
       .select("term", "doc_id", "chunk_ix", "tf", "dl")
-    val dft = hit.groupBy("term").agg(count(lit(1)).as("df"))
+    // df/idf stay INDEX-WIDE (Weaviate's filtered-BM25 semantics: the
+    // filter restricts candidates, not corpus statistics) — so df folds
+    // from the unfiltered live hits, then the allowed-set semi-join
+    // lands BELOW the rank window: top-legK fills from allowed rows
+    // only, never a post-rank filter that could under-fill. No
+    // broadcast hint on `allowed` — it is predicate-sized (can be most
+    // of the index); the hit side is query-term-bounded, so AQE picks
+    // the build side.
+    val dft = hit0.groupBy("term").agg(count(lit(1)).as("df"))
+    val hit = allowed.fold(hit0)(a =>
+      hit0.join(a.select("doc_id", "chunk_ix"),
+        Seq("doc_id", "chunk_ix"), "left_semi"))
     val qterms = qTermPairs.toDF("query_id", "term")
     // D30's exact rational BM25 (k1 = 1.2, b = 0.75), micro-unit floored
     val num = lit(22L) * col("tf") * lit(avgdl) *
@@ -323,14 +335,45 @@ object VectorStoreLex {
     * winners is fetched in one final broadcast-keyed probe of the index
     * (late materialization — the legs rank ids, never carry text). */
   def searchHybridBatch(spark: SparkSession, indexDir: String,
-      queries: Seq[String], k: Int = 5): DataFrame = {
-    val lex = lexLeg(spark, indexDir, queries, LegK)
+      queries: Seq[String], k: Int = 5): DataFrame =
+    hybridBatchIn(spark, indexDir, queries, k, None)
+
+  /** Metadata-filtered hybrid read (r16): [[searchHybrid]] under a
+    * predicate over index columns (conventionally the ingested `meta`
+    * map). BOTH legs pre-filter — the dense LSH probe scans the
+    * predicate-filtered index, and the lexical leg semi-joins its live
+    * postings against the filtered (doc, chunk) set BELOW its rank
+    * window — so each leg's top-[[LegK]] and the fused top-k fill
+    * entirely from matching rows (a post-filter over unfiltered legs
+    * would under-fill AND mis-rank: RRF ranks would count excluded
+    * rows). BM25 corpus stats stay index-wide (the Weaviate filtered
+    * semantics). A pre-meta store refuses loudly — re-ingest. */
+  def searchHybridFiltered(spark: SparkSession, indexDir: String,
+      query: String, pred: org.apache.spark.sql.Column, k: Int = 5)
+      : DataFrame =
+    searchHybridFilteredBatch(spark, indexDir, Seq(query), pred, k)
+      .drop("query_id")
+
+  /** Batch twin of [[searchHybridFiltered]] — rank-for-rank identical
+    * per query (the batch-of-one invariant HybridStoreSpec pins). */
+  def searchHybridFilteredBatch(spark: SparkSession, indexDir: String,
+      queries: Seq[String], pred: org.apache.spark.sql.Column, k: Int = 5)
+      : DataFrame = {
+    VectorStore.requireFilterable(spark, indexDir, pred)
+    hybridBatchIn(spark, indexDir, queries, k, Some(pred))
+  }
+
+  private def hybridBatchIn(spark: SparkSession, indexDir: String,
+      queries: Seq[String], k: Int,
+      pred: Option[org.apache.spark.sql.Column]): DataFrame = {
+    spark.catalog.refreshByPath(indexDir)
+    val idx0 = spark.read.parquet(indexDir)
+    val idx = pred.fold(idx0)(idx0.filter)
+    val lex = lexLeg(spark, indexDir, queries, LegK, pred.map(_ => idx))
       .select("query_id", "doc_id", "chunk_ix", "lex_rank")
 
-    // --- dense leg ------------------------------------------------------
-    spark.catalog.refreshByPath(indexDir)
-    val dense = VectorStore.searchInBatch(spark,
-        spark.read.parquet(indexDir), queries, LegK)
+    // --- dense leg (pre-filtered scan when a predicate is given) --------
+    val dense = VectorStore.searchInBatch(spark, idx, queries, LegK)
       .select(col("query_id"), col("doc_id"), col("chunk_ix"),
         col("rank").cast("long").as("vec_rank"))
 

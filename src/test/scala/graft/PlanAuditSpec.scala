@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_profile", "q_profile_docs", // E61d: same bounded global-agg funnel as q_profile
     "text_bm25",     // D30: 1-row corpus-totals aggregate (the ann_hybrid N funnel)
     "ann_hybrid_bm25", // B18b: the same 1-row BM25 totals funnel as text_bm25
+    "ann_hybrid_filtered", // B30: ann_hybrid's idf N funnel, filtered legs
     "mm_shard_pack", // F30: text_pack's bucket-count offset pass over byte sums
     "q_hilbert",     // E63: adjacency lag over the 16-row file table (q_top_movers shape)
     "text_shuffle_shard") // D32: text_pack's 256-row bucket-offset pass
@@ -118,7 +119,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q_decay_score",  // E59: 1-row max-day anchor attach, the q_rfm shape
     "text_bm25",      // D30: 1-row (N, T, avgdl) totals attach, the ann_hybrid shape
     "ann_rp",         // B28: same broadcast <=10-row query-set scan as ann_brute
-    "ann_hybrid_bm25") // B18b: ann_hybrid's dense-leg broadcast + text_bm25's 1-row totals attach
+    "ann_hybrid_bm25", // B18b: ann_hybrid's dense-leg broadcast + text_bm25's 1-row totals attach
+    "ann_hybrid_filtered") // B30: ann_hybrid's dense-leg broadcast, corpus side pre-filtered
 
   test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
     val observed = plans.collect {

@@ -214,7 +214,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // join (the broadcast query-term filter).
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
-    for (q <- Seq("ann_hybrid", "ann_hybrid_bm25")) {
+    for (q <- Seq("ann_hybrid", "ann_hybrid_bm25", "ann_hybrid_filtered")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val lp = df.queryExecution.optimizedPlan
       val pinned = lp.collect {

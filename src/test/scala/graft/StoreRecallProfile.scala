@@ -20,8 +20,12 @@ object StoreRecallProfile {
     val spark = TestSpark.spark
     val dir = java.nio.file.Files
       .createTempDirectory("graft_srp").toString + "/index"
+    // meta rides the ingest so the r16 filtered rungs are measurable:
+    // channel = ch{doc_id % 4}
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
       .select("doc_id", "text")
+      .withColumn("meta", map(lit("channel"),
+        concat(lit("ch"), pmod(col("doc_id"), lit(4)).cast("string"))))
     require(VectorStore.ingest(docs, dir) > 0)
     require(VectorStore.buildGraph(spark, dir) > 0)
     val index = spark.read.parquet(dir)
@@ -44,6 +48,19 @@ object StoreRecallProfile {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("dot").desc, col("doc_id"), col("chunk_ix"))
     val truth = index.crossJoin(broadcast(qdf))
+      .select(col("query_id"), col("doc_id"), col("chunk_ix"), dot.as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "doc_id", "chunk_ix")
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getInt(2))).toSet).toMap
+    // filtered truth: exact top-5 among rows matching the ch1 predicate —
+    // the honest axis for the filtered rungs (truth restricted the same
+    // way the read is, so the number isolates shortlist quality, not the
+    // filter's selectivity)
+    val truthF = index.filter(pmod(col("doc_id"), lit(4)) === 1)
+      .crossJoin(broadcast(qdf))
       .select(col("query_id"), col("doc_id"), col("chunk_ix"), dot.as("dot"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -102,8 +119,30 @@ object StoreRecallProfile {
       "search_hybrid" ->
         (() => graft.operators.VectorStoreLex.searchHybridBatch(
           spark, dir, queries, k = 5)))
+    val chan1 = element_at(col("meta"), "channel") === "ch1"
+    // G50 (r16): the where-filtered rungs, measured against the FILTERED
+    // exact truth (same 10 queries; candidates restricted to ch1 both in
+    // truth and read, so this is pre-filter shortlist recall)
+    val rungsF: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "search_cells_filtered" ->
+        (() => VectorStore.searchCellsFilteredBatch(
+          spark, dir, queries, chan1, k = 5)),
+      "search_hybrid_filtered" ->
+        (() => graft.operators.VectorStoreLex.searchHybridFilteredBatch(
+          spark, dir, queries, chan1, k = 5)))
+    def recallVs(t: Map[Long, Set[(Long, Int)]])(
+        res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select("query_id", "doc_id", "chunk_ix").collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(r => (r.getLong(1), r.getInt(2))).toSet).toMap
+      t.keys.toSeq.map { q =>
+        t(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble / 5
+      }.sum / t.size
+    }
     val parts = rungs.map { case (name, build) =>
       f""""$name":${recallOf(build())}%.3f"""
+    } ++ rungsF.map { case (name, build) =>
+      f""""$name":${recallVs(truthF)(build())}%.3f"""
     }
     println(s"""{"metric":"store_recall","k":5,"queries":${truth.size},${parts.mkString(",")}}""")
     spark.stop()
