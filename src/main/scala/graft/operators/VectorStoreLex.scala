@@ -16,9 +16,11 @@ import graft.functions.Text
   *
   * Sidecar layout under `indexDir/_graft_lex/`:
   *
-  *   - `postings/` — (term, doc_id, chunk_ix, tf, dl, gen), partitioned
-  *     by `tbkt` = first md5 hex char of the term (16 partitions; the
-  *     D32 md5-bucket discipline). A serving read computes its query
+  *   - `postings/` — (term, doc_id, chunk_ix, tf, dl, positions, gen),
+  *     partitioned by `tbkt` = first md5 hex char of the term (16
+  *     partitions; the D32 md5-bucket discipline). `positions` (r16) is
+  *     the sorted 0-based token offsets of the term within the chunk —
+  *     the phrase/proximity plane. A serving read computes its query
   *     terms' buckets DRIVER-SIDE (md5 is engine-independent), so the
   *     scan prunes to the matching partitions and the `term isin (…)`
   *     predicate pushes into the parquet row-group stats — posting-list
@@ -99,14 +101,25 @@ object VectorStoreLex {
     if (!create && !exists(spark, indexDir)) return
     val gen = if (create) 1L else nextGen(spark, indexDir)
     val mode = if (create) "overwrite" else "append"
+    // positions (r16): 0-based token offsets within the chunk, sorted —
+    // the phrase/proximity plane ([[searchPhrase]]). Legacy rule: an
+    // append to a pre-positions store must NOT write the column (mixed
+    // files would serve null positions for old docs and phrase reads
+    // would silently miss them) — such a store stays position-free and
+    // searchPhrase refuses until re-ingest.
+    val hasPos = create || spark.read.parquet(postingsPath(indexDir))
+      .schema.fieldNames.contains("positions")
     val tok = chunks
       .select(col("doc_id"), col("chunk_ix"), Text.tokens(col("chunk")).as("toks"))
       .select(col("doc_id"), col("chunk_ix"),
-        size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
-    tok.groupBy("doc_id", "chunk_ix", "term")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        size(col("toks")).cast("long").as("dl"), posexplode(col("toks")))
+      .withColumnRenamed("col", "term")
+    val posted = tok.groupBy("doc_id", "chunk_ix", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("gen", lit(gen))
       .withColumn("tbkt", substring(md5(col("term")), 1, 1))
+    (if (hasPos) posted else posted.drop("positions"))
       .write.mode(mode).partitionBy("tbkt").parquet(postingsPath(indexDir))
     chunks
       .select(col("doc_id"), size(Text.tokens(col("chunk"))).cast("long").as("dl"))
@@ -361,6 +374,81 @@ object VectorStoreLex {
       : DataFrame = {
     VectorStore.requireFilterable(spark, indexDir, pred)
     hybridBatchIn(spark, indexDir, queries, k, Some(pred))
+  }
+
+  /** Phrase query, single (r16 — the second-most-common lexical read
+    * after bag-of-words BM25): chunks containing the EXACT token
+    * sequence, ranked by occurrence count. Output: (rank, doc_id,
+    * chunk_ix, chunk, n_matches). */
+  def searchPhrase(spark: SparkSession, indexDir: String, phrase: String,
+      k: Int = 5): DataFrame =
+    searchPhraseBatch(spark, indexDir, Seq(phrase), k).drop("query_id")
+
+  /** Phrase query, many phrases through ONE uniform plan — the classic
+    * positional-intersection via offset alignment: each (phrase, ord,
+    * term) joins its live postings, every posting position explodes to a
+    * candidate start `pos − ord`, and a start that collects ALL of the
+    * phrase's ords is a match (adjacency in order, exactly). One keyed
+    * aggregate over rows bounded by the query terms' posting sizes — no
+    * per-phrase plan, no n-way self-join chain; duplicate terms in a
+    * phrase work because each ord contributes its own row per position.
+    * Liveness is the BM25 read's keep-latest gen discipline, so edits/
+    * deletes/compaction serve phrases exactly like bag-of-words reads.
+    * A pre-positions store (r15 and earlier) refuses loudly: appends
+    * cannot backfill positions — re-ingest to upgrade. Single-term
+    * phrases degenerate to term lookup with n_matches = tf. */
+  def searchPhraseBatch(spark: SparkSession, indexDir: String,
+      phrases: Seq[String], k: Int = 5): DataFrame = {
+    require(exists(spark, indexDir),
+      s"store $indexDir has no lexical sidecar ($LexDir): re-ingest")
+    spark.catalog.refreshByPath(postingsPath(indexDir))
+    val posts = spark.read.parquet(postingsPath(indexDir))
+    require(posts.schema.fieldNames.contains("positions"),
+      s"store $indexDir has no positional postings: it was written " +
+        "before positions existed — re-ingest to upgrade (an append " +
+        "cannot backfill positions for rows already on disk)")
+    import spark.implicits._
+    val qOrd: Seq[(Long, Int, String)] = phrases.zipWithIndex.flatMap {
+      case (p, i) => tokenize(p).zipWithIndex.map {
+        case (t, ord) => (i.toLong, ord, t) }
+    }
+    require(qOrd.nonEmpty, "no query terms after tokenization")
+    val qlens = phrases.zipWithIndex
+      .map { case (p, i) => (i.toLong, tokenize(p).size.toLong) }
+      .toDF("query_id", "qlen")
+    val terms = qOrd.map(_._3).distinct
+    val tbkts = terms.map(termBucket).distinct
+    val qdf = qOrd.toDF("query_id", "ord", "term")
+    val live = latestDoclog(spark, indexDir).filter(col("live"))
+    val hit = posts
+      .filter(col("tbkt").isin(tbkts: _*) && col("term").isin(terms: _*))
+      .join(live.select(col("doc_id"), col("lgen")), Seq("doc_id"))
+      .filter(col("gen") === col("lgen"))
+      .select("term", "doc_id", "chunk_ix", "positions")
+    // offset alignment: a posting position p under phrase ord o votes for
+    // start p − o; a start with qlen votes is a full phrase occurrence
+    val aligned = broadcast(qdf).join(hit, "term")
+      .select(col("query_id"), col("ord"), col("doc_id"), col("chunk_ix"),
+        explode(col("positions")).as("p"))
+      .select(col("query_id"), col("ord"), col("doc_id"), col("chunk_ix"),
+        (col("p") - col("ord")).as("start"))
+      .filter(col("start") >= 0)
+    val matches = aligned
+      .groupBy("query_id", "doc_id", "chunk_ix", "start")
+      .agg(count(lit(1)).as("nv"))
+      .join(broadcast(qlens), "query_id")
+      .filter(col("nv") === col("qlen"))
+      .groupBy("query_id", "doc_id", "chunk_ix")
+      .agg(count(lit(1)).as("n_matches"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_matches").desc, col("doc_id"), col("chunk_ix"))
+    val ranked = matches
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+    spark.read.parquet(indexDir).select("doc_id", "chunk_ix", "chunk")
+      .join(broadcast(ranked), Seq("doc_id", "chunk_ix"))
+      .select("query_id", "rank", "doc_id", "chunk_ix", "chunk", "n_matches")
+      .orderBy("query_id", "rank")
   }
 
   private def hybridBatchIn(spark: SparkSession, indexDir: String,

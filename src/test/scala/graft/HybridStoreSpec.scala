@@ -324,6 +324,119 @@ class HybridStoreSpec extends AnyFunSuite {
       == before, "orphan sweep changed the serving state")
   }
 
+  test("phrase: a hit requires ADJACENCY — both terms non-adjacent do not match") {
+    val dir = Files.createTempDirectory("graft_hyb_p").toString + "/index"
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),             // "alpha beta" at start 0
+      (2L, "alpha gamma beta alpha epsilon"),     // both terms, never adjacent
+      (3L, "beta alpha beta gamma"),              // match at start 1
+      (4L, "alpha beta zeta alpha beta")          // two occurrences
+    ).toDF("doc_id", "text")
+    assert(VectorStore.ingest(docs, dir) > 0)
+    val hits = VectorStoreLex.searchPhrase(spark, dir, "alpha beta", k = 5)
+      .collect()
+    val byDoc = hits.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches")).toMap
+    assert(!byDoc.contains(2L),
+      s"non-adjacent doc 2 served as a phrase hit: ${hits.toSeq}")
+    assert(byDoc.get(1L).contains(1L) && byDoc.get(3L).contains(1L) &&
+      byDoc.get(4L).contains(2L), s"phrase matches wrong: ${hits.toSeq}")
+    // occurrence count ranks doc 4 first
+    assert(hits.head.getAs[Long]("doc_id") == 4L &&
+      hits.head.getAs[Long]("rank") == 1L)
+    // duplicate-term phrase: "alpha beta alpha" only in doc 4? no — doc 4
+    // has alpha@0 beta@1 zeta@2 alpha@3 beta@4: start 0 needs alpha@2 (no).
+    // doc 2: alpha@0 gamma@1 beta@2 alpha@3: start... needs beta@1 (no).
+    val dup = VectorStoreLex.searchPhrase(spark, dir, "beta alpha beta", k = 5)
+      .collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("doc_id") == 3L,
+      s"duplicate-term phrase wrong: ${dup.toSeq}")
+    // single-term phrase degenerates to term lookup with n_matches = tf
+    val single = VectorStoreLex.searchPhrase(spark, dir, "alpha", k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches"))
+      .toMap
+    assert(single == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L),
+      s"single-term phrase tf wrong: $single")
+  }
+
+  test("phrase batch == single, rank for rank") {
+    val phrases = Seq("alpha beta", "beta alpha beta", "gamma")
+    val dir = Files.createTempDirectory("graft_hyb_pb").toString + "/index"
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha gamma beta alpha epsilon"),
+      (3L, "beta alpha beta gamma"),
+      (4L, "alpha beta zeta alpha beta")
+    ).toDF("doc_id", "text")
+    assert(VectorStore.ingest(docs, dir) > 0)
+    val batch = VectorStoreLex.searchPhraseBatch(spark, dir, phrases, k = 4)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    phrases.zipWithIndex.foreach { case (p, i) =>
+      val single = rows(VectorStoreLex.searchPhrase(spark, dir, p, k = 4))
+      val fromBatch = batch.getOrElse(i.toLong, Array.empty).toSeq
+        .sortBy(_.getAs[Long]("rank")).map(_.toSeq.drop(1))
+      assert(fromBatch == single, s"phrase batch diverged for '$p'")
+    }
+  }
+
+  test("phrase serving survives edit + delete + compaction (== fresh ingest)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_hyb_pe").toString + "/index"
+    val freshDir = Files.createTempDirectory("graft_hyb_pf").toString + "/index"
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),
+      (3L, "gamma alpha beta"),
+      (4L, "alpha gamma beta")
+    ).toDF("doc_id", "text")
+    assert(VectorStore.ingest(docs, dir) > 0)
+    // edit doc 2 to REMOVE its phrase, delete doc 3, compact
+    VectorStore.edit(spark, dir, Seq(2L),
+      Seq((2L, "delta alpha zeta beta")).toDF("doc_id", "text"))
+    VectorStore.delete(spark, dir, Seq(3L))
+    VectorStoreLex.compactLex(spark, dir)
+    val finalDocs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta alpha zeta beta"),
+      (4L, "alpha gamma beta")
+    ).toDF("doc_id", "text")
+    assert(VectorStore.ingest(finalDocs, freshDir) > 0)
+    val a = rows(VectorStoreLex.searchPhrase(spark, dir, "alpha beta", k = 5))
+    val b = rows(VectorStoreLex.searchPhrase(spark, freshDir, "alpha beta", k = 5))
+    assert(a == b, s"phrase serving diverged from fresh ingest: $a vs $b")
+    assert(a.map(_(1)) == Seq(1L), s"only doc 1 still holds the phrase: $a")
+  }
+
+  test("pre-positions store: append stays position-free, phrase read refuses") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_hyb_pl").toString + "/index"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(VectorStore.ingest(docs.filter(col("doc_id") < 10), dir) > 0)
+    // simulate an r15 store: strip the positions column from postings
+    val posts = spark.read.parquet(s"$dir/_graft_lex/postings")
+      .drop("positions").localCheckpoint(true)
+    posts.write.mode("overwrite").partitionBy("tbkt")
+      .parquet(s"$dir/_graft_lex/postings")
+    // an append must NOT reintroduce positions for only the new rows
+    assert(VectorStore.ingest(docs.filter(col("doc_id") === 11), dir,
+      mode = "append") > 0)
+    spark.catalog.refreshByPath(s"$dir/_graft_lex/postings")
+    assert(!spark.read.parquet(s"$dir/_graft_lex/postings")
+      .schema.fieldNames.contains("positions"),
+      "append backfilled positions for a subset of rows")
+    val ex = intercept[IllegalArgumentException] {
+      VectorStoreLex.searchPhrase(spark, dir, "alpha beta")
+    }
+    assert(ex.getMessage.contains("re-ingest"), ex.getMessage)
+    // bag-of-words BM25 still serves fine without positions
+    assert(VectorStoreLex.searchLex(spark, dir,
+      docs.filter(col("doc_id") === 3).select("text")
+        .collect().head.getString(0).split(" ").take(4).mkString(" "),
+      k = 3).count() > 0)
+  }
+
   test("postings scan prunes to the query terms' md5 partitions") {
     val df = VectorStoreLex.searchHybrid(spark, indexDir, "the quick fox", k = 3)
     df.collect()

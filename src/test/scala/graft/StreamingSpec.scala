@@ -1081,6 +1081,23 @@ class StreamingSpec extends AnyFunSuite {
       "completely rewritten content for the edited parent document", k = 1)
       .collect().head
     assert(hit.getAs[Long]("doc_id") == 7L)
+    // r16 (the r13 verdict's #6): the streamed edit maintains the LEXICAL
+    // plane too — the hybrid read serves the NEW content for doc 7 with a
+    // lexical-leg rank (the edit routed through G42, which rewrites
+    // _graft_lex via delete-kill-row + append generations)
+    val hyb = graft.operators.VectorStoreLex.searchHybrid(spark, sDir,
+      "completely rewritten content for the edited parent document", k = 3)
+      .collect()
+    val doc7 = hyb.find(_.getAs[Long]("doc_id") == 7L)
+    assert(doc7.nonEmpty && doc7.get.getAs[Long]("rank") == 1L &&
+      !doc7.get.isNullAt(doc7.get.fieldIndex("lex_rank")),
+      s"streamed edit not served through the hybrid lexical leg: ${hyb.toSeq}")
+    // the superseded stale text no longer serves doc 7 lexically: a
+    // stale-term query must not surface doc 7 (its gen is dead)
+    val stale = graft.operators.VectorStoreLex.searchLex(spark, sDir,
+      "stale version", k = 5).collect()
+    assert(!stale.exists(_.getAs[Long]("doc_id") == 7L),
+      s"dead generation still serves from the lexical plane: ${stale.toSeq}")
   }
 
   test("F33: checkpointed restart continues the address space densely") {
