@@ -198,6 +198,20 @@ object VectorStore {
         posexplode(Text.chunks(col("text"), chunkSize, overlap)))): _*)
       .select((Seq(col("doc_id")) ++ metaIn ++ Seq(
         (col("pos") + 1).as("chunk_ix"), col("col").as("chunk"))): _*)
+    ingestChunks(chunks, indexDir, mode, lit(batchTag), cells)
+  }
+
+  /** The encode-and-write core shared by [[ingest]] (which chunks docs
+    * first) and [[retrainCells]] (which re-encodes the CURRENT chunk set
+    * into a staging dir): trains-or-reuses every learned artifact (OPQ
+    * perm, PQ codebook, k-means cells, residual codebook), encodes every
+    * serving column, and writes index data + sidecars under `indexDir`.
+    * `batchTagCol` is a literal for normal ingests and the preserved
+    * per-row `orig_tag` column for retrain (so the time axis survives a
+    * retrain); an `orig_tag` input column is dropped before the write so
+    * the written schema is position-identical to a fresh creation. */
+  private def ingestChunks(chunks: DataFrame, indexDir: String,
+      mode: String, batchTagCol: Column, cells: Int): Long = {
     // `raw` (exact int64 weights) is kept in the index: search ranks with
     // the codegen'd graft_dot_l kernel over it — the interpreted
     // aggregate/zip_with double dot it replaces was the scan-time cost of
@@ -349,7 +363,7 @@ object VectorStore {
       val indexed0 = rescbOpt
         .fold(coded)(cb =>
           coded.join(resEncode(cb, withRes), Seq("doc_id", "chunk_ix")))
-        .withColumn("batch_tag", lit(batchTag))
+        .withColumn("batch_tag", batchTagCol)
       // JL-projected codes (G47, r13): same legacy rule — a store written
       // before the pcodes column stays pcodes-free on append and the rp
       // read refuses it loudly
@@ -361,12 +375,14 @@ object VectorStore {
       // than failing loudly); a pre-meta store drops the batch's meta
       // (backfilling only the new rows would serve a partial filter —
       // the G47 rule) and filtered reads refuse until re-ingest.
+      val hasMeta = chunks.columns.contains("meta")
       require(!(reuse && legacyFields.contains("meta")) || hasMeta,
         s"store $indexDir carries a `meta` column: append batches must " +
           "carry `meta` too, or filtered reads would silently drop them")
       val metaLegacy = reuse && hasMeta && !legacyFields.contains("meta")
       val indexed = if (metaLegacy) indexed2.drop("meta") else indexed2
-      indexed.write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)
+      indexed.drop("orig_tag")
+        .write.mode(mode).partitionBy("bucket", "cell").parquet(indexDir)
       // time-axis zone maps: incremental upkeep scans this batch's files
       // only (an overwrite-mode write wiped the old sidecar with the rest
       // of the dir, so it degenerates to a fresh full build there)
@@ -1011,6 +1027,24 @@ object VectorStore {
             "on disk)", e)
     }
     ()
+  }
+
+  /** Profile hook: the cells each query would probe (the serving reads'
+    * own driver-side selection) — lets churn/skew profiles report the
+    * SCAN FRACTION a probe budget costs, the quantity frozen-cell drift
+    * actually degrades (a drifted append swelling one frozen cell makes
+    * every probe of it scan that fraction of the corpus). */
+  private[graft] def probedCells(spark: SparkSession, indexDir: String,
+      queries: Seq[String], nprobe: Int): Map[Long, Seq[Int]] = {
+    val centroids = spark.read.parquet(s"$indexDir/$CellsDir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    import spark.implicits._
+    val qraws = queries.toDF("qtext")
+      .select(rawWeights(col("qtext")).as("qraw"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    qraws.zipWithIndex.map { case (qraw, i) =>
+      i.toLong -> probeCellsFor(centroids, qraw, nprobe)
+    }.toMap
   }
 
   /** The shared cell-probed batch plan: probe selection driver-side
@@ -2100,6 +2134,116 @@ object VectorStore {
     removed
   }
 
+  /** G51 (r16): retrain the store's learned artifacts over the CURRENT
+    * corpus — the dense-plane counterpart of the lexical plane's
+    * compactLex, closing the frozen-cell-map gap the r13 verdict named
+    * (G22 freezes cell geometry at creation; under drifting appends the
+    * Voronoi cells stop matching the data and recall degrades
+    * PERMANENTLY — bench/store_recall_churn_r16.json measures it).
+    *
+    * Semantics: re-derive every learned artifact (OPQ permutation, PQ
+    * codebook, k-means cells, residual codebook) and every encoded
+    * column EXACTLY as a fresh creation over the current chunk set
+    * would — the implementation IS the creation path ([[ingestChunks]])
+    * run over the store's surviving chunks, so the retrained store is
+    * bit-for-bit the store a fresh ingest of the surviving docs
+    * produces (RetrainSpec pins rows + all four artifact sidecars),
+    * with one deliberate exception: per-row `batch_tag`s are PRESERVED
+    * (the time axis must survive a retrain; a fresh creation would
+    * flatten them to one tag). The graph sidecar needs no rebuild —
+    * edges reference (doc, chunk) raw vectors, which retrain never
+    * changes. The lexical sidecar is recreated at gen 1 over the same
+    * content (serving-identical: that is exactly what compactLex
+    * guarantees).
+    *
+    * Crash-safe (the G42/compactLex discipline): the complete new store
+    * (data + pq/cells/lex sidecars) stages under `_graft_retrain/`, a
+    * `retrain` manifest commits (temp + rename), then the swap replaces
+    * each staged entry idempotently (delete final, rename staged — an
+    * entry already gone moved before the crash) and the zone-map
+    * sidecar rebuilds from the final file set (staged zone maps record
+    * staging-dir paths, so they are rebuilt, not moved). recover()
+    * finishes a half-done swap from the manifest and sweeps a
+    * pre-commit orphan stage. Returns the number of re-encoded chunks.
+    *
+    * 100 TB shape: one full index rewrite — the same cost class as
+    * creation, run RARELY and measured before/after (the churn
+    * artifact); all training steps are the creation path's (map-side
+    * aggregates + K-row broadcast summaries), nothing new. */
+  def retrainCells(spark: SparkSession, indexDir: String,
+      cells: Int = KmCells): Long = {
+    val n = stageRetrain(spark, indexDir, cells)
+    swapRetrain(spark, indexDir)
+    n
+  }
+
+  private val RetrainDir = "_graft_retrain"
+  private def retrainStage(indexDir: String) = s"$indexDir/$RetrainDir/store"
+  private def retrainManifest(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/$ManifestDir/retrain.json")
+
+  private[graft] def stageRetrain(spark: SparkSession, indexDir: String,
+      cells: Int = KmCells): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    spark.catalog.refreshByPath(indexDir)
+    val cur = spark.read.parquet(indexDir)
+    val metaIn: Seq[Column] =
+      if (cur.columns.contains("meta")) Seq(col("meta")) else Nil
+    // the chunk set + preserved tags; orig_tag is consumed (and dropped)
+    // by ingestChunks so the written column ORDER matches fresh creation
+    val chunks = cur.select((Seq(col("doc_id")) ++ metaIn ++ Seq(
+      col("chunk_ix"), col("chunk"), col("batch_tag").as("orig_tag"))): _*)
+      .localCheckpoint(true) // sever from indexDir: the swap will replace it
+    val stage = retrainStage(indexDir)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val n = ingestChunks(chunks, stage, "overwrite", col("orig_tag"), cells)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexDir/$ManifestDir/retrain.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp, retrainManifest(indexDir))
+    n
+  }
+
+  /** Idempotent swap half of [[retrainCells]] — also the recover()
+    * replay: each staged entry (bucket=* dirs, _graft_pq, _graft_cells,
+    * _graft_lex) replaces its final twin; one already gone moved before
+    * the crash. The staged zone-map sidecar is discarded and rebuilt
+    * over the final tree (it records absolute file paths). */
+  private[graft] def swapRetrain(spark: SparkSession,
+      indexDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(retrainStage(indexDir))
+    if (fs.exists(stage)) {
+      fs.listStatus(stage).map(_.getPath).foreach { p =>
+        if (p.getName == "_graft_zonemap") fs.delete(p, true)
+        else {
+          val tgt = new org.apache.hadoop.fs.Path(s"$indexDir/${p.getName}")
+          fs.delete(tgt, true)
+          require(fs.rename(p, tgt), s"retrain swap failed: $p -> $tgt")
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$RetrainDir"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/_graft_zonemap"), true)
+    spark.catalog.refreshByPath(indexDir)
+    graft.sources.ZoneMaps.writeSidecar(spark, indexDir, "batch_tag")
+    fs.delete(retrainManifest(indexDir), false)
+  }
+
+  /** recover() hook: finish a half-swapped retrain if its manifest is
+    * pending; with NO manifest pending, a `_graft_retrain` dir is a
+    * pre-commit orphan (crash during staging) and is swept. */
+  private def recoverRetrain(spark: SparkSession, indexDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(retrainManifest(indexDir))) swapRetrain(spark, indexDir)
+    else fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$RetrainDir"),
+      true)
+  }
+
   /** Replay pending delete AND edit manifests left by a crashed
     * [[delete]]/[[edit]] run. Call on store open (IngestJob does) or
     * after a failure. A half-swapped lexical compaction replays FIRST:
@@ -2117,9 +2261,12 @@ object VectorStore {
   def recover(spark: SparkSession, indexDir: String): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    // half-swapped lexical compaction finishes BEFORE any manifest
-    // replay appends to the lexical sidecar (see scaladoc); with no
-    // compact manifest pending this also sweeps pre-commit _tmp orphans
+    // a half-swapped retrain replays FIRST (it replaces whole planes —
+    // anything appended to pre-swap dirs would be discarded), then a
+    // half-swapped lexical compaction, BOTH before any manifest replay
+    // appends to the lexical sidecar (see scaladoc); with no manifests
+    // pending these also sweep pre-commit staging orphans
+    recoverRetrain(spark, indexDir)
     VectorStoreLex.recoverCompact(spark, indexDir)
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/$ManifestDir")
     val listed = if (!fs.exists(dir))
