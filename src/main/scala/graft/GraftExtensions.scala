@@ -204,6 +204,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Int],
         children(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[graft.plans.BpeEncodeStats].getName, null,
+        "graft_bpe_encode"),
+      (children: Seq[Expression]) => graft.plans.BpeEncodeStats(children.head,
+        children(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ordered_pairs"),
+      new ExpressionInfo(classOf[graft.plans.LongOrderedPairs].getName, null,
+        "graft_ordered_pairs"),
+      (children: Seq[Expression]) => graft.plans.LongOrderedPairs(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[graft.plans.LshBuckets].getName, null,
         "graft_lsh_buckets"),

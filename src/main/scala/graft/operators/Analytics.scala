@@ -683,25 +683,44 @@ object Analytics {
     FROM paths GROUP BY path
     ORDER BY n_users DESC, path LIMIT 20"""
 
+  /** Shared by E52/E54: one row per order with its SORTED DISTINCT part
+    * set — the basket. One keyed aggregation over a (orderkey, partkey)
+    * projection; collect_set is bounded by the basket (an order's line
+    * count), never corpus-sized. */
+  private[graft] def coBaskets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("pks"))
+
+  /** All ordered co-purchase pairs (part_a < part_b) of each basket,
+    * generated LOCALLY per row through the compiled graft_ordered_pairs
+    * kernel — fan-out C(basket, 2), same bound as the old within-order
+    * self-join it replaces (r14), minus the join's second lineitem scan,
+    * second shuffle and distinct. */
+  private[graft] def basketPairs(baskets: DataFrame): DataFrame =
+    baskets.select(explode(
+        call_function("graft_ordered_pairs", col("pks"))).as("p"))
+      .select(element_at(col("p"), 1).as("part_a"),
+        element_at(col("p"), 2).as("part_b"))
+
   /** E52: market-basket association rules — the top co-purchased part
     * pairs with support, confidence and lift (the Apriori/FP-growth
-    * output for pair itemsets, mined exactly). Scale shape: the pair
-    * generator is a SELF-JOIN WITHIN THE ORDER — fan-out is C(order
-    * size, 2), bounded by the basket, never corpus-sized — with `a <
-    * b` halving the pairs; counts are exact integers and lift's single
-    * division is the only IEEE step ((pair_n · total_orders) stays an
-    * exact int64 numerator). A 1-row total-orders attach rides the
-    * broadcast (allowlisted funnel). */
+    * output for pair itemsets, mined exactly). Scale shape (r14): ONE
+    * keyed aggregation builds per-order baskets; pairs explode LOCALLY
+    * per basket (fan-out C(order size, 2), bounded by the basket, never
+    * corpus-sized — identical pair multiset to the within-order
+    * self-join it replaces, by commutativity of the per-order pair set);
+    * counts are exact integers and lift's single division is the only
+    * IEEE step ((pair_n · total_orders) stays an exact int64 numerator).
+    * A 1-row total-orders attach rides the broadcast (allowlisted
+    * funnel). */
   def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val itemN = items.groupBy(col("pk")).agg(count(lit(1)).as("n"))
-    val totals = items.select(col("ok")).distinct()
-      .agg(count(lit(1)).as("total_orders"))
-    val pairs = items.alias("a")
-      .join(items.alias("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+    val baskets = coBaskets(s, dir).persist() // pairs + itemN + totals
+    val itemN = baskets.select(explode(col("pks")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val totals = baskets.agg(count(lit(1)).as("total_orders"))
+    val pairs = basketPairs(baskets)
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
     pairs
       .join(itemN.select(col("pk").as("part_a"), col("n").as("n_a")), "part_a")
@@ -841,12 +860,12 @@ object Analytics {
     * triangle-dense parts with the global count attached (1-row
     * broadcast, allowlisted). Exact integers throughout. */
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val edges = items.alias("a")
-      .join(items.alias("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+    // r14: edge generation rides the E52 basket-local pair explode (one
+    // keyed aggregation + local C(basket,2) fan-out) instead of the
+    // within-order self-join — identical pair multiset, two fewer
+    // exchanges and one fewer lineitem scan.
+    val edges = basketPairs(coBaskets(s, dir))
+      .groupBy(col("part_a").as("pa"), col("part_b").as("pb"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select("pa", "pb")
@@ -1313,32 +1332,40 @@ object Analytics {
   /** E23u: UNPIVOT/melt — the inverse of E23's pivot, turning the four
     * lineitem measure columns into (measure, value) long format: the
     * wide→long reshape every metrics warehouse needs before a generic
-    * per-measure aggregation. Spark's native `unpivot` is a narrow
-    * Expand (no shuffle, no join); aggregating to per-measure stats
-    * keeps the oracle compact while still checking every generated row
-    * through the sum.
+    * per-measure aggregation.
     *
     * The sum runs over exact integer CENTS, not a decimal accumulator:
     * `cast(decimal(18,2)) * 100 → long` is exact for these 2-dp
     * measures, and a codegen'd long sum beats Spark's overflow-checked
-    * Decimal sum buffer by ~3x on the 4x-expanded row stream (r8
-    * UnpivotProfile: 1.35 → 1.00 s sf0.1 bench-style; the decimal SUM,
-    * not the Expand, was the whole-query floor — r7's "cold-plan"
-    * theory was wrong, df.count() had pruned the sum out of the profile
-    * measurement). Same decimal-cast rounding both engines, so the
-    * oracle stays hash-exact. */
+    * Decimal sum buffer by ~3x (r8 UnpivotProfile: 1.35 → 1.00 s).
+    * r14 removes the Expand itself: since each measure's aggregates
+    * read only that measure's column, the melt commutes with the
+    * aggregation — nine columnar aggregates over ONE scan, then a
+    * 1-row→4-row explode. Same decimal-cast rounding both engines, so
+    * the oracle stays hash-exact. */
   def qUnpivot(s: SparkSession, dir: String): DataFrame = {
     val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // r14: aggregate FIRST, melt AFTER. The Expand fed a 4x-multiplied
+    // row stream (one copy per measure) into the aggregation; the same
+    // nine aggregates computed columnar over the UN-expanded scan are
+    // value-identical (per-measure sum/max touch only their own column;
+    // the per-measure row count is the table row count — the measures
+    // are non-nullable, exactly what the COUNT(*) oracle already
+    // assumes), and the wide→long reshape then explodes the single
+    // result row. The n > 0 guard reproduces the old empty-input
+    // behavior (no rows, not four null rows).
+    val aggs = measures.flatMap { m =>
+      Seq(sum((col(m).cast("decimal(18,2)") * 100).cast("long")).as(s"s_$m"),
+        max(col(m)).as(s"m_$m")) } :+ count(lit(1)).as("n")
     Tables.lineitem(s, dir)
-      .select(col("l_orderkey") +: col("l_linenumber") +:
-        measures.map(col): _*)
-      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
-        measures.map(col).toArray, "measure", "value")
-      .groupBy("measure")
-      .agg(count(lit(1)).as("n_rows"),
-        (sum((col("value").cast("decimal(18,2)") * 100).cast("long")) / 100.0)
-          .as("total"),
-        max("value").as("max_value"))
+      .agg(aggs.head, aggs.tail: _*)
+      .where(col("n") > 0)
+      .select(explode(array(measures.map(m => struct(
+        lit(m).as("measure"), col("n").as("n_rows"),
+        (col(s"s_$m") / 100.0).as("total"),
+        col(s"m_$m").as("max_value"))): _*)).as("r"))
+      .select(col("r.measure").as("measure"), col("r.n_rows").as("n_rows"),
+        col("r.total").as("total"), col("r.max_value").as("max_value"))
       .orderBy("measure")
   }
 
@@ -1457,33 +1484,46 @@ object Analytics {
     FROM o FULL OUTER JOIN e ON o.d = e.d
     ORDER BY day"""
 
-  /** E34: recursive CTE (Spark 4 `WITH RECURSIVE`) — a 24-month
-    * fixed-principal amortization schedule over urgent orders, carried
-    * state (balance, cumulative interest) advanced one month per
-    * recursion step, aggregated to one row per month. Everything is
-    * exact integer cents (floor-division restatements), so the DuckDB
-    * oracle — the same recursion with `//` for `div` — hash-matches.
-    * Also exercises the SQL surface end-to-end: temp view + `spark.sql`
-    * rather than the DataFrame API (UNION ALL recursion; Spark does not
-    * yet support distinct-UNION recursion, so the shape is a bounded
-    * chain, not a graph closure). */
+  /** E34: 24-month fixed-principal amortization schedule over urgent
+    * orders, one row per month. The DuckDB oracle states it as a
+    * recursive CTE; here the recurrence is unrolled in closed form
+    * (r14 optimization — the recursive execution paid 24 iterative
+    * union steps, each a full pass over the carried schedule): with
+    * d = init div 24 fixed per order,
+    *   balance(m)       = b − m·d                      (exact: d is
+    *     constant, so the per-step subtraction telescopes), and
+    *   interest_paid(m) = Σ_{j<m} ((b − j·d)·5 div 1000)
+    * by direct induction on the recursion. So ONE explode of months
+    * 0..24 per order + one keyed aggregation to the 25-row month table
+    * reproduce every per-order row, and because int64 addition is
+    * associative/commutative the month totals can swap summation order:
+    * aggregate the per-month interest TERM first, then prefix-sum the
+    * 25-row table (bounded single-partition window, the q_top_movers
+    * shape). Everything stays exact integer cents — identical `div`
+    * operands to the recursive form — so the oracle hash-matches.
+    * Plan: scan → explode(25) → hash aggregate (25 groups, map-side
+    * partials) → 25-row window; no recursion, no per-step barriers. */
   def qRecursive(s: SparkSession, dir: String): DataFrame = {
-    Tables.orders(s, dir).createOrReplaceTempView("orders_rec_v")
-    s.sql("""
-      WITH RECURSIVE sched(k, month, init, balance, interest_paid) AS (
-        SELECT o_orderkey, 0, b, b, CAST(0 AS BIGINT)
-        FROM (SELECT o_orderkey,
-                CAST(floor(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS b
-              FROM orders_rec_v WHERE o_orderpriority = '1-URGENT')
-        UNION ALL
-        SELECT k, month + 1, init,
-          balance - (init div 24),
-          interest_paid + ((balance * 5) div 1000)
-        FROM sched WHERE month < 24)
-      SELECT month, COUNT(*) AS n_orders,
-        CAST(SUM(balance) AS BIGINT) AS total_balance_cents,
-        CAST(SUM(interest_paid) AS BIGINT) AS total_interest_cents
-      FROM sched GROUP BY month ORDER BY month""")
+    val perMonth = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(floor(dec(col("o_totalprice")) * 100).cast("long").as("b"))
+      .select(col("b"), expr("b div 24").as("d"),
+        explode(sequence(lit(0), lit(24))).as("month"))
+      .select(col("month"), (col("b") - col("month") * col("d")).as("balance"))
+      .select(col("month"), col("balance"),
+        expr("(balance * 5) div 1000").as("t"))
+    // per-month totals of the carried state; `t` is the interest term
+    // accrued DURING month m (paid into months > m)
+    val monthly = perMonth.groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("balance").as("total_balance_cents"),
+        sum("t").as("tsum"))
+    val cum = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    monthly
+      .select(col("month"), col("n_orders"), col("total_balance_cents"),
+        coalesce(sum("tsum").over(cum), lit(0L)).as("total_interest_cents"))
+      .orderBy("month")
   }
 
   val qRecursiveSql: String = """
@@ -1962,8 +2002,19 @@ object Analytics {
     // so the init vector doesn't re-derive the whole edge pipeline
     var pr = adj.select(col("src").as("node")).distinct()
       .select(col("node"), lit(S).as("pr"))
+      .localCheckpoint(true)
+    // r14: the rank vector is vertex-sized — when it fits the same
+    // data-driven bound as C6's label broadcast (~80 MB of (long, long)
+    // at 5M rows), ship IT to the checkpointed adjacency instead of
+    // sort-merging the two every round: each iteration then pays only
+    // the contribution shuffle (groupBy dst), not an adjacency-side
+    // exchange+sort as well. Above the bound (billions of vertices at
+    // 100 TB) the join falls back to the shuffled path — the decision is
+    // data-driven, like C6's. The count is cheap: pr is checkpointed.
+    val bcastRanks = pr.count() <= 5000000L
+    def mb(df: DataFrame): DataFrame = if (bcastRanks) broadcast(df) else df
     for (_ <- 1 to 3) {
-      pr = adj.join(pr, adj("src") === pr("node"))
+      pr = adj.join(mb(pr), adj("src") === pr("node"))
         .select(col("dst"), expr("pr div deg").as("c"))
         .groupBy("dst")
         .agg(sum("c").as("sc"))

@@ -1531,59 +1531,41 @@ object TextAnalysis {
     * the emitted symbol-id stream (h60 mod 1e6 per symbol, summed) —
     * the checksum pins the actual segmentation, not just its count.
     *
-    * Greedy-run arithmetic: within a maximal run of L consecutive
-    * mergeable bigram positions, the merge starts are the odd ranks —
-    * ⌈L/2⌉ merges — so runs decompose the recursion into two window
-    * row_numbers, keeping the whole encode relational (the E40/E49
-    * unrolled-iteration playbook, with the unroll closed-form).
-    *
-    * Scale shape: merge table is a 20-row broadcast; everything else is
-    * narrow per-token work + one (doc, token) window partitioned by a
-    * key that cannot be hot (token instances) + one per-doc aggregation. */
+    * Scale shape (r14): the merge table is a bounded 20-row sidecar
+    * inlined as a literal; the greedy pass is one codegen `aggregate`
+    * fold per token carrying (prev-merged, #merges, checksum delta), so
+    * the whole encode is a narrow scan + ONE per-doc aggregation —
+    * no explode-to-character rows, no joins, no windows. */
   def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    // r14: the merge inventory is a BOUNDED 20-row sidecar (same
+    // discipline as the K-row centroid/codebook collects), inlined into
+    // the graft_bpe_encode kernel — the WHOLE encode (tokenize, per-char
+    // checksum, greedy merge scan) is one compiled per-document pass.
+    // This replaces the bigram posexplode (one row per corpus
+    // character), the 20-row broadcast join, TWO windows partitioned by
+    // token INSTANCE (millions of 1-5-row sort partitions), the merge
+    // aggregation, the re-join AND the per-doc groupBy: nothing is left
+    // but a narrow scan and the presentation sort. (An interpreted
+    // higher-order `aggregate` fold was tried first and measured SLOWER
+    // than the window pipeline — CodegenFallback pays one lambda frame
+    // and one struct alloc per bigram — hence the native kernel, the
+    // same §4 move as graft_winnow/graft_word_tri_stats.)
     val merges = textBpeMerge(s, dir).select(col("pair"))
-    val mod = lit(1000000L)
-    val toks = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
-      .withColumnRenamed("pos", "tok_ix").withColumnRenamed("col", "tok")
-    // per-token length + all-singles checksum (no explode: one fold)
-    val charSum = aggregate(
-      transform(sequence(lit(1), length(col("tok"))),
-        i => pmod(Hashing.h60(col("tok").substr(i, lit(1))), mod)),
-      lit(0L), (acc, x) => acc + x)
-    val perTok = toks.select(col("doc_id"), col("tok_ix"),
-      length(col("tok")).cast("long").as("len"), charSum.as("csum"))
-    // mergeable bigram positions → greedy starts at odd in-run ranks
-    val bigs = toks.filter(length(col("tok")) >= 2)
-      .select(col("doc_id"), col("tok_ix"),
-        posexplode(transform(sequence(lit(1), length(col("tok")) - 1),
-          i => col("tok").substr(i, lit(2)))))
-      .withColumnRenamed("pos", "bpos").withColumnRenamed("col", "bg")
-    val wTok = Window.partitionBy("doc_id", "tok_ix").orderBy("bpos")
-    val wRun = Window.partitionBy("doc_id", "tok_ix", "run_id").orderBy("bpos")
-    val starts = bigs.join(broadcast(merges), col("bg") === col("pair"))
-      .withColumn("run_id", col("bpos") - row_number().over(wTok))
-      .withColumn("rk", row_number().over(wRun))
-      .filter(pmod(col("rk"), lit(2)) === 1)
-    // each merge replaces two single-char symbols with the pair symbol
-    val delta = pmod(Hashing.h60(col("bg")), mod) -
-      pmod(Hashing.h60(col("bg").substr(1, 1)), mod) -
-      pmod(Hashing.h60(col("bg").substr(2, 1)), mod)
-    val mergeAgg = starts.groupBy("doc_id", "tok_ix")
-      .agg(count(lit(1)).as("n_merges"), sum(delta).as("mdelta"))
-    perTok.join(mergeAgg, Seq("doc_id", "tok_ix"), "left")
-      .select(col("doc_id"), col("len"), col("csum"),
-        coalesce(col("n_merges"), lit(0L)).as("nm"),
-        coalesce(col("mdelta"), lit(0L)).as("md"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("len").as("n_chars"),
-        sum(col("len") - col("nm")).as("n_symbols"),
-        sum(col("csum") + col("md")).as("symsum"))
-      .withColumn("compression_ppm",
-        expr("n_symbols * 1000000 div n_chars"))
-      .select("doc_id", "n_tokens", "n_chars", "n_symbols",
-        "compression_ppm", "symsum")
+      .collect().map(_.getString(0)).sorted
+    val st = call_function("graft_bpe_encode", col("text"),
+      lit(merges.mkString(" ")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), st.as("st"))
+      // zero-token docs never reached the old per-doc groupBy; NULL text
+      // yields NULL stats — both drop here
+      .filter(element_at(col("st"), 1) > 0)
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_tokens"),
+        element_at(col("st"), 2).as("n_chars"),
+        element_at(col("st"), 3).as("n_symbols"),
+        expr("element_at(st, 3) * 1000000 div element_at(st, 2)")
+          .as("compression_ppm"),
+        element_at(col("st"), 4).as("symsum"))
       .orderBy("doc_id")
   }
 

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Shared typing for binary array<bigint> → bigint kernels. */
@@ -104,4 +104,58 @@ case class LongVecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Static helper for [[LongOrderedPairs]] — builds the nested array rows
+  * in one compiled double loop. */
+object LongVecOps {
+  def orderedPairs(a: ArrayData): GenericArrayData = {
+    val n = a.numElements()
+    val m = n * (n - 1) / 2
+    val out = new Array[Any](m)
+    var w = 0
+    var i = 0
+    while (i < n - 1) {
+      val x = a.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(w) = new GenericArrayData(Array(x, a.getLong(j)))
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native codegen expression: array<long> → every ordered element pair
+  * [aᵢ, aⱼ] with i < j, as array<array<bigint>> — the LOCAL C(n,2)
+  * fan-out of the basket-pair generators (E52/E54 co-purchase edges),
+  * where n is bounded by the basket (an order's distinct part count).
+  * A compiled double loop per row, vs. one interpreted lambda frame per
+  * element for the nested transform/slice/flatten chain
+  * (CodegenFallback) computing the same thing. Input order is preserved
+  * (callers pass sorted distinct arrays, so pair order is (a < b)). */
+case class LongOrderedPairs(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_ordered_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    LongVecOps.orderedPairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.LongVecOps.orderedPairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

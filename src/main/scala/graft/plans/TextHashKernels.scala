@@ -400,6 +400,112 @@ object TextHash {
     }
   }
 
+  /** D18e BPE-encode statistics over the whole document in ONE pass:
+    * [n_tokens, n_chars, n_symbols, symsum]. Per token: characters are
+    * codepoints (Spark `length`/`substr` semantics); the all-singles
+    * checksum adds h60(char) mod 1e6 per character; the greedy
+    * left-to-right merge scan starts a merge at bigram position i iff
+    * the 2-codepoint substring is in the merge set and position i−1 did
+    * not start one (≡ odd in-run ranks of the run decomposition); each
+    * merge start counts once and shifts the checksum by
+    * h60(pair) − h60(char_i) − h60(char_i+1), all mod 1e6. n_symbols =
+    * n_chars − n_merges. Exactly the fused form of the old
+    * explode-bigrams → join(merges) → two windows → re-join pipeline —
+    * and of the interpreted fold that briefly replaced it (r14): same
+    * integer arithmetic, compiled instead of per-element lambdas. */
+  // h60-mod-1e6 memo for single codepoints and codepoint bigrams: the
+  // checksum hash depends only on the (1- or 2-codepoint) string value,
+  // and a corpus has at most |charset| + |charset bigrams| distinct keys
+  // — memoizing turns one MessageDigest round-trip PER CHARACTER into a
+  // map hit (measured: the md5-per-char pass dominated the whole encode
+  // kernel). Key packing: (cp1 << 32) | cp2, with cp2 = 0xffffffff
+  // marking a single codepoint (codepoints are ≤ 0x10FFFF, no
+  // collision). Values are pure functions of the key; the size cap only
+  // bounds memory on adversarial charsets (past it we just compute).
+  private val hmodMemo =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+  private val HmodMemoCap = 1 << 20
+
+  private def hmodString(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    h60Bytes(b, 0, b.length) % 1000000L
+  }
+
+  private def hmodCp(cp: Int): Long = {
+    val key = java.lang.Long.valueOf((cp.toLong << 32) | 0xffffffffL)
+    val c = hmodMemo.get(key)
+    if (c != null) return c.longValue()
+    val v = hmodString(new String(Array(cp), 0, 1))
+    if (hmodMemo.size < HmodMemoCap) hmodMemo.put(key, java.lang.Long.valueOf(v))
+    v
+  }
+
+  private def hmodBigram(cp1: Int, cp2: Int): Long = {
+    val key = java.lang.Long.valueOf((cp1.toLong << 32) | (cp2.toLong & 0xffffffffL))
+    val c = hmodMemo.get(key)
+    if (c != null) return c.longValue()
+    val v = hmodString(new String(Array(cp1, cp2), 0, 2))
+    if (hmodMemo.size < HmodMemoCap) hmodMemo.put(key, java.lang.Long.valueOf(v))
+    v
+  }
+
+  private val mergeKeySets =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[java.lang.Long]]()
+
+  /** Merge pairs as packed codepoint-bigram keys (a merge pair is always
+    * a 2-codepoint token substring; anything else could never match a
+    * bigram and is skipped). Cached per distinct spec string. */
+  def parseMergeKeys(spec: String): java.util.HashSet[java.lang.Long] =
+    mergeKeySets.computeIfAbsent(spec, { sp =>
+      val set = new java.util.HashSet[java.lang.Long]()
+      sp.split(" ", -1).foreach { m =>
+        if (m.nonEmpty) {
+          val cps = m.codePoints().toArray
+          if (cps.length == 2)
+            set.add(java.lang.Long.valueOf(
+              (cps(0).toLong << 32) | (cps(1).toLong & 0xffffffffL)))
+        }
+      }
+      set
+    })
+
+  def bpeEncodeStats(text: UTF8String, spec: String): Array[Long] = {
+    val merges = parseMergeKeys(spec)
+    val toks = tokenize(text)
+    var nTokens = 0L
+    var nChars = 0L
+    var nMerges = 0L
+    var sym = 0L
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      nTokens += 1
+      // single pass over the token's codepoints: per-char checksum plus
+      // the greedy merge scan against the PREVIOUS codepoint
+      var prev = false // previous bigram position started a merge
+      var prevCp = -1
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        i += Character.charCount(cp)
+        nChars += 1
+        sym += hmodCp(cp)
+        if (prevCp >= 0) {
+          val key = (prevCp.toLong << 32) | (cp.toLong & 0xffffffffL)
+          val start = !prev && merges.contains(java.lang.Long.valueOf(key))
+          if (start) {
+            nMerges += 1
+            sym += hmodBigram(prevCp, cp) - hmodCp(prevCp) - hmodCp(cp)
+          }
+          prev = start
+        }
+        prevCp = cp
+      }
+      t += 1
+    }
+    Array(nTokens, nChars, nChars - nMerges, sym)
+  }
+
   /** Split on single space, drop empties — Text.tokens semantics. */
   private def tokenize(text: UTF8String): Array[String] = {
     val s = text.toString
@@ -651,6 +757,31 @@ case class Chunks(child: Expression, size: Int, step: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"(Object[]) graft.plans.TextHash.chunks($c, $size, $step));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → D18e BPE-encode statistics
+  * [n_tokens, n_chars, n_symbols, symsum] in one per-row pass (see
+  * [[TextHash.bpeEncodeStats]]). `spec` is the space-separated learned
+  * merge inventory — a bounded 20-entry sidecar inlined at plan time —
+  * parsed once per JVM. */
+case class BpeEncodeStats(child: Expression, spec: String)
+    extends TextKernelTyping {
+  override def prettyName: String = "graft_bpe_encode"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextHash.bpeEncodeStats(input.asInstanceOf[UTF8String], spec))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val specRef = ctx.addReferenceObj("mergeSpec", spec, "java.lang.String")
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.TextHash.bpeEncodeStats($c, $specRef));"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

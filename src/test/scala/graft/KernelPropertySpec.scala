@@ -386,4 +386,80 @@ class KernelPropertySpec extends AnyFunSuite {
       composed.as("composed")).collect()
     rows.foreach { r => assert(r.getSeq[Any](0) == r.getSeq[Any](1)) }
   }
+
+  test("graft_bpe_encode == the r13 window pipeline on 200 generated strings") {
+    // merge inventory with tokenizer/codepoint edges: ASCII pairs, a
+    // combining-free BMP pair, and an astral (surrogate-pair) bigram
+    val merges = Seq("ab", "xy", "0a", "λé", "🙂🙂").sorted
+    val texts = sample(textGen, 200)
+    val df = texts.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    // the exact pre-r14 formulation: per-char checksum fold + mergeable
+    // bigram explode + the two-window greedy-run decomposition
+    import org.apache.spark.sql.expressions.Window
+    val mod = lit(1000000L)
+    def hmod(c: org.apache.spark.sql.Column) = pmod(Hashing.h60(c), mod)
+    val toks = df.select(col("doc_id"),
+      posexplode(filter(split(col("text"), " "), t => length(t) > 0)))
+      .withColumnRenamed("pos", "tok_ix").withColumnRenamed("col", "tok")
+    val charSum = aggregate(
+      transform(sequence(lit(1), length(col("tok"))),
+        i => hmod(col("tok").substr(i, lit(1)))),
+      lit(0L), (acc, x) => acc + x)
+    val perTok = toks.select(col("doc_id"), col("tok_ix"),
+      length(col("tok")).cast("long").as("len"), charSum.as("csum"))
+    val bigs = toks.filter(length(col("tok")) >= 2)
+      .select(col("doc_id"), col("tok_ix"),
+        posexplode(transform(sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))))
+      .withColumnRenamed("pos", "bpos").withColumnRenamed("col", "bg")
+    val wTok = Window.partitionBy("doc_id", "tok_ix").orderBy("bpos")
+    val wRun = Window.partitionBy("doc_id", "tok_ix", "run_id").orderBy("bpos")
+    val starts = bigs
+      .filter(col("bg").isInCollection(merges))
+      .withColumn("run_id", col("bpos") - row_number().over(wTok))
+      .withColumn("rk", row_number().over(wRun))
+      .filter(pmod(col("rk"), lit(2)) === 1)
+    val delta = hmod(col("bg")) -
+      hmod(col("bg").substr(1, 1)) - hmod(col("bg").substr(2, 1))
+    val mergeAgg = starts.groupBy("doc_id", "tok_ix")
+      .agg(count(lit(1)).as("n_merges"), sum(delta).as("mdelta"))
+    val composed = perTok
+      .join(mergeAgg, Seq("doc_id", "tok_ix"), "left")
+      .select(col("doc_id"), col("len"), col("csum"),
+        coalesce(col("n_merges"), lit(0L)).as("nm"),
+        coalesce(col("mdelta"), lit(0L)).as("md"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("len").as("n_chars"),
+        sum(col("len") - col("nm")).as("n_symbols"),
+        sum(col("csum") + col("md")).as("symsum"))
+      .collect().map(r => r.getInt(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val native = df.select(col("doc_id"),
+        call_function("graft_bpe_encode", col("text"),
+          lit(merges.mkString(" "))).as("st"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    native.foreach { case (id, st) =>
+      if (st.head == 0L)
+        assert(!composed.contains(id), s"doc $id: composed had tokens, kernel none")
+      else assert(composed(id) == st,
+        s"doc $id: composed=${composed.get(id)} native=$st text='${texts(id)}'")
+    }
+  }
+
+  test("graft_ordered_pairs == the nested transform/slice/flatten chain") {
+    val arrGen = for {
+      n <- Gen.chooseNum(0, 12)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L))
+    } yield xs.distinct.sorted.toArray
+    val df = sample(arrGen, 120).map(Tuple1(_)).toDF("pks")
+    val composed = flatten(transform(col("pks"), (x, i) =>
+      transform(slice(col("pks"), i + lit(2), size(col("pks"))),
+        y => array(x, y))))
+    val rows = df.select(
+      call_function("graft_ordered_pairs", col("pks")).as("native"),
+      composed.as("composed")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Seq[Long]](0) == r.getSeq[Seq[Long]](1))
+    }
+  }
 }

@@ -61,6 +61,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ann_hybrid_filtered", // B30: ann_hybrid's idf N funnel, filtered legs
     "mm_shard_pack", // F30: text_pack's bucket-count offset pass over byte sums
     "q_hilbert",     // E63: adjacency lag over the 16-row file table (q_top_movers shape)
+    "q_recursive",   // E34: prefix-sum window over the 25-row month table (q_top_movers shape)
+    "q_unpivot",     // E23u: global-aggregate merge, one partial row per task (q_profile shape)
     "text_shuffle_shard") // D32: text_pack's 256-row bucket-offset pass
   // (q_profile_hll needs no entry: its one global merge is a partial
   // SKETCH aggregate — the partial_graft_ rule below exempts it, the
