@@ -65,8 +65,14 @@ object CorpusJob {
     val afterDecontam = observed(
       afterNearDup.join(contaminated, Seq("doc_id"), "left_anti"), 4)
 
-    // D17: drop the per-language perplexity tail
-    val pplTail = TextAnalysis.textPplBucket(s, dir)
+    // D17: drop the per-language perplexity tail. The bucket table is
+    // computed ONCE per job run and persisted — the frozen-threshold
+    // sidecar below reads it again, and without the persist each
+    // consumer re-derived the full corpus LM + scoring pass (r14; this
+    // is within-invocation reuse, not cross-run caching — a rerun still
+    // recomputes from parquet).
+    val pplBuckets = TextAnalysis.textPplBucket(s, dir).persist()
+    val pplTail = pplBuckets
       .filter(col("bucket") === "tail").select("doc_id")
     val afterPpl = observed(
       afterDecontam.join(pplTail, Seq("doc_id"), "left_anti"), 5)
@@ -219,10 +225,11 @@ object CorpusJob {
     graft.sources.ZoneMaps.writeClustered(s, lmCounts,
       s"$stateDir/lm.parquet", "bh", nLmFiles)
     lmCounts.unpersist()
-    TextAnalysis.textPplBucket(s, dir)
+    pplBuckets
       .filter(col("bucket") =!= "tail")
       .groupBy("lang").agg(min("avg_freq").as("min_keep_freq"))
       .write.mode("overwrite").parquet(s"$stateDir/ppl.parquet")
+    pplBuckets.unpersist()
 
     // split audit rows from the written shards (fresh scan — bounded:
     // one 3-group aggregate); absent splits read as zero

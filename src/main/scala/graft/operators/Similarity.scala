@@ -3346,9 +3346,12 @@ object Similarity {
     *
     * Scale shape: the iterative part never touches the corpus — it runs
     * on the (queries × 20) shortlist and its (queries × 20 × 19) pair
-    * table, both checkpointed once; each of the 4 greedy steps is a
-    * keyed join + window over those bounded relations. Cost scales with
-    * the query batch, not the index. */
+    * table, both checkpointed once. Under the driver gate
+    * (`graft.mmr.maxLocalRows`, r14) the greedy steps are driver-local
+    * arithmetic over those bounded rows — zero further Spark jobs, the
+    * C6 fast-path discipline; past the gate each of the 4 steps is a
+    * keyed join + window over the same relations. Cost scales with the
+    * query batch, not the index. */
   def annMmr(s: SparkSession, dir: String): DataFrame = {
     val C = 20
     val K = 5
@@ -3374,6 +3377,79 @@ object Similarity {
           (sqrt(ssX.cast("double")) * sqrt(ssY.cast("double")))).as("cos"))
       .localCheckpoint(true)
     val relD = col("rel").cast("double") / lit(1.0e16)
+    // r14 driver fast path (the C6 union-find gate applied to MMR): the
+    // greedy selection runs over the two BOUNDED checkpointed relations
+    // only — (queries × C) shortlist rows and (queries × C × (C−1)) pair
+    // cosines — never the corpus. When they fit the driver gate
+    // (`graft.mmr.maxLocalRows`, default 2M rows — same scale as C6's
+    // edge gate), the K−1 greedy steps are driver-local arithmetic over
+    // a few thousand rows: zero further Spark jobs instead of
+    // (K−1) × (2 joins + window + checkpoint). Every double operation
+    // (rel/1e16, 0.7·relD − 0.3·max-cos, the (mmr desc, id) argmax) is
+    // the same IEEE expression the distributed loop below evaluates, so
+    // the two paths are bit-identical; past the gate (a 100 TB-scale
+    // query batch) the distributed loop runs instead — data-driven, like
+    // C6. The counts are cheap: both relations are checkpointed.
+    val maxLocal = s.conf.getOption("graft.mmr.maxLocalRows")
+      .map(_.toLong).getOrElse(2000000L)
+    if (cands.count() + sims.count() <= maxLocal) {
+      import s.implicits._
+      val candRows = cands.select("query_id", "neighbor_id", "rel").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val simRows = sims.collect()
+        .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+        .toMap
+      val byQuery = candRows.groupBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Double, Double)]
+      // the (mmr desc, neighbor_id asc) argmax of the rank windows, with
+      // Spark's double ordering (java.lang.Double.compare: NaN largest)
+      def best(it: Iterator[(Double, Long)]): Option[(Double, Long)] =
+        it.foldLeft(Option.empty[(Double, Long)]) {
+          case (None, c) => Some(c)
+          case (Some(b), c) =>
+            val cmp = java.lang.Double.compare(c._1, b._1)
+            if (cmp > 0 || (cmp == 0 && c._2 < b._2)) Some(c) else Some(b)
+        }
+      byQuery.foreach { case (qid, rows) =>
+        val rel = rows.map(r => r._2 -> r._3).toMap
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // step 1: argmax(0.7·relD), ties → min neighbor_id (wRel order)
+        best(rows.iterator.map { case (_, nb, rl) =>
+          (0.7 * (rl.toDouble / 1.0e16), nb)
+        }).foreach { first =>
+          selected += first._2
+          out += ((qid, 1L, first._2, rel(first._2), first._1))
+        }
+        var step = 2
+        while (step <= K && selected.nonEmpty && selected.size < rows.length) {
+          // candidates not yet selected, with pen = max cos to selected
+          // (same NaN-largest max as the aggregate); the distributed
+          // step's inner join drops pairs with no pen row, which cannot
+          // happen here (selected ≠ candidate ⇒ the pair row exists)
+          val pick = best(rows.iterator
+            .filter { case (_, nb, _) => !selected.contains(nb) }
+            .map { case (_, nb, rl) =>
+              var pen = simRows((qid, nb, selected.head))
+              selected.iterator.drop(1).foreach { yn =>
+                val c = simRows((qid, nb, yn))
+                if (java.lang.Double.compare(c, pen) > 0) pen = c
+              }
+              (0.7 * (rl.toDouble / 1.0e16) - 0.3 * pen, nb)
+            })
+          pick.foreach { p =>
+            selected += p._2
+            out += ((qid, step.toLong, p._2, rel(p._2), p._1))
+          }
+          step += 1
+        }
+      }
+      return out.toSeq
+        .toDF("query_id", "rank", "neighbor_id", "rel", "mmr")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          relD.as("score"), col("mmr"))
+        .orderBy("query_id", "rank")
+    }
     var sel = cands.withColumn("rk", row_number().over(wRel))
       .filter(col("rk") === 1)
       .select(col("query_id"), lit(1L).as("rank"), col("neighbor_id"),

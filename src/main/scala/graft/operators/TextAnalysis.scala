@@ -1453,6 +1453,17 @@ object TextAnalysis {
     * build word stats and phrase scores, TakeOrderedAndProject heads
     * the result; no all-pairs anything. */
   def textRake(s: SparkSession, dir: String): DataFrame = {
+    // r14 shuffle-bytes restructure (guide §2.3: shuffle keys, not
+    // payloads): the phrase STRING is a pure function of (doc_id, seg),
+    // but the old plan carried it through the word-stats exchange and
+    // the per-segment score aggregation — three shuffles of the heaviest
+    // column. Now (doc_id, seg, t, plen) int rows flow through scoring
+    // (plen attached by a window that reuses the doc_id partitioning the
+    // seg window already established), and the phrase string is BUILT
+    // once per segment and attached by a co-partitioned join before the
+    // single final per-phrase shuffle. Aggregates are unchanged —
+    // (doc_id, seg) already determined the old (doc_id, seg, phrase)
+    // grouping key — so the oracle hash-matches.
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
@@ -1460,18 +1471,20 @@ object TextAnalysis {
       .withColumn("seg", sum(when(Text.isStopword(col("t")), 1L).otherwise(0L))
         .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(!Text.isStopword(col("t")))
-    val phrases = toks.groupBy("doc_id", "seg")
-      .agg(count(lit(1)).as("plen"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("t")))),
-          e => e.getField("t"))).as("phrase"))
-    val wordRows = toks.join(phrases, Seq("doc_id", "seg"))
-    val wstats = wordRows.groupBy("t")
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy("doc_id", "seg")))
+    val wstats = toks.groupBy("t")
       .agg(sum("plen").as("deg"), count(lit(1)).as("freq"))
       .select(col("t"), expr("(1000000 * deg) div freq").as("wscore_ppm"))
-    wordRows.join(wstats, "t")
-      .groupBy("doc_id", "seg", "phrase")
+    val segScores = toks.select("doc_id", "seg", "t")
+      .join(wstats, "t")
+      .groupBy("doc_id", "seg")
       .agg(sum("wscore_ppm").as("score_ppm"))
+    val phrases = toks.groupBy("doc_id", "seg")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        e => e.getField("t"))).as("phrase"))
+    phrases.join(segScores, Seq("doc_id", "seg"))
       .groupBy("phrase")
       .agg(count(lit(1)).as("n_occurrences"), max("score_ppm").as("score_ppm"))
       .orderBy(col("score_ppm").desc, col("phrase"))
