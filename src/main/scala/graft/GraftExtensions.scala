@@ -204,6 +204,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval(null).asInstanceOf[Int],
         children(2).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
+      new FunctionIdentifier("graft_token_bigrams"),
+      new ExpressionInfo(classOf[graft.plans.TokenCharBigrams].getName, null,
+        "graft_token_bigrams"),
+      (children: Seq[Expression]) =>
+        graft.plans.TokenCharBigrams(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[graft.plans.BpeEncodeStats].getName, null,
         "graft_bpe_encode"),

@@ -3392,7 +3392,16 @@ object Similarity {
     // C6. The counts are cheap: both relations are checkpointed.
     val maxLocal = s.conf.getOption("graft.mmr.maxLocalRows")
       .map(_.toLong).getOrElse(2000000L)
-    if (cands.count() + sims.count() <= maxLocal) {
+    val localOk = cands.count() + sims.count() <= maxLocal && {
+      // a degenerate corpus (NULL embeddings → NULL rel/cos) keeps the
+      // distributed loop's SQL null ordering — the fast path serves only
+      // the clean case, like C6's gate serves only the small one
+      val ok = cands.select("query_id", "neighbor_id", "rel").collect()
+        .forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)) &&
+        sims.collect().forall(r => (0 to 3).forall(i => !r.isNullAt(i)))
+      ok
+    }
+    if (localOk) {
       import s.implicits._
       val candRows = cands.select("query_id", "neighbor_id", "rel").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -876,15 +876,14 @@ object TextAnalysis {
     * Pairs are `substr(token, i, 2)` — identical character semantics in
     * both engines on this ASCII corpus. */
   def textBpeMerge(s: SparkSession, dir: String): DataFrame = {
-    val tok = col("tok")
-    val pairs = when(length(tok) >= 2,
-      transform(sequence(lit(1), length(tok) - 1),
-        i => tok.substr(i, lit(2))))
-      .otherwise(array().cast("array<string>"))
+    // r14: the two Generates (tokens, then per-token bigrams) and the
+    // interpreted substr HOF chain fuse into the compiled
+    // graft_token_bigrams kernel — one explode of the per-document
+    // bigram array feeds the count aggregate directly.
     Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(explode(Text.tokens(col("text"))).as("tok"))
-      .select(explode(pairs).as("pair"))
+      .select(explode(
+        call_function("graft_token_bigrams", col("text"))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(20)

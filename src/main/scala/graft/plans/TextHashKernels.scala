@@ -400,6 +400,33 @@ object TextHash {
     }
   }
 
+  /** Within-token character bigrams of `text` in document order: for each
+    * space token, its two-codepoint substrings at positions 1..len−1
+    * (Spark substr semantics). The fused form of explode(tokens) →
+    * explode(transform(sequence, substr(i, 2))) — two Generates plus an
+    * interpreted per-character HOF chain collapse into one compiled pass
+    * (r14; feeds D18 textBpeMerge and, through it, D18e's merge-table
+    * subquery). */
+  def tokenCharBigrams(text: UTF8String): Array[UTF8String] = {
+    val toks = tokenize(text)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      var i = 0
+      var prevStart = -1
+      while (i < tok.length) {
+        val cc = Character.charCount(tok.codePointAt(i))
+        if (prevStart >= 0)
+          out += UTF8String.fromString(tok.substring(prevStart, i + cc))
+        prevStart = i
+        i += cc
+      }
+      t += 1
+    }
+    out.toArray
+  }
+
   /** D18e BPE-encode statistics over the whole document in ONE pass:
     * [n_tokens, n_chars, n_symbols, symsum]. Per token: characters are
     * codepoints (Spark `length`/`substr` semantics); the all-singles
@@ -757,6 +784,25 @@ case class Chunks(child: Expression, size: Int, step: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"(Object[]) graft.plans.TextHash.chunks($c, $size, $step));")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native codegen expression: text → within-token character bigrams in
+  * document order (see [[TextHash.tokenCharBigrams]]). */
+case class TokenCharBigrams(child: Expression) extends TextKernelTyping {
+  override def prettyName: String = "graft_token_bigrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHash.tokenCharBigrams(
+      input.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"(Object[]) graft.plans.TextHash.tokenCharBigrams($c));")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

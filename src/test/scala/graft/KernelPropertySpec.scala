@@ -446,6 +446,23 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("graft_token_bigrams == the explode(tokens)+substr chain on 200 generated strings") {
+    val texts = sample(textGen, 200)
+    val df = texts.toDF("text")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val composed = flatten(transform(toks, tok =>
+      when(length(tok) >= 2,
+        transform(sequence(lit(1), length(tok) - 1), i => tok.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))))
+    val rows = df.select(
+      call_function("graft_token_bigrams", col("text")).as("native"),
+      composed.as("composed"), col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"bigram mismatch for '${r.getString(2)}'")
+    }
+  }
+
   test("graft_ordered_pairs == the nested transform/slice/flatten chain") {
     val arrGen = for {
       n <- Gen.chooseNum(0, 12)
