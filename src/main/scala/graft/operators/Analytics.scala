@@ -683,6 +683,39 @@ object Analytics {
     FROM paths GROUP BY path
     ORDER BY n_users DESC, path LIMIT 20"""
 
+  /** Persist `df` and drop the cached blocks as soon as the FIRST action
+    * that reads it completes (r15 hygiene: qMarketBasket/qTriangles
+    * persist intermediates that several branches of one lazily-returned
+    * query share — the caller runs the single action, so the operator
+    * cannot unpersist inline, and in a long-lived session the blocks
+    * would otherwise accumulate until eviction). A one-shot
+    * QueryExecutionListener matches the consuming execution by analyzed
+    * subtree (`sameResult`) and unregisters itself after firing; the
+    * within-invocation reuse (all branches share one execution) is
+    * untouched. */
+  private[graft] def unpersistAfterUse(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val target = df.persist()
+    val plan = target.queryExecution.analyzed
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(plan)) &&
+            fired.compareAndSet(false, true)) {
+          target.unpersist()
+          s.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybe(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybe(qe)
+    }
+    s.listenerManager.register(listener)
+    target
+  }
+
   /** Shared by E52/E54: one row per order with its SORTED DISTINCT part
     * set — the basket. One keyed aggregation over a (orderkey, partkey)
     * projection; collect_set is bounded by the basket (an order's line
@@ -715,7 +748,9 @@ object Analytics {
     * A 1-row total-orders attach rides the broadcast (allowlisted
     * funnel). */
   def qMarketBasket(s: SparkSession, dir: String): DataFrame = {
-    val baskets = coBaskets(s, dir).persist() // pairs + itemN + totals
+    // pairs + itemN + totals all read the baskets; blocks dropped after
+    // the consuming action (r15 hygiene)
+    val baskets = unpersistAfterUse(coBaskets(s, dir))
     val itemN = baskets.select(explode(col("pks")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n"))
     val totals = baskets.agg(count(lit(1)).as("total_orders"))
@@ -873,14 +908,15 @@ object Analytics {
       .groupBy("v").agg(count(lit(1)).as("d"))
     val lowFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("pa") < col("pb"))
-    val oriented = edges
+    // three wedge/closure attaches read the oriented list; blocks
+    // dropped after the consuming action (r15 hygiene)
+    val oriented = unpersistAfterUse(edges
       .join(deg.select(col("v").as("pa"), col("d").as("da")), "pa")
       .join(deg.select(col("v").as("pb"), col("d").as("db")), "pb")
       .select(
         when(lowFirst, col("pa")).otherwise(col("pb")).as("src"),
         when(lowFirst, col("pb")).otherwise(col("pa")).as("dst"),
-        when(lowFirst, col("db")).otherwise(col("da")).as("ddeg"))
-      .persist() // three wedge/closure attaches read the oriented list
+        when(lowFirst, col("db")).otherwise(col("da")).as("ddeg")))
     // wedges at each vertex: ordered pairs of its out-neighbors
     // (rank(b) < rank(c)); the oriented edge b→c closes the triangle
     val wedges = oriented.alias("e1")
@@ -2003,15 +2039,22 @@ object Analytics {
     var pr = adj.select(col("src").as("node")).distinct()
       .select(col("node"), lit(S).as("pr"))
       .localCheckpoint(true)
-    // r14: the rank vector is vertex-sized — when it fits the same
-    // data-driven bound as C6's label broadcast (~80 MB of (long, long)
-    // at 5M rows), ship IT to the checkpointed adjacency instead of
+    // r14: the rank vector is vertex-sized — when it fits a data-driven
+    // row bound, ship IT to the checkpointed adjacency instead of
     // sort-merging the two every round: each iteration then pays only
     // the contribution shuffle (groupBy dst), not an adjacency-side
     // exchange+sort as well. Above the bound (billions of vertices at
     // 100 TB) the join falls back to the shuffled path — the decision is
     // data-driven, like C6's. The count is cheap: pr is checkpointed.
-    val bcastRanks = pr.count() <= 5000000L
+    // r15 (ADVICE): the bound is a named conf like graft.mmr.maxLocalRows,
+    // and the default dropped 5M → 1M rows — BroadcastHashJoin build
+    // memory is the driver-collected rows PLUS the hashed relation
+    // (several times the raw 16 B/row), replicated per executor on each
+    // of the 3 iterations, so the old bound risked OOM instead of a
+    // graceful fallback near the boundary.
+    val maxBcastRows = s.conf.getOption("graft.pagerank.maxBroadcastRows")
+      .map(_.toLong).getOrElse(1000000L)
+    val bcastRanks = pr.count() <= maxBcastRows
     def mb(df: DataFrame): DataFrame = if (bcastRanks) broadcast(df) else df
     for (_ <- 1 to 3) {
       pr = adj.join(mb(pr), adj("src") === pr("node"))

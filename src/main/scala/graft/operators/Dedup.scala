@@ -262,7 +262,8 @@ object Dedup {
     // whole-stage codegen (a deserialized cache scan on the stream side
     // would drop the whole pair loop out of codegen). The candidate sides
     // are column-pruned to (doc_id, bucket) — no shingle work there.
-    val sets = docs.select(col("doc_id"), col("shs")).persist()
+    val sets = Analytics.unpersistAfterUse(
+      docs.select(col("doc_id"), col("shs")))
     // Threshold as exact integer math with a SINGLE intersect occurrence:
     // i/(a+b-i) >= 0.3  <=>  13*i >= 3*(a+b). Catalyst pushes this filter
     // into the attach-join's condition; written as i/(...) >= 0.3 the
@@ -330,12 +331,11 @@ object Dedup {
     * oracle-pinned behavior) is the G32 star-cap semantics applied to the
     * prefix inverted index: see [[prefixCandidates]]. */
   def dedupPrefix(s: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.documents(s, dir)
+    val sets = Analytics.unpersistAfterUse(Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text")).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .persist() // feeds prefix explode + both verify attaches
+      .filter(size(col("shs")) > 0)) // feeds prefix explode + both verify attaches
     val cand = prefixCandidates(s, sets)
     // exact verify: J ≥ 1/2 ⟺ 3·i ≥ |a|+|b| (single kernel occurrence,
     // same single-substitution shape as C2)
@@ -446,12 +446,11 @@ object Dedup {
     * all-pairs, so it checks the filter's LOSSLESSNESS, not just the
     * verify arithmetic. */
   def dedupContainment(s: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.documents(s, dir)
+    val sets = Analytics.unpersistAfterUse(Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text")).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .persist()
+      .filter(size(col("shs")) > 0))
     val posts = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
     val dfreq = posts.groupBy("sh").agg(count(lit(1)).as("df"))
     // rank each doc's shingles rarest-first; na rides the same exchange
@@ -550,12 +549,11 @@ object Dedup {
     // Docs with <2 tokens have no shingles and are dropped, matching the
     // explode-based form where they never produced a row. Pinned
     // repartition (AQE-exempt) parallelizes the md5 pass (single file).
-    val sets = Tables.documents(s, dir)
+    val sets = Analytics.unpersistAfterUse(Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text")).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .persist() // feeds signatures + both verify attaches — one md5 pass
+      .filter(size(col("shs")) > 0)) // feeds signatures + both verify attaches — one md5 pass
     // Full signature in one native codegen pass ([[graft.plans.MinHashSig]])
     // instead of 16 interpreted array_min(transform(...)) projections —
     // same permutation math, so the DuckDB oracle is unchanged.
@@ -623,12 +621,11 @@ object Dedup {
     * plan dimension (the band explode carries a `bands` marker), so the
     * sweep shuffles once per stage, not once per config. */
   def dedupLshTune(s: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.documents(s, dir)
+    val sets = Analytics.unpersistAfterUse(Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text")).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .persist()
+      .filter(size(col("shs")) > 0))
     val mins = sets.select(col("doc_id"),
       call_function("graft_minhash_sig", col("shs"), lit(NumHashes)).as("sig"))
     def bandRowsFor(b: Int): DataFrame = {
@@ -651,12 +648,12 @@ object Dedup {
       .select(col("a.bands").as("bands"),
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val verified = withJaccard(cand
+    // feeds the per-config table and the union reference
+    val verified = Analytics.unpersistAfterUse(withJaccard(cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b"))
       .select(col("bands"), col("doc_a"), col("doc_b"),
-        (col("jaccard") >= 0.3).as("detected"))
-      .persist() // feeds the per-config table and the union reference
+        (col("jaccard") >= 0.3).as("detected")))
     val union = verified.filter(col("detected"))
       .select("doc_a", "doc_b").distinct()
       .agg(count(lit(1)).as("n_union"))
@@ -735,15 +732,14 @@ object Dedup {
     // band explode and the two pair-side attaches re-read them, and at
     // scale this is the entire working set — the shingle arrays are
     // consumed inside the one upstream projection and never materialized.
-    val mins = Tables.documents(s, dir)
+    val mins = Analytics.unpersistAfterUse(Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         call_function("graft_minhash_sig",
           call_function("graft_shingle_hashes", col("text")), lit(NumHashes)).as("sig"))
       // empty shingle set → all-null signature (min over empty); drop it
       // here or every such doc would share the "" band key downstream
-      .filter(element_at(col("sig"), 1).isNotNull)
-      .persist()
+      .filter(element_at(col("sig"), 1).isNotNull))
     val bandKeys = (0 until Bands).map { bnd =>
       concat_ws("_", (0 until RowsPerBand).map(r =>
         element_at(col("sig"), bnd * RowsPerBand + r + 1)): _*)
@@ -806,12 +802,11 @@ object Dedup {
     * so screening a batch never shuffles the index. Output: each new doc
     * with the indexed near-duplicates that would reject it. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.documents(s, dir)
+    val sets = Analytics.unpersistAfterUse(Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         call_function("graft_shingle_hashes", col("text")).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .persist()
+      .filter(size(col("shs")) > 0))
     val mins = sets.select(col("doc_id"),
       call_function("graft_minhash_sig", col("shs"), lit(NumHashes)).as("sig"))
     val bandKeys = (0 until Bands).map { bnd =>
@@ -877,12 +872,12 @@ object Dedup {
     // occurrence) collapses into a narrow per-doc map. Zero-token docs
     // are filtered out, matching the explode-based form where they never
     // reached the groupBy.
-    val sims = Tables.documents(s, dir)
+    // both block-join sides — one token-hash + vote pass
+    val sims = Analytics.unpersistAfterUse(Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .filter(regexp_count(col("text"), lit("[^ ]+")) > 0)
       .select(col("doc_id"),
-        call_function("graft_simhash32", col("text")).as("simhash"))
-      .persist() // both block-join sides — one token-hash + vote pass
+        call_function("graft_simhash32", col("text")).as("simhash")))
     val blocks = sims.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), 8 * i).bitwiseAND(lit(255L))): _*)))

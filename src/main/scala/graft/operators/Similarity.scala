@@ -3392,20 +3392,27 @@ object Similarity {
     // C6. The counts are cheap: both relations are checkpointed.
     val maxLocal = s.conf.getOption("graft.mmr.maxLocalRows")
       .map(_.toLong).getOrElse(2000000L)
-    val localOk = cands.count() + sims.count() <= maxLocal && {
-      // a degenerate corpus (NULL embeddings → NULL rel/cos) keeps the
-      // distributed loop's SQL null ordering — the fast path serves only
-      // the clean case, like C6's gate serves only the small one
-      val ok = cands.select("query_id", "neighbor_id", "rel").collect()
-        .forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)) &&
-        sims.collect().forall(r => (0 to 3).forall(i => !r.isNullAt(i)))
-      ok
-    }
-    if (localOk) {
+    // collect each relation ONCE (r15: the gate previously collected both
+    // twice — a null-scan pass and a row pass); the null check and the row
+    // maps derive from the same arrays. A degenerate corpus (NULL
+    // embeddings → NULL rel/cos) keeps the distributed loop's SQL null
+    // ordering — the fast path serves only the clean case, like C6's gate
+    // serves only the small one.
+    val localData: Option[(Array[org.apache.spark.sql.Row],
+        Array[org.apache.spark.sql.Row])] =
+      if (cands.count() + sims.count() <= maxLocal) {
+        val ca = cands.select("query_id", "neighbor_id", "rel").collect()
+        val sa = sims.collect()
+        val clean =
+          ca.forall(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2)) &&
+          sa.forall(r => (0 to 3).forall(i => !r.isNullAt(i)))
+        if (clean) Some((ca, sa)) else None
+      } else None
+    if (localData.isDefined) {
       import s.implicits._
-      val candRows = cands.select("query_id", "neighbor_id", "rel").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      val simRows = sims.collect()
+      val (ca, sa) = localData.get
+      val candRows = ca.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val simRows = sa
         .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
         .toMap
       val byQuery = candRows.groupBy(_._1)
@@ -3423,13 +3430,19 @@ object Similarity {
       byQuery.foreach { case (qid, rows) =>
         val rel = rows.map(r => r._2 -> r._3).toMap
         val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
-        // step 1: argmax(0.7·relD), ties → min neighbor_id (wRel order)
-        best(rows.iterator.map { case (_, nb, rl) =>
-          (0.7 * (rl.toDouble / 1.0e16), nb)
-        }).foreach { first =>
-          selected += first._2
-          out += ((qid, 1L, first._2, rel(first._2), first._1))
+        // step 1 mirrors wRel EXACTLY: (rel: Long desc, neighbor_id asc).
+        // rel is at ~1e16 scale (> 2^53), so two distinct longs can round
+        // to the same double — ranking step 1 by 0.7·relD would then
+        // tie-break by id while the distributed path picks the strictly
+        // larger rel (r15, ADVICE). The double mmr is computed from the
+        // exact winner afterwards; steps 2..K rank by the double mmr in
+        // both paths, so `best` stays double there.
+        val first = rows.reduceLeft { (a, b) =>
+          if (b._3 > a._3 || (b._3 == a._3 && b._2 < a._2)) b else a
         }
+        selected += first._2
+        out += ((qid, 1L, first._2, rel(first._2),
+          0.7 * (first._3.toDouble / 1.0e16)))
         var step = 2
         while (step <= K && selected.nonEmpty && selected.size < rows.length) {
           // candidates not yet selected, with pen = max cos to selected

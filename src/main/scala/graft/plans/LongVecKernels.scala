@@ -111,6 +111,13 @@ case class LongVecDot(left: Expression, right: Expression)
 object LongVecOps {
   def orderedPairs(a: ArrayData): GenericArrayData = {
     val n = a.numElements()
+    // C(n,2) is computed in Int: past 65535 elements it would silently
+    // overflow. Callers pass bounded baskets (an order's line count);
+    // make the bound loud if the kernel is ever reused on unbounded
+    // arrays (r15, ADVICE).
+    require(n <= 65535,
+      s"graft_ordered_pairs input has $n elements; the C(n,2) fan-out " +
+        "is only supported up to 65535 (bounded-basket contract)")
     val m = n * (n - 1) / 2
     val out = new Array[Any](m)
     var w = 0
@@ -141,7 +148,15 @@ case class LongOrderedPairs(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_ordered_pairs"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    // orderedPairs reads every slot with getLong, which would silently
+    // read a null element as 0 while dataType advertises
+    // containsNull=false — reject nullable inputs instead (the function
+    // is user-callable SQL; current callers pass collect_set output,
+    // which is non-nullable) (r15, ADVICE)
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> with non-nullable elements " +
+        "(null slots would silently read as 0)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<bigint>, got ${other.sql}")
   }
