@@ -3569,47 +3569,92 @@ object Similarity {
   }
 
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = memoRung(s, dir, "truth")(
-      annBrute(s, dir).select("query_id", "rank", "neighbor_id"))
-    def recallOf(method: String, res: DataFrame, k: Int): DataFrame = {
-      val hits = res.select("query_id", "neighbor_id")
-        .join(truth.filter(col("rank") <= k), Seq("query_id", "neighbor_id"),
-          "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-      queriesSet(s, dir).select("query_id")
-        .join(hits, Seq("query_id"), "left")
-        .select(lit(method).as("method"), col("query_id"),
-          coalesce(col("hits"), lit(0L)).as("hits"), lit(k.toLong).as("k"))
-    }
-    def rung(method: String, build: => DataFrame): DataFrame =
-      memoRung(s, dir, method)(build)
-    recallOf("ann_graph_search", rung("ann_graph_search", annGraphSearch(s, dir)), 5)
-      .unionAll(recallOf("ann_ivf", rung("ann_ivf", annIvf(s, dir)), 5))
-      .unionAll(recallOf("ann_ivf_km", rung("ann_ivf_km", annIvfKm(s, dir)), 5))
-      .unionAll(recallOf("ann_lsh", rung("ann_lsh", annLsh(s, dir)), 3))
-      .unionAll(recallOf("ann_pq_rerank", rung("ann_pq_rerank", annPqRerank(s, dir)), 5))
-      .unionAll(recallOf("ann_sq8", rung("ann_sq8", annSq8(s, dir)), 5))
-      // the two pure-ADC rungs side by side: what the B22 energy-balancing
-      // permutation buys over the contiguous split (zero on THIS corpus —
-      // isotropic by construction; the rung pair is where a real corpus
-      // shows the PQ→OPQ gap)
-      .unionAll(recallOf("vec_pq", rung("vec_pq", vecPq(s, dir)), 5))
-      // B25 next to B7: what one exact Lloyd round over the codebook buys
-      .unionAll(recallOf("vec_pq_lloyd",
-        rung("vec_pq_lloyd", vecPqLloyd(s, dir)), 5))
-      .unionAll(recallOf("vec_opq", rung("vec_opq", vecOpq(s, dir)), 5))
-      // B8 vs B23 vs B24 side by side: what per-cell OPQ and residual
-      // encoding each buy inside IVF-PQ
-      .unionAll(recallOf("ann_ivfpq", rung("ann_ivfpq", annIvfPq(s, dir)), 5))
-      .unionAll(recallOf("ann_ivfpq_opq",
-        rung("ann_ivfpq_opq", annIvfPqOpq(s, dir)), 5))
-      .unionAll(recallOf("ann_ivfpq_res",
-        rung("ann_ivfpq_res", annIvfPqRes(s, dir)), 5))
-      // B26 next to B8: codebook training inside the composed index
-      .unionAll(recallOf("ann_ivfpq_lloyd",
-        rung("ann_ivfpq_lloyd", annIvfPqLloyd(s, dir)), 5))
-      // B28: the dim-reduction rung (JL shortlist + exact re-rank)
-      .unionAll(recallOf("ann_rp", rung("ann_rp", annRp(s, dir)), 5))
+    // The rung inventory, in the output's method order. Notable pairs the
+    // table is built to expose: vec_pq ↔ vec_opq (what the B22
+    // energy-balancing permutation buys over the contiguous split),
+    // vec_pq ↔ vec_pq_lloyd (one exact Lloyd round), ann_ivfpq ↔
+    // _opq/_res/_lloyd (per-cell OPQ, residual encoding, codebook
+    // training inside the composed index), ann_rp (the B28 JL rung).
+    val rungDefs: Seq[(String, Int, () => DataFrame)] = Seq(
+      ("ann_graph_search", 5, () => annGraphSearch(s, dir)),
+      ("ann_ivf", 5, () => annIvf(s, dir)),
+      ("ann_ivf_km", 5, () => annIvfKm(s, dir)),
+      ("ann_lsh", 3, () => annLsh(s, dir)),
+      ("ann_pq_rerank", 5, () => annPqRerank(s, dir)),
+      ("ann_sq8", 5, () => annSq8(s, dir)),
+      ("vec_pq", 5, () => vecPq(s, dir)),
+      ("vec_pq_lloyd", 5, () => vecPqLloyd(s, dir)),
+      ("vec_opq", 5, () => vecOpq(s, dir)),
+      ("ann_ivfpq", 5, () => annIvfPq(s, dir)),
+      ("ann_ivfpq_opq", 5, () => annIvfPqOpq(s, dir)),
+      ("ann_ivfpq_res", 5, () => annIvfPqRes(s, dir)),
+      ("ann_ivfpq_lloyd", 5, () => annIvfPqLloyd(s, dir)),
+      ("ann_rp", 5, () => annRp(s, dir)))
+    // r15 (§2.6 "overlap independent jobs"): the 15 memoRung builds (truth
+    // + 14 rungs) are independent eager-checkpoint jobs that previously
+    // ran strictly serially, leaving most cores idle in each job's tail.
+    // They now run through a bounded thread pool — Spark's scheduler
+    // happily interleaves jobs submitted from several driver threads, and
+    // SessionMemo is single-flight (see its scaladoc), so rungs that
+    // share an artifact (vec_pq/ann_pq_rerank's plain-PQ codes,
+    // vec_pq_lloyd/ann_ivfpq_lloyd's trained codebook, the IVF cell maps)
+    // wait for one build instead of duplicating it. Build errors are
+    // unwrapped so callers see the builder's own exception. The pool is
+    // bounded by `graft.recall.buildThreads` (default 4 — enough to fill
+    // job tails, not enough to thrash the scheduler); 1 = the old serial
+    // behavior.
+    val threads = math.max(1, s.conf.getOption("graft.recall.buildThreads")
+      .map(_.toInt).getOrElse(4))
+    def unwrap[T](f: java.util.concurrent.Future[T]): T =
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    val (truth, rungs) =
+      if (threads == 1) {
+        (memoRung(s, dir, "truth")(
+          annBrute(s, dir).select("query_id", "rank", "neighbor_id")),
+          rungDefs.map { case (m, k, b) => (m, k, memoRung(s, dir, m)(b())) })
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        try {
+          val fTruth = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame = memoRung(s, dir, "truth")(
+              annBrute(s, dir).select("query_id", "rank", "neighbor_id"))
+          })
+          val fRungs = rungDefs.map { case (m, k, b) =>
+            (m, k, pool.submit(new java.util.concurrent.Callable[DataFrame] {
+              override def call(): DataFrame = memoRung(s, dir, m)(b())
+            }))
+          }
+          (unwrap(fTruth), fRungs.map { case (m, k, f) => (m, k, unwrap(f)) })
+        } finally pool.shutdown()
+      }
+    // r15 grading composition: ONE join + ONE aggregation for all 14
+    // rungs. The old shape ran a left-semi join, a per-query aggregation
+    // and a queriesSet attach PER RUNG — 14 aggregation exchanges and 14
+    // embeddings scans over sub-KB checkpointed inputs, pure fixed cost.
+    // Equivalence: truth's (query_id, neighbor_id) is unique (row_number
+    // ranks), so inner-join + rank ≤ k filter counts exactly the rows the
+    // old semi-join kept, per (method, query); the (method × queriesSet)
+    // frame with a left join + coalesce(0) reproduces the old zero-hit
+    // rows. Both bounded sides (≤ 14·|queries| frame rows, ≤ |queries|·5
+    // truth rows) broadcast.
+    import s.implicits._
+    val retrieved = rungs.map { case (m, k, res) =>
+      res.select(lit(m).as("method"), col("query_id"), col("neighbor_id"),
+        lit(k.toLong).as("k"))
+    }.reduce(_ unionAll _)
+    val hits = retrieved
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .filter(col("rank") <= col("k"))
+      .groupBy("method", "query_id").agg(count(lit(1)).as("hits"))
+    val frame = queriesSet(s, dir).select("query_id")
+      .crossJoin(rungDefs.map { case (m, k, _) => (m, k.toLong) }
+        .toDF("method", "k"))
+    frame.join(hits, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("k"))
       .withColumn("recall", col("hits").cast("double") / col("k"))
       .orderBy("method", "query_id")
   }

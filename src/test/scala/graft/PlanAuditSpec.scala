@@ -122,7 +122,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_bm25",      // D30: 1-row (N, T, avgdl) totals attach, the ann_hybrid shape
     "ann_rp",         // B28: same broadcast <=10-row query-set scan as ann_brute
     "ann_hybrid_bm25", // B18b: ann_hybrid's dense-leg broadcast + text_bm25's 1-row totals attach
-    "ann_hybrid_filtered") // B30: ann_hybrid's dense-leg broadcast, corpus side pre-filtered
+    "ann_hybrid_filtered", // B30: ann_hybrid's dense-leg broadcast, corpus side pre-filtered
+    "ann_recall") // B13 (r15): 14-method × ≤10-query grading frame — both sides bounded
 
   test("BroadcastNestedLoopJoin appears ONLY in the allowlisted bounded joins") {
     val observed = plans.collect {
